@@ -1,0 +1,186 @@
+"""Deduplication operators for training-data pipelines.
+
+All variants are pure DataFrame/Catalyst pipelines — no Python UDFs —
+so they scale to 100 TB: the only shuffles are the groupBys/joins on
+document or bucket keys, and candidate generation (LSH banding) keeps
+the pairwise-verify join far below O(n²).
+
+Hash choice: the portable paths (MinHash, SimHash here) derive integer
+hashes from md5 hex prefixes so an external engine (the DuckDB oracle)
+reproduces them bit-for-bit. For pure-Spark production runs,
+``xxhash64`` is ~5× faster and a drop-in swap (``hash_fn='xxhash64'``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, tokens, word_shingles
+
+# Deterministic affine-permutation constants for MinHash:
+#   h_i(x) = (A[i] * base_hash(x) + B[i]) mod P
+# P is a large prime below 2^31 so A*h stays well inside int64.
+MINHASH_P = 2_147_483_647
+_LCG_A, _LCG_C, _LCG_M = 1_103_515_245, 12_345, 2**31
+
+
+def _perm_constants(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """k (a, b) pairs from a fixed LCG — reproducible everywhere."""
+    out, x = [], seed
+    for _ in range(k):
+        x = (_LCG_A * x + _LCG_C) % _LCG_M
+        a = x % (MINHASH_P - 1) + 1
+        x = (_LCG_A * x + _LCG_C) % _LCG_M
+        b = x % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def md5_hash64(col: Column) -> Column:
+    """Portable 32-bit-ish integer hash: first 8 hex chars of md5.
+
+    Reproducible in any engine with md5 + hex parsing (unlike
+    murmur3/xxhash which differ per implementation).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on normalized text: one representative (min id) per
+    distinct normalized form. Single hash-shuffle on the fingerprint."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct (id, shingle) pairs — the exploded set representation
+    shared by Jaccard verify and MinHash signature computation."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via shingle inverted index.
+
+    Scale path: the join is on the shingle value, so only documents
+    sharing a shingle ever meet — no cross join. At 100 TB, very hot
+    shingles (stop-phrase skew) should be dropped first (document
+    frequency cap); here df-cap is a filter on shingle frequency.
+    """
+    sh = shingle_sets(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jaccard")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: num_hashes min-over-shingles of
+    affine permutations of the portable md5-based shingle hash.
+
+    One explode + one groupBy — the partial (map-side) min makes the
+    shuffle tiny regardless of document size.
+    """
+    sh = shingle_sets(df, id_col, text_col, k_shingle)
+    h = md5_hash64(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_perm_constants(num_hashes, seed))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, verified by exact Jaccard.
+
+    Banding: num_hashes/bands rows per band; docs sharing any band key
+    become candidates (join on the band key — the classic
+    shingle→minhash→band→bucket-join pipeline). Candidates are then
+    verified with exact Jaccard so the threshold is exact, not
+    probabilistic.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k_shingle, num_hashes, seed)
+    band_cols = [
+        F.concat_ws(
+            "_", F.lit(bi), *[F.col(f"mh{bi * rows + r}") for r in range(rows)]
+        ).alias(f"band{bi}")
+        for bi in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), F.array(*band_cols).alias("bands"))
+    exploded = banded.select(F.col(id_col), F.explode("bands").alias("band_key"))
+    a = exploded.select(F.col(id_col).alias("id_a"), "band_key")
+    b = exploded.select(F.col(id_col).alias("id_b"), "band_key")
+    candidates = (
+        a.join(b, "band_key").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )
+    verified = ngram_jaccard_pairs(df, id_col, text_col, k_shingle, threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+    return candidates.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash sketch per document over whitespace tokens.
+
+    Per bit b: sign of sum over tokens of (+1 if bit b of the token
+    hash is set else -1); sketch = the packed bit integer. Pure integer
+    expressions (portable md5-based token hash) — oracle-reproducible.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = md5_hash64(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    packed = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return sums.select(F.col(id_col), packed.cast("bigint").alias("simhash"))

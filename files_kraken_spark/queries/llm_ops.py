@@ -1,0 +1,375 @@
+"""LLM training-data pipeline queries: text analysis, dedup,
+similarity search, multimodal — over ``documents`` / ``embeddings``.
+
+Oracle notes:
+- Tokenization/shingling SQL mirrors ``functions.text`` exactly
+  (split on \\s+, drop empties, k-word shingles).
+- MinHash / SimHash use the portable md5-prefix integer hash so the
+  DuckDB oracle reproduces signatures bit-for-bit (pure int math).
+- Cosine oracles compute in DOUBLE (DuckDB's list_cosine_similarity
+  is float32 — not used).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as DD
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from ..operators.dedup import MINHASH_P, _perm_constants
+from ..sources.tables import load_table
+from . import register
+
+# Shared SQL fragments — keep in lockstep with functions/text.py.
+_SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(trim({col}), '\\s+'), x -> x <> '')"
+)
+_SQL_STOPWORD_PAT = r"\b(?:" + "|".join(T.EN_STOPWORDS) + r")\b"
+
+
+@register(
+    "t_token_stats",
+    oracle=f"""
+SELECT source,
+       count(*) AS n_docs,
+       sum(len({_SQL_TOKENS.format(col='text')})) AS total_tokens,
+       avg(n_chars) AS avg_chars
+FROM documents
+GROUP BY source
+""",
+    doc="Token counting (whitespace) aggregated per source.",
+)
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
+        F.avg("n_chars").alias("avg_chars"),  # int avg: bit-equal
+    )
+
+
+@register(
+    "t_bpe_token_count",
+    oracle="""
+SELECT source,
+       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS bpe_tokens
+FROM documents
+GROUP BY source
+""",
+    doc="BPE-ish sub-word token counting via boundary regex.",
+)
+def t_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(T.bpe_ish_token_count(F.col("text"))).alias("bpe_tokens")
+    )
+
+
+@register(
+    "t_lang_id",
+    oracle=f"""
+SELECT lang AS labeled_lang,
+       CASE WHEN len(regexp_extract_all(lower(text), '{_SQL_STOPWORD_PAT}'))
+                 >= 0.05 * len({_SQL_TOKENS.format(col='text')})
+            AND len({_SQL_TOKENS.format(col='text')}) > 0
+            THEN 'en' ELSE 'unknown' END AS predicted_lang,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+""",
+    doc="Language-ID heuristic: EN-stopword density over tokens, compared "
+    "against the labeled lang column.",
+)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            T.lang_id(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "t_quality_score",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         least(len({_SQL_TOKENS.format(col='text')}) / 50.0, 1.0) AS len_score,
+         1.0 - least(coalesce(
+             length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))
+               * 1.0 / nullif(length(text), 0), 0.0) * 5.0, 1.0) AS punct_score,
+         CASE WHEN coalesce(list_sum(list_transform({_SQL_TOKENS.format(col='text')},
+                                x -> length(x))) * 1.0
+                    / nullif(len({_SQL_TOKENS.format(col='text')}), 0), 0.0)
+                   BETWEEN 3.0 AND 8.0
+              THEN 1.0 ELSE 0.5 END AS word_score
+  FROM documents
+)
+SELECT doc_id, (len_score + punct_score + word_score) / 3.0 AS quality
+FROM scored
+""",
+    doc="Composite quality score: length / punctuation-density / word-length "
+    "band — deterministic arithmetic, oracle-verified per document.",
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "t_fingerprint",
+    oracle="""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+    doc="Document fingerprint: md5 of whitespace-normalized lowercased text "
+    "(md5 → cross-engine identical digests).",
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS rep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    doc="Exact dedup: hash-groupBy on normalized text, min-id representative.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs, "doc_id", "text")
+
+
+# Shingle CTEs shared by the Jaccard / MinHash oracles (k=3 word shingles).
+_SQL_SHINGLES = f"""
+toks AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, inter * 1.0 / (s1.n + s2.n - inter) AS jaccard
+  FROM pairs
+  JOIN sizes s1 ON s1.doc_id = id_a
+  JOIN sizes s2 ON s2.doc_id = id_b
+)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SQL_SHINGLES}
+SELECT id_a, id_b, jaccard
+FROM jac WHERE jaccard >= 0.8
+""",
+    doc="N-gram (3-word shingle) Jaccard near-dup pairs via inverted-index "
+    "join — no cross join; only docs sharing a shingle ever meet.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+
+
+def _minhash_sql(num_hashes: int = 16, seed: int = 42) -> str:
+    consts = _perm_constants(num_hashes, seed)
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(consts)
+    )
+    return f"""
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+)
+"""
+
+
+def _band_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    selects = []
+    for bi in range(bands):
+        cols = ", ".join(f"mh{bi * rows + r}" for r in range(rows))
+        selects.append(
+            f"SELECT doc_id, concat_ws('_', {bi}, {cols}) AS band_key FROM sig"
+        )
+    return "banded AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SQL_SHINGLES},
+{_minhash_sql(16, 42).strip().rstrip()}
+,
+{_band_sql(16, 4)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, j.jaccard
+FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= 0.8
+""",
+    doc="MinHash(16)+LSH(4 bands) near-dup: shingle→minhash→band→bucket-join "
+    "candidates, verified by exact Jaccard. Portable md5-based integer "
+    "hashes → oracle reproduces signatures exactly.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", k_shingle=3, num_hashes=16, bands=4, threshold=0.8
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    packed = " + ".join(f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+),
+tok AS (SELECT doc_id, u.tok FROM toks, UNNEST(t) AS u(tok)),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok
+),
+sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_sql(16),
+    doc="SimHash(16-bit) sketch per document over tokens — portable integer "
+    "math, oracle-verified bit-for-bit.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash(docs, "doc_id", "text", bits=16)
+
+
+# Double-math cosine fragment: index-ordered product sum (matches Spark
+# zip_with+aggregate evaluation order).
+_SQL_COS = (
+    "(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+)
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q_id, c.vec_id AS cand_id,
+         {_SQL_COS.format(a='qv', b='c.embedding')} AS cos
+  FROM embeddings c, q
+  WHERE c.vec_id <> q_id
+),
+ranked AS (
+  SELECT q_id, cand_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+  FROM scored
+)
+SELECT q_id, cand_id FROM ranked WHERE rn <= 10
+""",
+    doc="Brute-force cosine top-10 for 5 query vectors (exact ANN baseline): "
+    "broadcast query set, single corpus scan, per-query window top-k.",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= 0.45
+""",
+    doc="Embedding-cosine near-dup pairs (threshold 0.45). Exact O(n²) "
+    "baseline; lsh_bucketed_pairs is the 100 TB path (rows-only check).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_pairs_above(emb, threshold=0.45)
+
+
+@register(
+    "sim_lsh_bucketed",
+    oracle=None,  # approximate by construction — rows-only check
+    doc="Random-hyperplane LSH bucketed near-dup (approximate scale path: "
+    "candidates only within signature buckets, expected n²/2^planes work).",
+)
+def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_bucketed_pairs(emb, dim=64, n_planes=6, threshold=0.40)
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS byte_len,
+       sha256(text) AS sha_hex
+FROM documents
+""",
+    doc="Multimodal binary-column plumbing: typed metadata (byte length, "
+    "content hash) over opaque binary payloads.",
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_binary(docs, "doc_id", "text", "image")
+    return media.select(
+        "media_id", "byte_len", F.col("sha256").alias("sha_hex")
+    )
+
+
+@register(
+    "mm_feature_extract",
+    oracle=None,  # mapInPandas stub-decode — rows-only check
+    doc="Multimodal feature extraction: Arrow-batched mapInPandas over "
+    "binary media rows (decode stubbed deterministically; schema, batch "
+    "shape, and partitioning are the real thing).",
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_binary(docs, "doc_id", "text", "image")
+    return MM.extract_features(media)

@@ -1,0 +1,331 @@
+"""General relational query surface (SURVEY §2.6 / M6).
+
+The reference has no SQL engine; its query surface is point lookups
+over collected state (``database/_database.py:34-47``). Our engine
+attaches the full Spark relational operator set here: aggregations,
+multi-way joins (broadcast for dims), windows, rollup, set ops,
+anti/semi joins, top-k — each with a DuckDB oracle.
+
+Scale notes (100 TB): every query below is declarative, so Catalyst
+pushes filters/projections into the parquet scan; dimension joins are
+explicitly broadcast; fact-fact joins shuffle on their keys and AQE
+handles skew. Aggregates are partial (map-side combine) by
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import register
+
+
+# Float determinism policy (applies to every oracle-checked query):
+# per-row float math is emitted RAW (identical IEEE ops on identical
+# inputs → bit-equal across engines). Aggregated sums are rounded at a
+# scale where the TRUE sum is exact (all money columns are 2-decimal;
+# products of two of them 4-decimal), which both engines reach despite
+# different accumulation orders. Averages divide the already-rounded
+# (hence identical) sum by the count — no further rounding.
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                       AS sum_qty,
+       round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)               AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(sum(l_quantity), 2) / count(*)                            AS avg_qty,
+       round(sum(l_extendedprice), 2) / count(*)                       AS avg_price,
+       round(sum(l_discount), 2) / count(*)                            AS avg_disc,
+       count(*)                                                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 pricing summary: wide partial aggregation, filter pushed to scan.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            (F.round(F.sum("l_quantity"), 2) / cnt).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice"), 2) / cnt).alias("avg_price"),
+            (F.round(F.sum("l_discount"), 2) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q5_revenue_by_nation",
+    oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey   = c_custkey
+JOIN lineitem ON l_orderkey  = o_orderkey
+JOIN supplier ON s_suppkey   = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5 local-supplier revenue: 6-way join; dims broadcast, facts shuffle.",
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            customer,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q_topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+    doc="Top-k by stored column (deterministic: unique tiebreak on key). "
+    "Spark executes as TakeOrderedAndProject — no full sort at scale.",
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "q_window_topn_per_group",
+    oracle="""
+SELECT n_nationkey, c_custkey, c_acctbal, rn
+FROM (
+  SELECT n_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY n_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) t
+WHERE rn <= 3
+""",
+    doc="Window function with frame: per-nation top-3 customers by balance.",
+)
+def q_window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_nationkey", "c_custkey", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_rollup_orders",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total,
+       grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    doc="ROLLUP grouping sets with GROUPING() disambiguation.",
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority")).alias("gid"),
+    )
+
+
+@register(
+    "q_setops_customers",
+    oracle="""
+SELECT c_custkey, 'both' AS bucket FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+) t
+UNION ALL
+SELECT c_custkey, 'rich_only' AS bucket FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+) t
+""",
+    doc="Set operations: INTERSECT and EXCEPT over two filtered scans.",
+)
+def q_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    rich = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    both = rich.intersect(building).withColumn("bucket", F.lit("both"))
+    rich_only = rich.subtract(building).withColumn("bucket", F.lit("rich_only"))
+    return both.unionByName(rich_only)
+
+
+@register(
+    "q_anti_join_no_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+    doc="Anti join: customers with no large (>300k) order (NOT EXISTS).",
+)
+def q_anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_semi_join_urgent",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+    doc="Semi join: customers having at least one urgent order (EXISTS).",
+)
+def q_semi_join_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "q_case_having",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       o_orderstatus,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) / count(*) AS avg_price
+FROM orders
+GROUP BY 1, 2
+HAVING count(*) > 10
+""",
+    doc="CASE bucketing + HAVING post-aggregate filter.",
+)
+def q_case_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"), F.col("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1))).alias("avg_price"),
+        )
+        .filter(F.col("n") > 10)
+    )
+
+
+@register(
+    "q_events_hourly",
+    oracle="""
+SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_s, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Tumbling-window aggregation (batch form of the streaming hourly "
+    "rollup). Window key as epoch seconds — exact integer math on the "
+    "nanosecond timestamps.",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")  # ts = long nanos
+    hour_s = (F.expr("ts div 3600000000000") * 3600).alias("hour_s")
+    return events.groupBy(hour_s, F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "q_events_sessionized_lag",
+    oracle="""
+SELECT event_id, user_id,
+       COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id), -1)
+         AS gap_us
+FROM events
+""",
+    doc="LAG window: per-user inter-event gap in microseconds (session "
+    "building block). Microsecond resolution on both sides — DuckDB's "
+    "parquet reader truncates the nano timestamps to micros.",
+)
+def q_events_sessionized_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")  # ts = long nanos
+    ts_us = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy(ts_us, "event_id")
+    gap = ts_us - F.lag(ts_us).over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.coalesce(gap, F.lit(-1)).alias("gap_us"),
+    )

@@ -1,0 +1,70 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` (single JVM); production target is a
+multi-executor cluster reading ~100 TB. The settings below are the ones
+that matter at both scales:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  dynamic broadcast selection) — at 100 TB skewed keys are a given.
+- Arrow on — every Pandas UDF crossing is batched, never per-row.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE coalesces from a high initial number, so we set the
+  *initial* number generously and let AQE shrink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "files-kraken-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def tune_existing(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to a session we didn't build
+
+    (e.g. the driver harness hands us one). Only touches conf keys that
+    are mutable after session start.
+    """
+    for k, v in {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment; fine
+    return spark
