@@ -1,0 +1,209 @@
+"""Entity assembly: changes → typed per-entity records (A1-A13).
+
+The reference walks each changed file through every blueprint,
+accumulates per-entity updates in a dict cache, then flushes to the
+DB (``data_organizer/_data_organizer.py:122-245``). Columnar form:
+
+1. per blueprint, one ``select`` pipeline extracts all fields from the
+   batch (A1/A2/A3/A5 — pure regex expressions, no Python);
+2. one ``groupBy(id)`` collapses the batch per entity (A13 — the
+   micro-batch *is* the cache scope); map-side partial aggregation
+   keeps the shuffle tiny;
+3. one full-outer join against the state table applies the per-type
+   merge semantics (A4/A6/A7/A8) as column expressions — conflicts
+   surface in a ``_conflicts`` quarantine column, never as executor
+   exceptions (SURVEY §7.0);
+4. a guarded pandas-UDF pass computes parser fields whose
+   dependencies are satisfied (A9/A10).
+
+At 100 TB the only shuffles are the per-blueprint groupBy and the
+state join, both on the entity id; state is bucketable by
+``(blueprint, id)`` to make the join co-located.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..blueprint import Blueprint, FieldType
+
+def _empty_str_arr():
+    return F.array().cast("array<string>")
+
+
+def state_schema(bp: Blueprint) -> StructType:
+    """The state-table schema for one blueprint."""
+    from pyspark.sql.types import ArrayType, _parse_datatype_string
+
+    fields = [StructField("blueprint", StringType()), StructField("id", StringType())]
+    for f in bp.all_fields:
+        ft = bp.field_type(f)
+        if ft.is_list:
+            fields.append(StructField(f, ArrayType(StringType())))
+        elif ft == FieldType.PARSER:
+            fields.append(StructField(f, _parse_datatype_string(bp.parsers[f].returns)))
+        else:
+            fields.append(StructField(f, StringType()))
+    fields.append(StructField("_conflicts", ArrayType(StringType())))
+    return StructType(fields)
+
+
+def match_batch(changes: DataFrame, bp: Blueprint) -> DataFrame:
+    """A1/A2/A3/A5 — extract and gate one blueprint over a change batch.
+
+    ``changes``: (path, name, change) rows. Output: one row per
+    matching file with entity id, per-field values, and the change tag.
+    """
+    name_col, path_col = F.col("name"), F.col("path")
+    req = bp.required_columns(name_col)
+    sel = [path_col, F.col("change")]
+    sel += [req[f].alias(f) for f in bp.required]
+    opt = bp.optional_columns(name_col, path_col, req)
+    sel += [c.alias(f) for f, c in opt.items()]
+    matched = changes.select(*sel).filter(bp.required_gate({f: F.col(f) for f in bp.required}))
+    return matched.withColumn("id", bp.entity_id({f: F.col(f) for f in bp.required}))
+
+
+def aggregate_batch(matched: DataFrame, bp: Blueprint) -> DataFrame:
+    """Collapse a matched batch per (id, change): scalars collect their
+    distinct values (conflict detection happens at merge), lists
+    collect members, parser sources pick any one path."""
+    aggs: list[Column] = []
+    for f in bp.required:
+        aggs.append(F.first(f).alias(f))  # equal within id by construction
+    for f in bp.optional:
+        ft = bp.field_type(f)
+        if ft.is_list:
+            aggs.append(F.sort_array(F.collect_set(f)).alias(f))
+        else:
+            aggs.append(F.sort_array(F.collect_set(f)).alias(f + "__vals"))
+    for f, ps in bp.parsers.items():
+        if ps.pattern is not None:
+            aggs.append(F.min(f + "__src").alias(f + "__src"))
+    return matched.groupBy("id", "change").agg(*aggs)
+
+
+def _merge_scalar(f: str, state_val: Column, new_vals: Column) -> tuple[Column, Column]:
+    """A6 scalar semantics: set if unset; equal new value is a no-op;
+    differing values are a conflict. Returns (merged, conflict_flag)."""
+    n_new = F.size(new_vals)
+    candidate = F.when(n_new > 0, F.element_at(new_vals, 1))
+    batch_conflict = n_new > 1
+    state_conflict = (
+        state_val.isNotNull() & (n_new > 0) & ~F.array_contains(new_vals, state_val)
+    )
+    merged = F.coalesce(state_val, candidate)
+    return merged, batch_conflict | state_conflict
+
+
+def _delete_scalar(f: str, state_val: Column, del_vals: Column) -> tuple[Column, Column]:
+    """A7 scalar semantics: deleting the held value NULLs the field;
+    deleting a different value is a conflict."""
+    has_del = F.size(del_vals) > 0
+    matches = state_val.isNotNull() & F.array_contains(del_vals, state_val)
+    merged = F.when(has_del & matches, F.lit(None).cast("string")).otherwise(state_val)
+    conflict = has_del & state_val.isNotNull() & ~matches
+    return merged, conflict
+
+
+def merge_into_state(
+    state: DataFrame, created: DataFrame, deleted: DataFrame, bp: Blueprint
+) -> DataFrame:
+    """A4/A6/A7/A8/A11 — one full-outer reconciliation of the state
+    table with the batch's created- and deleted-side aggregates."""
+    c = created.drop("change")
+    d = deleted.drop("change")
+    c = c.select([F.col(x).alias(f"c_{x}") for x in c.columns])
+    d = d.select([F.col(x).alias(f"d_{x}") for x in d.columns])
+    s = state
+
+    joined = (
+        s.join(c, s["id"] == c["c_id"], "full_outer")
+        .join(d, F.coalesce(s["id"], c["c_id"]) == d["d_id"], "full_outer")
+    )
+
+    out_id = F.coalesce(s["id"], F.col("c_id"), F.col("d_id"))
+    cols: list[Column] = [F.lit(bp.name).alias("blueprint"), out_id.alias("id")]
+    conflicts: list[Column] = []
+
+    def arr(col: Column) -> Column:
+        return F.coalesce(col, _empty_str_arr())
+
+    for f in bp.all_fields:
+        ft = bp.field_type(f)
+        if ft == FieldType.PARSER:
+            ps = bp.parsers[f]
+            keep = s[f] if f in state.columns else F.lit(None).cast(ps.returns)
+            cols.append(keep.alias(f))  # parser values survive deletes (A7/NoUpdate)
+            if ps.pattern is not None:
+                cols.append(F.col(f"c_{f}__src").alias(f + "__src"))
+            continue
+        if f in bp.required:
+            cols.append(F.coalesce(s[f], F.col(f"c_{f}"), F.col(f"d_{f}")).alias(f))
+            continue
+        if ft.is_list:
+            # A6 list: append-dedup; A7 list: subtract deleted members
+            merged = F.array_except(
+                F.array_distinct(F.concat(arr(s[f]), arr(F.col(f"c_{f}")))),
+                arr(F.col(f"d_{f}")),
+            )
+            cols.append(F.sort_array(merged).alias(f))
+        else:
+            m1, conf1 = _merge_scalar(f, s[f], arr(F.col(f"c_{f}__vals")))
+            m2, conf2 = _delete_scalar(f, m1, arr(F.col(f"d_{f}__vals")))
+            cols.append(m2.alias(f))
+            conflicts.append(F.when(conf1 | conf2, F.lit(f)))
+
+    prev_conflicts = arr(s["_conflicts"]) if "_conflicts" in state.columns else _empty_str_arr()
+    new_conflicts = F.array_distinct(
+        F.concat(prev_conflicts, F.filter(F.array(*conflicts) if conflicts else _empty_str_arr(),
+                                          lambda x: x.isNotNull()))
+    )
+    cols.append(new_conflicts.alias("_conflicts"))
+    return joined.select(*cols)
+
+
+def apply_parsers(merged: DataFrame, bp: Blueprint) -> DataFrame:
+    """A9/A10 — guarded parser pass over the merged frame.
+
+    Pattern parsers read their matched file (path in ``<f>__src``);
+    dependent parsers fire once every dependency column is set and the
+    value is still NULL — the reference's topological deferral
+    (``data_organizer/_data_organizer.py:232-239``). Parsers are
+    pandas UDFs: one Arrow batch per invocation, not per row.
+    """
+    out = merged
+    for f, ps in bp.parsers.items():
+        if ps.fn is None:
+            continue
+        udf = F.pandas_udf(ps.fn, ps.returns)
+        if ps.pattern is not None:
+            # a fresh source file overwrites the parsed value (the
+            # reference warns-and-overwrites, fields/_fields.py:183-196)
+            src = F.col(f + "__src")
+            out = out.withColumn(
+                f, F.when(src.isNotNull(), udf(src)).otherwise(F.col(f))
+            )
+        else:
+            deps = [F.col(d) for d in ps.dependent_fields]
+            guard = F.col(f).isNull()
+            for dcol in deps:
+                guard = guard & dcol.isNotNull()
+            out = out.withColumn(
+                f, F.when(guard, udf(*deps)).otherwise(F.col(f))
+            )
+    drop = [f + "__src" for f, ps in bp.parsers.items() if ps.pattern is not None]
+    return out.drop(*drop)
+
+
+def assemble(changes: DataFrame, state: DataFrame, bp: Blueprint) -> DataFrame:
+    """Full batch assembly for one blueprint: match → aggregate →
+    merge with state → parser pass. Returns the new state DataFrame."""
+    matched = match_batch(changes, bp)
+    agg = aggregate_batch(matched, bp)
+    created = agg.filter(F.col("change") == "created")
+    deleted = agg.filter(F.col("change") == "deleted")
+    merged = merge_into_state(state, created, deleted, bp)
+    return apply_parsers(merged, bp).select(*[f.name for f in state_schema(bp)])

@@ -1,0 +1,220 @@
+"""Micro-batch streaming runtime (reference parity: R1-R6, D3, D5, D6).
+
+The reference's poll loop re-scans, diffs against a JSON-backed
+snapshot, and pushes ``Changes`` through an event bus into the
+builder (``monitoring/_monitoring.py:270-304``). Here each poll tick
+is one micro-batch: scan → anti-join diff (created AND deleted —
+Spark's own file stream source only sees additions) → per-blueprint
+assembly → state-table commit → snapshot commit. ``Trigger.
+AvailableNow`` semantics = ``run_once``; ``processingTime`` =
+``run(poll_interval=…)``; the reference's ``exit_time``/``exit_file``
+stop conditions are preserved (R2).
+
+``start_stream`` additionally wires a true Structured Streaming file
+source (created-side only) with ``foreachBatch`` running the same
+assembly — the deletion-reconciliation stays with the poll loop, the
+single owner of the state table (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..blueprint import Blueprint
+from ..operators.assemble import assemble
+from ..operators.diff import snapshot_diff
+from ..sources.listing import FILE_SCHEMA, NameMatcher, list_files
+from ..sources.snapshot import SnapshotStore
+from ..store import StateStore
+
+
+@dataclass
+class Watcher:
+    """D3 — stateful change watcher for a set of roots."""
+
+    roots: list[str]
+    snapshot_dir: str
+    matcher: NameMatcher | None = None
+    dir_matcher: NameMatcher | None = None
+    max_depth: int | None = None
+    keep_empty_dirs: bool = False
+    timeout: float = 10.0  # reference default poll interval (R1)
+    _last_poll: float = field(default=0.0, repr=False)
+
+    def scan(self, spark: SparkSession) -> DataFrame:
+        return list_files(
+            spark,
+            self.roots,
+            max_depth=self.max_depth,
+            matcher=self.matcher,
+            dir_matcher=self.dir_matcher,
+            keep_empty_dirs=self.keep_empty_dirs,
+        )
+
+    def poll(self, spark: SparkSession) -> DataFrame | None:
+        """One tick: scan, diff vs snapshot, commit snapshot only when
+        something changed (``monitoring/_monitoring.py:71-76``).
+        Returns (path, name, change) rows or None."""
+        store = SnapshotStore(self.snapshot_dir)
+        prev = store.load(spark, FILE_SCHEMA).filter(~F.col("is_dir"))
+        cur = self.scan(spark)
+        files = cur.filter(~F.col("is_dir"))
+        changes = snapshot_diff(prev.select("path"), files.select("path"))
+        changes = changes.withColumn(
+            "name", F.element_at(F.split(F.col("path"), "/"), -1)
+        )
+        rows = changes.cache()
+        try:
+            if rows.limit(1).count() == 0:
+                return None
+            store.save(cur)
+            return rows.select("path", "name", "change")
+        finally:
+            pass  # cache released by Spark when the batch frame is GC'd
+
+    def reindex_changes(self, spark: SparkSession) -> DataFrame:
+        """D6 — replay the whole current tree as 'created'."""
+        cur = self.scan(spark).filter(~F.col("is_dir"))
+        return cur.select(
+            "path", "name", F.lit("created").alias("change")
+        )
+
+
+class Workflow:
+    """R5 — session façade: watchers + blueprints + state store.
+
+    Mirrors the reference's ``Workflow`` defaults-wiring
+    (``initializer/_initializer.py:30-87``) with a
+    ``workflow_data/<name>/`` layout (R6) for state + snapshots.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        blueprints: list[Blueprint],
+        data_dir: str | None = None,
+        exit_time: float | None = None,
+        exit_file: str | None = None,
+    ):
+        if not blueprints:
+            raise ValueError("at least one blueprint is required (initializer/_initializer.py:84-87)")
+        self.spark = spark
+        self.name = name
+        self.blueprints = blueprints
+        self.data_dir = data_dir or os.path.join(os.getcwd(), "workflow_data", name)
+        self.state = StateStore(os.path.join(self.data_dir, "state"))
+        self.watchers: list[Watcher] = []
+        self.exit_time = exit_time
+        self.exit_file = exit_file
+        self._started = time.time()
+
+    def add_watcher(self, roots: str | list[str], **kw) -> Watcher:
+        roots = [roots] if isinstance(roots, str) else list(roots)
+        w = Watcher(
+            roots=roots,
+            snapshot_dir=os.path.join(
+                self.data_dir, "snapshots", f"watcher_{len(self.watchers)}"
+            ),
+            **kw,
+        )
+        self.watchers.append(w)
+        return w
+
+    # --------------------------------------------------------- one batch
+
+    def process_changes(self, changes: DataFrame) -> None:
+        """R3 — the 'event bus': every blueprint consumes the batch;
+        each assembly commits its own state version."""
+        for bp in self.blueprints:
+            cur = self.state.load(self.spark, bp)
+            new = assemble(changes, cur, bp)
+            self.state.overwrite(bp, new)
+
+    def run_once(self, force_reindex: bool = False) -> int:
+        """One micro-batch across all watchers (AvailableNow semantics;
+        the reference's per-tick body, R1 loop minus the sleep).
+        Returns the number of change rows processed."""
+        if not self.watchers:
+            raise ValueError("no watchers configured (initializer/_initializer.py:80-83)")
+        batches = []
+        for w in self.watchers:
+            ch = w.reindex_changes(self.spark) if force_reindex else w.poll(self.spark)
+            if ch is not None:
+                batches.append(ch)
+        if not batches:
+            return 0
+        changes = batches[0]
+        for b in batches[1:]:
+            changes = changes.unionByName(b)  # D4
+        changes = changes.cache()
+        n = changes.count()
+        if n:
+            self.process_changes(changes)
+        changes.unpersist()
+        return n
+
+    def _time_to_exit(self) -> bool:
+        """R2 — wall-clock or sentinel-file stop
+        (``monitoring/_monitoring.py:208-215``)."""
+        if self.exit_time is not None and time.time() - self._started >= self.exit_time:
+            return True
+        if self.exit_file:
+            try:
+                if os.path.getsize(self.exit_file) > 0:
+                    return True
+            except OSError:
+                pass
+        return False
+
+    def run(self, poll_interval: float = 1.0, reindex_interval: float | None = None) -> None:
+        """R1 — processing-time poll loop with optional D6 reindex."""
+        self._started = time.time()
+        last_reindex = time.time()
+        while not self._time_to_exit():
+            force = (
+                reindex_interval is not None
+                and time.time() - last_reindex >= reindex_interval
+            )
+            if force:
+                last_reindex = time.time()
+            self.run_once(force_reindex=force)
+            time.sleep(poll_interval)
+
+    # -------------------------------------------- structured streaming
+
+    def start_stream(self, root: str, checkpoint_dir: str, glob: str = "*"):
+        """True Structured Streaming ingest for the created side: file
+        source discovers new files; ``foreachBatch`` funnels them into
+        the same assembly. Deletions still come from the poll loop —
+        one owner for the state table."""
+        stream = (
+            self.spark.readStream.format("binaryFile")
+            .schema(
+                "path string, modificationTime timestamp, length long, content binary"
+            )
+            .option("pathGlobFilter", glob)
+            .option("recursiveFileLookup", "true")
+            .load(root)
+            .select(F.col("path"))
+        )
+
+        def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+            changes = batch_df.distinct().select(
+                "path",
+                F.element_at(F.split(F.col("path"), "/"), -1).alias("name"),
+                F.lit("created").alias("change"),
+            )
+            self.process_changes(changes)
+
+        return (
+            stream.writeStream.foreachBatch(_on_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )

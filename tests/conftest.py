@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+_REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(_REPO))
+
+# Python workers must be able to import the package AND the test
+# modules (pandas-UDF closures defined in tests pickle by reference).
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    filter(None, [str(_REPO), str(_REPO / "tests"), os.environ.get("PYTHONPATH")])
+)
+
+from files_kraken_spark.session import get_session
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_session("fks-tests", master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture()
+def golden_tree(tmp_path):
+    """The reference's fixture tree shape
+    (tests/tests_data/collector_path/): runs × {bams,input,results} with
+    decoys (`useless_dir`, `copy_of_run_1.txt`, `run1` vs `run_1`,
+    empty `run_3`)."""
+    root = tmp_path / "collector_path"
+    for run in ("run_1", "run_2"):
+        (root / run / "bams").mkdir(parents=True)
+        (root / run / "input").mkdir()
+        (root / run / "results").mkdir()
+        for s in ("sample_1", "sample_2"):
+            (root / run / "bams" / f"{s}.bam").write_text("bam")
+            (root / run / "bams" / f"{s}.bam.bai").write_text("bai")
+            (root / run / "input" / f"{s}.fastq.gz").write_text("fq")
+            (root / run / "results" / f"{run}.{s}.results.txt").write_text("42.5")
+        (root / run / f"{run}.metrics.txt").write_text("50")
+    (root / "run_3").mkdir()  # empty run dir
+    (root / "run1").mkdir()  # decoy: no underscore
+    (root / "useless_dir").mkdir()
+    (root / "useless_dir" / "useless_file.txt").write_text("x")
+    (root / "copy_of_run_1.txt").write_text("x")
+    return root

@@ -1,0 +1,46 @@
+"""StateStore CRUD (reference tests/test_database.py scenarios)."""
+
+from __future__ import annotations
+
+import pytest
+
+from files_kraken_spark.blueprint import Blueprint
+from files_kraken_spark.operators.assemble import state_schema
+from files_kraken_spark.store import StateStore
+
+
+@pytest.fixture()
+def bp():
+    return Blueprint(
+        name="GenericRecord",
+        required={"key": (r"(\w+)", 1)},
+        optional={"description": (r"desc_(\w+)", 1)},
+    )
+
+
+def _rows(spark, bp, rows):
+    return spark.createDataFrame(
+        [(bp.name, rid, rid, desc, []) for rid, desc in rows], state_schema(bp)
+    )
+
+
+def test_crud_roundtrip(spark, tmp_path, bp):
+    store = StateStore(str(tmp_path / "state"))
+    # empty load
+    assert store.load(spark, bp).count() == 0
+    # insert (S10)
+    store.overwrite(bp, _rows(spark, bp, [("a", "one"), ("b", "two")]))
+    assert store.load(spark, bp).count() == 2
+    # point lookup honors both key parts (S11; reference `and`-bug fixed)
+    got = store.get(spark, bp, "a").collect()
+    assert len(got) == 1 and got[0]["description"] == "one"
+    # upsert replaces by id (S12)
+    store.upsert_rows(spark, bp, _rows(spark, bp, [("a", "uno"), ("c", "three")]))
+    rows = {r["id"]: r["description"] for r in store.load(spark, bp).collect()}
+    assert rows == {"a": "uno", "b": "two", "c": "three"}
+    # delete (S13)
+    store.delete(spark, bp, "b")
+    assert sorted(r["id"] for r in store.load(spark, bp).collect()) == ["a", "c"]
+    # clear
+    store.clear(bp)
+    assert store.load(spark, bp).count() == 0

@@ -1,0 +1,113 @@
+"""End-to-end Workflow runtime (reference tests/test_monitoring.py:215-252
+style: poll, mutate the filesystem, poll again, assert final state)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from files_kraken_spark.blueprint import Blueprint, FieldType, ParserSpec
+from files_kraken_spark.sources.listing import NameMatcher
+from files_kraken_spark.streaming import Workflow
+
+
+from files_kraken_spark.parsers import read_float_file as _read_metric
+
+
+@pytest.fixture()
+def bp():
+    return Blueprint(
+        name="SampleBlueprint",
+        required={"sample": (r"sample_([^\.]+?)\.", 1)},
+        optional={"fastqs": (r".+\.fastq\.gz", 0), "metrics_file": (r".+\.metrics\.txt", 0)},
+        types={"fastqs": FieldType.LIST_PATH, "metrics_file": FieldType.PATH},
+        parsers={
+            "metric": ParserSpec(
+                returns="double", dependent_fields=("metrics_file",), fn=_read_metric
+            )
+        },
+    )
+
+
+def test_workflow_poll_mutate_poll(spark, tmp_path, bp):
+    root = tmp_path / "watch"
+    root.mkdir()
+    (root / "sample_1.lane_1.fastq.gz").write_text("fq")
+    (root / "sample_1.metrics.txt").write_text("50")
+
+    wf = Workflow(spark, "t1", [bp], data_dir=str(tmp_path / "wfdata"))
+    wf.add_watcher(str(root), timeout=0)
+
+    n = wf.run_once()
+    assert n == 2
+    row = wf.state.load(spark, bp).collect()[0]
+    assert row["id"] == "1"
+    assert row["metric"] == 50.0
+    assert row["fastqs"] == [str(root / "sample_1.lane_1.fastq.gz")]
+
+    # no changes -> no-op tick (reference short-circuit)
+    assert wf.run_once() == 0
+
+    # mutate: add a fastq, delete the metrics file
+    (root / "sample_1.lane_2.fastq.gz").write_text("fq")
+    os.remove(root / "sample_1.metrics.txt")
+    n = wf.run_once()
+    assert n == 2
+    row = wf.state.load(spark, bp).collect()[0]
+    assert row["fastqs"] == [
+        str(root / "sample_1.lane_1.fastq.gz"),
+        str(root / "sample_1.lane_2.fastq.gz"),
+    ]
+    assert row["metrics_file"] is None
+    assert row["metric"] == 50.0  # parsed value survives (reference parity)
+
+
+def test_workflow_reindex_is_idempotent(spark, tmp_path, bp):
+    root = tmp_path / "watch"
+    root.mkdir()
+    (root / "sample_3.lane_1.fastq.gz").write_text("fq")
+    wf = Workflow(spark, "t2", [bp], data_dir=str(tmp_path / "wfdata"))
+    wf.add_watcher(str(root))
+    wf.run_once()
+    before = wf.state.load(spark, bp).collect()
+    wf.run_once(force_reindex=True)  # D6: replay everything as created
+    after = wf.state.load(spark, bp).collect()
+    assert [r.asDict() for r in before] == [r.asDict() for r in after]
+
+
+def test_workflow_exit_file(spark, tmp_path, bp):
+    root = tmp_path / "watch"
+    root.mkdir()
+    exit_file = tmp_path / "exit"
+    exit_file.write_text("stop")
+    wf = Workflow(
+        spark, "t3", [bp], data_dir=str(tmp_path / "wfdata"), exit_file=str(exit_file)
+    )
+    wf.add_watcher(str(root))
+    wf.run(poll_interval=0.01)  # returns immediately: exit file non-empty
+
+
+def test_workflow_requires_blueprints_and_watchers(spark, tmp_path, bp):
+    with pytest.raises(ValueError):
+        Workflow(spark, "t4", [], data_dir=str(tmp_path / "x"))
+    wf = Workflow(spark, "t5", [bp], data_dir=str(tmp_path / "y"))
+    with pytest.raises(ValueError):
+        wf.run_once()
+
+
+def test_structured_stream_available_now(spark, tmp_path, bp):
+    root = tmp_path / "stream"
+    root.mkdir()
+    (root / "sample_9.lane_1.fastq.gz").write_text("fq")
+    wf = Workflow(spark, "t6", [bp], data_dir=str(tmp_path / "wfdata"))
+    q = wf.start_stream(str(root), str(tmp_path / "ckpt"), glob="*.gz")
+    q.awaitTermination(60)
+    row = wf.state.load(spark, bp).collect()[0]
+    assert row["id"] == "9"
+    # the file source reports URI-form paths (file:/...)
+    assert len(row["fastqs"]) == 1
+    assert row["fastqs"][0].endswith(f"{root}/sample_9.lane_1.fastq.gz")
