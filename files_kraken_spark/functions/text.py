@@ -84,6 +84,20 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+def shingles_from_tokens(t: Column, k: int = 3) -> Column:
+    """k-word shingles from an already-materialized token array column.
+
+    Callers should project ``tokens(text)`` into a real column first —
+    inlining the tokenizer here makes Spark re-evaluate the split for
+    every slide index (no CSE inside lambda bodies): O(n²) per doc.
+    """
+    n = F.size(t)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Array of k-word shingles (space-joined) — input to MinHash /
     Jaccard dedup. Pure expression: slide over the token array."""

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_text, tokens, word_shingles
+from ..functions.text import normalize_text, shingles_from_tokens, tokens
 
 # Deterministic affine-permutation constants for MinHash:
 #   h_i(x) = (A[i] * base_hash(x) + B[i]) mod P
@@ -59,11 +59,14 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Distinct (id, shingle) pairs — the exploded set representation
-    shared by Jaccard verify and MinHash signature computation."""
-    return (
-        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
-        .distinct()
-    )
+    shared by Jaccard verify and MinHash signature computation.
+
+    Tokens are materialized as a column before sliding so the split
+    runs once per document, not once per shingle index."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    return toks.select(
+        F.col(id_col), F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("shingle")
+    ).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -143,24 +146,66 @@ def minhash_lsh_pairs(
     probabilistic.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k_shingle, num_hashes, seed)
+    # The shingle set feeds both the signature and the verify pass, and
+    # the candidate set feeds three consumers — persist at those reuse
+    # boundaries so each shuffle runs once (broadcast subtrees do NOT
+    # share work otherwise; without these persists the banding join
+    # re-runs per consumer). On a cluster these are the natural
+    # persist/checkpoint points as well.
+    sh = shingle_sets(df, id_col, text_col, k_shingle).persist()
+    h = md5_hash64(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_perm_constants(num_hashes, seed))
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
     band_cols = [
         F.concat_ws(
             "_", F.lit(bi), *[F.col(f"mh{bi * rows + r}") for r in range(rows)]
         ).alias(f"band{bi}")
         for bi in range(bands)
     ]
-    banded = sig.select(F.col(id_col), F.array(*band_cols).alias("bands"))
-    exploded = banded.select(F.col(id_col), F.explode("bands").alias("band_key"))
+    exploded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
+    )
     a = exploded.select(F.col(id_col).alias("id_a"), "band_key")
     b = exploded.select(F.col(id_col).alias("id_b"), "band_key")
     candidates = (
-        a.join(b, "band_key").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .persist()
     )
-    verified = ngram_jaccard_pairs(df, id_col, text_col, k_shingle, threshold).select(
-        "id_a", "id_b", "jaccard"
+
+    # Exact-Jaccard verify restricted to candidate documents only —
+    # near-dups are rare, so this shrinks the inverted-index join from
+    # the whole corpus to the candidate set (the at-scale win: the
+    # banding join is cheap, pairwise verify is what must stay small).
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    return candidates.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    sh_c = sh.join(F.broadcast(cand_ids), id_col).persist()
+    sizes = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh_c.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(sh_c.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jaccard")
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select("id_a", "id_b", jac)
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
