@@ -42,6 +42,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 from . import relational  # noqa: E402,F401
 from . import kraken_ops  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
+from . import extended  # noqa: E402,F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

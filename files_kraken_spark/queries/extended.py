@@ -1,0 +1,424 @@
+"""Extended coverage: sessionization, cube/pivot, percentiles, string
+functions, scalar subqueries, multi-distinct, IVF-style ANN — widening
+the relational + pipeline surface with oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from . import register
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), sess AS (
+  SELECT user_id, t,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ev
+)
+SELECT user_id, session_no,
+       count(*) AS n_events,
+       max(t) - min(t) AS duration_us
+FROM sess
+GROUP BY user_id, session_no
+""",
+    doc="Session windows from first principles: gap>30min starts a new "
+    "session (lag + running sum) — the batch equivalent of streaming "
+    "session windows, fully oracle-checkable.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")  # ts = long nanos
+    t = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy(t, "event_id")
+    is_new = F.when(t - F.lag(t).over(w) > SESSION_GAP_US, 1).otherwise(0)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy(t.alias("t"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = events.select(
+        "user_id", t.alias("t"), F.col("event_id"), is_new.alias("is_new")
+    ).withColumn("session_no", F.sum("is_new").over(
+        Window.partitionBy("user_id").orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("t") - F.min("t")).alias("duration_us"),
+    )
+
+
+@register(
+    "q_cube_events",
+    oracle="""
+SELECT event_type, user_id % 10 AS user_bucket,
+       count(*) AS n,
+       grouping(event_type) + 2 * grouping(user_id % 10) AS gid
+FROM events
+GROUP BY CUBE (event_type, user_id % 10)
+""",
+    doc="CUBE grouping sets over two dimensions with GROUPING ids.",
+)
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 10
+    )
+    return events.cube("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.grouping("event_type") + 2 * F.grouping("user_bucket")).alias("gid"),
+    )
+
+
+@register(
+    "q_pivot_returnflag",
+    oracle="""
+SELECT l_linestatus,
+       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+FROM lineitem
+GROUP BY l_linestatus
+""",
+    doc="PIVOT: per-linestatus quantity totals spread across return flags.",
+)
+def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@register(
+    "q_percentile_qty",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5)  AS p50,
+       quantile_cont(l_quantity, 0.9)  AS p90,
+       quantile_cont(l_quantity, 0.99) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Exact interpolated percentiles per group (sort-based aggregate; "
+    "at 100 TB prefer approx_percentile — kept exact here for the oracle).",
+)
+def q_percentile_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90"),
+        F.percentile("l_quantity", F.lit(0.99)).alias("p99"),
+    )
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS uname,
+       length(p_name) AS name_len,
+       replace(p_name, ' ', '_') AS snake,
+       substr(p_name, 1, 4) AS prefix,
+       levenshtein(p_brand, 'Brand#10') AS brand_dist,
+       concat(p_brand, '/', p_type) AS brand_type
+FROM part
+WHERE p_partkey < 500
+""",
+    doc="Scalar string-function surface: case, length, replace, substr, "
+    "levenshtein, concat.",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.substring("p_name", 1, 4).alias("prefix"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#10")).alias("brand_dist"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@register(
+    "q_date_parts",
+    oracle="""
+SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY 1, 2
+""",
+    doc="Date-part extraction + monthly rollup.",
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 1.25
+""",
+    doc="Scalar subquery threshold (max is engine-exact so the filter "
+    "boundary is deterministic).",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_v
+        WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders_v) / 1.25
+        """
+    )
+
+
+@register(
+    "q_multi_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Multiple COUNT(DISTINCT) in one aggregate (Expand-based plan).",
+)
+def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+        F.count_distinct(F.col("l_partkey")).alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q_ntile_rank_frames",
+    oracle="""
+SELECT o_orderkey,
+       ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+       rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS prio_rank,
+       first_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+                                     ORDER BY o_totalprice DESC, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS top_key
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+""",
+    doc="Window-function surface: ntile, rank with ties, first_value with "
+    "an explicit ROWS frame.",
+)
+def q_ntile_rank_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    w_nt = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    w_rk = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    w_fv = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w_nt).alias("quartile"),
+        F.rank().over(w_rk).alias("prio_rank"),
+        F.first("o_orderkey").over(w_fv).alias("top_key"),
+    )
+
+
+@register(
+    "q_cross_join_dims",
+    oracle="""
+SELECT r_name, s.o_orderstatus, count(o.o_orderkey) AS n
+FROM region r
+CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+LEFT JOIN orders o
+  ON o.o_orderstatus = s.o_orderstatus AND o.o_orderkey % 5 = r.r_regionkey
+GROUP BY 1, 2
+""",
+    doc="Cross join of small dims + left join with computed key.",
+)
+def q_cross_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders").alias("o")
+    statuses = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderstatus").alias("st"))
+        .distinct()
+    )
+    grid = region.crossJoin(statuses)
+    joined = grid.join(
+        orders,
+        (F.col("o.o_orderstatus") == F.col("st"))
+        & (F.col("o.o_orderkey") % 5 == F.col("r_regionkey")),
+        "left",
+    )
+    return (
+        joined.groupBy("r_name", "st")
+        .agg(F.count(F.col("o.o_orderkey")).alias("n"))
+        .withColumnRenamed("st", "o_orderstatus")
+    )
+
+
+# ------------------------------------------------------- reference ops
+
+@register(
+    "f5_multimatch_vector",
+    oracle="""
+SELECT p_partkey,
+       nullif(regexp_extract(p_name, '^(?:(?:red|blue|hot|cold) \\w+)$', 0), '') AS m0,
+       nullif(regexp_extract(p_name, '(ring|bolt|widget)', 1), '') AS m1,
+       nullif(regexp_extract(p_name, '(small|large)', 1), '') AS m2
+FROM part
+WHERE p_partkey < 300
+""",
+    doc="F5 MultimatchExecutor: per-pattern result vector as columns "
+    "(retools/_retools.py:40-73).",
+)
+def f5_multimatch_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import retools as rt
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    # raw-string spec = fullmatch returning the WHOLE match (group 0),
+    # exactly the reference's convention (retools/_retools.py:54-58)
+    vec = rt.multimatch(
+        F.col("p_name"),
+        [r"(?:red|blue|hot|cold) \w+", (r"(ring|bolt|widget)", 1), (r"(small|large)", 1)],
+    )
+    return part.select(
+        "p_partkey",
+        vec[0].alias("m0"),
+        vec[1].alias("m1"),
+        vec[2].alias("m2"),
+    )
+
+
+@register(
+    "d5_subtree_restrict",
+    oracle="""
+SELECT path, change FROM (
+  SELECT concat('/', l_returnflag, '/', l_orderkey, '/', l_linenumber) AS path,
+         CASE WHEN l_linestatus = 'O' THEN 'created' ELSE 'deleted' END AS change
+  FROM lineitem
+) t
+WHERE path LIKE '/R/%'
+""",
+    doc="D5 coworker semantics: restrict a change stream to chosen "
+    "subtrees via prefix predicate (monitoring/_monitoring.py:229-264).",
+)
+def d5_subtree_restrict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    changes = li.select(
+        F.concat(
+            F.lit("/"), F.col("l_returnflag"), F.lit("/"),
+            F.col("l_orderkey"), F.lit("/"), F.col("l_linenumber"),
+        ).alias("path"),
+        F.when(F.col("l_linestatus") == "O", "created").otherwise("deleted").alias("change"),
+    )
+    from ..operators.diff import restrict_to_subtrees
+
+    return restrict_to_subtrees(changes, ["/R"])
+
+
+@register(
+    "s11_point_lookup",
+    oracle="""
+SELECT concat_ws('__', o_custkey) AS id,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY o_custkey
+HAVING concat_ws('__', o_custkey) = '42'
+""",
+    doc="S11 point lookup by entity key over assembled state "
+    "(database/_database.py:34-37 intent — both key parts honored).",
+)
+def s11_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    state = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    ).select(
+        F.concat_ws("__", F.col("o_custkey")).alias("id"), "n_orders", "total"
+    )
+    return state.filter(F.col("id") == "42")
+
+
+# ------------------------------------------------------------ ANN: IVF
+
+@register(
+    "sim_ivf_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q_id, c.vec_id AS cand_id,
+         (list_sum(list_transform(range(1, len(qv) + 1),
+              i -> CAST(qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS cos
+  FROM embeddings c JOIN q ON c.label = q.ql AND c.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, cand_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+  FROM scored
+)
+SELECT q_id, cand_id FROM ranked WHERE rn <= 5
+""",
+    doc="IVF-style ANN: probe only the query's coarse cluster (the label "
+    "column stands in for k-means cell assignment), exact cosine within "
+    "the cell — the classic inverted-file scale path for similarity search.",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), (emb["label"] == q["ql"]) & (emb["vec_id"] != q["q_id"]))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "cand_id")
+    )
