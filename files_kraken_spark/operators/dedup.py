@@ -208,6 +208,59 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id,
+    component) with component = min doc id reachable. This is the step
+    that turns pairwise matches into dedup GROUPS (keep one doc per
+    component).
+
+    Iterative min-label propagation: each round joins labels to edges
+    and takes the elementwise min; converged when no label changes.
+    Rounds are O(diameter); near-dup graphs are tiny cliques, so a few
+    rounds suffice. ``localCheckpoint`` cuts lineage growth so plans
+    stay bounded — the standard Spark idiom for iterative algorithms.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash sketch per document over whitespace tokens.
 

@@ -86,6 +86,58 @@ def decode_stub(data: bytes) -> tuple[int, int]:
     return feat_dim, checksum
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("frame", BinaryType()),
+        StructField("frame_len", LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 16, stride: int = 2) -> DataFrame:
+    """Frame sampling plumbing: treat the binary payload as a sequence
+    of fixed-size 'frames' and emit every ``stride``-th one. A real
+    video decoder would replace the byte-slicing; the fan-out shape
+    (one media row → many frame rows, schema declared up front,
+    partition-preserving) is the production-relevant part."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames, lens = [], [], [], []
+            for mid, raw in zip(pdf["media_id"], pdf["data"]):
+                data = bytes(raw)
+                n_frames = len(data) // frame_bytes
+                for fno in range(0, n_frames, stride):
+                    chunk = data[fno * frame_bytes : (fno + 1) * frame_bytes]
+                    ids.append(mid)
+                    nos.append(fno)
+                    frames.append(chunk)
+                    lens.append(len(chunk))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": nos, "frame": frames, "frame_len": lens}
+            )
+
+    return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+def resize_stub(media: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """'Resize' stub: deterministic byte-truncation standing in for an
+    image resize; keeps schema + hash metadata consistent so downstream
+    plumbing is exercised. Swap ``decode_real`` in when codecs exist."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["data"] = [bytes(r)[:target_bytes] for r in pdf["data"]]
+            out["byte_len"] = [min(int(b), target_bytes) for b in pdf["byte_len"]]
+            out["sha256"] = [hashlib.sha256(bytes(r)[:target_bytes]).hexdigest() for r in pdf["data"]]
+            yield out
+
+    return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over media rows.
 

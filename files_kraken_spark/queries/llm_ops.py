@@ -344,6 +344,92 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_components",
+    oracle=f"""
+WITH RECURSIVE {_SQL_SHINGLES.strip().rstrip()},
+jpairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+          UNION ALL SELECT id_b, id_a FROM jpairs),
+reach(n, m) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+)
+SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+""",
+    doc="Near-dup clustering: connected components over the Jaccard≥0.8 "
+    "pair graph (iterative min-label propagation in Spark; recursive-CTE "
+    "transitive closure as the oracle). Turns pairwise dedup matches "
+    "into keep-one-per-group decisions.",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    return DD.connected_components(pairs)
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS k_total,
+       count(json_extract_string(props, '$.k')) AS k_present
+FROM events
+GROUP BY event_type
+""",
+    doc="Semi-structured JSON column extraction (get_json_object) with "
+    "typed aggregation.",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return events.groupBy("event_type").agg(
+        F.sum(k.cast("int")).alias("k_total"),
+        F.count(k).alias("k_present"),
+    )
+
+
+@register(
+    "emb_centroids",
+    oracle="""
+SELECT label, i - 1 AS dim,
+       round(sum(CAST(embedding[i] AS DOUBLE)), 6) AS dim_sum,
+       count(*) AS n
+FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+GROUP BY label, i
+""",
+    doc="Per-cluster centroid building block: per-dimension sums over "
+    "float embeddings (posexplode + groupBy — the distributed reduction "
+    "a k-means/IVF trainer needs). Sums rounded at 1e-6 (float inputs "
+    "are ~1e-8 grain, accumulation error ~1e-13).",
+)
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(F.sum(F.col("v").cast("double")), 6).alias("dim_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=None,  # mapInPandas fan-out — rows-only check (pytest covers values)
+    doc="Multimodal frame sampling: binary payload → every 2nd 16-byte "
+    "'frame' via Arrow-batched mapInPandas fan-out (decoder stubbed; "
+    "schema/fan-out shape real).",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_binary(docs, "doc_id", "text", "video")
+    return MM.sample_frames(media, frame_bytes=16, stride=2).select(
+        "media_id", "frame_no", "frame_len"
+    )
+
+
+@register(
     "mm_binary_meta",
     oracle="""
 SELECT doc_id AS media_id,

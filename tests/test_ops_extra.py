@@ -1,0 +1,65 @@
+"""Skew helpers, connected components, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from files_kraken_spark.operators.dedup import connected_components
+from files_kraken_spark.operators.multimodal import (
+    attach_binary,
+    extract_features,
+    sample_frames,
+)
+from files_kraken_spark.operators.skew import salted_join, two_phase_agg
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(i % 3, i) for i in range(300)], ["k", "v"]
+    )  # key 0..2, key-skewed is fine
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "name"])
+    plain = fact.join(dim, "k").groupBy("name").agg(F.sum("v").alias("s"))
+    salted = salted_join(fact, dim, "k", salt_buckets=8).groupBy("name").agg(
+        F.sum("v").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_two_phase_agg_matches_plain(spark):
+    df = spark.createDataFrame([(i % 5, float(i)) for i in range(1000)], ["k", "v"])
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"), F.max("v").alias("mx")
+    )
+    two = two_phase_agg(df, "k", {"total": "sum:v", "n": "count:*", "mx": "max:v"})
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, two.collect()))
+
+
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)], ["id_a", "id_b"]
+    )
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_multimodal_features_and_frames(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world this is a longer payload for frames!"[:48].ljust(48, "x")), (2, "tiny")],
+        ["doc_id", "text"],
+    )
+    media = attach_binary(df, "doc_id", "text", "video")
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["byte_len"] == 48
+    assert 1 <= feats[1]["feat_dim"] <= 8
+    # deterministic: same input -> same checksum
+    feats2 = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["feat_checksum"] == feats2[1]["feat_checksum"]
+
+    frames = sample_frames(media, frame_bytes=16, stride=2).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # 48 bytes -> frames 0,1,2 -> sampled 0 and 2
+    assert sorted(r["frame_no"] for r in by_media[1]) == [0, 2]
+    assert all(r["frame_len"] == 16 for r in by_media[1])
+    assert 2 not in by_media  # 4 bytes -> no full frame
