@@ -22,12 +22,14 @@ HEADLINE = [
     "q_topk_orders",
     "q_window_topn_per_group",
     "q_events_hourly",
+    "q_sessionize",
     "d1_snapshot_diff",
     "a6_merge_list",
     "a11_upsert_reconcile",
     "f2_search_extract",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    "sim_ivf_topk",
     "t_quality_score",
 ]
 

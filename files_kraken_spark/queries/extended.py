@@ -372,6 +372,19 @@ def s11_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.filter(F.col("id") == "42")
 
 
+@register(
+    "s1_file_listing",
+    oracle=None,  # filesystem source — DuckDB has no lister; rows-only
+    doc="S1/S2 scan source: the engine's own listing DataFrame over the "
+    "sf_dir (name-matcher gate, metadata schema). Deterministic row set.",
+)
+def s1_file_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.listing import NameMatcher, list_files
+
+    df = list_files(spark, sf_dir, matcher=NameMatcher(patterns=(r".+\.parquet",)))
+    return df.select("name", "depth", "is_dir", (F.col("size") > 0).alias("nonempty"))
+
+
 # ------------------------------------------------------------ ANN: IVF
 
 @register(

@@ -130,11 +130,31 @@ class Workflow:
 
     def process_changes(self, changes: DataFrame) -> None:
         """R3 — the 'event bus': every blueprint consumes the batch;
-        each assembly commits its own state version."""
+        each assembly commits its own state version. The batch is also
+        appended to the audit log (R4 — the reference's timestamped
+        change report, ``monitoring/_monitoring.py:217-227``, as a
+        queryable table instead of console prints)."""
+        self._audit(changes)
         for bp in self.blueprints:
             cur = self.state.load(self.spark, bp)
             new = assemble(changes, cur, bp)
             self.state.overwrite(bp, new)
+
+    def _audit(self, changes: DataFrame) -> None:
+        audit_dir = os.path.join(self.data_dir, "audit")
+        changes.withColumn("batch_ts", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(audit_dir)
+
+    def audit_log(self) -> DataFrame:
+        """R4 — full change history: (path, name, change, batch_ts)."""
+        audit_dir = os.path.join(self.data_dir, "audit")
+        try:
+            return self.spark.read.parquet(audit_dir)
+        except Exception:
+            return self.spark.createDataFrame(
+                [], "path string, name string, change string, batch_ts timestamp"
+            )
 
     def run_once(self, force_reindex: bool = False) -> int:
         """One micro-batch across all watchers (AvailableNow semantics;

@@ -99,6 +99,62 @@ def test_workflow_requires_blueprints_and_watchers(spark, tmp_path, bp):
         wf.run_once()
 
 
+def test_audit_log_records_changes(spark, tmp_path, bp):
+    root = tmp_path / "watch"
+    root.mkdir()
+    (root / "sample_5.lane_1.fastq.gz").write_text("fq")
+    wf = Workflow(spark, "t7", [bp], data_dir=str(tmp_path / "wfdata"))
+    wf.add_watcher(str(root))
+    assert wf.audit_log().count() == 0  # empty before any tick
+    wf.run_once()
+    os.remove(root / "sample_5.lane_1.fastq.gz")
+    wf.run_once()
+    log = wf.audit_log().collect()
+    got = sorted((r["name"], r["change"]) for r in log)
+    assert got == [
+        ("sample_5.lane_1.fastq.gz", "created"),
+        ("sample_5.lane_1.fastq.gz", "deleted"),
+    ]
+    assert all(r["batch_ts"] is not None for r in log)
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    """Structured Streaming windowed count with a watermark over a file
+    source — the engine's streaming-aggregation surface (batch twin:
+    q_events_hourly)."""
+    import json
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01 00:05:00", "etype": "click"},
+        {"ts": "2024-01-01 00:45:00", "etype": "click"},
+        {"ts": "2024-01-01 01:10:00", "etype": "view"},
+    ]
+    (src / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, etype string")
+        .json(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), F.col("etype"))
+        .count()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["window"]["start"].hour, r["etype"]): r["count"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == {(0, "click"): 2, (1, "view"): 1}
+
+
 def test_structured_stream_available_now(spark, tmp_path, bp):
     root = tmp_path / "stream"
     root.mkdir()
