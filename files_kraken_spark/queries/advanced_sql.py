@@ -1,0 +1,153 @@
+"""Advanced SQL semantics coverage: correlated subqueries, IN/NOT IN
+NULL traps, ordered string aggregation, per-group top terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens
+from ..sources.tables import load_table
+from . import register
+
+
+@register(
+    "q_correlated_min",
+    oracle="""
+SELECT l.l_orderkey, l.l_partkey, l.l_extendedprice
+FROM lineitem l
+WHERE l.l_extendedprice = (
+  SELECT min(l2.l_extendedprice) FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey
+)
+AND l.l_partkey < 200
+""",
+    doc="TPC-H Q2-style correlated subquery: rows achieving the per-key "
+    "minimum (equality on stored doubles — engine-exact).",
+)
+def q_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey, l.l_partkey, l.l_extendedprice
+        FROM lineitem_v l
+        WHERE l.l_extendedprice = (
+          SELECT min(l2.l_extendedprice) FROM lineitem_v l2
+          WHERE l2.l_partkey = l.l_partkey
+        )
+        AND l.l_partkey < 200
+        """
+    )
+
+
+@register(
+    "q_not_in_null_semantics",
+    oracle="""
+SELECT
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (
+     SELECT o_custkey FROM orders
+     WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000))
+    AS cnt_clean_list,
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (
+     SELECT CASE WHEN o_totalprice > 450000 THEN NULL ELSE o_custkey END
+     FROM orders WHERE o_orderpriority = '1-URGENT'))
+    AS cnt_nullable_list
+""",
+    doc="NOT IN three-valued-logic: a NULL-free list behaves like an anti "
+    "join (non-empty count); one NULL in the list empties the result. "
+    "Verifies both engines implement ANSI semantics identically.",
+)
+def q_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    customer.createOrReplaceTempView("customer_v")
+    orders.createOrReplaceTempView("orders_v2")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM customer_v
+           WHERE c_custkey NOT IN (
+             SELECT o_custkey FROM orders_v2
+             WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000))
+            AS cnt_clean_list,
+          (SELECT count(*) FROM customer_v
+           WHERE c_custkey NOT IN (
+             SELECT CASE WHEN o_totalprice > 450000 THEN NULL ELSE o_custkey END
+             FROM orders_v2 WHERE o_orderpriority = '1-URGENT'))
+            AS cnt_nullable_list
+        """
+    )
+
+
+@register(
+    "q_in_subquery",
+    oracle="""
+SELECT n_name, count(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+GROUP BY n_name
+""",
+    doc="IN-subquery (decorrelated to a semi join by Catalyst).",
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left_semi")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+@register(
+    "q_string_agg_ordered",
+    oracle="""
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Ordered string aggregation (group_concat): deterministic via "
+    "explicit ORDER BY / sorted array join.",
+)
+def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses")
+    )
+
+
+@register(
+    "t_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT source, u.tok FROM (
+    SELECT source,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+    FROM documents
+  ), UNNEST(t) AS u(tok)
+), tf AS (
+  SELECT source, tok, count(*) AS freq FROM tok GROUP BY 1, 2
+), ranked AS (
+  SELECT source, tok, freq,
+         row_number() OVER (PARTITION BY source ORDER BY freq DESC, tok) AS rn
+  FROM tf
+)
+SELECT source, tok, freq, rn FROM ranked WHERE rn <= 5
+""",
+    doc="Per-source top-5 terms: tokenize → term frequency → windowed "
+    "top-k (the vocabulary/stopword-mining primitive).",
+)
+def t_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("source").orderBy(F.col("freq").desc(), F.col("tok"))
+    return tf.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
