@@ -1,0 +1,73 @@
+"""applyInPandasWithState operators: state must persist ACROSS
+micro-batches (two files → two batches via maxFilesPerTrigger)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from files_kraken_spark.streaming.stateful import running_count, streaming_dedup
+
+
+def _write_batches(src):
+    b1 = [{"key": "a", "value": "x"}, {"key": "a", "value": "y"}, {"key": "b", "value": "x"}]
+    b2 = [{"key": "a", "value": "y"}, {"key": "a", "value": "z"}, {"key": "b", "value": "x"}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    time.sleep(0.05)
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+
+
+def test_running_count_across_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batches(src)
+    stream = (
+        spark.readStream.schema("key string, value string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = running_count(stream.groupBy("key"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM rc").collect()
+    # final totals: a -> 4 rows across both batches, b -> 2
+    finals = {}
+    for r in rows:
+        finals[r["key"]] = max(finals.get(r["key"], 0), r["total_rows"])
+    assert finals == {"a": 4, "b": 2}
+    assert len(rows) == 4  # 2 keys × 2 micro-batches
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batches(src)
+    stream = (
+        spark.readStream.schema("key string, value string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = streaming_dedup(stream.groupBy("key"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dd").collect()
+    emitted = {}
+    for r in rows:
+        emitted.setdefault(r["key"], []).extend(r["fresh_values"])
+    # batch2's a:y and b:x are duplicates -> only z is fresh in batch 2
+    assert sorted(emitted["a"]) == ["x", "y", "z"]
+    assert emitted["b"] == ["x"]
