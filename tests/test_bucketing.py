@@ -18,10 +18,15 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     # force a non-broadcast join so bucketing is what must kill the shuffle
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        import shutil
+
         a = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
         b = spark.range(0, 10_000).withColumn("w", F.col("id") % 7)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in ("bkt_a", "bkt_b"):
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
         a.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable("bkt_a")
         b.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable("bkt_b")
 

@@ -43,7 +43,6 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert read.count() == 50
     plan = read._jdf.queryExecution().executedPlan().toString()
     # partition filter applied at scan: only the grp=a directory is read
+    # (inputFiles() reports the unpruned relation, so inspect the plan)
     assert "PartitionFilters" in plan
-    assert "isnotnull(grp" in plan or "grp#" in plan
-    files = read.inputFiles()
-    assert files and all("grp=a" in f for f in files)
+    assert "grp" in plan.split("PartitionFilters")[1][:120]
