@@ -344,6 +344,110 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_redact",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+         '\\b[a-z]+[0-9]+\\b', '<ID>', 'g') AS redacted,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_hits
+FROM documents
+WHERE doc_id < 100
+""",
+    doc="PII-style scrubbing: global regex redaction passes (numbers → "
+    "<NUM>, alphanumeric ids → <ID>) with hit accounting — the "
+    "training-data sanitization primitive.",
+)
+def t_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    step1 = F.regexp_replace(F.col("text"), r"[0-9]+", "<NUM>")
+    step2 = F.regexp_replace(step1, r"\b[a-z]+[0-9]+\b", "<ID>")
+    return docs.select(
+        "doc_id",
+        step2.alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]+"), F.lit(0))).alias(
+            "n_hits"
+        ),
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE {_SQL_SHINGLES.strip().rstrip()},
+jpairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+          UNION ALL SELECT id_b, id_a FROM jpairs),
+reach(n, m) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+),
+comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+members AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, component,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM members
+)
+SELECT doc_id, component FROM ranked WHERE rn = 1
+""",
+    doc="End-to-end dedup keep-policy: near-dup pairs → connected "
+    "components → keep ONE representative per group (longest doc, "
+    "id tiebreak). The full pipeline a corpus dedup actually ships.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    comp = DD.connected_components(pairs)
+    members = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        "n_chars",
+    )
+    w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "component")
+    )
+
+
+@register(
+    "t_clean_corpus",
+    oracle=f"""
+SELECT source,
+       count(*) AS n_total,
+       count(*) FILTER (WHERE lang = 'en') AS n_en,
+       count(*) FILTER (
+         WHERE lang = 'en'
+           AND len({_SQL_TOKENS.format(col='text')}) BETWEEN 20 AND 200
+       ) AS n_kept
+FROM documents
+GROUP BY source
+""",
+    doc="Corpus-cleaning funnel: language filter + token-length band, "
+    "accounted per source (the yield report every data pipeline needs).",
+)
+def t_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.col("text"))
+    is_en = F.col("lang") == "en"
+    kept = is_en & n_tok.between(20, 200)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(is_en, 1)).alias("n_en"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+    )
+
+
+@register(
     "dedup_cluster_components",
     oracle=f"""
 WITH RECURSIVE {_SQL_SHINGLES.strip().rstrip()},
