@@ -64,20 +64,62 @@ def cosine_pairs_above(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    block_size: int = 1024,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (embedding near-dup).
+    """All pairs with cosine ≥ threshold (embedding near-dup) — exact,
+    block-partitioned matrix multiply.
 
-    This exact form is O(n²)/cross-join — correct baseline for
-    verification. Production path at scale: ``lsh_topk`` buckets below.
+    The naive cross join evaluates an interpreted higher-order-function
+    cosine per pair (O(n²·d) lambda calls — measured 50s for 5000
+    vectors). Instead: split rows into B blocks, ship each block PAIR
+    to one task, and let numpy/BLAS do the (block × block) gram matrix
+    inside ``applyInPandas``. Data movement is O(n·B) rows, compute is
+    the same O(n²·d) flops but at matrix-multiply speed; each task is
+    block_size² — sized to executor memory. This is the standard exact
+    all-pairs shape at 100 TB (with LSH/IVF as the approximate path
+    when even that is too much).
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("v_a"), F.col("v_b")) >= threshold)
-        .select("id_a", "id_b")
+    import pandas as pd
+
+    b_a = (F.col(id_col) / block_size).cast("int")
+    rows = df.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("vec"),
+                     b_a.alias("block"))
+    n_blocks_row = rows.agg(F.max("block")).collect()[0][0]
+    if n_blocks_row is None:
+        return df.sparkSession.createDataFrame([], "id_a long, id_b long")
+    n_blocks = int(n_blocks_row) + 1
+    grid = df.sparkSession.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
     )
+    # each row joins every grid cell its block participates in
+    left = rows.join(grid, rows["block"] == grid["bi"]).select(
+        "bi", "bj", F.col("rid").alias("id"), "vec", F.lit(0).alias("side")
+    )
+    right = rows.join(grid, rows["block"] == grid["bj"]).select(
+        "bi", "bj", F.col("rid").alias("id"), "vec", F.lit(1).alias("side")
+    )
+    both = left.unionByName(right)
+
+    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        a = pdf[pdf["side"] == 0].drop_duplicates("id")
+        b = pdf[pdf["side"] == 1].drop_duplicates("id")
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ma = np.stack(a["vec"].to_numpy()).astype("float64")
+        mb = np.stack(b["vec"].to_numpy()).astype("float64")
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        ia, ib = np.nonzero(sims >= threshold)
+        ids_a = a["id"].to_numpy()[ia]
+        ids_b = b["id"].to_numpy()[ib]
+        keep = ids_a < ids_b  # dedup within the diagonal block, orient pairs
+        return pd.DataFrame({"id_a": ids_a[keep], "id_b": ids_b[keep]})
+
+    return both.groupBy("bi", "bj").applyInPandas(_block_pairs, "id_a long, id_b long")
 
 
 def lsh_bucketed_pairs(

@@ -404,7 +404,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    # persist: the pair set seeds every component-propagation round
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8).persist()
     comp = DD.connected_components(pairs)
     members = docs.join(comp, "doc_id", "left").select(
         "doc_id",
