@@ -39,17 +39,22 @@ def _null_if_empty(c: Column) -> Column:
 def fullmatch(col: Column, pattern: str, group: int = 0) -> Column:
     """F1 — ``re.fullmatch`` semantics: whole string must match.
 
-    Returns the requested group, NULL on no-match.
+    Returns the requested group, NULL on no-match. Anchored with
+    ``\\A…\\z`` (absolute input ends): Java's ``$`` would also match
+    before a trailing newline, which Python ``fullmatch`` does not
+    (SURVEY §7.4 newline edge). ``(?:…)`` keeps user group numbers
+    stable.
     """
-    anchored = f"^(?:{pattern})$"
-    # group indices shift by 1 because of our wrapping non-capture group?
-    # No: (?:...) is non-capturing, so user group numbers are stable.
-    return _null_if_empty(F.regexp_extract(col, anchored, group))
+    anchored = rf"\A(?:{pattern})\z"
+    # rlike guard instead of nullif('') so a legitimate empty-string
+    # match (e.g. pattern '.*' on '') stays '' — Python parity — while
+    # no-match stays NULL.
+    return F.when(col.rlike(anchored), F.regexp_extract(col, anchored, group))
 
 
 def fullmatch_pred(col: Column, pattern: str) -> Column:
     """F1 predicate form: boolean full-string match."""
-    return col.rlike(f"^(?:{pattern})$")
+    return col.rlike(rf"\A(?:{pattern})\z")
 
 
 def search(col: Column, pattern: str, group: int = 0) -> Column:

@@ -156,14 +156,23 @@ class Workflow:
                 [], "path string, name string, change string, batch_ts timestamp"
             )
 
-    def run_once(self, force_reindex: bool = False) -> int:
+    def run_once(self, force_reindex: bool = False, respect_timeouts: bool = False) -> int:
         """One micro-batch across all watchers (AvailableNow semantics;
         the reference's per-tick body, R1 loop minus the sleep).
-        Returns the number of change rows processed."""
+        Returns the number of change rows processed.
+
+        With ``respect_timeouts`` each watcher only polls once its own
+        ``timeout`` has elapsed since its last poll — the reference's
+        per-monitor cadence (``monitoring/_monitoring.py:198-201``).
+        """
         if not self.watchers:
             raise ValueError("no watchers configured (initializer/_initializer.py:80-83)")
         batches = []
+        now = time.time()
         for w in self.watchers:
+            if respect_timeouts and not force_reindex and now - w._last_poll < w.timeout:
+                continue
+            w._last_poll = now
             ch = w.reindex_changes(self.spark) if force_reindex else w.poll(self.spark)
             if ch is not None:
                 batches.append(ch)
@@ -203,7 +212,7 @@ class Workflow:
             )
             if force:
                 last_reindex = time.time()
-            self.run_once(force_reindex=force)
+            self.run_once(force_reindex=force, respect_timeouts=True)
             time.sleep(poll_interval)
 
     # -------------------------------------------- structured streaming

@@ -1,0 +1,74 @@
+"""Property-based regex-kernel parity: Spark expressions must agree
+with Python `re` on arbitrary inputs (the reference's ground truth).
+
+The reference has no property tests (SURVEY §5); these close that gap
+for the subtle semantics: fullmatch anchoring, ''→NULL mapping, group
+extraction, findall.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from files_kraken_spark.functions import retools as rt
+
+# Alphabet with regex-relevant shapes but no pattern metacharacters in
+# the TEXT (patterns below are fixed; text is arbitrary).
+TEXT = st.text(
+    alphabet=st.sampled_from("abc_123. XYZ-\n\tрусский"), min_size=0, max_size=40
+)
+
+PATTERNS = [
+    r"[a-z]+",
+    r"\d+",
+    r"[a-z]+_(\d+)",
+    r"(?:abc)+",
+    r"a.c",
+    r"^\d",
+    r".*",
+]
+
+
+@pytest.fixture(scope="module")
+def run_batch(spark):
+    def _run(texts, build_col):
+        df = spark.createDataFrame([(t,) for t in texts], "s string")
+        return [r[0] for r in df.select(build_col(F.col("s"))).collect()]
+
+    return _run
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(TEXT, min_size=1, max_size=25))
+def test_fullmatch_parity(run_batch, texts):
+    for pat in PATTERNS:
+        got = run_batch(texts, lambda c: rt.fullmatch(c, pat))
+        want = [m.group(0) if (m := re.fullmatch(pat, t)) else None for t in texts]
+        assert got == want, (pat, texts)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(TEXT, min_size=1, max_size=25))
+def test_search_parity(run_batch, texts):
+    for pat, grp in [(r"([a-z]+)_(\d+)", 2), (r"(\d+)", 1), (r"[a-z]+", 0)]:
+        got = run_batch(texts, lambda c: rt.search(c, pat, grp))
+        want = []
+        for t in texts:
+            m = re.search(pat, t)
+            v = m.group(grp) if m else None
+            want.append(None if v == "" else v)
+        assert got == want, (pat, texts)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(TEXT, min_size=1, max_size=25))
+def test_findall_parity(run_batch, texts):
+    pat = r"[a-z]+|\d+"
+    got = run_batch(texts, lambda c: rt.findall(c, pat))
+    want = [re.findall(pat, t) for t in texts]
+    assert got == want
