@@ -42,6 +42,21 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_multimodal_resize_and_decode_gate(spark):
+    import pytest as _pytest
+
+    from files_kraken_spark.operators.multimodal import decode_real, resize_stub
+
+    df = spark.createDataFrame([(1, "x" * 100)], ["doc_id", "text"])
+    media = attach_binary(df, "doc_id", "text", "image")
+    small = resize_stub(media, target_bytes=64).collect()[0]
+    assert small["byte_len"] == 64
+    assert len(bytes(small["data"])) == 64
+    # real decode is gated until codec libraries exist in the env
+    with _pytest.raises(NotImplementedError):
+        decode_real(b"\x89PNG", "image")
+
+
 def test_multimodal_features_and_frames(spark):
     df = spark.createDataFrame(
         [(1, "hello world this is a longer payload for frames!"[:48].ljust(48, "x")), (2, "tiny")],

@@ -99,6 +99,22 @@ def test_workflow_requires_blueprints_and_watchers(spark, tmp_path, bp):
         wf.run_once()
 
 
+def test_per_watcher_timeout_cadence(spark, tmp_path, bp):
+    """D3/R1: with respect_timeouts a watcher only re-polls after its
+    own timeout elapses (monitoring/_monitoring.py:198-201)."""
+    root = tmp_path / "watch"
+    root.mkdir()
+    (root / "sample_8.lane_1.fastq.gz").write_text("fq")
+    wf = Workflow(spark, "t8", [bp], data_dir=str(tmp_path / "wfdata"))
+    wf.add_watcher(str(root), timeout=3600)  # one poll per hour
+    assert wf.run_once(respect_timeouts=True) == 1
+    (root / "sample_8.lane_2.fastq.gz").write_text("fq")
+    # within the hour: watcher skipped, change not seen yet
+    assert wf.run_once(respect_timeouts=True) == 0
+    # without cadence gating the change is picked up
+    assert wf.run_once() == 1
+
+
 def test_audit_log_records_changes(spark, tmp_path, bp):
     root = tmp_path / "watch"
     root.mkdir()
