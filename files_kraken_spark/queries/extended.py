@@ -373,6 +373,38 @@ def s11_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_skew_two_phase_agg",
+    oracle="""
+SELECT l_suppkey,
+       round(sum(l_extendedprice), 2) AS total,
+       count(*) AS n,
+       round(max(l_quantity), 2) AS max_qty
+FROM lineitem
+GROUP BY l_suppkey
+""",
+    doc="Skew tool correctness: salted two-phase aggregation must equal "
+    "the plain groupBy exactly (operators/skew.two_phase_agg) — the "
+    "hot-key mitigation carries no semantic cost.",
+)
+def q_skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import two_phase_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = two_phase_agg(
+        li,
+        "l_suppkey",
+        {"total": "sum:l_extendedprice", "n": "count:*", "max_qty": "max:l_quantity"},
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_suppkey",
+        F.round("total", 2).alias("total"),
+        "n",
+        F.round("max_qty", 2).alias("max_qty"),
+    )
+
+
+@register(
     "s1_file_listing",
     oracle=None,  # filesystem source — DuckDB has no lister; rows-only
     doc="S1/S2 scan source: the engine's own listing DataFrame over the "

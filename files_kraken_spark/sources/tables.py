@@ -35,7 +35,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
         # reader refuses by default; read as raw nanos (long). Queries
         # do exact integer time math on nanos — no precision loss.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # already set / immutable in this deployment
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
