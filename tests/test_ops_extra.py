@@ -42,6 +42,26 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_shingle_impls_agree(spark):
+    from files_kraken_spark.operators.dedup import shingle_sets
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "  x\t y \n z  w"),
+            (3, "short one"),  # fewer than k tokens -> no shingles
+            (4, ""),
+            (5, "dup dup dup dup dup"),  # repeated shingles dedup'd
+        ],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, shingle_sets(df, "doc_id", "text", 3, impl="expr").collect()))
+    b = sorted(map(tuple, shingle_sets(df, "doc_id", "text", 3, impl="arrow").collect()))
+    assert a == b
+    assert (1, "a b c") in a and (5, "dup dup dup") in a
+    assert not [t for t in a if t[0] in (3, 4)]
+
+
 def test_multimodal_resize_and_decode_gate(spark):
     import pytest as _pytest
 
