@@ -116,6 +116,158 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+HAVING round(sum(l_extendedprice * (1 - l_discount)), 4) > 150000
+""",
+    doc="TPC-H Q3 shipping priority: segment-filtered 3-way join with "
+    "revenue threshold (HAVING instead of top-k: computed-measure "
+    "ordering is not cross-engine stable; thresholds are).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 4).alias("revenue"))
+        .filter(F.col("revenue") > 150000)
+    )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       year(o_orderdate) AS y,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS volume
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND o_orderdate >= TIMESTAMP '2000-01-01'
+GROUP BY 1, 2, 3
+HAVING count(*) >= 5
+""",
+    doc="TPC-H Q7-style cross-nation trade volume: self-joined dim "
+    "(nation twice), inequality predicate, yearly rollup.",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return (
+        joined.groupBy(
+            "cust_nation", "supp_nation", F.year("o_orderdate").alias("y")
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "volume"
+            ),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") >= 5)
+        .drop("__n")
+    )
+
+
+@register(
+    "q_range_frame_rolling",
+    oracle="""
+SELECT o_orderkey, d,
+       round(sum(round(o_totalprice, 2))
+             OVER (ORDER BY d RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2)
+         AS rolling_30d
+FROM (
+  SELECT o_orderkey, o_totalprice,
+         CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS d
+  FROM orders WHERE o_custkey < 50
+) t
+""",
+    doc="RANGE window frame: 30-day rolling revenue per order date "
+    "(value-based frame, not row-based).",
+)
+def q_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    d = (F.unix_timestamp("o_orderdate") / 86400).cast("bigint")
+    base = orders.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("p2"), d.alias("d")
+    )
+    w = Window.orderBy("d").rangeBetween(-30, 0)
+    return base.select(
+        "o_orderkey",
+        "d",
+        F.round(F.sum("p2").over(w), 2).alias("rolling_30d"),
+    )
+
+
+@register(
+    "q_array_ops",
+    oracle="""
+SELECT l_orderkey,
+       list_sort(array_agg(DISTINCT l_linenumber)) AS lines,
+       len(array_agg(DISTINCT l_linenumber)) AS n_lines,
+       list_contains(array_agg(DISTINCT l_linenumber), 3) AS has_line3,
+       list_sort(array_agg(DISTINCT l_linenumber))[1] AS first_line
+FROM lineitem
+WHERE l_orderkey < 500
+GROUP BY l_orderkey
+""",
+    doc="Array-function surface: sorted collect, size, contains, indexing.",
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    arr = F.sort_array(F.collect_set("l_linenumber"))
+    return li.groupBy("l_orderkey").agg(
+        arr.alias("lines"),
+        F.size(F.collect_set("l_linenumber")).alias("n_lines"),
+        F.array_contains(F.collect_set("l_linenumber"), 3).alias("has_line3"),
+        F.element_at(arr, 1).alias("first_line"),
+    )
+
+
+@register(
     "q_topk_orders",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice
