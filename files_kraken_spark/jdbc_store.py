@@ -1,0 +1,159 @@
+"""JDBC state-store backend (BASELINE north star: "DataFrame write to
+JDBC"; reference parity: the TinyDB table behind ``DatabaseManager``,
+``database/_database.py:26-69``).
+
+Entity state lives in one JDBC table per blueprint, upserted with a
+real ``MERGE INTO`` executed over a staging table — the
+``foreachBatch`` JDBC-upsert pattern: Spark bulk-writes the batch to a
+stage table (parallel, partitioned inserts), then one set-based MERGE
+applies it. Embedded Derby (bundled with Spark) backs the tests; any
+MERGE-capable JDBC database works via ``url``/``driver``.
+
+Array columns (the reference's List fields) are JSON-encoded at the
+boundary — the same to_db/from_db codec role as the reference's
+serialization middleware (A12/S15, ``fields/_fields.py:242-256``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
+
+from .blueprint import Blueprint
+from .operators.assemble import state_schema
+
+
+class JdbcStateStore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        driver: str = "org.apache.derby.jdbc.EmbeddedDriver",
+    ):
+        self.spark = spark
+        self.url = url
+        self.driver = driver
+        self._props = {"driver": driver}
+
+    # ----------------------------------------------------------- codecs
+
+    def _encode(self, df: DataFrame, bp: Blueprint) -> DataFrame:
+        """A12 to_db: arrays → JSON strings (JDBC has no array type)."""
+        out = df
+        for f in state_schema(bp):
+            if isinstance(f.dataType, ArrayType):
+                out = out.withColumn(f.name, F.to_json(F.col(f.name)))
+        return out
+
+    def _decode(self, df: DataFrame, bp: Blueprint) -> DataFrame:
+        """A12 from_db: JSON strings → arrays."""
+        out = df
+        for f in state_schema(bp):
+            if isinstance(f.dataType, ArrayType):
+                out = out.withColumn(
+                    f.name, F.from_json(F.col(f.name), f.dataType)
+                )
+        return out
+
+    # ------------------------------------------------------ table utils
+
+    def _table(self, bp: Blueprint) -> str:
+        return f"state_{bp.name}".upper()
+
+    def _column_types(self, bp: Blueprint) -> str:
+        """Key/string columns as VARCHAR: Derby maps StringType to CLOB
+        by default, and CLOBs can't appear in a MERGE ON comparison."""
+        from pyspark.sql.types import ArrayType, StringType
+
+        parts = []
+        for f in state_schema(bp):
+            if isinstance(f.dataType, (StringType, ArrayType)):
+                width = 512 if f.name in ("blueprint", "id") else 16000
+                parts.append(f"{f.name} VARCHAR({width})")
+        return ", ".join(parts)
+
+    def _exec(self, sql: str) -> None:
+        jvm = self.spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            stmt = conn.createStatement()
+            stmt.execute(sql)
+            stmt.close()
+        finally:
+            conn.close()
+
+    def _table_exists(self, name: str) -> bool:
+        jvm = self.spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            rs = conn.getMetaData().getTables(None, None, name, None)
+            return rs.next()
+        finally:
+            conn.close()
+
+    # ------------------------------------------------------------ reads
+
+    def load(self, spark: SparkSession, bp: Blueprint) -> DataFrame:
+        """S14 — full scan; empty frame with the blueprint schema when
+        the table doesn't exist yet (reference empty-DB tolerance)."""
+        if not self._table_exists(self._table(bp)):
+            return spark.createDataFrame([], state_schema(bp))
+        raw = spark.read.jdbc(self.url, self._table(bp), properties=self._props)
+        return self._decode(raw, bp).select(*[f.name for f in state_schema(bp)])
+
+    def get(self, spark: SparkSession, bp: Blueprint, entity_id: str) -> DataFrame:
+        """S11 — point lookup (both key parts — the reference's
+        documented intent, SURVEY §1.4). The filter pushes down into
+        the JDBC scan as a WHERE clause."""
+        return self.load(spark, bp).filter(
+            (F.col("blueprint") == bp.name) & (F.col("id") == entity_id)
+        )
+
+    # ----------------------------------------------------------- writes
+
+    def overwrite(self, bp: Blueprint, df: DataFrame) -> None:
+        """Full-state replace (the batch pipeline's commit)."""
+        self._encode(df, bp).write.mode("overwrite").option(
+            "truncate", "false"
+        ).option("createTableColumnTypes", self._column_types(bp)).jdbc(
+            self.url, self._table(bp), properties=self._props
+        )
+
+    def merge_upsert(self, bp: Blueprint, batch: DataFrame) -> None:
+        """A11/S12 — true MERGE upsert: bulk-stage the batch, then one
+        set-based MERGE INTO keyed on (blueprint, id)."""
+        table, stage = self._table(bp), self._table(bp) + "_STAGE"
+        cols = [f.name for f in state_schema(bp)]
+        quoted = [f'"{c}"' for c in cols]  # Spark JDBC writes exact-case delimited identifiers
+        self._encode(batch, bp).write.mode("overwrite").option(
+            "createTableColumnTypes", self._column_types(bp)
+        ).jdbc(self.url, stage, properties=self._props)
+        if not self._table_exists(table):
+            # first batch: the stage simply becomes the table
+            self._exec(f'RENAME TABLE {stage} TO {table}')
+            return
+        set_clause = ", ".join(
+            f"s.{c} = t.{c}" for c in quoted if c not in ('"blueprint"', '"id"')
+        )
+        insert_cols = ", ".join(quoted)
+        insert_vals = ", ".join(f"t.{c}" for c in quoted)
+        self._exec(
+            f"MERGE INTO {table} s USING {stage} t "
+            f'ON s."blueprint" = t."blueprint" AND s."id" = t."id" '
+            f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+            f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+        )
+        self._exec(f"DROP TABLE {stage}")
+
+    def delete(self, bp: Blueprint, entity_id: str) -> None:
+        """S13 — keyed delete."""
+        if self._table_exists(self._table(bp)):
+            safe = entity_id.replace("'", "''")
+            self._exec(
+                f'DELETE FROM {self._table(bp)} WHERE "id" = \'{safe}\''
+            )
+
+    def clear(self, bp: Blueprint) -> None:
+        if self._table_exists(self._table(bp)):
+            self._exec(f"DROP TABLE {self._table(bp)}")

@@ -1,0 +1,73 @@
+"""JDBC state backend over embedded Derby: CRUD, MERGE upsert, array
+codec round-trip, and the assembly pipeline writing through it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from files_kraken_spark.blueprint import Blueprint, FieldType
+from files_kraken_spark.jdbc_store import JdbcStateStore
+from files_kraken_spark.operators.assemble import assemble, state_schema
+
+
+@pytest.fixture()
+def bp():
+    return Blueprint(
+        name="JdbcSample",
+        required={"sample": (r"sample_([^\.]+?)\.", 1)},
+        optional={"fastqs": (r".+\.fastq\.gz", 0)},
+        types={"fastqs": FieldType.LIST_PATH},
+    )
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return JdbcStateStore(spark, f"jdbc:derby:{tmp_path}/db;create=true")
+
+
+def _state_rows(spark, bp, rows):
+    return spark.createDataFrame(
+        [(bp.name, rid, rid, fq, []) for rid, fq in rows], state_schema(bp)
+    )
+
+
+def test_empty_load_then_overwrite_roundtrip(spark, store, bp):
+    empty = store.load(spark, bp)
+    assert empty.count() == 0 and empty.schema == state_schema(bp)
+
+    store.overwrite(bp, _state_rows(spark, bp, [("1", ["a", "b"]), ("2", [])]))
+    back = {r["id"]: r for r in store.load(spark, bp).collect()}
+    assert back["1"]["fastqs"] == ["a", "b"]  # array JSON codec round-trip
+    assert back["2"]["fastqs"] == []
+
+
+def test_merge_upsert_inserts_and_updates(spark, store, bp):
+    store.merge_upsert(bp, _state_rows(spark, bp, [("1", ["a"]), ("2", ["x"])]))
+    store.merge_upsert(bp, _state_rows(spark, bp, [("2", ["x", "y"]), ("3", ["z"])]))
+    back = {r["id"]: r["fastqs"] for r in store.load(spark, bp).collect()}
+    assert back == {"1": ["a"], "2": ["x", "y"], "3": ["z"]}
+
+    # S11 point lookup + S13 delete
+    assert store.get(spark, bp, "2").count() == 1
+    store.delete(bp, "2")
+    assert sorted(r["id"] for r in store.load(spark, bp).collect()) == ["1", "3"]
+
+
+def test_assembly_pipeline_through_jdbc(spark, store, bp):
+    changes = spark.createDataFrame(
+        [
+            ("/d/sample_7.lane_1.fastq.gz", "sample_7.lane_1.fastq.gz", "created"),
+            ("/d/sample_7.lane_2.fastq.gz", "sample_7.lane_2.fastq.gz", "created"),
+        ],
+        ["path", "name", "change"],
+    )
+    state = store.load(spark, bp)
+    new_state = assemble(changes, state, bp)
+    store.merge_upsert(bp, new_state)
+    row = store.load(spark, bp).collect()[0]
+    assert row["id"] == "7"
+    assert row["fastqs"] == [
+        "/d/sample_7.lane_1.fastq.gz",
+        "/d/sample_7.lane_2.fastq.gz",
+    ]
