@@ -373,6 +373,52 @@ def s11_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_date_arith",
+    oracle="""
+SELECT o_orderkey,
+       date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS due_date,
+       CAST(last_day(o_orderdate) AS DATE) AS month_end
+FROM orders
+WHERE o_orderkey < 500
+""",
+    doc="Date arithmetic: day differences, interval addition, month-end.",
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return orders.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_epoch_start"
+        ),
+        F.add_months(F.col("o_orderdate"), 3).alias("due_date"),
+        F.last_day(F.col("o_orderdate")).alias("month_end"),
+    )
+
+
+@register(
+    "q_stats_moments",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(var_samp(l_discount), 6) AS var_disc
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Statistical aggregates: sample stddev/variance, correlation "
+    "(rounded past both engines' accumulation-order jitter).",
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+    )
+
+
+@register(
     "q_skew_two_phase_agg",
     oracle="""
 SELECT l_suppkey,

@@ -101,6 +101,7 @@ class Workflow:
         data_dir: str | None = None,
         exit_time: float | None = None,
         exit_file: str | None = None,
+        state_store=None,
     ):
         if not blueprints:
             raise ValueError("at least one blueprint is required (initializer/_initializer.py:84-87)")
@@ -108,7 +109,10 @@ class Workflow:
         self.name = name
         self.blueprints = blueprints
         self.data_dir = data_dir or os.path.join(os.getcwd(), "workflow_data", name)
-        self.state = StateStore(os.path.join(self.data_dir, "state"))
+        # pluggable backend (reference Database ABC, _database.py:12-23):
+        # default versioned parquet; pass a JdbcStateStore for the
+        # JDBC-upsert deployment
+        self.state = state_store or StateStore(os.path.join(self.data_dir, "state"))
         self.watchers: list[Watcher] = []
         self.exit_time = exit_time
         self.exit_file = exit_file

@@ -54,6 +54,23 @@ def test_merge_upsert_inserts_and_updates(spark, store, bp):
     assert sorted(r["id"] for r in store.load(spark, bp).collect()) == ["1", "3"]
 
 
+def test_workflow_with_jdbc_backend(spark, store, bp, tmp_path):
+    """Full poll-tick pipeline writing through the JDBC backend
+    (state_store injection — reference Database ABC role)."""
+    from files_kraken_spark.streaming import Workflow
+
+    root = tmp_path / "watch"
+    root.mkdir()
+    (root / "sample_4.lane_1.fastq.gz").write_text("fq")
+    wf = Workflow(
+        spark, "jdbc_wf", [bp], data_dir=str(tmp_path / "wfdata"), state_store=store
+    )
+    wf.add_watcher(str(root))
+    assert wf.run_once() == 1
+    row = store.load(spark, bp).collect()[0]
+    assert row["id"] == "4" and len(row["fastqs"]) == 1
+
+
 def test_assembly_pipeline_through_jdbc(spark, store, bp):
     changes = spark.createDataFrame(
         [
