@@ -1,0 +1,81 @@
+"""Physical-plan audit over the whole query registry.
+
+Greps every query's executed plan for scale red flags:
+
+- parquet scans with NO pushed filters when the query clearly filters
+- CartesianProduct / BroadcastNestedLoopJoin (quadratic joins)
+- row-at-a-time PythonUDF in the plan (should be ArrowEvalPython)
+- full-column ReadSchema (missing column pruning) on wide tables
+
+Usage: python tools/plan_audit.py [sf_dir]
+Exit 1 if any hard red flag (cartesian/row-python-udf) appears.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from files_kraken_spark.queries import REGISTRY
+from files_kraken_spark.session import get_session
+
+# Queries where a nested-loop/cartesian shape is the declared intent
+# (exact all-pairs baselines, tiny dim grids) — documented, not flags.
+ALLOWED_NESTED_LOOP = {
+    "sim_cosine_topk",  # broadcast query set vs corpus: O(n·q) by design
+    "q_cross_join_dims",  # 5×3 dim grid
+    "dedup_embedding_cosine",  # block-pair grid join (bounded fanout)
+    "q_scalar_subquery",  # scalar subquery broadcast compare
+    "q_not_in_null_semantics",  # NOT IN decorrelation uses BNLJ by spec
+    "q_correlated_min",  # scalar-subquery equality: Catalyst picks BNLJ fallback
+}
+
+WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_session("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    hard, soft = [], []
+    for name, spec in REGISTRY.items():
+        try:
+            df = spec.spark(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        except Exception as e:
+            hard.append((name, f"plan failed: {str(e)[:120]}"))
+            continue
+        if "CartesianProduct" in plan and name not in ALLOWED_NESTED_LOOP:
+            hard.append((name, "CartesianProduct join"))
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_NESTED_LOOP:
+            hard.append((name, "BroadcastNestedLoopJoin"))
+        # row-at-a-time Python UDF: BatchEvalPython (Arrow path shows ArrowEvalPython)
+        if "BatchEvalPython" in plan:
+            hard.append((name, "row-at-a-time Python UDF (BatchEvalPython)"))
+        # column pruning: flag scans of wide tables reading all columns
+        for scan in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+            ncols = scan.group(1).count(":")
+            for t, width in WIDE_TABLES.items():
+                if f"/{t}.parquet" in plan and ncols >= width:
+                    soft.append((name, f"scan reads all {ncols} columns of a wide table"))
+                    break
+    for name, msg in hard:
+        print(f"HARD {name}: {msg}")
+    seen = set()
+    for name, msg in soft:
+        if name not in seen:
+            seen.add(name)
+            print(f"soft {name}: {msg}")
+    print(f"\n{len(hard)} hard flags, {len(seen)} soft flags over {len(REGISTRY)} queries")
+    return 1 if hard else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
