@@ -332,11 +332,39 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_pairs_above(emb, threshold=0.45)
 
 
+def _lsh_oracle_sql(n_planes: int = 6, dim: int = 64, threshold: float = 0.40) -> str:
+    """Replicate the fixed hyperplane signatures in SQL: the planes are
+    deterministic constants, dot products are sequential double sums on
+    both engines → identical sign bits."""
+    from ..operators.similarity import _planes
+
+    planes = _planes(n_planes, dim)
+    bits = []
+    for p in planes:
+        consts = "[" + ", ".join(repr(v) for v in p) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({consts})[i]))"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    sig = " || ".join(bits)
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {sig} AS sig FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= {threshold}
+"""
+
+
 @register(
     "sim_lsh_bucketed",
-    oracle=None,  # approximate by construction — rows-only check
+    oracle=_lsh_oracle_sql(6, 64, 0.40),
     doc="Random-hyperplane LSH bucketed near-dup (approximate scale path: "
-    "candidates only within signature buckets, expected n²/2^planes work).",
+    "candidates only within signature buckets, expected n²/2^planes "
+    "work). Deterministic fixed planes → the oracle reproduces the "
+    "signatures exactly.",
 )
 def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -521,10 +549,16 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_frame_sample",
-    oracle=None,  # mapInPandas fan-out — rows-only check (pytest covers values)
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(u.f AS BIGINT) AS frame_no,
+       CAST(16 AS BIGINT) AS frame_len
+FROM documents, UNNEST(range(0, octet_length(encode(text)) // 16, 2)) AS u(f)
+""",
     doc="Multimodal frame sampling: binary payload → every 2nd 16-byte "
     "'frame' via Arrow-batched mapInPandas fan-out (decoder stubbed; "
-    "schema/fan-out shape real).",
+    "schema/fan-out shape real; the frame grid is byte-deterministic "
+    "so the oracle reproduces it).",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -555,10 +589,20 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_feature_extract",
-    oracle=None,  # mapInPandas stub-decode — rows-only check
+    oracle="""
+SELECT doc_id AS media_id,
+       'image' AS modality,
+       octet_length(encode(text)) AS byte_len,
+       CAST(CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 8 + 1 AS BIGINT)
+         AS feat_dim,
+       CAST(CAST(('0x' || substr(sha256(text), 3, 16)) AS UBIGINT)
+            % 4611686018427387904 AS BIGINT) AS feat_checksum
+FROM documents
+""",
     doc="Multimodal feature extraction: Arrow-batched mapInPandas over "
-    "binary media rows (decode stubbed deterministically; schema, batch "
-    "shape, and partitioning are the real thing).",
+    "binary media rows (decode stubbed via sha256-derived deterministic "
+    "features — the oracle recomputes them from digest hex slices; "
+    "schema, batch shape, and partitioning are the real thing).",
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
