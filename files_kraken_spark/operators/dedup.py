@@ -109,18 +109,34 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via shingle inverted index.
 
     Scale path: the join is on the shingle value, so only documents
-    sharing a shingle ever meet — no cross join. At 100 TB, very hot
-    shingles (stop-phrase skew) should be dropped first (document
-    frequency cap); here df-cap is a filter on shingle frequency.
+    sharing a shingle ever meet — no cross join. ``max_shingle_df``
+    drops shingles appearing in more than that many documents from the
+    CANDIDATE join (stop-phrase skew: a shingle shared by 1% of a
+    100 TB corpus contributes n²/10⁴ pairs and zero discrimination).
+    With the cap active, intersections exclude the hot shingles while
+    set sizes keep them, so reported Jaccard is an UNDERestimate —
+    conservative precision, bounded recall loss. Default off = exact.
     """
     sh = shingle_sets(df, id_col, text_col, k)
+    if max_shingle_df is not None:
+        sh = sh.persist()
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        join_sh = sh.join(rare, "shingle")
+    else:
+        join_sh = sh
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = join_sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = join_sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -239,6 +255,65 @@ def minhash_lsh_pairs(
         .join(F.broadcast(sb), "id_b")
         .select("id_a", "id_b", jac)
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def full_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    threshold: float = 0.8,
+    prefer_col: str | None = None,
+) -> DataFrame:
+    """The production dedup recipe (see SCALING.md): collapse EXACT
+    copies first (linear — duplicates would otherwise explode the
+    near-dup pair count quadratically), then MinHash-LSH near-dup the
+    representatives, cluster, and keep one doc per component.
+
+    Returns (doc_id, keep): every input doc id with a boolean keep
+    decision. ``prefer_col``: higher value wins within a group
+    (default: lowest id wins).
+    """
+    from pyspark.sql.window import Window
+
+    fp = F.md5(normalize_text(F.col(text_col)))
+    with_fp = df.select(F.col(id_col), F.col(text_col), fp.alias("__fp")).persist()
+    reps = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    rep_docs = reps.join(with_fp, [id_col, "__fp"]).select(id_col, text_col)
+
+    pairs = minhash_lsh_pairs(
+        rep_docs, id_col, text_col, k_shingle=k_shingle, threshold=threshold
+    )
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("__comp_id"), "component"
+    )
+    members = rep_docs.join(
+        comp, comp["__comp_id"] == rep_docs[id_col], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )
+    order = (
+        [F.col(prefer_col).desc(), F.col(id_col)] if prefer_col else [F.col(id_col)]
+    )
+    if prefer_col:
+        members = members.join(df.select(id_col, prefer_col), id_col)
+    w = Window.partitionBy("component").orderBy(*order)
+    kept_reps = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .select(id_col, (F.col("__rn") == 1).alias("keep"))
+    )
+    # non-representative exact copies are dropped; reps inherit the
+    # component decision
+    return (
+        with_fp.select(F.col(id_col).alias("__all_id"), "__fp")
+        .join(reps.select(F.col(id_col).alias("__rep_id"), "__fp"), "__fp")
+        .join(kept_reps, F.col("__rep_id") == kept_reps[id_col])
+        .select(
+            F.col("__all_id").alias(id_col),
+            (F.col("keep") & (F.col("__all_id") == F.col("__rep_id"))).alias("keep"),
+        )
     )
 
 

@@ -42,6 +42,41 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_full_dedup_recipe(spark):
+    from files_kraken_spark.operators.dedup import full_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact copy of 1 -> dropped at exact stage
+            (3, near),  # near-dup of 1 -> same component, dropped
+            (4, "completely different words about spark engines and parquet files"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["keep"] for r in full_dedup(docs, "doc_id", "text").collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_ngram_df_cap_conservative(spark):
+    from files_kraken_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "unrelated text entirely here now")],
+        ["doc_id", "text"],
+    )
+    exact = {(r["id_a"], r["id_b"]) for r in
+             ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in
+              ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5,
+                                  max_shingle_df=10).collect()}
+    assert exact == {(1, 2)}
+    assert capped <= exact  # cap never invents pairs
+
+
 def test_shingle_impls_agree(spark):
     from files_kraken_spark.operators.dedup import shingle_sets
 
