@@ -154,6 +154,38 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q4_order_priority_check",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+  AND o_orderdate <  TIMESTAMP '2000-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 order-priority checking: correlated EXISTS over the "
+    "fact table (decorrelated to a semi join by Catalyst).",
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql import attach
+
+    attach(spark, sf_dir, prefix="v_")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM v_orders o
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+          AND o_orderdate <  TIMESTAMP '2000-07-01'
+          AND EXISTS (SELECT 1 FROM v_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
     "q7_nation_volume",
     oracle="""
 SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
