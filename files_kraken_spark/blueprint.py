@@ -24,7 +24,7 @@ planner compiles into Catalyst column expressions.
 
 from __future__ import annotations
 
-from collections.abc import Callable, Sequence
+from collections.abc import Callable
 from dataclasses import dataclass, field as dc_field
 from enum import Enum
 

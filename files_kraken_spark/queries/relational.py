@@ -300,6 +300,109 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 customer distribution: left outer join with an ON-clause "
+    "filter, then a second-level aggregation over the first's counts.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders,
+            (orders["o_custkey"] == customer["c_custkey"])
+            & (orders["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q14_promo_share",
+    oracle="""
+SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) END), 4)
+       / round(sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+  AND l_shipdate <  TIMESTAMP '2000-02-01'
+""",
+    doc="TPC-H Q14 promo-revenue share: conditional aggregation ratio "
+    "(division of identically-rounded sums — bit-equal across engines).",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-02-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    return joined.agg(
+        (
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)), 4)
+            / F.round(F.sum(rev), 4)
+        ).alias("promo_share")
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 5 AND l_quantity <= 25)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_type IN ('ECONOMY', 'PROMO') AND l_quantity < 4)
+""",
+    doc="TPC-H Q19-style disjunctive multi-attribute predicates across "
+    "both join sides (tests predicate normalization + partial pushdown).",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    pred = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 5)
+            & (F.col("l_quantity") <= 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 30)
+        )
+        | (F.col("p_type").isin("ECONOMY", "PROMO") & (F.col("l_quantity") < 4))
+    )
+    return joined.filter(pred).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "q_topk_orders",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice
