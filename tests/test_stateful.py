@@ -45,6 +45,50 @@ def test_running_count_across_batches(spark, tmp_path):
     assert len(rows) == 4  # 2 keys × 2 micro-batches
 
 
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restarting a stateful query from its checkpoint must NOT
+    reprocess already-committed files: totals continue, not double."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_rec")
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"key": "a", "value": v}) for v in ("x", "y"))
+    )
+
+    out_dir = str(tmp_path / "out")
+
+    def run_round():
+        stream = (
+            spark.readStream.schema("key string, value string").json(str(src))
+        )
+        q = (
+            running_count(stream.groupBy("key"))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_round()
+    rows1 = spark.read.parquet(out_dir).collect()
+    assert {(r["key"], r["total_rows"]) for r in rows1} == {("a", 2)}
+
+    (src / "b2.json").write_text(
+        "\n".join(json.dumps({"key": "a", "value": v}) for v in ("z", "w"))
+    )
+    run_round()  # same checkpoint: only b2 is new
+    rows = spark.read.parquet(out_dir).collect()
+    # b1 NOT reprocessed: state resumed at 2, second batch adds 2 -> 4
+    # (a restart without recovery would have produced 6)
+    assert {(r["key"], r["batch_rows"], r["total_rows"]) for r in rows} == {
+        ("a", 2, 2),
+        ("a", 2, 4),
+    }
+
+
 def test_streaming_dedup_across_batches(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
