@@ -1,0 +1,122 @@
+"""Product-analytics shapes over the events stream table: funnels,
+retention cohorts, distribution window functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from . import register
+
+
+@register(
+    "q_funnel_stages",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT CASE
+         WHEN t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click
+           THEN 'view>click>purchase'
+         WHEN t_view IS NOT NULL AND t_click > t_view THEN 'view>click'
+         WHEN t_view IS NOT NULL THEN 'view_only'
+         ELSE 'no_view' END AS funnel_stage,
+       count(*) AS n_users
+FROM per_user
+GROUP BY 1
+""",
+    doc="Conversion funnel: first-touch ordering of view→click→purchase "
+    "per user (conditional min timestamps, stage bucketing).",
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")  # ts = long nanos
+    t_us = F.expr("ts div 1000")
+
+    def first_of(etype):
+        return F.min(F.when(F.col("event_type") == etype, t_us))
+
+    per_user = events.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_buy"),
+    )
+    stage = (
+        F.when(
+            F.col("t_view").isNotNull()
+            & (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_buy") > F.col("t_click")),
+            "view>click>purchase",
+        )
+        .when(
+            F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")),
+            "view>click",
+        )
+        .when(F.col("t_view").isNotNull(), "view_only")
+        .otherwise("no_view")
+    )
+    return per_user.groupBy(stage.alias("funnel_stage")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
+    "q_retention_cohort",
+    oracle="""
+WITH weekly AS (
+  SELECT DISTINCT user_id,
+         CAST((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+              // CAST(604800000000 AS BIGINT) AS INT) AS week_no
+  FROM events
+)
+SELECT w0.week_no AS cohort_week, wn.week_no AS active_week,
+       count(*) AS n_users
+FROM (SELECT user_id, min(week_no) AS week_no FROM weekly GROUP BY user_id) w0
+JOIN weekly wn ON wn.user_id = w0.user_id AND wn.week_no >= w0.week_no
+GROUP BY 1, 2
+""",
+    doc="Retention cohorts: first-active week per user × weeks active "
+    "since (the classic triangle retention matrix).",
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    epoch_2024_us = 1_704_067_200 * 1_000_000  # 2024-01-01T00:00:00Z
+    week = (
+        (F.expr("ts div 1000") - F.lit(epoch_2024_us)) / F.lit(7 * 86400 * 1_000_000)
+    ).cast("int")
+    weekly = events.select("user_id", week.alias("week_no")).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("week_no").alias("cohort_week"))
+    return (
+        weekly.join(cohort, "user_id")
+        .filter(F.col("week_no") >= F.col("cohort_week"))
+        .groupBy(F.col("cohort_week"), F.col("week_no").alias("active_week"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "q_distribution_windows",
+    oracle="""
+SELECT c_custkey,
+       round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr,
+       round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 6) AS cd
+FROM customer
+WHERE c_nationkey < 5
+""",
+    doc="Distribution window functions: percent_rank and cume_dist with "
+    "deterministic tiebreak.",
+)
+def q_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
