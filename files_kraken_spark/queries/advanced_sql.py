@@ -125,6 +125,93 @@ def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, m.measure, m.value
+FROM lineitem,
+LATERAL (VALUES ('qty', l_quantity), ('price', l_extendedprice),
+                ('disc', l_discount)) AS m(measure, value)
+WHERE l_orderkey < 200
+""",
+    doc="UNPIVOT: wide measure columns → long (measure, value) rows.",
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'qty', l_quantity, 'price', l_extendedprice, "
+            "'disc', l_discount) AS (measure, value)"
+        ),
+    )
+
+
+@register(
+    "q_lateral_posexplode",
+    oracle="""
+SELECT p_partkey, CAST(u.i - 1 AS INT) AS pos, w[u.i] AS word
+FROM (
+  SELECT p_partkey,
+         list_filter(regexp_split_to_array(trim(p_name), '\\s+'), x -> x <> '') AS w
+  FROM part WHERE p_partkey < 300
+), UNNEST(range(1, len(w) + 1)) AS u(i)
+""",
+    doc="LATERAL VIEW / posexplode: one row per word with its position.",
+)
+def q_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return part.select(
+        "p_partkey", F.posexplode(tokens(F.col("p_name"))).alias("pos", "word")
+    )
+
+
+@register(
+    "q_regex_backref_replace",
+    oracle="""
+SELECT p_partkey,
+       regexp_replace(p_name, '(\\w+) (\\w+)', '\\2-\\1', 'g') AS swapped
+FROM part WHERE p_partkey < 300
+""",
+    doc="Regex replace with capture-group backreferences (Spark $n vs "
+    "RE2 \\n syntax — same semantics, engine-specific spelling).",
+)
+def q_regex_backref_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return part.select(
+        "p_partkey",
+        F.regexp_replace(F.col("p_name"), r"(\w+) (\w+)", r"$2-$1").alias("swapped"),
+    )
+
+
+@register(
+    "q_string_pad_pos",
+    oracle="""
+SELECT p_partkey,
+       lpad(p_brand, 12, '*') AS padded,
+       rpad(CAST(p_partkey AS VARCHAR), 8, '0') AS id_padded,
+       reverse(p_name) AS rev,
+       strpos(p_name, ' ') AS space_at,
+       split_part(p_name, ' ', 1) AS first_word
+FROM part WHERE p_partkey < 300
+""",
+    doc="String kernel: lpad/rpad, reverse, position, split_part.",
+)
+def q_string_pad_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return part.select(
+        "p_partkey",
+        F.lpad(F.col("p_brand"), 12, "*").alias("padded"),
+        F.rpad(F.col("p_partkey").cast("string"), 8, "0").alias("id_padded"),
+        F.reverse(F.col("p_name")).alias("rev"),
+        F.instr(F.col("p_name"), " ").alias("space_at"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+    )
+
+
+@register(
     "t_top_terms",
     oracle="""
 WITH tok AS (
