@@ -41,6 +41,14 @@ def get_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Local corpora are ONE parquet file per table — without a small
+        # split size the scan stage runs single-threaded (measured 4× on
+        # TPC-H Q1). On a real cluster data arrives as many files and
+        # this goes back up (SPARK_GRAFT_MPB=128m+).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MPB", "8m"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
