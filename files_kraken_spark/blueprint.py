@@ -77,12 +77,18 @@ class Template:
 class ParserSpec:
     """A10 (pattern) XOR A9 (dependent_fields) — mirrors ParserField
     (``fields/_fields.py:19-43``). ``fn`` is the user parser; it runs
-    as an Arrow-batched pandas UDF with ``returns`` as its Spark type."""
+    as an Arrow-batched pandas UDF with ``returns`` as its Spark type.
+
+    ``content_mode``: the parser receives the matched file's BYTES
+    (binaryFile-source join — the 100 TB path, SURVEY §7.4) instead of
+    its path; pair with content parsers like
+    ``parsers.parse_float_content``."""
 
     returns: str = "string"
     pattern: str | None = None
     dependent_fields: tuple[str, ...] = ()
     fn: Callable | None = None
+    content_mode: bool = False
 
     def __post_init__(self):
         if bool(self.pattern) == bool(self.dependent_fields):

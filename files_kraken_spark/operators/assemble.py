@@ -165,16 +165,45 @@ def merge_into_state(
     return joined.select(*cols)
 
 
+def _join_content(out: DataFrame, src_col: str, content_col: str) -> DataFrame:
+    """SURVEY §7.4 scale path: fetch file bytes via the binaryFile
+    source joined on path, instead of ``open()`` inside the UDF — data
+    locality, retries, and IO scheduling stay with Spark. Only the
+    rows holding a source path trigger a read."""
+    spark = out.sparkSession
+    paths = [r[0] for r in out.select(src_col).filter(F.col(src_col).isNotNull()).distinct().collect()]
+    if not paths:
+        return out.withColumn(content_col, F.lit(None).cast("binary"))
+    content = (
+        spark.read.format("binaryFile")
+        .load(paths)
+        .select(
+            # binaryFile reports URI-form paths (file:/...); normalize to
+            # match the lister's plain paths
+            F.regexp_replace(F.col("path"), "^file:(//)?", "").alias("__cpath"),
+            F.col("content").alias(content_col),
+        )
+    )
+    return out.join(
+        F.broadcast(content), out[src_col] == content["__cpath"], "left"
+    ).drop("__cpath")
+
+
 def apply_parsers(merged: DataFrame, bp: Blueprint) -> DataFrame:
     """A9/A10 — guarded parser pass over the merged frame.
 
-    Pattern parsers read their matched file (path in ``<f>__src``);
-    dependent parsers fire once every dependency column is set and the
-    value is still NULL — the reference's topological deferral
+    Pattern parsers parse their matched file; dependent parsers fire
+    once every dependency column is set and the value is still NULL —
+    the reference's topological deferral
     (``data_organizer/_data_organizer.py:232-239``). Parsers are
     pandas UDFs: one Arrow batch per invocation, not per row.
+
+    ``ParserSpec.content_mode`` feeds the parser the file BYTES (joined
+    in via the binaryFile source — no file IO inside the UDF) instead
+    of the path.
     """
     out = merged
+    drop_cols: list[str] = []
     for f, ps in bp.parsers.items():
         if ps.fn is None:
             continue
@@ -183,19 +212,35 @@ def apply_parsers(merged: DataFrame, bp: Blueprint) -> DataFrame:
             # a fresh source file overwrites the parsed value (the
             # reference warns-and-overwrites, fields/_fields.py:183-196)
             src = F.col(f + "__src")
+            drop_cols.append(f + "__src")
+            if ps.content_mode:
+                out = _join_content(out, f + "__src", f + "__content")
+                drop_cols.append(f + "__content")
+                arg = F.col(f + "__content")
+            else:
+                arg = src
             out = out.withColumn(
-                f, F.when(src.isNotNull(), udf(src)).otherwise(F.col(f))
+                f, F.when(src.isNotNull(), udf(arg)).otherwise(F.col(f))
             )
         else:
             deps = [F.col(d) for d in ps.dependent_fields]
             guard = F.col(f).isNull()
             for dcol in deps:
                 guard = guard & dcol.isNotNull()
+            if ps.content_mode:
+                if len(ps.dependent_fields) != 1:
+                    raise ValueError(
+                        "content_mode dependent parsers take exactly one "
+                        "path-typed dependency"
+                    )
+                dep = ps.dependent_fields[0]
+                out = _join_content(out, dep, f + "__content")
+                drop_cols.append(f + "__content")
+                deps = [F.col(f + "__content")]
             out = out.withColumn(
                 f, F.when(guard, udf(*deps)).otherwise(F.col(f))
             )
-    drop = [f + "__src" for f, ps in bp.parsers.items() if ps.pattern is not None]
-    return out.drop(*drop)
+    return out.drop(*drop_cols)
 
 
 def assemble(changes: DataFrame, state: DataFrame, bp: Blueprint) -> DataFrame:

@@ -159,6 +159,54 @@ def test_correlated_template_field(spark):
     assert out["project_2"]["results_file"] is None
 
 
+def test_content_mode_parser_binaryfile_join(spark, tmp_path):
+    """SURVEY §7.4: content_mode parsers get bytes via a binaryFile
+    join — no open() inside the UDF."""
+    from files_kraken_spark.parsers import parse_float_content
+
+    f = tmp_path / "sample_3.metrics.txt"
+    f.write_text("7.5")
+    bp = Blueprint(
+        name="ContentMode",
+        required={"sample": (r"sample_([^\.]+?)\.", 1)},
+        optional={"metrics_file": (r".+\.metrics\.txt", 0)},
+        types={"metrics_file": FieldType.PATH},
+        parsers={
+            "metric": ParserSpec(
+                returns="double",
+                dependent_fields=("metrics_file",),
+                fn=parse_float_content,
+                content_mode=True,
+            )
+        },
+    )
+    batch = _changes(spark, [(str(f), "created")])
+    row = assemble(batch, _empty_state(spark, bp), bp).collect()[0]
+    assert row["metric"] == 7.5
+
+
+def test_content_mode_pattern_parser(spark, tmp_path):
+    from files_kraken_spark.parsers import parse_float_content
+
+    f = tmp_path / "project_5_results.txt"
+    f.write_text("2.25")
+    bp = Blueprint(
+        name="ContentPattern",
+        required={"project": (r"(project_\d+)", 1)},
+        parsers={
+            "result": ParserSpec(
+                returns="double",
+                pattern=r".+_results\.txt",
+                fn=parse_float_content,
+                content_mode=True,
+            )
+        },
+    )
+    batch = _changes(spark, [(str(f), "created")])
+    row = assemble(batch, _empty_state(spark, bp), bp).collect()[0]
+    assert row["result"] == 2.25
+
+
 def test_pattern_parser_reads_matched_file(spark, tmp_path):
     """A10: ParserField with pattern parses the matched file directly."""
     f = tmp_path / "project_9_results.txt"
