@@ -144,12 +144,17 @@ def merge_into_state(
             cols.append(F.coalesce(s[f], F.col(f"c_{f}"), F.col(f"d_{f}")).alias(f))
             continue
         if ft.is_list:
-            # A6 list: append-dedup; A7 list: subtract deleted members
+            # A6 list: append-dedup; A7 list: subtract deleted members.
+            # An emptied (or never-populated) list is NULL, matching the
+            # reference which returns None when the delete consumes the
+            # whole list (fields/_fields.py:141-143).
             merged = F.array_except(
                 F.array_distinct(F.concat(arr(s[f]), arr(F.col(f"c_{f}")))),
                 arr(F.col(f"d_{f}")),
             )
-            cols.append(F.sort_array(merged).alias(f))
+            cols.append(
+                F.when(F.size(merged) > 0, F.sort_array(merged)).alias(f)
+            )
         else:
             m1, conf1 = _merge_scalar(f, s[f], arr(F.col(f"c_{f}__vals")))
             m2, conf2 = _delete_scalar(f, m1, arr(F.col(f"d_{f}__vals")))

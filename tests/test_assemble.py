@@ -119,6 +119,14 @@ def test_delete_subtracts_list_nulls_path_keeps_metric(spark, tmp_path, sample_b
     assert row["metric"] == 50.0  # parser value survives deletion
     assert row["_conflicts"] == []
 
+    # deleting the last member NULLs the list (fields/_fields.py:141-143)
+    state = assemble(
+        _changes(spark, [("/d/sample_2.lane_2.fastq.gz", "deleted")]),
+        state,
+        sample_bp,
+    )
+    assert state.collect()[0]["fastqs"] is None
+
 
 def test_scalar_conflict_goes_to_quarantine(spark, sample_bp):
     bp = Blueprint(
