@@ -373,6 +373,57 @@ def s11_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_grouping_sets_explicit",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+    doc="Explicit GROUPING SETS (beyond ROLLUP/CUBE shorthands).",
+)
+def q_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "mm_doc_embedding_join",
+    oracle="""
+SELECT d.doc_id, d.lang,
+       sqrt(list_sum(list_transform(e.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS vec_norm,
+       len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'),
+           x -> x <> '')) AS n_tokens
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+WHERE d.doc_id < 200
+""",
+    doc="Cross-modal dataset assembly: text rows joined to their "
+    "embedding vectors with per-modality features in one frame.",
+)
+def mm_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+    from ..functions.vectors import norm
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return docs.join(emb, emb["vec_id"] == docs["doc_id"]).select(
+        "doc_id",
+        "lang",
+        norm(F.col("embedding")).alias("vec_norm"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+@register(
     "q_date_arith",
     oracle="""
 SELECT o_orderkey,
