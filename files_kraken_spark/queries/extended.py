@@ -373,6 +373,51 @@ def s11_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_strategy_hints",
+    oracle="""
+SELECT n_name, count(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    doc="Join-strategy hints: SHUFFLE_HASH forced over the default "
+    "broadcast — results identical regardless of physical strategy "
+    "(the knob that matters when a dim outgrows broadcast at 100 TB).",
+)
+def q_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").hint("shuffle_hash")
+    return (
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+@register(
+    "q_approx_distinct_bounds",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_nd,
+       (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        <= 0.05 * count(DISTINCT l_partkey)) AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Approximate distinct (HLL) sanity: each engine's own sketch must "
+    "land within 5% of its exact count — the 100 TB path where exact "
+    "distinct is too expensive, verified via an engine-neutral bound.",
+)
+def q_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = F.count_distinct(F.col("l_partkey"))
+    approx = F.approx_count_distinct("l_partkey")
+    return li.groupBy("l_returnflag").agg(
+        exact.alias("exact_nd"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
+    )
+
+
+@register(
     "q_grouping_sets_explicit",
     oracle="""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -134,6 +134,37 @@ def test_audit_log_records_changes(spark, tmp_path, bp):
     assert all(r["batch_ts"] is not None for r in log)
 
 
+def test_streaming_drop_duplicates_with_watermark(spark, tmp_path):
+    """Built-in streaming dedup: dropDuplicates over a watermarked
+    stream removes cross-batch repeats within the watermark horizon."""
+    import json
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    rows = [
+        {"id": 1, "ts": "2024-01-01 00:01:00"},
+        {"id": 1, "ts": "2024-01-01 00:02:00"},  # duplicate id
+        {"id": 2, "ts": "2024-01-01 00:03:00"},
+    ]
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .json(str(src))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dd_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(r["id"] for r in spark.sql("SELECT id FROM dd_stream").collect())
+    assert got == [1, 2]
+
+
 def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     """Structured Streaming windowed count with a watermark over a file
     source — the engine's streaming-aggregation surface (batch twin:
