@@ -47,10 +47,11 @@ class JdbcStateStore:
         return out
 
     def _decode(self, df: DataFrame, bp: Blueprint) -> DataFrame:
-        """A12 from_db: JSON strings → arrays."""
+        """A12 from_db: JSON strings → arrays (only for columns present —
+        schema evolution adds missing ones as NULL afterwards)."""
         out = df
         for f in state_schema(bp):
-            if isinstance(f.dataType, ArrayType):
+            if isinstance(f.dataType, ArrayType) and f.name in df.columns:
                 out = out.withColumn(
                     f.name, F.from_json(F.col(f.name), f.dataType)
                 )
@@ -97,10 +98,12 @@ class JdbcStateStore:
     def load(self, spark: SparkSession, bp: Blueprint) -> DataFrame:
         """S14 — full scan; empty frame with the blueprint schema when
         the table doesn't exist yet (reference empty-DB tolerance)."""
+        from .store import align_to_schema
+
         if not self._table_exists(self._table(bp)):
             return spark.createDataFrame([], state_schema(bp))
         raw = spark.read.jdbc(self.url, self._table(bp), properties=self._props)
-        return self._decode(raw, bp).select(*[f.name for f in state_schema(bp)])
+        return align_to_schema(self._decode(raw, bp), bp)
 
     def get(self, spark: SparkSession, bp: Blueprint, entity_id: str) -> DataFrame:
         """S11 — point lookup (both key parts — the reference's

@@ -25,6 +25,20 @@ from .operators.assemble import state_schema
 from .sources.snapshot import SnapshotStore
 
 
+def align_to_schema(df: DataFrame, bp: Blueprint) -> DataFrame:
+    """Reconcile a stored state frame to the blueprint's CURRENT
+    schema: missing columns become typed NULLs, extras (fields removed
+    from the blueprint) are dropped, order normalized."""
+    target = state_schema(bp)
+    cols = []
+    for f in target:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
 class StateStore:
     """All blueprint tables under one root directory."""
 
@@ -38,8 +52,14 @@ class StateStore:
     # ------------------------------------------------------------- reads
 
     def load(self, spark: SparkSession, bp: Blueprint) -> DataFrame:
-        """S14 — full scan of one blueprint's table (empty if absent)."""
-        return self._slot(bp.name).load(spark, state_schema(bp))
+        """S14 — full scan of one blueprint's table (empty if absent).
+
+        Schema evolution: a table written before the blueprint gained a
+        field comes back with the new columns as NULL (the reference's
+        document store was schemaless, so old records simply lacked the
+        key — NULL is the columnar equivalent)."""
+        raw = self._slot(bp.name).load(spark, state_schema(bp))
+        return align_to_schema(raw, bp)
 
     def get(self, spark: SparkSession, bp: Blueprint, entity_id: str) -> DataFrame:
         """S11 — point lookup by (blueprint, id)."""

@@ -24,6 +24,26 @@ def _rows(spark, bp, rows):
     )
 
 
+def test_schema_evolution_new_field_loads_null(spark, tmp_path, bp):
+    """State written before the blueprint gained a field loads with the
+    new column as NULL (the reference's schemaless-store behavior)."""
+    store = StateStore(str(tmp_path / "state"))
+    store.overwrite(bp, _rows(spark, bp, [("a", "one")]))
+
+    evolved = Blueprint(
+        name="GenericRecord",  # same table
+        required={"key": (r"(\w+)", 1)},
+        optional={
+            "description": (r"desc_(\w+)", 1),
+            "owner": (r"owner_(\w+)", 1),  # NEW field
+        },
+    )
+    row = store.load(spark, evolved).collect()[0]
+    assert row["description"] == "one"
+    assert row["owner"] is None
+    assert row["_conflicts"] == []
+
+
 def test_crud_roundtrip(spark, tmp_path, bp):
     store = StateStore(str(tmp_path / "state"))
     # empty load
