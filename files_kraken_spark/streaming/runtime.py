@@ -150,6 +150,26 @@ class Workflow:
             "append"
         ).parquet(audit_dir)
 
+    def conflicts(self) -> DataFrame:
+        """All quarantined entities across blueprints — the engine's
+        surfacing of the reference's merge ValueErrors
+        (fields/_fields.py:82-86) as queryable rows, not exceptions."""
+        out = None
+        for bp in self.blueprints:
+            c = (
+                self.state.load(self.spark, bp)
+                .filter(F.size("_conflicts") > 0)
+                .select("blueprint", "id", "_conflicts")
+            )
+            out = c if out is None else out.unionByName(c)
+        return out
+
+    def stats(self) -> dict[str, int]:
+        """Per-blueprint entity counts (operational visibility)."""
+        return {
+            bp.name: self.state.load(self.spark, bp).count() for bp in self.blueprints
+        }
+
     def audit_log(self) -> DataFrame:
         """R4 — full change history: (path, name, change, batch_ts)."""
         audit_dir = os.path.join(self.data_dir, "audit")

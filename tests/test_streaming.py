@@ -115,6 +115,25 @@ def test_per_watcher_timeout_cadence(spark, tmp_path, bp):
     assert wf.run_once() == 1
 
 
+def test_conflicts_and_stats(spark, tmp_path):
+    conflict_bp = Blueprint(
+        name="RunInfo",
+        required={"run": (r"(run_\d+)", 1)},
+        optional={"flowcell": (r"\.(fc\w+)\.", 1)},
+    )
+    root = tmp_path / "watch"
+    root.mkdir()
+    (root / "run_1.fcA.txt").write_text("x")
+    (root / "run_1.fcB.txt").write_text("x")  # conflicting flowcell
+    (root / "run_2.fcC.txt").write_text("x")
+    wf = Workflow(spark, "t9", [conflict_bp], data_dir=str(tmp_path / "wfdata"))
+    wf.add_watcher(str(root))
+    wf.run_once()
+    assert wf.stats() == {"RunInfo": 2}
+    rows = wf.conflicts().collect()
+    assert [(r["id"], r["_conflicts"]) for r in rows] == [("run_1", ["flowcell"])]
+
+
 def test_audit_log_records_changes(spark, tmp_path, bp):
     root = tmp_path / "watch"
     root.mkdir()
