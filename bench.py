@@ -48,9 +48,11 @@ def main():
         spec = REGISTRY[name]
         t0 = time.time()
         df = spec.spark(spark, sf_dir)
-        n = df.count()  # materialize fully
+        # noop sink: materializes EVERY column/expression (count() would
+        # let Catalyst prune unused projections and under-measure)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
