@@ -149,7 +149,12 @@ def list_files_distributed(
 ) -> DataFrame:
     """Scale path: shallow driver-side enumeration to ``fanout_depth``,
     then executor-side walks of each subtree. Returns the same
-    FILE_SCHEMA DataFrame; listing I/O runs in parallel on executors."""
+    FILE_SCHEMA DataFrame; listing I/O runs in parallel on executors.
+
+    Limitation vs ``list_files``: empty-dir rows (``keep_empty_dirs``)
+    are only emitted for dirs at/below the fanout boundary — shallow
+    empty dirs are enumeration-internal. File rows are always
+    identical."""
     roots = [os.path.abspath(r) if isinstance(r, str) else r for r in
              ([roots] if isinstance(roots, str) else roots)]
 

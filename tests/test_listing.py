@@ -75,3 +75,23 @@ def test_distributed_matches_driver_listing(spark, golden_tree):
     assert sorted(r["path"] for r in a.collect()) == sorted(
         r["path"] for r in b.collect()
     )
+
+
+def test_distributed_deeper_fanout_and_options(spark, golden_tree):
+    for kw in (
+        {"fanout_depth": 2},
+        {"fanout_depth": 2, "max_depth": 1},
+        {"fanout_depth": 3, "dir_matcher": DIRS},
+        {"fanout_depth": 1, "matcher": MATCH, "dir_matcher": DIRS},
+    ):
+        a = list_files(
+            spark,
+            str(golden_tree),
+            matcher=kw.get("matcher"),
+            dir_matcher=kw.get("dir_matcher"),
+            max_depth=kw.get("max_depth"),
+        )
+        b = list_files_distributed(spark, str(golden_tree), **kw)
+        assert sorted(r["path"] for r in a.collect()) == sorted(
+            r["path"] for r in b.collect()
+        ), kw
