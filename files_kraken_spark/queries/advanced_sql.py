@@ -125,6 +125,57 @@ def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_null_funcs",
+    oracle="""
+SELECT o_orderkey,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+       CASE WHEN nullif(o_orderpriority, '4-NOT SPECIFIED') IS NOT NULL
+            THEN 'prioritized' ELSE 'unspecified' END AS prio_class
+FROM orders WHERE o_orderkey < 400
+""",
+    doc="NULL-handling scalar surface: coalesce / nullif / nvl2-style "
+    "classification.",
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    return orders.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_norm"
+        ),
+        F.when(
+            F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")).isNotNull(),
+            "prioritized",
+        )
+        .otherwise("unspecified")
+        .alias("prio_class"),
+    )
+
+
+@register(
+    "q_bit_ops",
+    oracle="""
+SELECT l_orderkey,
+       (l_orderkey & 255) AS low_byte,
+       (l_orderkey | 4096) AS with_flag,
+       xor(l_orderkey, l_partkey) AS mixed,
+       (l_orderkey << 2) AS shifted
+FROM lineitem WHERE l_orderkey < 300
+""",
+    doc="Bitwise operation surface: and/or/xor/shift on integer keys.",
+)
+def q_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("l_orderkey").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("mixed"),
+        F.shiftleft(F.col("l_orderkey"), 2).alias("shifted"),
+    )
+
+
+@register(
     "q_unpivot_measures",
     oracle="""
 SELECT l_orderkey, l_linenumber, m.measure, m.value
