@@ -101,6 +101,103 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bool_aggregates",
+    oracle="""
+SELECT o_custkey,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       count(*) AS n
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 5
+""",
+    doc="Boolean aggregates: every/any over group predicates.",
+)
+def q_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+
+
+@register(
+    "q_min_max_by",
+    oracle="""
+SELECT o_custkey,
+       max_by(o_orderstatus, o_orderkey) AS latest_status,
+       min_by(o_orderpriority, o_orderkey) AS first_priority
+FROM orders
+GROUP BY o_custkey
+""",
+    doc="Argmax aggregates: value at the max/min of another column "
+    "(unique ordering key → deterministic).",
+)
+def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by(F.col("o_orderstatus"), F.col("o_orderkey")).alias("latest_status"),
+        F.min_by(F.col("o_orderpriority"), F.col("o_orderkey")).alias("first_priority"),
+    )
+
+
+@register(
+    "t_length_histogram",
+    oracle="""
+SELECT (n_chars // 50) * 50 AS bin_lo, lang, count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+""",
+    doc="Histogram binning: fixed-width buckets over document lengths "
+    "per language (the corpus profiling primitive).",
+)
+def t_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bin_lo = (F.floor(F.col("n_chars") / 50) * 50).cast("long")
+    return docs.groupBy(bin_lo.alias("bin_lo"), F.col("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "t_char_trigrams",
+    oracle="""
+WITH grams AS (
+  SELECT lang, substr(lower(text), u.i, 3) AS g
+  FROM documents, UNNEST(range(1, length(text) - 1)) AS u(i)
+)
+SELECT lang, g, count(*) AS freq
+FROM grams
+GROUP BY lang, g
+HAVING count(*) >= 200
+""",
+    doc="Character-trigram frequencies per language — the raw signal a "
+    "real n-gram language-ID model trains on (substring grid explode).",
+)
+def t_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    idx = F.when(
+        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "lang",
+        F.explode(idx).alias("i"),
+        lowered.alias("__t"),
+    ).select("lang", F.substring(F.col("__t"), F.col("i"), F.lit(3)).alias("g"))
+    return (
+        grams.groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 200)
+    )
+
+
+@register(
     "q_distribution_windows",
     oracle="""
 SELECT c_custkey,
