@@ -125,6 +125,54 @@ def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_try_cast_safe",
+    oracle="""
+SELECT event_type,
+       count(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS parsed_ok,
+       count(*) AS total,
+       sum(CASE WHEN TRY_CAST(substr(props, 1, 3) AS INT) IS NULL
+                THEN 1 ELSE 0 END) AS unparseable_prefix
+FROM events
+GROUP BY event_type
+""",
+    doc="Safe casting: TRY_CAST returns NULL on malformed input instead "
+    "of failing the job — essential under ANSI mode at 100 TB where "
+    "one bad record must not kill a stage.",
+)
+def q_try_cast_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.expr("""TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)""")
+    prefix_bad = F.expr("TRY_CAST(substr(props, 1, 3) AS INT)").isNull()
+    return events.groupBy("event_type").agg(
+        F.count(k).alias("parsed_ok"),
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(prefix_bad, 1).otherwise(0)).alias("unparseable_prefix"),
+    )
+
+
+@register(
+    "q_hex_encoding",
+    oracle="""
+SELECT l_orderkey,
+       lower(hex(l_orderkey)) AS key_hex,
+       lower(to_base64(encode(CAST(l_orderkey AS VARCHAR)))) AS key_b64
+FROM lineitem WHERE l_orderkey < 100
+GROUP BY l_orderkey
+""",
+    doc="Radix/encoding functions: hex and base64 of keys (normalized "
+    "case — engines differ in hex letter casing).",
+)
+def q_hex_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.groupBy("l_orderkey").agg(
+        F.lower(F.hex(F.col("l_orderkey"))).alias("key_hex"),
+        F.lower(F.base64(F.col("l_orderkey").cast("string").cast("binary"))).alias(
+            "key_b64"
+        ),
+    )
+
+
+@register(
     "q_null_funcs",
     oracle="""
 SELECT o_orderkey,
