@@ -1,0 +1,53 @@
+"""Coverage for small API surfaces: sql.attach, group_searcher,
+vector expressions vs numpy ground truth."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from files_kraken_spark.functions.retools import group_searcher
+from files_kraken_spark.functions.vectors import cosine, dot, norm
+from files_kraken_spark.sql import attach, sql
+
+
+def test_sql_attach_and_query(spark):
+    names = attach(spark, "/root/testdata/sf0.001")
+    assert "lineitem" in names and "embeddings" in names
+    n = spark.sql("SELECT count(*) AS n FROM region").collect()[0]["n"]
+    assert n == 5
+    df = sql(
+        spark,
+        "/root/testdata/sf0.001",
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1",
+    )
+    assert df.count() == 3
+
+
+def test_group_searcher_bound_extractor(spark):
+    extract_run = group_searcher(r"run_(\d+)", 1)
+    df = spark.createDataFrame([("run_7.txt",), ("nope",)], ["name"])
+    got = [r[0] for r in df.select(extract_run(F.col("name"))).collect()]
+    assert got == ["7", None]
+
+
+def test_vector_expressions_match_numpy(spark):
+    import numpy as np
+
+    a = [1.0, 2.0, -3.0, 0.5]
+    b = [-2.0, 0.25, 4.0, 1.0]
+    df = spark.createDataFrame([(a, b)], "va array<float>, vb array<float>")
+    row = df.select(
+        dot(F.col("va"), F.col("vb")).alias("d"),
+        norm(F.col("va")).alias("na"),
+        cosine(F.col("va"), F.col("vb")).alias("c"),
+    ).collect()[0]
+    na_, nb_ = np.array(a), np.array(b)
+    assert math.isclose(row["d"], float(na_ @ nb_), rel_tol=1e-9)
+    assert math.isclose(row["na"], float(np.linalg.norm(na_)), rel_tol=1e-9)
+    assert math.isclose(
+        row["c"],
+        float(na_ @ nb_ / (np.linalg.norm(na_) * np.linalg.norm(nb_))),
+        rel_tol=1e-9,
+    )
