@@ -170,18 +170,38 @@ def merge_into_state(
     return joined.select(*cols)
 
 
-def _join_content(out: DataFrame, src_col: str, content_col: str) -> DataFrame:
+def _join_content(
+    out: DataFrame,
+    src_col: str,
+    content_col: str,
+    roots: list[str] | None = None,
+) -> DataFrame:
     """SURVEY §7.4 scale path: fetch file bytes via the binaryFile
     source joined on path, instead of ``open()`` inside the UDF — data
-    locality, retries, and IO scheduling stay with Spark. Only the
-    rows holding a source path trigger a read."""
+    locality, retries, and IO scheduling stay with Spark.
+
+    Fully distributed: the content side is a binaryFile read over the
+    watch ``roots`` (or, when not supplied, the batch paths' common
+    directory prefix — derived from a 1-row min/max aggregate, never a
+    collect of the path list) joined on path. No forced broadcast:
+    file bytes can dwarf the 8 GB broadcast cap, so the optimizer
+    picks the strategy from the relation's size stats."""
+    import os
+
     spark = out.sparkSession
-    paths = [r[0] for r in out.select(src_col).filter(F.col(src_col).isNotNull()).distinct().collect()]
-    if not paths:
-        return out.withColumn(content_col, F.lit(None).cast("binary"))
+    if not roots:
+        # O(1) driver fetch: the lexicographic min/max bracket every
+        # batch path, so their common directory prefix covers them all.
+        lo, hi = out.select(
+            F.min(src_col).alias("lo"), F.max(src_col).alias("hi")
+        ).first()
+        if lo is None:
+            return out.withColumn(content_col, F.lit(None).cast("binary"))
+        roots = [os.path.commonpath([os.path.dirname(lo), os.path.dirname(hi)])]
     content = (
         spark.read.format("binaryFile")
-        .load(paths)
+        .option("recursiveFileLookup", "true")
+        .load(roots)
         .select(
             # binaryFile reports URI-form paths (file:/...); normalize to
             # match the lister's plain paths
@@ -190,11 +210,13 @@ def _join_content(out: DataFrame, src_col: str, content_col: str) -> DataFrame:
         )
     )
     return out.join(
-        F.broadcast(content), out[src_col] == content["__cpath"], "left"
+        content, out[src_col] == content["__cpath"], "left"
     ).drop("__cpath")
 
 
-def apply_parsers(merged: DataFrame, bp: Blueprint) -> DataFrame:
+def apply_parsers(
+    merged: DataFrame, bp: Blueprint, content_roots: list[str] | None = None
+) -> DataFrame:
     """A9/A10 — guarded parser pass over the merged frame.
 
     Pattern parsers parse their matched file; dependent parsers fire
@@ -219,7 +241,7 @@ def apply_parsers(merged: DataFrame, bp: Blueprint) -> DataFrame:
             src = F.col(f + "__src")
             drop_cols.append(f + "__src")
             if ps.content_mode:
-                out = _join_content(out, f + "__src", f + "__content")
+                out = _join_content(out, f + "__src", f + "__content", content_roots)
                 drop_cols.append(f + "__content")
                 arg = F.col(f + "__content")
             else:
@@ -239,7 +261,7 @@ def apply_parsers(merged: DataFrame, bp: Blueprint) -> DataFrame:
                         "path-typed dependency"
                     )
                 dep = ps.dependent_fields[0]
-                out = _join_content(out, dep, f + "__content")
+                out = _join_content(out, dep, f + "__content", content_roots)
                 drop_cols.append(f + "__content")
                 deps = [F.col(f + "__content")]
             out = out.withColumn(
@@ -248,12 +270,23 @@ def apply_parsers(merged: DataFrame, bp: Blueprint) -> DataFrame:
     return out.drop(*drop_cols)
 
 
-def assemble(changes: DataFrame, state: DataFrame, bp: Blueprint) -> DataFrame:
+def assemble(
+    changes: DataFrame,
+    state: DataFrame,
+    bp: Blueprint,
+    content_roots: list[str] | None = None,
+) -> DataFrame:
     """Full batch assembly for one blueprint: match → aggregate →
-    merge with state → parser pass. Returns the new state DataFrame."""
+    merge with state → parser pass. Returns the new state DataFrame.
+
+    ``content_roots``: watch roots for content-mode parsers — lets the
+    binaryFile content join scan exactly the watched subtrees instead
+    of deriving a prefix from the batch."""
     matched = match_batch(changes, bp)
     agg = aggregate_batch(matched, bp)
     created = agg.filter(F.col("change") == "created")
     deleted = agg.filter(F.col("change") == "deleted")
     merged = merge_into_state(state, created, deleted, bp)
-    return apply_parsers(merged, bp).select(*[f.name for f in state_schema(bp)])
+    return apply_parsers(merged, bp, content_roots).select(
+        *[f.name for f in state_schema(bp)]
+    )

@@ -225,20 +225,14 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .persist()
     )
-    # The candidate set must be broadcast-small by construction (it is
-    # what LSH exists to shrink), so materialize it ONCE on the driver:
-    # every downstream consumer then reuses a local frame instead of
-    # re-running the banding join per broadcast subtree. Falls back to
-    # a persisted distributed frame if candidates are unexpectedly huge.
-    spark = df.sparkSession
-    cand_rows = candidates.limit(2_000_001).collect()
-    if len(cand_rows) > 2_000_000:  # pathological corpus: stay distributed
-        candidates = candidates.persist()
-    else:
-        candidates = spark.createDataFrame(
-            cand_rows or [], "id_a long, id_b long"
-        )
+    # Candidates stay DISTRIBUTED (never collected to the driver — the
+    # r1 2M-row collect serialized the whole pipeline through the
+    # driver). The persist means the banding join runs once; each
+    # downstream F.broadcast() consumer then reads the cached
+    # partitions instead of re-running the join, and AQE downgrades the
+    # broadcast if a pathological corpus makes candidates huge.
 
     # Exact-Jaccard verify restricted to candidate documents only —
     # near-dups are rare, so this shrinks the inverted-index join from

@@ -130,8 +130,8 @@ def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        count(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS parsed_ok,
        count(*) AS total,
-       sum(CASE WHEN TRY_CAST(substr(props, 1, 3) AS INT) IS NULL
-                THEN 1 ELSE 0 END) AS unparseable_prefix
+       CAST(sum(CASE WHEN TRY_CAST(substr(props, 1, 3) AS INT) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS unparseable_prefix
 FROM events
 GROUP BY event_type
 """,

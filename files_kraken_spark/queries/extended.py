@@ -26,8 +26,8 @@ WITH ev AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 ), sess AS (
   SELECT user_id, t,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_no
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM ev
 )
 SELECT user_id, session_no,
@@ -473,12 +473,14 @@ def mm_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderkey,
        date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
-       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS due_date,
-       CAST(last_day(o_orderdate) AS DATE) AS month_end
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS due_date,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
 FROM orders
 WHERE o_orderkey < 500
 """,
-    doc="Date arithmetic: day differences, interval addition, month-end.",
+    doc="Date arithmetic: day differences, interval addition, month-end. "
+    "Date outputs are ISO strings: DATE values stringify differently "
+    "across the driver's pandas boundary (datetime.date vs Timestamp).",
 )
 def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
@@ -487,8 +489,12 @@ def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
             "days_since_epoch_start"
         ),
-        F.add_months(F.col("o_orderdate"), 3).alias("due_date"),
-        F.last_day(F.col("o_orderdate")).alias("month_end"),
+        F.date_format(F.add_months(F.col("o_orderdate"), 3), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.date_format(F.last_day(F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
     )
 
 

@@ -70,7 +70,7 @@ def f2_search_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f3_findall_digit_runs",
     oracle="""
 SELECT p_size % 10 AS size_mod,
-       sum(len(regexp_extract_all(p_name, '[aeiou]+'))) AS n_vowel_runs
+       CAST(sum(len(regexp_extract_all(p_name, '[aeiou]+'))) AS BIGINT) AS n_vowel_runs
 FROM part
 GROUP BY 1
 """,
@@ -271,18 +271,19 @@ def a6_merge_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a6_merge_list",
     oracle="""
 SELECT l_orderkey,
-       array_agg(DISTINCT l_partkey ORDER BY l_partkey) AS parts,
+       array_to_string(array_agg(DISTINCT l_partkey ORDER BY l_partkey), ',') AS parts,
        count(DISTINCT l_partkey) AS n_parts
 FROM lineitem
 GROUP BY l_orderkey
 """,
     doc="A6 list merge: append-dedup accumulation, canonically sorted "
-    "(fields/_fields.py:128-139; order made deterministic per SURVEY §7.4).",
+    "(fields/_fields.py:128-139; order made deterministic per SURVEY §7.4). "
+    "Projected as a joined string for the driver's pandas canonicalizer.",
 )
 def a6_merge_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts"),
+        F.array_join(F.sort_array(F.collect_set("l_partkey")), ",").alias("parts"),
         F.count_distinct(F.col("l_partkey")).alias("n_parts"),
     )
 
@@ -291,7 +292,8 @@ def a6_merge_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a7_delete_list",
     oracle="""
 SELECT l_orderkey,
-       array_agg(DISTINCT l_partkey ORDER BY l_partkey) AS kept_parts
+       array_to_string(array_agg(DISTINCT l_partkey ORDER BY l_partkey), ',')
+         AS kept_parts
 FROM lineitem l1
 WHERE NOT EXISTS (
   SELECT 1 FROM lineitem l2
@@ -302,7 +304,8 @@ WHERE NOT EXISTS (
 GROUP BY l_orderkey
 """,
     doc="A7 deleted-mode list subtraction: array_except of deleted values "
-    "(fields/_fields.py:141-145).",
+    "(fields/_fields.py:141-145). Projected as a joined string for the "
+    "driver's pandas canonicalizer.",
 )
 def a7_delete_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -312,12 +315,15 @@ def a7_delete_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deleted_parts"
         ),
     )
-    return agg.select(
+    kept = agg.select(
         "l_orderkey",
         F.sort_array(F.array_except(F.col("all_parts"), F.col("deleted_parts"))).alias(
-            "kept_parts"
+            "kept_arr"
         ),
-    ).filter(F.size("kept_parts") > 0)
+    ).filter(F.size("kept_arr") > 0)
+    return kept.select(
+        "l_orderkey", F.array_join("kept_arr", ",").alias("kept_parts")
+    )
 
 
 @register(

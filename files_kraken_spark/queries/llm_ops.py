@@ -35,7 +35,7 @@ _SQL_STOPWORD_PAT = r"\b(?:" + "|".join(T.EN_STOPWORDS) + r")\b"
     oracle=f"""
 SELECT source,
        count(*) AS n_docs,
-       sum(len({_SQL_TOKENS.format(col='text')})) AS total_tokens,
+       CAST(sum(len({_SQL_TOKENS.format(col='text')})) AS BIGINT) AS total_tokens,
        avg(n_chars) AS avg_chars
 FROM documents
 GROUP BY source
@@ -55,7 +55,8 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_bpe_token_count",
     oracle="""
 SELECT source,
-       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS bpe_tokens
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+         AS bpe_tokens
 FROM documents
 GROUP BY source
 """,
@@ -505,7 +506,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_extract",
     oracle="""
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS k_total,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_total,
        count(json_extract_string(props, '$.k')) AS k_present
 FROM events
 GROUP BY event_type

@@ -278,7 +278,7 @@ def q_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_ops",
     oracle="""
 SELECT l_orderkey,
-       list_sort(array_agg(DISTINCT l_linenumber)) AS lines,
+       array_to_string(list_sort(array_agg(DISTINCT l_linenumber)), ',') AS lines,
        len(array_agg(DISTINCT l_linenumber)) AS n_lines,
        list_contains(array_agg(DISTINCT l_linenumber), 3) AS has_line3,
        list_sort(array_agg(DISTINCT l_linenumber))[1] AS first_line
@@ -286,13 +286,16 @@ FROM lineitem
 WHERE l_orderkey < 500
 GROUP BY l_orderkey
 """,
-    doc="Array-function surface: sorted collect, size, contains, indexing.",
+    doc="Array-function surface: sorted collect, size, contains, indexing. "
+    "The array is projected as a joined string — array-typed result columns "
+    "crash the driver's pandas-based canonicalizer (r1 finding); the engine "
+    "operator still returns arrays, only this t2 projection is stringly.",
 )
 def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
     arr = F.sort_array(F.collect_set("l_linenumber"))
     return li.groupBy("l_orderkey").agg(
-        arr.alias("lines"),
+        F.array_join(arr, ",").alias("lines"),
         F.size(F.collect_set("l_linenumber")).alias("n_lines"),
         F.array_contains(F.collect_set("l_linenumber"), 3).alias("has_line3"),
         F.element_at(arr, 1).alias("first_line"),

@@ -2,7 +2,17 @@
 
 Runs every registry query on Spark and its oracle on DuckDB at the
 given sf dir, compares row count, column names, and an
-order-insensitive value hash (columns sorted by name, floats rounded).
+order-insensitive value hash.
+
+Round-2 hardening: the driver canonicalizes through *pandas*
+(`spark.collect -> pd`, `duckdb .df()`), which surfaces two failure
+modes the old tuple-based mirror missed:
+  - DuckDB HUGEINT (bare ``sum(int)``) becomes float64 -> "123.0" vs
+    Spark int64 "123" => hash mismatch despite equal values.
+  - list-typed result columns crash pandas ``sort_values``.
+So this mirror now fetches both sides as pandas, FAILS on any
+int-vs-float dtype split or array-typed column, and hashes floats at
+full precision (repr) instead of 6 significant digits.
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
@@ -18,6 +28,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from files_kraken_spark.queries import REGISTRY
 from files_kraken_spark.session import get_session
@@ -28,27 +40,68 @@ TABLES = (
 
 
 def canon(v):
-    if v is None:
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return str(int(v))
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        return f"{v:.6g}"
-    if isinstance(v, (list, tuple)):
+        return repr(f)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
 
-def table_hash(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    row_strs = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+def table_hash(df: pd.DataFrame) -> str:
+    cols = sorted(df.columns)
+    rows = df[cols].itertuples(index=False, name=None)
+    row_strs = sorted("|".join(canon(v) for v in r) for r in rows)
     h = hashlib.sha256()
     for s in row_strs:
         h.update(s.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
+
+
+def row_strs(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    return sorted(
+        "|".join(canon(v) for v in r)
+        for r in df[cols].itertuples(index=False, name=None)
+    )
+
+
+def _kind(dtype) -> str:
+    try:
+        return dtype.kind
+    except AttributeError:  # pandas extension dtypes
+        return "O"
+
+
+def canon_hazards(sdf_pd: pd.DataFrame, odf_pd: pd.DataFrame) -> list[str]:
+    """Driver-canon failure modes: int/float dtype splits, array columns."""
+    out = []
+    for c in sorted(sdf_pd.columns):
+        if c not in odf_pd.columns:
+            continue
+        sk, ok = _kind(sdf_pd[c].dtype), _kind(odf_pd[c].dtype)
+        if (sk in "iu" and ok == "f") or (sk == "f" and ok in "iu"):
+            out.append(f"dtype split {c}: spark={sdf_pd[c].dtype} oracle={odf_pd[c].dtype}")
+        if ("M" in (sk, ok)) and sk != ok:
+            # datetime64 stringifies "1998-01-01 00:00:00" vs datetime.date
+            # "1998-01-01" — project DATE results as ISO strings instead
+            out.append(f"datetime split {c}: spark={sdf_pd[c].dtype} oracle={odf_pd[c].dtype}")
+        for side, df in (("spark", sdf_pd), ("oracle", odf_pd)):
+            col = df[c]
+            if _kind(col.dtype) == "O":
+                nn = col.dropna()
+                if len(nn) and isinstance(nn.iloc[0], (list, np.ndarray)):
+                    out.append(f"array-typed column {c} on {side} (driver canon crashes)")
+    return out
 
 
 def main():
@@ -65,51 +118,50 @@ def main():
         t0 = time.time()
         try:
             sdf = spec.spark(spark, sf_dir)
-            srows = sdf.collect()
             scols = sdf.columns
+            sdf_pd = pd.DataFrame(
+                [tuple(r) for r in sdf.collect()], columns=scols, dtype=None
+            )
+            # let pandas infer dtypes the way the driver's collect-based
+            # canon does (int64 for non-null ints, object for strings)
+            sdf_pd = sdf_pd.infer_objects()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
         if spec.oracle is None:
-            print(f"rows {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"rows {name}: {len(sdf_pd)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
             continue
         try:
-            cur = con.execute(spec.oracle)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            odf_pd = con.execute(spec.oracle).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:200]}")
             n_fail += 1
             continue
         problems = []
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(odf_pd.columns):
+            problems.append(
+                f"cols spark={sorted(scols)} oracle={sorted(odf_pd.columns)}"
+            )
+        if len(sdf_pd) != len(odf_pd):
+            problems.append(f"rowcount spark={len(sdf_pd)} oracle={len(odf_pd)}")
         if not problems:
-            sh = table_hash([tuple(r) for r in srows], scols)
-            oh = table_hash(orows, ocols)
+            problems.extend(canon_hazards(sdf_pd, odf_pd))
+        if not problems:
+            sh, oh = table_hash(sdf_pd), table_hash(odf_pd)
             if sh != oh:
                 problems.append(f"hash spark={sh} oracle={oh}")
-                # show first differing rows for debug
-                srt = sorted(
-                    "|".join(canon(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i]))
-                    for r in [tuple(x) for x in srows]
-                )
-                ort = sorted(
-                    "|".join(canon(r[i]) for i in sorted(range(len(ocols)), key=lambda i: ocols[i]))
-                    for r in orows
-                )
-                diffs = [(a, b) for a, b in zip(srt, ort) if a != b][:3]
+                diffs = [
+                    (a, b) for a, b in zip(row_strs(sdf_pd), row_strs(odf_pd)) if a != b
+                ][:3]
                 for a, b in diffs:
                     print(f"    spark : {a[:160]}\n    oracle: {b[:160]}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            print(f"PASS {name}: {len(sdf_pd)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     sys.exit(1 if n_fail else 0)
