@@ -115,8 +115,17 @@ class JdbcStateStore:
 
     # ----------------------------------------------------------- writes
 
-    def overwrite(self, bp: Blueprint, df: DataFrame) -> None:
-        """Full-state replace (the batch pipeline's commit)."""
+    def overwrite(
+        self, bp: Blueprint, df: DataFrame, touched_ids: DataFrame | None = None
+    ) -> None:
+        """Commit the new state. With ``touched_ids`` and an existing
+        table, only the touched entities are MERGEd (the pipeline never
+        drops state rows — deletes NULL fields — so merging the touched
+        subset equals the full replace); otherwise full-state replace."""
+        if touched_ids is not None and self._table_exists(self._table(bp)):
+            batch = df.join(touched_ids.select("id").distinct(), "id", "left_semi")
+            self.merge_upsert(bp, batch)
+            return
         self._encode(df, bp).write.mode("overwrite").option(
             "truncate", "false"
         ).option("createTableColumnTypes", self._column_types(bp)).jdbc(

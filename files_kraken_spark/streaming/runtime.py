@@ -21,16 +21,36 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass, field
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..blueprint import Blueprint
-from ..operators.assemble import assemble
+from ..operators.assemble import assemble, match_batch
 from ..operators.diff import snapshot_diff
 from ..sources.listing import FILE_SCHEMA, NameMatcher, list_files
 from ..sources.snapshot import SnapshotStore
 from ..store import StateStore
+
+
+@dataclass
+class PollBatch:
+    """One watcher tick's output.
+
+    ``commit()`` durably advances the snapshot and is invoked by the
+    runtime only AFTER downstream processing succeeds — a crash between
+    diff and state commit re-polls the same changes next tick
+    (at-least-once; the reference's crash window at
+    ``monitoring/_monitoring.py:71-76`` is at-most-once).
+    ``release()`` always runs and frees the tick's cached frames —
+    Spark's CacheManager holds plan-keyed entries until explicit
+    unpersist, so relying on GC leaks storage across a long poll loop.
+    """
+
+    changes: DataFrame
+    commit: Callable[[], None]
+    release: Callable[[], None]
 
 
 @dataclass
@@ -56,26 +76,38 @@ class Watcher:
             keep_empty_dirs=self.keep_empty_dirs,
         )
 
-    def poll(self, spark: SparkSession) -> DataFrame | None:
-        """One tick: scan, diff vs snapshot, commit snapshot only when
-        something changed (``monitoring/_monitoring.py:71-76``).
-        Returns (path, name, change) rows or None."""
+    def poll(self, spark: SparkSession) -> PollBatch | None:
+        """One tick: scan, diff vs snapshot
+        (``monitoring/_monitoring.py:71-76``). Returns a PollBatch of
+        (path, name, change) rows, or None when nothing changed.
+
+        The snapshot commit is DEFERRED into ``PollBatch.commit`` so
+        the caller advances it only after processing succeeds. The scan
+        is cached: the committed snapshot must be the exact tree that
+        was diffed, not a re-scan that could silently absorb files
+        created mid-tick."""
         store = SnapshotStore(self.snapshot_dir)
         prev = store.load(spark, FILE_SCHEMA).filter(~F.col("is_dir"))
-        cur = self.scan(spark)
+        cur = self.scan(spark).cache()
         files = cur.filter(~F.col("is_dir"))
         changes = snapshot_diff(prev.select("path"), files.select("path"))
         changes = changes.withColumn(
             "name", F.element_at(F.split(F.col("path"), "/"), -1)
+        ).cache()
+        if changes.limit(1).count() == 0:
+            changes.unpersist()
+            cur.unpersist()
+            return None
+
+        def _release() -> None:
+            changes.unpersist()
+            cur.unpersist()
+
+        return PollBatch(
+            changes=changes.select("path", "name", "change"),
+            commit=lambda: store.save(cur),
+            release=_release,
         )
-        rows = changes.cache()
-        try:
-            if rows.limit(1).count() == 0:
-                return None
-            store.save(cur)
-            return rows.select("path", "name", "change")
-        finally:
-            pass  # cache released by Spark when the batch frame is GC'd
 
     def reindex_changes(self, spark: SparkSession) -> DataFrame:
         """D6 — replay the whole current tree as 'created'."""
@@ -139,10 +171,14 @@ class Workflow:
         change report, ``monitoring/_monitoring.py:217-227``, as a
         queryable table instead of console prints)."""
         self._audit(changes)
+        roots = [r for w in self.watchers for r in w.roots] or None
         for bp in self.blueprints:
             cur = self.state.load(self.spark, bp)
-            new = assemble(changes, cur, bp)
-            self.state.overwrite(bp, new)
+            new = assemble(changes, cur, bp, content_roots=roots)
+            # incremental commit: only buckets holding this batch's
+            # entities are rewritten (S12 / reference per-entity update)
+            touched = match_batch(changes, bp).select("id").distinct()
+            self.state.overwrite(bp, new, touched_ids=touched)
 
     def _audit(self, changes: DataFrame) -> None:
         audit_dir = os.path.join(self.data_dir, "audit")
@@ -191,26 +227,43 @@ class Workflow:
         """
         if not self.watchers:
             raise ValueError("no watchers configured (initializer/_initializer.py:80-83)")
-        batches = []
+        polled: list[PollBatch] = []
         now = time.time()
         for w in self.watchers:
             if respect_timeouts and not force_reindex and now - w._last_poll < w.timeout:
                 continue
             w._last_poll = now
-            ch = w.reindex_changes(self.spark) if force_reindex else w.poll(self.spark)
-            if ch is not None:
-                batches.append(ch)
-        if not batches:
+            if force_reindex:
+                polled.append(
+                    PollBatch(
+                        changes=w.reindex_changes(self.spark),
+                        commit=lambda: None,
+                        release=lambda: None,
+                    )
+                )
+            else:
+                pb = w.poll(self.spark)
+                if pb is not None:
+                    polled.append(pb)
+        if not polled:
             return 0
-        changes = batches[0]
-        for b in batches[1:]:
-            changes = changes.unionByName(b)  # D4
+        changes = polled[0].changes
+        for pb in polled[1:]:
+            changes = changes.unionByName(pb.changes)  # D4
         changes = changes.cache()
-        n = changes.count()
-        if n:
-            self.process_changes(changes)
-        changes.unpersist()
-        return n
+        try:
+            n = changes.count()
+            if n:
+                self.process_changes(changes)
+            # snapshots advance only after every blueprint committed —
+            # a failure above re-polls the same diff next tick
+            for pb in polled:
+                pb.commit()
+            return n
+        finally:
+            changes.unpersist()
+            for pb in polled:
+                pb.release()
 
     def _time_to_exit(self) -> bool:
         """R2 — wall-clock or sentinel-file stop

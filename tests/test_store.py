@@ -64,3 +64,51 @@ def test_crud_roundtrip(spark, tmp_path, bp):
     # clear
     store.clear(bp)
     assert store.load(spark, bp).count() == 0
+
+
+def test_incremental_commit_rewrites_only_touched_bucket(spark, tmp_path, bp):
+    """A 1-entity batch must rewrite ONLY that entity's bucket: the
+    other buckets' data dirs keep their version (no O(state) write
+    amplification per tick — r1 verdict item 4)."""
+    import json
+    import os
+
+    store = StateStore(str(tmp_path / "state"), n_buckets=8)
+    ids = [f"id{i}" for i in range(40)]
+    store.overwrite(bp, _rows(spark, bp, [(i, "v1") for i in ids]))
+
+    bdir = tmp_path / "state" / bp.name
+    man1 = json.loads((bdir / "manifest.json").read_text())
+    assert len(man1["buckets"]) > 1  # 40 ids spread over several buckets
+
+    # touch exactly one entity
+    full = store.load(spark, bp)
+    new = full  # state content unchanged; commit declares one touched id
+    touched = spark.createDataFrame([("id7",)], "id string")
+    store.overwrite(bp, new, touched_ids=touched)
+
+    man2 = json.loads((bdir / "manifest.json").read_text())
+    assert man2["version"] == man1["version"] + 1
+    changed = [
+        k for k in man1["buckets"]
+        if man2["buckets"].get(k) != man1["buckets"][k]
+    ]
+    assert len(changed) == 1  # only id7's bucket advanced
+    # untouched buckets' directories were not rewritten
+    for k, v in man1["buckets"].items():
+        if k not in changed:
+            assert (bdir / f"b={k}" / f"v={v}").exists()
+    # and the table still reads back fully
+    assert store.load(spark, bp).count() == 40
+
+
+def test_incremental_commit_updates_values(spark, tmp_path, bp):
+    """Value changes for touched ids land; untouched rows survive
+    across an incremental commit."""
+    store = StateStore(str(tmp_path / "state"), n_buckets=8)
+    store.overwrite(bp, _rows(spark, bp, [("a", "one"), ("b", "two"), ("c", "three")]))
+    new = _rows(spark, bp, [("a", "ONE"), ("b", "two"), ("c", "three")])
+    touched = spark.createDataFrame([("a",)], "id string")
+    store.overwrite(bp, new, touched_ids=touched)
+    rows = {r["id"]: r["description"] for r in store.load(spark, bp).collect()}
+    assert rows == {"a": "ONE", "b": "two", "c": "three"}
