@@ -54,14 +54,20 @@ class FieldType(Enum):
 class Template:
     """F8 — correlated pattern: ``"{run}.sample_{sample}.results.txt"``
     interpolates required-field *columns* at match time. Like the
-    reference, interpolated values are not regex-escaped."""
+    reference, interpolated values are not regex-escaped.
+
+    The built pattern is ANCHORED (``\\A(?:…)\\z``): the reference
+    matches interpolated template patterns as SchemeMatcher string
+    specs, i.e. ``re.fullmatch`` (``retools/_retools.py:135``,
+    ``examples/easy_example.py:61-67``) — substring semantics would
+    wrongly capture names like ``old_<id>_results.txt.bak``."""
 
     fmt: str
 
     def to_column(self, cols: dict[str, Column]) -> Column:
         import re as _re
 
-        parts: list = []
+        parts: list = [r"\A(?:"]
         pos = 0
         for m in _re.finditer(r"\{(\w+)\}", self.fmt):
             if m.start() > pos:
@@ -70,6 +76,7 @@ class Template:
             pos = m.end()
         if pos < len(self.fmt):
             parts.append(self.fmt[pos:])
+        parts.append(r")\z")
         return rt.correlated_pattern(*parts)
 
 

@@ -91,9 +91,28 @@ def _spec_to_extract(col: Column, spec) -> Column:
         all_hit = subs[0].isNotNull()
         for s in subs[1:]:
             all_hit = all_hit & s.isNotNull()
-        # reference returns the tuple of matches; we return the first
-        # sub-match when all hit (array form available via multimatch)
+        # scalar contexts (scheme fields) take the first sub-match; the
+        # reference's full tuple-of-matches is `_spec_to_vector`
         return F.when(all_hit, subs[0])
+    raise TypeError(f"bad pattern spec: {spec!r}")
+
+
+def _spec_to_vector(col: Column, spec) -> Column:
+    """One pattern spec → its result VECTOR (array<string>), exact
+    reference shape: a conjunction spec yields the tuple of all
+    sub-matches (``_retools.py:55-66``), a scalar spec a 1-element
+    vector; NULL when the spec missed."""
+    if isinstance(spec, str) or (
+        isinstance(spec, tuple) and len(spec) == 2 and isinstance(spec[1], int)
+    ):
+        hit = _spec_to_extract(col, spec)
+        return F.when(hit.isNotNull(), F.array(hit))
+    if isinstance(spec, tuple):
+        subs = [_spec_to_extract(col, s) for s in spec]
+        all_hit = subs[0].isNotNull()
+        for s in subs[1:]:
+            all_hit = all_hit & s.isNotNull()
+        return F.when(all_hit, F.array(*subs))
     raise TypeError(f"bad pattern spec: {spec!r}")
 
 
@@ -116,8 +135,24 @@ def multimatch(col: Column, specs: Sequence) -> Column:
 
     Reference: ``MultimatchExecutor.multimatch``
     (``_retools.py:40-73``) — element is NULL where the spec missed.
+    Conjunction specs contribute their first sub-match here (scalar
+    element type); use :func:`multimatch_vectors` for the reference's
+    exact tuple-of-sub-matches shape.
     """
     return F.array(*[_spec_to_extract(col, s) for s in specs])
+
+
+def multimatch_vectors(col: Column, specs: Sequence) -> Column:
+    """F5 exact tuple parity: per-spec result vectors as
+    ``array<array<string>>``.
+
+    The reference returns, per spec, the match string — or, for a
+    conjunction spec, the TUPLE of every sub-spec's match
+    (``_retools.py:55-66``). Element i here is that tuple as an
+    array<string> (scalar specs yield 1-element vectors); a missed
+    spec yields a NULL element.
+    """
+    return F.array(*[_spec_to_vector(col, s) for s in specs])
 
 
 def bool_multimatch(

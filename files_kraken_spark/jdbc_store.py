@@ -62,17 +62,46 @@ class JdbcStateStore:
     def _table(self, bp: Blueprint) -> str:
         return f"state_{bp.name}".upper()
 
-    def _column_types(self, bp: Blueprint) -> str:
-        """Key/string columns as VARCHAR: Derby maps StringType to CLOB
-        by default, and CLOBs can't appear in a MERGE ON comparison."""
+    def _ddl_columns(self, bp: Blueprint) -> str:
+        """Hand-built CREATE TABLE column list. Key columns are bounded
+        VARCHAR (they appear in the MERGE ON comparison, where Derby's
+        CLOB is illegal); scalar strings get Derby's max VARCHAR;
+        JSON-encoded array columns are CLOB — an entity accumulating
+        many list members (e.g. LIST_PATH of long paths) must not hit a
+        VARCHAR width cap, and non-key columns never enter the ON
+        clause. Tables are created via JDBC DDL rather than Spark's
+        ``createTableColumnTypes`` because that option only parses
+        Spark DDL types (no CLOB). Identifiers are quoted: Spark's JDBC
+        writer emits exact-case delimited identifiers."""
         from pyspark.sql.types import ArrayType, StringType
 
+        sql_type = {
+            "double": "DOUBLE",
+            "float": "REAL",
+            "int": "INTEGER",
+            "bigint": "BIGINT",
+            "boolean": "BOOLEAN",
+            "timestamp": "TIMESTAMP",
+            "date": "DATE",
+            "binary": "BLOB",
+        }
         parts = []
         for f in state_schema(bp):
-            if isinstance(f.dataType, (StringType, ArrayType)):
-                width = 512 if f.name in ("blueprint", "id") else 16000
-                parts.append(f"{f.name} VARCHAR({width})")
+            if f.name in ("blueprint", "id"):
+                t = "VARCHAR(512)"
+            elif isinstance(f.dataType, ArrayType):
+                t = "CLOB"
+            elif isinstance(f.dataType, StringType):
+                t = "VARCHAR(32672)"  # Derby max
+            else:
+                t = sql_type.get(f.dataType.simpleString(), "VARCHAR(32672)")
+            parts.append(f'"{f.name}" {t}')
         return ", ".join(parts)
+
+    def _recreate_table(self, table: str, bp: Blueprint) -> None:
+        if self._table_exists(table):
+            self._exec(f"DROP TABLE {table}")
+        self._exec(f"CREATE TABLE {table} ({self._ddl_columns(bp)})")
 
     def _exec(self, sql: str) -> None:
         jvm = self.spark._jvm
@@ -126,9 +155,8 @@ class JdbcStateStore:
             batch = df.join(touched_ids.select("id").distinct(), "id", "left_semi")
             self.merge_upsert(bp, batch)
             return
-        self._encode(df, bp).write.mode("overwrite").option(
-            "truncate", "false"
-        ).option("createTableColumnTypes", self._column_types(bp)).jdbc(
+        self._recreate_table(self._table(bp), bp)
+        self._encode(df, bp).write.mode("append").jdbc(
             self.url, self._table(bp), properties=self._props
         )
 
@@ -138,9 +166,10 @@ class JdbcStateStore:
         table, stage = self._table(bp), self._table(bp) + "_STAGE"
         cols = [f.name for f in state_schema(bp)]
         quoted = [f'"{c}"' for c in cols]  # Spark JDBC writes exact-case delimited identifiers
-        self._encode(batch, bp).write.mode("overwrite").option(
-            "createTableColumnTypes", self._column_types(bp)
-        ).jdbc(self.url, stage, properties=self._props)
+        self._recreate_table(stage, bp)
+        self._encode(batch, bp).write.mode("append").jdbc(
+            self.url, stage, properties=self._props
+        )
         if not self._table_exists(table):
             # first batch: the stage simply becomes the table
             self._exec(f'RENAME TABLE {stage} TO {table}')

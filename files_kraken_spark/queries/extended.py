@@ -322,6 +322,38 @@ def f5_multimatch_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f5_multimatch_tuple",
+    oracle="""
+SELECT p_partkey,
+       nullif(regexp_extract(p_name, '(red|blue)', 1), '') AS color_vec,
+       CASE WHEN nullif(regexp_extract(p_name, '(red|blue)', 1), '') IS NOT NULL
+             AND nullif(regexp_extract(p_name, '(ring|bolt)', 1), '') IS NOT NULL
+            THEN concat(regexp_extract(p_name, '(red|blue)', 1), ',',
+                        regexp_extract(p_name, '(ring|bolt)', 1))
+       END AS color_item_vec
+FROM part
+WHERE p_partkey < 300
+""",
+    doc="F5 conjunction tuple parity: a tuple-of-specs element yields "
+    "the vector of ALL sub-matches (retools/_retools.py:55-66), "
+    "projected as joined strings for the driver canon.",
+)
+def f5_multimatch_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import retools as rt
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    vec = rt.multimatch_vectors(
+        F.col("p_name"),
+        [(r"(red|blue)", 1), ((r"(red|blue)", 1), (r"(ring|bolt)", 1))],
+    )
+    return part.select(
+        "p_partkey",
+        F.array_join(vec[0], ",").alias("color_vec"),
+        F.array_join(vec[1], ",").alias("color_item_vec"),
+    )
+
+
+@register(
     "d5_subtree_restrict",
     oracle="""
 SELECT path, change FROM (

@@ -151,14 +151,19 @@ def list_files_distributed(
     then executor-side walks of each subtree. Returns the same
     FILE_SCHEMA DataFrame; listing I/O runs in parallel on executors.
 
-    Limitation vs ``list_files``: empty-dir rows (``keep_empty_dirs``)
-    are only emitted for dirs at/below the fanout boundary — shallow
-    empty dirs are enumeration-internal. File rows are always
-    identical."""
+    Full ``list_files`` parity including S5: with ``keep_empty_dirs``,
+    shallow dirs whose whole subtree survived no gate are emitted as
+    empty-dir rows too. "Empty" means *no surviving rows beneath*
+    (matcher-filtered dirs count as empty — same as the recursive
+    walker), determined by one distributed existence check of the
+    scan output against the (fanout-bounded, tiny) shallow-dir list."""
     roots = [os.path.abspath(r) if isinstance(r, str) else r for r in
              ([roots] if isinstance(roots, str) else roots)]
 
     shallow_rows: list[tuple] = []
+    # (path, name, parent, depth, mtime_us) of every shallow dir that
+    # passed the gates — the S5 empty-dir candidates
+    shallow_dirs: list[tuple[str, str, str, int, int]] = []
     subtrees: list[tuple[str, int]] = []  # (dir path, depth of its children)
     frontier = [(r, 0) for r in roots]
     while frontier:
@@ -174,6 +179,11 @@ def list_files_distributed(
             if e.is_dir(follow_symlinks=False):
                 if dir_matcher is not None and not dir_matcher.match(e.name):
                     continue
+                if keep_empty_dirs:
+                    st = e.stat(follow_symlinks=False)
+                    shallow_dirs.append(
+                        (e.path, e.name, d, depth, int(st.st_mtime * 1e6))
+                    )
                 if max_depth is None or depth < max_depth:
                     frontier.append((e.path, depth + 1))
             else:
@@ -203,4 +213,40 @@ def list_files_distributed(
         sc.parallelize(subtrees, n_part).mapPartitions(_walk_partition), FILE_SCHEMA
     )
     shallow = spark.createDataFrame(shallow_rows, FILE_SCHEMA)
-    return shallow.unionByName(deep)
+    out = shallow.unionByName(deep)
+    if not keep_empty_dirs or not shallow_dirs:
+        return out
+
+    # S5 for shallow dirs: find candidates with at least one surviving
+    # row beneath them. The candidate list is fanout-bounded (tiny), so
+    # broadcast it; the scan output stays distributed and only the
+    # per-candidate existence bits come back to the driver.
+    from pyspark.sql import functions as F
+
+    cand_df = spark.createDataFrame(
+        [(p,) for p, *_ in shallow_dirs], "cand string"
+    )
+    nonempty = {
+        r[0]
+        for r in out.join(
+            F.broadcast(cand_df),
+            out["path"].startswith(F.concat(cand_df["cand"], F.lit("/"))),
+        )
+        .select("cand")
+        .distinct()
+        .collect()
+    }
+    # bottom-up: an emitted empty dir counts as production for its
+    # ancestors (mirrors the recursive walker: only the DEEPEST empty
+    # level is reported)
+    empty_rows: list[tuple] = []
+    for p, name, parent, depth, mt in sorted(shallow_dirs, key=lambda t: -t[3]):
+        if p in nonempty:
+            continue
+        empty_rows.append((p, name, parent, depth, True, 0, mt))
+        for q, *_ in shallow_dirs:
+            if q != p and p.startswith(q + "/"):
+                nonempty.add(q)
+    if not empty_rows:
+        return out
+    return out.unionByName(spark.createDataFrame(empty_rows, FILE_SCHEMA))

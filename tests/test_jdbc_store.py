@@ -88,3 +88,16 @@ def test_assembly_pipeline_through_jdbc(spark, store, bp):
         "/d/sample_7.lane_1.fastq.gz",
         "/d/sample_7.lane_2.fastq.gz",
     ]
+
+
+def test_wide_array_column_exceeds_varchar_width(spark, store, bp):
+    """Array columns are CLOB: a list whose JSON encoding far exceeds
+    any VARCHAR cap must round-trip (long LIST_PATH accumulations),
+    through both the full write and the MERGE path."""
+    many = [f"/data/projects/run_77/lane_{i}/part_{i:06d}.fastq.gz" for i in range(1000)]
+    assert len("".join(many)) > 32672
+    store.overwrite(bp, _state_rows(spark, bp, [("w", many)]))
+    assert store.load(spark, bp).collect()[0]["fastqs"] == many
+    more = many + ["/data/extra.fastq.gz"]
+    store.merge_upsert(bp, _state_rows(spark, bp, [("w", more)]))
+    assert store.load(spark, bp).collect()[0]["fastqs"] == more

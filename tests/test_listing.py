@@ -95,3 +95,26 @@ def test_distributed_deeper_fanout_and_options(spark, golden_tree):
         assert sorted(r["path"] for r in a.collect()) == sorted(
             r["path"] for r in b.collect()
         ), kw
+
+
+def test_distributed_empty_dir_parity(spark, golden_tree):
+    """S5 parity (r1 verdict item 7): the distributed lister emits the
+    same empty-dir rows as the recursive walker — including shallow
+    empty dirs above the fanout boundary (run_3 at depth 0)."""
+    for kw in (
+        {"fanout_depth": 1},
+        {"fanout_depth": 2},
+        {"fanout_depth": 1, "dir_matcher": DIRS},
+        {"fanout_depth": 2, "matcher": MATCH, "dir_matcher": DIRS},
+    ):
+        a = list_files(
+            spark,
+            str(golden_tree),
+            matcher=kw.get("matcher"),
+            dir_matcher=kw.get("dir_matcher"),
+            keep_empty_dirs=True,
+        )
+        b = list_files_distributed(spark, str(golden_tree), keep_empty_dirs=True, **kw)
+        assert sorted((r["path"], r["is_dir"]) for r in a.collect()) == sorted(
+            (r["path"], r["is_dir"]) for r in b.collect()
+        ), kw

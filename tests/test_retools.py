@@ -113,3 +113,43 @@ def test_correlated_pattern_concats_columns(spark):
     pat = rt.correlated_pattern(F.col("run"), r"\.results\.txt")
     got = [r[0] for r in df.select(F.regexp_like(F.col("name"), pat)).collect()]
     assert got == [True, False]
+
+
+def test_multimatch_vectors_tuple_parity(spark):
+    """F5 exact parity: a conjunction spec yields the TUPLE of every
+    sub-spec's match (reference _retools.py:55-66); scalar specs yield
+    1-element vectors; a missed spec yields NULL."""
+    specs = [
+        (r"sample_([^\.]+)", 1),                              # scalar
+        ((r"(run_\d+)", 1), (r"\.(txt)", 1)),                 # conjunction
+    ]
+    vec = rt.multimatch_vectors(F.col("name"), specs)
+    got = collect(_df(spark), vec)
+
+    def py(n):
+        out = []
+        m = re.search(r"sample_([^\.]+)", n)
+        out.append([m.group(1)] if m else None)
+        m1, m2 = re.search(r"(run_\d+)", n), re.search(r"\.(txt)", n)
+        out.append([m1.group(1), m2.group(1)] if (m1 and m2) else None)
+        return out
+
+    assert got == [py(n) for n in NAMES]
+
+
+def test_template_is_anchored_fullmatch(spark):
+    """F8: interpolated template patterns must match like re.fullmatch
+    (reference SchemeMatcher string specs, _retools.py:135) — a
+    substring hit like 'old_<id>_results.txt.bak' must NOT match."""
+    from files_kraken_spark.blueprint import Template
+
+    tpl = Template(r"{project}_results\.txt")
+    names = [
+        "project_1_results.txt",          # exact: match
+        "old_project_1_results.txt.bak",  # substring: must NOT match
+        "project_1_results.txt.bak",      # trailing junk: must NOT match
+    ]
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    pat = tpl.to_column({"project": F.lit("project_1")})
+    got = [r[0] for r in df.select(F.regexp_like(F.col("name"), pat)).collect()]
+    assert got == [True, False, False]
