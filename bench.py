@@ -43,16 +43,28 @@ def main():
     # Warm the JVM/codegen once so timings measure the queries, not startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Two timed runs per query, report the MIN: single-run timings on
+    # this box vary up to ±50% with scheduler/VM noise (r1 verdict item
+    # 9 asked for variance-aware numbers); the min is the reproducible
+    # steady-state cost. Raw per-run timings ship in "raw_runs".
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
-        t0 = time.time()
-        df = spec.spark(spark, sf_dir)
-        # noop sink: materializes EVERY column/expression (count() would
-        # let Catalyst prune unused projections and under-measure)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+        raw[name] = []
+        for _ in range(runs_per_query):
+            # operators that persist internal frames (LSH) must not get
+            # a free warm start from the previous run's plan cache
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = spec.spark(spark, sf_dir)
+            # noop sink: materializes EVERY column/expression (count()
+            # would let Catalyst prune projections and under-measure)
+            df.write.format("noop").mode("overwrite").save()
+            raw[name].append(round(time.time() - t0, 3))
+        timings[name] = min(raw[name])
+        print(f"# {name}: {timings[name]:.2f}s {raw[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -63,6 +75,9 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": runs_per_query,
+                "agg": "min",
+                "raw_runs": raw,
             }
         )
     )

@@ -166,15 +166,18 @@ def minhash_signatures(
     affine permutations of the portable md5-based shingle hash.
 
     One explode + one groupBy — the partial (map-side) min makes the
-    shuffle tiny regardless of document size.
+    shuffle tiny regardless of document size. The base hash is
+    materialized as a column FIRST: Catalyst does not share
+    subexpressions across aggregate expressions, so inlining it would
+    compute md5 num_hashes× per shingle (measured 4× slowdown).
     """
     sh = shingle_sets(df, id_col, text_col, k_shingle)
-    h = md5_hash64(F.col("shingle"))
+    hashed = sh.select(F.col(id_col), md5_hash64(F.col("shingle")).alias("__h"))
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(_perm_constants(num_hashes, seed))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -203,12 +206,14 @@ def minhash_lsh_pairs(
     # re-runs per consumer). On a cluster these are the natural
     # persist/checkpoint points as well.
     sh = shingle_sets(df, id_col, text_col, k_shingle).persist()
-    h = md5_hash64(F.col("shingle"))
+    # hash materialized as a column first — no CSE across aggregate
+    # expressions, inlining would run md5 num_hashes× per shingle
+    hashed = sh.select(F.col(id_col), md5_hash64(F.col("shingle")).alias("__h"))
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(_perm_constants(num_hashes, seed))
     ]
-    sig = sh.groupBy(id_col).agg(*aggs)
+    sig = hashed.groupBy(id_col).agg(*aggs)
     band_cols = [
         F.concat_ws(
             "_", F.lit(bi), *[F.col(f"mh{bi * rows + r}") for r in range(rows)]
@@ -384,14 +389,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     expressions (portable md5-based token hash) — oracle-reproducible.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = md5_hash64(F.col("tok"))
+    # hash materialized once — no CSE across aggregate expressions
+    hashed = tok.select(F.col(id_col), md5_hash64(F.col("tok")).alias("__h"))
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"s{b}")
         for b in range(bits)
     ]
-    sums = tok.groupBy(id_col).agg(*bit_sums)
+    sums = hashed.groupBy(id_col).agg(*bit_sums)
     packed = None
     for b in range(bits):
         term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
