@@ -1,0 +1,86 @@
+"""As-of (point-in-time) join — the temporal lookup Spark lacks as a
+built-in operator.
+
+For every left row, attach the payload of the most recent right row
+with ``right.ts <= left.ts`` (backward; ``forward`` inverts) within
+the same key. This is the canonical feature-store / market-data /
+training-snapshot lookup.
+
+Distributed strategy — the union-tag trick, ONE shuffle total:
+
+1. union the two sides, tagged, with right payloads as nullable cols;
+2. one window per key ordered by (ts, side) — right rows sort before
+   left rows at equal ts, making the match inclusive like DuckDB's
+   ``ASOF JOIN ... ON l.ts >= r.ts``;
+3. ``last(payload, ignorenulls=True)`` carries the latest right
+   payload forward onto each left row; keep left rows.
+
+Compared to the naive approach (range join + per-left-row max
+aggregation, which shuffles twice and explodes on wide time ranges),
+the union-window plan shuffles each row once and never builds
+intermediate pairs. Skewed keys serialize through one task, as with
+any keyed window — pre-split hot keys upstream if a single key's rows
+exceed one task's memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Return ``left`` with, per row, the payload columns of the
+    closest preceding (``backward``, right.ts <= left.ts) or following
+    (``forward``, right.ts >= left.ts) right row sharing ``on``.
+
+    ``payload`` defaults to every right column except the key and
+    timestamp. Payload columns are renamed ``<name><suffix>``; rows
+    with no match carry NULLs (left-outer semantics).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    payload = payload or [c for c in right.columns if c not in (on, right_ts)]
+
+    lcols = left.columns
+    tagged_left = left.select(
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__r_{p}") for p in payload],
+        F.lit(1).alias("__side"),
+        F.col(left_ts).alias("__t"),
+    )
+    tagged_right = right.select(
+        *[
+            F.col(on).alias(c) if c == on else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        *[F.col(p).alias(f"__r_{p}") for p in payload],
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__t"),
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+
+    order: list[Column] = [F.col("__t"), F.col("__side")]
+    if direction == "forward":
+        order = [F.col("__t").desc(), F.col("__side")]
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__side",
+        *[F.last(f"__r_{p}", ignorenulls=True).over(w).alias(f"{p}{suffix}") for p in payload],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")

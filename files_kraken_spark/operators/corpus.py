@@ -1,0 +1,145 @@
+"""Corpus-level training-data pipeline operators: sequence packing,
+deterministic stratified sampling, benchmark-contamination checks, and
+rule-based quality filtering.
+
+These are the batch operations a pretraining data pipeline runs over
+the whole corpus after per-document scoring (functions/text.py) and
+dedup (operators/dedup.py). All pure DataFrame — the only shuffles
+are the keyed windows/joins noted per function, and every rule/ratio
+is plain Catalyst arithmetic that an external SQL engine reproduces
+bit-for-bit (identical double ops on identical inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import EN_STOPWORDS, token_count, tokens
+from .dedup import shingle_sets
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins.
+
+    Contiguous offset packing: documents are laid out in ``id_col``
+    order (within ``group_col`` if given); each doc's bin is
+    ``floor(exclusive_prefix_tokens / budget)`` — the streaming
+    packing a sequence-packing dataloader performs, expressed as one
+    window over the corpus. Integer math only, so the assignment is
+    exactly reproducible anywhere.
+
+    One shuffle (the window partition). At 100 TB partition by shard
+    (``group_col``) so no single ordering spans the corpus.
+    """
+    parts = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = token_count(F.col(text_col))
+    out = df.select(
+        *([F.col(group_col)] if group_col else []),
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+    ).withColumn("offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return out.select(
+        *out.columns,
+        F.floor(F.col("offset") / budget).alias("bin"),
+    )
+
+
+def stratified_sample_hash(
+    df: DataFrame, id_col: str, stratum_col: str, pct: int
+) -> DataFrame:
+    """Deterministic ~pct% sample per stratum: keep rows whose portable
+    md5-derived hash of the id lands below ``pct`` mod 100.
+
+    Unlike ``df.sample``, the decision is a pure function of the id —
+    reproducible across runs, engines, and cluster sizes, and stable
+    under re-partitioning (the property a train/eval split must have).
+    No shuffle at all: the filter runs at the scan.
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return df.filter(F.pmod(h, F.lit(100)) < pct)
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark-contamination check: (train_id, eval_id, n_shared)
+    for document pairs sharing ≥ ``min_shared`` distinct k-word
+    shingles — the standard n-gram-overlap leak detector run before
+    training on any corpus that may contain eval data.
+
+    Same inverted-index shape as the Jaccard dedup: the join is on the
+    shingle value, so only documents sharing a shingle ever meet — no
+    cross join at any scale.
+    """
+    tr = shingle_sets(train, id_col, text_col, k).select(
+        F.col(id_col).alias("train_id"), "shingle"
+    )
+    ev = shingle_sets(eval_, id_col, text_col, k).select(
+        F.col(id_col).alias("eval_id"), "shingle"
+    )
+    return (
+        tr.join(ev, "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+_STOPWORD_PAT = r"\b(?:" + "|".join(EN_STOPWORDS) + r")\b"
+
+
+def quality_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style rule filter: per-document boolean rules plus the
+    conjunctive ``keep`` verdict.
+
+    - ``r_word_count``: 5 ≤ words ≤ 1000
+    - ``r_mean_word_len``: mean token length in [2, 12] (computed as
+      (chars_of_collapsed_text - (wc-1)) / wc — exact integer inputs)
+    - ``r_symbol_ratio``: non-alphanumeric-non-space chars / words < 0.6
+    - ``r_stopword``: at least one English stopword present
+
+    Pure Catalyst expressions; the ratios are single double divisions
+    of exact integers, so any engine reproduces them bit-for-bit.
+    """
+    text = F.col(text_col)
+    collapsed = F.trim(F.regexp_replace(text, r"\s+", " "))
+    wc = token_count(text)
+    chars = F.length(collapsed)
+    mean_wl = (chars - (wc - F.lit(1))) / wc
+    symbols = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    sym_ratio = symbols / wc
+    r_wc = (wc >= 5) & (wc <= 1000)
+    r_mwl = (mean_wl >= 2.0) & (mean_wl <= 12.0)
+    r_sym = sym_ratio < 0.6
+    r_stop = F.lower(text).rlike(_STOPWORD_PAT)
+    return df.select(
+        F.col(id_col),
+        wc.alias("word_count"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_stop.alias("r_stopword"),
+        (r_wc & r_mwl & r_sym & r_stop).alias("keep"),
+    )

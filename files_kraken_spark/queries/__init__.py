@@ -45,6 +45,7 @@ from . import llm_ops  # noqa: E402,F401
 from . import extended  # noqa: E402,F401
 from . import advanced_sql  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
+from . import pipeline  # noqa: E402,F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

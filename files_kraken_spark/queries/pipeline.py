@@ -1,0 +1,298 @@
+"""Training-pipeline corpus operators as oracle-checked queries:
+as-of join, sequence packing, stratified sampling, contamination
+check, quality-rule filtering, embedding quantization.
+
+Oracle notes: token/shingle SQL mirrors ``functions/text.py`` (split
+on \\s+, drop empties); ratios are single double divisions of exact
+integers (bit-equal across engines); event timestamps compare in
+MICROS on both sides (DuckDB truncates the parquet nanos to micros,
+Spark reads nanos-as-long and divides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import EN_STOPWORDS
+from ..operators import corpus as C
+from ..operators.asof import asof_join
+from ..sources.tables import load_table
+from . import register
+
+_SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(trim({col}), '\\s+'), x -> x <> '')"
+)
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'click'
+), pur AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         max(event_id) AS purchase_id,
+         max_by(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.t,
+       p.purchase_id, p.purchase_value
+FROM clicks c
+ASOF LEFT JOIN pur p ON c.user_id = p.user_id AND c.t >= p.t
+""",
+    doc="As-of (point-in-time) join: each click matched to the user's "
+    "most recent preceding purchase — the temporal lookup implemented "
+    "distributed as ONE union+window shuffle (operators/asof.py), "
+    "checked against DuckDB's native ASOF JOIN. The right side is "
+    "pre-deduped per (user, micros): nanos truncate to micros in the "
+    "oracle, so sub-microsecond ties must resolve identically.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t = F.expr("ts div 1000")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", t.alias("t")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", t.alias("t"), "event_id", "value")
+        .groupBy("user_id", "t")
+        .agg(
+            F.max("event_id").alias("purchase_id"),
+            F.expr("max_by(value, event_id)").alias("purchase_value"),
+        )
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="t",
+        right_ts="t",
+        payload=["purchase_id", "purchase_value"],
+        suffix="",
+    )
+    return joined.select("event_id", "user_id", "t", "purchase_id", "purchase_value")
+
+
+@register(
+    "q_asof_forward",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'click'
+), sig AS (
+  SELECT user_id, epoch_us(ts) AS t, max(event_id) AS next_signup
+  FROM events WHERE event_type = 'signup'
+  GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, s.next_signup
+FROM clicks c
+ASOF LEFT JOIN sig s ON c.user_id = s.user_id AND c.t <= s.t
+""",
+    doc="Forward as-of join (next following event) — same union+window "
+    "plan with inverted ordering.",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t = F.expr("ts div 1000")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", t.alias("t")
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", t.alias("t"), "event_id")
+        .groupBy("user_id", "t")
+        .agg(F.max("event_id").alias("next_signup"))
+    )
+    joined = asof_join(
+        clicks,
+        signups,
+        on="user_id",
+        left_ts="t",
+        right_ts="t",
+        payload=["next_signup"],
+        direction="forward",
+        suffix="",
+    )
+    return joined.select("event_id", "user_id", "next_signup")
+
+
+@register(
+    "t_pack_sequences",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         len({_SQL_TOKENS.format(col='text')}) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS "offset"
+  FROM toks
+)
+SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens, "offset",
+       CAST(floor("offset" / 256.0) AS BIGINT) AS bin
+FROM packed
+""",
+    doc="Sequence packing for pretraining batches: contiguous "
+    "fixed-token-budget bin assignment via one exclusive-prefix-sum "
+    "window per shard (operators/corpus.py pack_sequences).",
+)
+def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.pack_sequences(docs, "doc_id", "text", budget=256, group_col="source")
+
+
+@register(
+    "t_stratified_sample",
+    oracle="""
+SELECT doc_id, source
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20
+""",
+    doc="Deterministic stratified sampling: keep ids whose portable "
+    "md5-derived hash lands under the rate — reproducible across "
+    "engines/cluster sizes, zero shuffles (filter at the scan).",
+)
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.stratified_sample_hash(docs, "doc_id", "source", pct=20).select(
+        "doc_id", "source"
+    )
+
+
+@register(
+    "t_contamination",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source,
+         concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+), tr AS (
+  SELECT doc_id AS train_id, shingle FROM sh
+  WHERE CAST(substr(source, 4) AS INT) < 10
+), ev AS (
+  SELECT doc_id AS eval_id, shingle FROM sh
+  WHERE CAST(substr(source, 4) AS INT) >= 10
+)
+SELECT train_id, eval_id, count(*) AS n_shared
+FROM tr JOIN ev USING (shingle)
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
+    doc="Benchmark-contamination check: train/eval doc pairs sharing "
+    "≥2 distinct 3-word shingles via the inverted-index join "
+    "(operators/corpus.py contamination_pairs) — the pre-training "
+    "leak detector; no cross join at any scale.",
+)
+def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring(F.col("source"), 4, 10).cast("int")
+    train = docs.filter(src_num < 10)
+    eval_ = docs.filter(src_num >= 10)
+    return C.contamination_pairs(train, eval_, "doc_id", "text", k=3, min_shared=2)
+
+
+_SQL_STOP = r"\b(?:" + "|".join(EN_STOPWORDS) + r")\b"
+
+
+@register(
+    "t_quality_rules",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         len({_SQL_TOKENS.format(col='text')}) AS wc,
+         len(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS chars,
+         len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS symbols,
+         regexp_matches(lower(text), '{_SQL_STOP}') AS has_stop
+  FROM documents
+), rules AS (
+  SELECT doc_id,
+         CAST(wc AS INT) AS word_count,
+         (chars - (wc - 1)) / wc AS mean_word_len,
+         symbols / wc AS symbol_ratio,
+         (wc >= 5 AND wc <= 1000) AS r_word_count,
+         ((chars - (wc - 1)) / wc >= 2.0
+          AND (chars - (wc - 1)) / wc <= 12.0) AS r_mean_word_len,
+         (symbols / wc < 0.6) AS r_symbol_ratio,
+         has_stop AS r_stopword
+  FROM base
+)
+SELECT doc_id, word_count, mean_word_len, symbol_ratio,
+       r_word_count, r_mean_word_len, r_symbol_ratio, r_stopword,
+       (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_stopword)
+         AS keep
+FROM rules
+""",
+    doc="Gopher-style quality-rule filter: per-doc boolean rules "
+    "(word count, mean word length, symbol ratio, stopword presence) "
+    "+ conjunctive keep verdict (operators/corpus.py quality_rules).",
+)
+def t_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.quality_rules(docs, "doc_id", "text")
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+  FROM embeddings
+), stats AS (
+  SELECT vec_id, xs,
+         list_aggregate(xs, 'min') AS mn,
+         list_aggregate(xs, 'max') AS mx
+  FROM v
+), scaled AS (
+  SELECT vec_id, xs, mn, mx, (mx - mn) / 255.0 AS scale FROM stats
+), q AS (
+  SELECT vec_id, mn, scale,
+         list_transform(xs, x -> least(floor((x - mn) / scale), 255.0)) AS qs,
+         xs
+  FROM scaled WHERE mx > mn
+)
+SELECT vec_id,
+       CAST(list_sum(qs) AS BIGINT) AS q_sum,
+       list_aggregate(
+         list_transform(range(1, len(xs) + 1),
+                        i -> abs(xs[i] - (mn + qs[i] * scale))),
+         'max') AS max_err
+FROM q
+""",
+    doc="Per-vector int8 scalar quantization (min/max affine): "
+    "quantized checksum + max reconstruction error. floor() instead "
+    "of round() keeps the math bit-identical across engines; stats "
+    "are materialized as columns before the HOF lambdas (no CSE "
+    "inside Catalyst HOFs).",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    xs = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), xs.alias("xs"))
+    stats = base.select(
+        "vec_id",
+        "xs",
+        F.array_min("xs").alias("mn"),
+        F.array_max("xs").alias("mx"),
+    ).withColumn("scale", (F.col("mx") - F.col("mn")) / F.lit(255.0))
+    nonconst = stats.filter(F.col("mx") > F.col("mn"))
+    mn, scale = F.col("mn"), F.col("scale")
+    q = nonconst.withColumn(
+        "qs",
+        F.transform(F.col("xs"), lambda x: F.least(F.floor((x - mn) / scale).cast("double"), F.lit(255.0))),
+    )
+    err = F.zip_with(F.col("xs"), F.col("qs"), lambda x, qv: F.abs(x - (mn + qv * scale)))
+    return q.select(
+        "vec_id",
+        F.aggregate(F.col("qs"), F.lit(0.0), lambda a, x: a + x).cast("bigint").alias("q_sum"),
+        F.array_max(err).alias("max_err"),
+    )

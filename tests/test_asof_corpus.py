@@ -1,0 +1,123 @@
+"""As-of join semantics vs a Python reference, and corpus-operator
+unit behaviors (packing, sampling, contamination, quality rules)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from files_kraken_spark.operators import corpus as C
+from files_kraken_spark.operators.asof import asof_join
+
+LEFT = [  # (key, t)
+    ("a", 10), ("a", 20), ("a", 5),
+    ("b", 7),
+    ("c", 100),  # key with no right rows at all
+]
+RIGHT = [  # (key, t, v)
+    ("a", 5, 50), ("a", 15, 150), ("a", 20, 200),
+    ("b", 9, 90),
+]
+
+
+def _frames(spark):
+    left = spark.createDataFrame(LEFT, "k string, t long")
+    right = spark.createDataFrame(RIGHT, "k string, t long, v long")
+    return left, right
+
+
+def _py_asof(direction):
+    out = {}
+    for k, t in LEFT:
+        cands = [
+            (rt, v)
+            for rk, rt, v in RIGHT
+            if rk == k and (rt <= t if direction == "backward" else rt >= t)
+        ]
+        if direction == "backward":
+            out[(k, t)] = max(cands)[1] if cands else None
+        else:
+            out[(k, t)] = min(cands)[1] if cands else None
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_matches_python_reference(spark, direction):
+    left, right = _frames(spark)
+    got = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", direction=direction
+    ).collect()
+    want = _py_asof(direction)
+    assert len(got) == len(LEFT)
+    for r in got:
+        assert r["v_asof"] == want[(r["k"], r["t"])], (direction, r)
+
+
+def test_asof_join_inclusive_tie(spark):
+    """A right row at EXACTLY the left timestamp matches (>= semantics,
+    like DuckDB ASOF)."""
+    left, right = _frames(spark)
+    row = {
+        (r["k"], r["t"]): r["v_asof"]
+        for r in asof_join(left, right, on="k", left_ts="t", right_ts="t").collect()
+    }
+    assert row[("a", 20)] == 200  # tie at t=20 included
+    assert row[("a", 5)] == 50    # tie at t=5 included
+    assert row[("c", 100)] is None  # no right rows for key
+
+
+def test_pack_sequences_budget_and_order(spark):
+    docs = spark.createDataFrame(
+        [(i, "g", "w " * 10) for i in range(1, 7)],  # 10 tokens each
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["offset"], r["bin"])
+        for r in C.pack_sequences(
+            docs, "doc_id", "text", budget=25, group_col="source"
+        ).collect()
+    }
+    # offsets 0,10,20,30,40,50 → bins 0,0,0,1,1,2
+    assert got == {1: (0, 0), 2: (10, 0), 3: (20, 0), 4: (30, 1), 5: (40, 1), 6: (50, 2)}
+
+
+def test_stratified_sample_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], "doc_id long, source string"
+    )
+    a = sorted(r["doc_id"] for r in C.stratified_sample_hash(docs, "doc_id", "source", 10).collect())
+    b = sorted(r["doc_id"] for r in C.stratified_sample_hash(docs, "doc_id", "source", 10).collect())
+    assert a == b  # pure function of id: identical across runs
+    assert 10 <= len(a) <= 60  # ~10% of 300 with hash variance
+    wider = sorted(r["doc_id"] for r in C.stratified_sample_hash(docs, "doc_id", "source", 50).collect())
+    assert set(a) <= set(wider)  # rate increase only ADDS rows (nested samples)
+
+
+def test_contamination_pairs_detects_shared_ngrams(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"), (2, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    eval_ = spark.createDataFrame(
+        [(10, "look the quick brown fox appears"), (11, "nothing in common at all")],
+        "doc_id long, text string",
+    )
+    got = C.contamination_pairs(train, eval_, "doc_id", "text", k=3, min_shared=2).collect()
+    assert [(r["train_id"], r["eval_id"]) for r in got] == [(1, 10)]
+    assert got[0]["n_shared"] == 2  # 'the quick brown', 'quick brown fox'
+
+
+def test_quality_rules_flags(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over it"),   # passes all
+            (2, "no"),                                   # too few words
+            (3, "@@@ ### $$$ %%% ^^^ &&&"),              # symbols, no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in C.quality_rules(docs, "doc_id", "text").collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["r_word_count"] is False
+    assert got[3]["keep"] is False
+    assert got[3]["r_stopword"] is False and got[3]["r_symbol_ratio"] is False
