@@ -84,3 +84,45 @@ def asof_join(
         *[F.last(f"__r_{p}", ignorenulls=True).over(w).alias(f"{p}{suffix}") for p in payload],
     )
     return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    t_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Keyed interval (range) join: every (point, interval) pair with
+    ``lo <= t <= hi`` and matching key — WITHOUT the broadcast-nested-
+    loop plan Spark picks for raw inequality joins.
+
+    Bucketization: intervals explode into the coarse time buckets they
+    overlap (``floor(lo/w) … floor(hi/w)``); points carry their single
+    bucket; the join is a plain equi-join on (key, bucket) followed by
+    the exact range filter. Each pair meets exactly once (the point's
+    bucket), so no dedup pass is needed. Cost scales with
+    interval_span/bucket_width replicas per interval — size
+    ``bucket_width`` near the typical interval length so replication
+    stays O(1) and the shuffle is an ordinary hash partition at any
+    corpus size.
+    """
+    b_points = points.withColumn(
+        "__b", F.floor(F.col(t_col) / F.lit(bucket_width)).cast("long")
+    )
+    b_iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        b_points.join(b_iv, [on, "__b"])
+        .filter((F.col(t_col) >= F.col(lo_col)) & (F.col(t_col) <= F.col(hi_col)))
+        .drop("__b")
+    )

@@ -239,10 +239,18 @@ def minhash_lsh_pairs(
     # partitions instead of re-running the join, and AQE downgrades the
     # broadcast if a pathological corpus makes candidates huge.
 
-    # Exact-Jaccard verify restricted to candidate documents only —
-    # near-dups are rare, so this shrinks the inverted-index join from
-    # the whole corpus to the candidate set (the at-scale win: the
-    # banding join is cheap, pairwise verify is what must stay small).
+    return _verify_exact_jaccard(sh, candidates, id_col, threshold)
+
+
+def _verify_exact_jaccard(
+    sh: DataFrame, candidates: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify restricted to candidate documents only —
+    near-dups are rare, so this shrinks the inverted-index join from
+    the whole corpus to the candidate set (the at-scale win: the
+    banding join is cheap, pairwise verify is what must stay small).
+    ``candidates`` must be persisted by the caller (it is consumed by
+    three subtrees)."""
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
@@ -267,6 +275,61 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", jac)
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_lsh_incremental(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    new_col: str,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Micro-batch near-dup: pairs touching at least one NEW document
+    (``new_col`` boolean) — new-vs-corpus and new-vs-new, never
+    corpus×corpus.
+
+    The banding join probes only new docs' band keys against the full
+    banded index, so per-batch cost is O(batch · bands · bucket
+    occupancy) regardless of corpus size. At production scale the
+    corpus half of the index is precomputed and stored (signatures are
+    pure functions of the text — see SCALING.md); here it derives
+    inline from the same frame.
+    """
+    rows = num_hashes // bands
+    flags = df.select(F.col(id_col), F.col(new_col).alias("__new"))
+    sh = shingle_sets(df, id_col, text_col, k_shingle).persist()
+    hashed = sh.select(F.col(id_col), md5_hash64(F.col("shingle")).alias("__h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_perm_constants(num_hashes, seed))
+    ]
+    sig = hashed.groupBy(id_col).agg(*aggs)
+    band_cols = [
+        F.concat_ws(
+            "_", F.lit(bi), *[F.col(f"mh{bi * rows + r}") for r in range(rows)]
+        ).alias(f"band{bi}")
+        for bi in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
+    ).join(flags, id_col).persist()
+    new_banded = banded.filter(F.col("__new"))
+    candidates = (
+        new_banded.select(F.col(id_col).alias("id_n"), "band_key")
+        .join(banded.select(F.col(id_col).alias("id_o"), "band_key"), "band_key")
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    return _verify_exact_jaccard(sh, candidates, id_col, threshold)
 
 
 def full_dedup(

@@ -59,6 +59,48 @@ def cosine_topk(
     )
 
 
+def knn_classify(
+    queries_df: DataFrame,
+    candidates_df: DataFrame,
+    label_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact kNN majority-vote classification: top-k cosine neighbors
+    per query vector, predicted label = the most frequent neighbor
+    label (ties break to the smaller label — deterministic). Same
+    broadcast-query-set plan as ``cosine_topk``: one corpus scan, one
+    window, then a per-query vote aggregation over ≤ k rows."""
+    from pyspark.sql.window import Window
+
+    q = queries_df.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates_df.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("__lbl"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .select(
+            "q_id", "cand_id", "__lbl",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    votes = topk.groupBy("q_id", "__lbl").agg(F.count(F.lit(1)).alias("votes"))
+    wv = Window.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("__lbl"))
+    return (
+        votes.withColumn("vrn", F.row_number().over(wv))
+        .filter(F.col("vrn") == 1)
+        .select("q_id", F.col("__lbl").alias("pred_label"), "votes")
+    )
+
+
 def cosine_pairs_above(
     df: DataFrame,
     id_col: str = "vec_id",

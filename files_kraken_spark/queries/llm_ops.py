@@ -249,6 +249,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental",
+    oracle=f"""
+WITH {_SQL_SHINGLES},
+{_minhash_sql(16, 42).strip().rstrip()}
+,
+{_band_sql(16, 4)},
+cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                  greatest(a.doc_id, b.doc_id) AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.doc_id <> b.doc_id
+  WHERE a.doc_id >= 400
+)
+SELECT c.id_a, c.id_b, j.jaccard
+FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= 0.8
+""",
+    doc="Incremental micro-batch dedup: MinHash-LSH pairs touching at "
+    "least one NEW doc (ids ≥ 400 = the batch) — new-vs-corpus and "
+    "new-vs-new, never corpus×corpus; per-batch cost is O(batch), "
+    "the shape a streaming ingest pipeline needs "
+    "(operators/dedup.py minhash_lsh_incremental).",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_new", F.col("doc_id") >= 400
+    )
+    return DD.minhash_lsh_incremental(
+        docs, "doc_id", "text", "is_new", k_shingle=3, num_hashes=16, bands=4,
+        threshold=0.8,
+    )
+
+
 def _simhash_sql(bits: int = 16) -> str:
     bit_sums = ",\n         ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"

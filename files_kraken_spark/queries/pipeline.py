@@ -200,6 +200,129 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.contamination_pairs(train, eval_, "doc_id", "text", k=3, min_shared=2)
 
 
+@register(
+    "q_interval_join_counts",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'click'
+), pur AS (
+  SELECT user_id, epoch_us(ts) AS pt
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, count(p.pt) AS n_purchases_1h
+FROM clicks c LEFT JOIN pur p
+  ON p.user_id = c.user_id AND p.pt >= c.t AND p.pt <= c.t + 3600000000
+GROUP BY 1, 2
+""",
+    doc="Keyed interval (range) join: purchases within 1h after each "
+    "click — bucketized into coarse time buckets + equi-join + exact "
+    "filter (operators/asof.py interval_join), avoiding the "
+    "broadcast-nested-loop plan Spark picks for raw inequality joins.",
+)
+def q_interval_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.expr("ts div 1000")
+    hour_us = 3_600_000_000
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id"), F.col("user_id"), t.alias("lo"), (t + hour_us).alias("hi")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), t.alias("pt")
+    )
+    matched = interval_join(
+        purchases, clicks, on="user_id", t_col="pt",
+        lo_col="lo", hi_col="hi", bucket_width=hour_us,
+    )
+    counts = matched.groupBy("event_id").agg(F.count(F.lit(1)).alias("n"))
+    return clicks.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases_1h"),
+    )
+
+
+@register(
+    "q_salted_join_revenue",
+    oracle="""
+SELECT o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+""",
+    doc="Skew-mitigated fact⋈dim join (operators/skew.py salted_join: "
+    "16-way salt on the fact side, dim replicated) must produce "
+    "EXACTLY the plain-join aggregate — the salt is a physical "
+    "re-distribution, never a semantic change.",
+)
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"), F.col("l_extendedprice"), F.col("l_discount")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), F.col("o_orderpriority")
+    )
+    joined = salted_join(li, orders, "l_orderkey", salt_buckets=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_SQL_COS = (
+    "(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+)
+
+
+@register(
+    "sim_knn_classify",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q_id, c.vec_id AS cand_id, c.label AS lbl,
+         {_SQL_COS.format(a='qv', b='c.embedding')} AS cos
+  FROM embeddings c, q
+  WHERE c.vec_id >= 10
+), topk AS (
+  SELECT q_id, lbl FROM (
+    SELECT q_id, lbl,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+    FROM scored
+  ) WHERE rn <= 5
+), votes AS (
+  SELECT q_id, lbl, count(*) AS votes FROM topk GROUP BY 1, 2
+)
+SELECT q_id, lbl AS pred_label, votes FROM (
+  SELECT q_id, lbl, votes,
+         row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, lbl) AS vrn
+  FROM votes
+) WHERE vrn = 1
+""",
+    doc="kNN majority-vote classification over embeddings: top-5 cosine "
+    "neighbors per query, most frequent neighbor label wins (ties → "
+    "smaller label). Broadcast-query-set plan: one corpus scan + "
+    "per-query window (operators/similarity.py knn_classify).",
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_classify(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10),
+        "label", k=5,
+    )
+
+
 _SQL_STOP = r"\b(?:" + "|".join(EN_STOPWORDS) + r")\b"
 
 

@@ -121,3 +121,77 @@ def test_quality_rules_flags(spark):
     assert got[2]["keep"] is False and got[2]["r_word_count"] is False
     assert got[3]["keep"] is False
     assert got[3]["r_stopword"] is False and got[3]["r_symbol_ratio"] is False
+
+
+def test_interval_join_matches_python(spark):
+    """Bucketized interval join == naive O(n²) reference, including
+    intervals spanning multiple buckets and boundary-inclusive ends."""
+    from files_kraken_spark.operators.asof import interval_join
+
+    points = [("a", 5), ("a", 10), ("a", 25), ("b", 7), ("b", 99)]
+    ivals = [("a", 1, 0, 10), ("a", 2, 9, 26), ("b", 3, 7, 7), ("c", 4, 0, 100)]
+    p = spark.createDataFrame(points, "k string, t long")
+    iv = spark.createDataFrame(ivals, "k string, iv_id long, lo long, hi long")
+    got = sorted(
+        (r["k"], r["t"], r["iv_id"])
+        for r in interval_join(p, iv, "k", "t", "lo", "hi", bucket_width=8).collect()
+    )
+    want = sorted(
+        (pk, pt, ivid)
+        for pk, pt in points
+        for ik, ivid, lo, hi in ivals
+        if pk == ik and lo <= pt <= hi
+    )
+    assert got == want
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from files_kraken_spark.operators.similarity import knn_classify
+
+    # query 0 at origin-ish; neighbors: two label-1 near, one label-2 near,
+    # two label-9 far
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (10, [1.0, 0.01], 1),
+        (11, [1.0, 0.02], 1),
+        (12, [1.0, 0.03], 2),
+        (13, [0.0, 1.0], 9),
+        (14, [-1.0, 0.1], 9),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = knn_classify(
+        df.filter(F.col("vec_id") == 0), df.filter(F.col("vec_id") > 0), "label", k=3
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["pred_label"] == 1 and got[0]["votes"] == 2
+
+    # 2-2 tie within top-4 -> smaller label wins
+    got = knn_classify(
+        df.filter(F.col("vec_id") == 0), df.filter(F.col("vec_id") > 0), "label", k=4
+    ).collect()
+    # top4: labels 1,1,2,9 -> label 1 wins with 2 votes
+    assert got[0]["pred_label"] == 1 and got[0]["votes"] == 2
+
+
+def test_minhash_incremental_subset_of_full(spark):
+    """Incremental pairs == full-LSH pairs restricted to pairs touching
+    a new doc (same bands/signatures, probe-side restriction only)."""
+    from files_kraken_spark.operators import dedup as DD
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, base + f"tail {i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "is_new", F.col("doc_id") >= 20
+    )
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    }
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_incremental(
+            df, "doc_id", "text", "is_new", threshold=0.8
+        ).collect()
+    }
+    assert inc == {(a, b) for a, b in full if a >= 20 or b >= 20}
+    assert inc  # non-trivial: the near-dup groups span the split
