@@ -275,3 +275,75 @@ def test_snapshot_commit_deferred_until_processing_succeeds(spark, tmp_path, bp)
     wf.process_changes = original
     assert wf.run_once() == 1  # the change batch is seen again
     assert wf.state.load(spark, bp).collect()[0]["id"] == "1"
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Gap-based session windows (F.session_window) over a streaming
+    file source — the built-in streaming twin of the batch q_sessionize
+    query (30-min inactivity gap closes a session)."""
+    import json
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    rows = [
+        {"user": "u1", "ts": "2024-01-01 00:00:00"},
+        {"user": "u1", "ts": "2024-01-01 00:10:00"},   # same session
+        {"user": "u1", "ts": "2024-01-01 01:00:00"},   # gap > 30min: new session
+        {"user": "u2", "ts": "2024-01-01 00:05:00"},
+    ]
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("user string, ts timestamp")
+        .json(str(src))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user"))
+        .count()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        (r["user"], r["session_window"]["start"].minute + 60 * r["session_window"]["start"].hour, r["count"])
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    )
+    assert got == [("u1", 0, 2), ("u1", 60, 1), ("u2", 5, 1)]
+
+
+def test_streaming_sliding_window(spark, tmp_path):
+    """Sliding windows (1h length, 30min slide): each event lands in
+    two overlapping windows."""
+    import json
+
+    src = tmp_path / "slide_src"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01 00:40:00", "etype": "click"},
+        {"ts": "2024-01-01 00:50:00", "etype": "click"},
+    ]
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("ts timestamp, etype string")
+        .json(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .count()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("slide_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        (r["window"]["start"].hour * 60 + r["window"]["start"].minute, r["count"])
+        for r in spark.sql("SELECT * FROM slide_counts").collect()
+    )
+    # events at 00:40/00:50 fall in windows starting 00:00 and 00:30
+    assert got == [(0, 2), (30, 2)]
