@@ -26,6 +26,7 @@ from files_kraken_spark.session import get_session
 # (exact all-pairs baselines, tiny dim grids) — documented, not flags.
 ALLOWED_NESTED_LOOP = {
     "sim_cosine_topk",  # broadcast query set vs corpus: O(n·q) by design
+    "sim_knn_classify",  # same broadcast-query-set scan as cosine_topk
     "q_cross_join_dims",  # 5×3 dim grid
     "dedup_embedding_cosine",  # block-pair grid join (bounded fanout)
     "q_scalar_subquery",  # scalar subquery broadcast compare
