@@ -39,6 +39,7 @@ def asof_join(
     payload: list[str] | None = None,
     direction: str = "backward",
     suffix: str = "_asof",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """Return ``left`` with, per row, the payload columns of the
     closest preceding (``backward``, right.ts <= left.ts) or following
@@ -46,16 +47,23 @@ def asof_join(
 
     ``payload`` defaults to every right column except the key and
     timestamp. Payload columns are renamed ``<name><suffix>``; rows
-    with no match carry NULLs (left-outer semantics).
+    with no match carry NULLs (left-outer semantics). ``tolerance``
+    bounds the match gap: a matched right row further than
+    ``tolerance`` time units away is treated as no-match (payloads
+    NULL) — the pandas ``merge_asof(tolerance=...)`` semantic.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     payload = payload or [c for c in right.columns if c not in (on, right_ts)]
+    carry = list(payload)
+    if tolerance is not None:
+        carry = carry + ["__match_ts"]
+        right = right.withColumn("__match_ts", F.col(right_ts))
 
     lcols = left.columns
     tagged_left = left.select(
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__r_{p}") for p in payload],
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__r_{p}") for p in carry],
         F.lit(1).alias("__side"),
         F.col(left_ts).alias("__t"),
     )
@@ -64,7 +72,7 @@ def asof_join(
             F.col(on).alias(c) if c == on else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in lcols
         ],
-        *[F.col(p).alias(f"__r_{p}") for p in payload],
+        *[F.col(p).alias(f"__r_{p}") for p in carry],
         F.lit(0).alias("__side"),
         F.col(right_ts).alias("__t"),
     )
@@ -81,9 +89,23 @@ def asof_join(
     carried = unioned.select(
         *lcols,
         "__side",
-        *[F.last(f"__r_{p}", ignorenulls=True).over(w).alias(f"{p}{suffix}") for p in payload],
+        *[F.last(f"__r_{p}", ignorenulls=True).over(w).alias(f"{p}{suffix}") for p in carry],
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    out = carried.filter(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        mts = F.col(f"__match_ts{suffix}")
+        gap = (
+            (F.col(left_ts) - mts) if direction == "backward" else (mts - F.col(left_ts))
+        )
+        in_range = mts.isNotNull() & (gap <= tolerance)
+        out = out.select(
+            *lcols,
+            *[
+                F.when(in_range, F.col(f"{p}{suffix}")).alias(f"{p}{suffix}")
+                for p in payload
+            ],
+        )
+    return out
 
 
 def interval_join(

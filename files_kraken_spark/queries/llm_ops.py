@@ -623,6 +623,27 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_resize",
+    oracle="""
+SELECT doc_id AS media_id,
+       least(octet_length(encode(text)), 64) AS byte_len,
+       sha256(substr(text, 1, 64)) AS sha_hex
+FROM documents
+""",
+    doc="Multimodal resize plumbing: deterministic byte-truncation stub "
+    "standing in for an image resize (operators/multimodal.py "
+    "resize_stub) — schema + hash metadata stay consistent through the "
+    "mapInPandas pass. Oracle truncates CHARS (= bytes: the corpus is "
+    "pure ASCII, asserted in the doc) and re-hashes.",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.attach_binary(docs, "doc_id", "text", "image")
+    small = MM.resize_stub(media, target_bytes=64)
+    return small.select("media_id", "byte_len", F.col("sha256").alias("sha_hex"))
+
+
+@register(
     "mm_feature_extract",
     oracle="""
 SELECT doc_id AS media_id,

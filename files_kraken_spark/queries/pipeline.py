@@ -121,6 +121,47 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_tolerance",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'click'
+), pur AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         max(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id,
+       CASE WHEN c.t - p.t <= 86400000000 THEN p.purchase_id END AS purchase_id
+FROM clicks c
+ASOF LEFT JOIN pur p ON c.user_id = p.user_id AND c.t >= p.t
+""",
+    doc="As-of join with tolerance (max 1-day gap, the pandas "
+    "merge_asof(tolerance=...) semantic): matches further than the "
+    "bound are NULLed.",
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t = F.expr("ts div 1000")
+    day_us = 86_400_000_000
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", t.alias("t")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", t.alias("t"), "event_id")
+        .groupBy("user_id", "t")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    joined = asof_join(
+        clicks, purchases, on="user_id", left_ts="t", right_ts="t",
+        payload=["purchase_id"], suffix="", tolerance=day_us,
+    )
+    return joined.select("event_id", "user_id", "purchase_id")
+
+
+@register(
     "t_pack_sequences",
     oracle=f"""
 WITH toks AS (

@@ -195,3 +195,21 @@ def test_minhash_incremental_subset_of_full(spark):
     }
     assert inc == {(a, b) for a, b in full if a >= 20 or b >= 20}
     assert inc  # non-trivial: the near-dup groups span the split
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance bounds the match gap (pandas merge_asof semantic):
+    a match further than the tolerance becomes NULL."""
+    left, right = _frames(spark)
+    row = {
+        (r["k"], r["t"]): r["v_asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t", tolerance=3
+        ).collect()
+    }
+    # ("a",10): nearest right at t=5, gap 5 > 3 -> NULL
+    assert row[("a", 10)] is None
+    # ("a",20): exact match gap 0 -> kept
+    assert row[("a", 20)] == 200
+    # ("b",7): nearest right t=9 is in the future; backward no match
+    assert row[("b", 7)] is None

@@ -244,10 +244,13 @@ def test_no_cache_accumulation_across_ticks(spark, tmp_path, bp):
     wf = Workflow(spark, "t10", [bp], data_dir=str(tmp_path / "wfdata"))
     wf.add_watcher(str(root), timeout=0)
     jsc = spark.sparkContext._jsc.sc()
+    # other suites may leave session-global cache entries; assert the
+    # poll loop adds NONE on top of that baseline
+    baseline = jsc.getPersistentRDDs().size()
     for i in range(6):
         (root / f"sample_{i}.lane_1.fastq.gz").write_text("fq")
         wf.run_once()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() == baseline
 
 
 def test_snapshot_commit_deferred_until_processing_succeeds(spark, tmp_path, bp):
