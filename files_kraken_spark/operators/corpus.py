@@ -105,6 +105,28 @@ def contamination_pairs(
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str, max_frac: float = 0.2) -> DataFrame:
+    """Gopher-style repetition rule: fraction of duplicated word
+    bigrams within each document (1 - distinct/total). Boilerplate and
+    degenerate generations repeat n-grams heavily; natural text
+    doesn't. Pure per-row array expressions — shuffle-free."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    bg = F.zip_with(
+        F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    frac = F.when(
+        n >= 2, F.lit(1.0) - F.size(F.array_distinct(bg)) / F.size(bg)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.when(n >= 2, F.size(bg)).otherwise(F.lit(0)).alias("n_bigrams"),
+        frac.alias("dup_bigram_frac"),
+        (frac <= max_frac).alias("r_repetition"),
+    )
+
+
 _STOPWORD_PAT = r"\b(?:" + "|".join(EN_STOPWORDS) + r")\b"
 
 

@@ -405,6 +405,36 @@ def t_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_repetition",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+), bg AS (
+  SELECT doc_id, len(t) AS n,
+         list_transform(range(1, greatest(len(t), 1)),
+                        i -> concat(t[i], ' ', t[i+1])) AS bigrams
+  FROM toks
+)
+SELECT doc_id,
+       CAST(CASE WHEN n >= 2 THEN len(bigrams) ELSE 0 END AS INT) AS n_bigrams,
+       CASE WHEN n >= 2
+            THEN 1.0 - len(list_distinct(bigrams)) / len(bigrams)
+            ELSE 0.0 END AS dup_bigram_frac,
+       (CASE WHEN n >= 2
+             THEN 1.0 - len(list_distinct(bigrams)) / len(bigrams)
+             ELSE 0.0 END) <= 0.2 AS r_repetition
+FROM bg
+""",
+    doc="Repetition quality rule: duplicated-bigram fraction per doc "
+    "(boilerplate/degenerate text repeats n-grams; natural text "
+    "doesn't) — operators/corpus.py repetition_stats, shuffle-free.",
+)
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.repetition_stats(docs, "doc_id", "text", max_frac=0.2)
+
+
+@register(
     "emb_quantize_int8",
     oracle="""
 WITH v AS (

@@ -619,3 +619,202 @@ def q_events_sessionized_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.coalesce(gap, F.lit(-1)).alias("gap_us"),
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 forecasting revenue change: pure filter+aggregate — "
+    "the query where predicate pushdown into the parquet scan is the "
+    "whole plan.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 4
+ORDER BY revenue DESC
+LIMIT 20
+""",
+    doc="TPC-H Q10 returned-item reporting: 3-way fact join + dim "
+    "broadcast, grouped revenue, top-20. Orders/lineitem shuffle on "
+    "the order key; customer joins broadcast-side at this scale and "
+    "hash-shuffles at 100 TB (AQE decides).",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+""",
+    doc="TPC-H Q12 (shipmode-style priority split on linestatus — the "
+    "corpus has no shipmode column): conditional counting after a "
+    "fact-fact join.",
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o.o_totalprice, 2) AS totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250
+)
+GROUP BY 1, 2, 3, 4, 5
+""",
+    doc="TPC-H Q18 large-volume customers: IN-subquery over a grouped "
+    "HAVING (plans as a semi-join against the aggregated key set).",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT substr(c_name, 10, 1) AS cntrycode,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY 1
+""",
+    doc="TPC-H Q22 global sales opportunity (anti-join restricted to "
+    "urgent orders so the corpus yields rows — every customer has "
+    "SOME order here): scalar-subquery threshold + anti-join, grouped "
+    "by a name-derived code. The threshold compare is on raw doubles "
+    "(identical avg on both engines).",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy(F.substring("c_name", 10, 1).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

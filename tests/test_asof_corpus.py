@@ -213,3 +213,20 @@ def test_asof_join_tolerance(spark):
     assert row[("a", 20)] == 200
     # ("b",7): nearest right t=9 is in the future; backward no match
     assert row[("b", 7)] is None
+
+
+def test_repetition_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # bigrams: ab,ba,ab,ba,ab -> 2/5 distinct
+            (2, "all words are unique"),
+            (3, "one"),                  # <2 tokens: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in C.repetition_stats(docs, "doc_id", "text").collect()}
+    assert got[1]["n_bigrams"] == 5
+    assert abs(got[1]["dup_bigram_frac"] - (1 - 2 / 5)) < 1e-12
+    assert got[1]["r_repetition"] is False
+    assert got[2]["dup_bigram_frac"] == 0.0 and got[2]["r_repetition"] is True
+    assert got[3]["n_bigrams"] == 0 and got[3]["r_repetition"] is True
