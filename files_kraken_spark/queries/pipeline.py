@@ -405,6 +405,63 @@ def t_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_corpus_pipeline",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         len({_SQL_TOKENS.format(col='text')}) AS wc,
+         len(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS chars,
+         len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS symbols,
+         regexp_matches(lower(text), '{{STOP}}') AS has_stop
+  FROM documents
+), kept AS (
+  SELECT doc_id, source, text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM base
+  WHERE wc >= 5 AND wc <= 1000
+    AND (chars - (wc - 1)) / wc >= 2.0 AND (chars - (wc - 1)) / wc <= 12.0
+    AND symbols / wc < 0.6
+    AND has_stop
+), reps AS (
+  SELECT fp, min(doc_id) AS rep_id FROM kept GROUP BY fp
+), survivors AS (
+  SELECT k.doc_id, k.source,
+         CAST(len({_SQL_TOKENS.format(col='k.text')}) AS INT) AS n_tokens
+  FROM kept k JOIN reps r ON r.rep_id = k.doc_id
+)
+SELECT source, doc_id, n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER (
+         PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS "offset",
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+         PARTITION BY source ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0) AS BIGINT)
+         AS bin
+FROM survivors
+""".replace("{STOP}", _SQL_STOP),
+    doc="The full pre-training corpus pipeline composed end-to-end: "
+    "quality-rule filter → exact dedup (keep min-id representative) → "
+    "fixed-token-budget sequence packing. One pass of per-row "
+    "expressions, one dedup shuffle, one packing window — the "
+    "production shape at any corpus size.",
+)
+def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep_ids = C.quality_rules(docs, "doc_id", "text").filter(F.col("keep")).select(
+        "doc_id"
+    )
+    kept = docs.join(keep_ids, "doc_id")
+    reps = exact_dedup(kept, "doc_id", "text").select(
+        F.col("rep_id").alias("doc_id")
+    )
+    survivors = kept.join(reps, "doc_id")
+    return C.pack_sequences(survivors, "doc_id", "text", budget=256, group_col="source")
+
+
+@register(
     "t_repetition",
     oracle=f"""
 WITH toks AS (
