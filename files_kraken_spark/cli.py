@@ -102,9 +102,45 @@ def workflow_from_config(spark, cfg: dict) -> Workflow:
     return wf
 
 
+def _query_main(argv: list[str]) -> int:
+    """``python -m files_kraken_spark query <name> [--sf DIR] [...]`` —
+    run any registry query (or list them) from the shell."""
+    from .queries import REGISTRY
+
+    ap = argparse.ArgumentParser(prog="files_kraken_spark query")
+    ap.add_argument("name", nargs="?", help="query name (omit with --list)")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01", help="table directory")
+    ap.add_argument("--limit", type=int, default=20, help="rows to show")
+    ap.add_argument("--explain", action="store_true", help="print the physical plan")
+    ap.add_argument("--list", action="store_true", help="list registry queries")
+    args = ap.parse_args(argv)
+
+    if args.list or not args.name:
+        for n, spec in REGISTRY.items():
+            kind = "oracle" if spec.oracle else "rows-only"
+            print(f"{n}\t{kind}\t{spec.doc.splitlines()[0] if spec.doc else ''}")
+        return 0
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r}; try --list")
+        return 2
+    spark = get_session(f"query-{args.name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = REGISTRY[args.name].spark(spark, args.sf)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.limit, truncate=40)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    import sys as _sys
+
+    argv = list(_sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "query":
+        return _query_main(argv[1:])
+
     ap = argparse.ArgumentParser(prog="files_kraken_spark")
-    ap.add_argument("config", help="workflow config JSON path")
+    ap.add_argument("config", help="workflow config JSON path (or 'query <name>')")
     ap.add_argument("--once", action="store_true", help="single tick (AvailableNow)")
     ap.add_argument("--show", action="store_true", help="print state tables after run")
     args = ap.parse_args(argv)

@@ -63,3 +63,12 @@ def test_cli_main_once(spark, tmp_path, capsys):
     cfg_path.write_text(json.dumps(cfg))
     assert cli.main([str(cfg_path), "--once"]) == 0
     assert "processed 1 changes" in capsys.readouterr().out
+
+
+def test_cli_query_subcommand(capsys):
+    from files_kraken_spark.cli import main
+
+    assert main(["query", "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out and "s1_file_listing\trows-only" in out
+    assert main(["query", "no_such_query"]) == 2
