@@ -537,6 +537,31 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_star",
+    oracle=f"""
+WITH RECURSIVE {_SQL_SHINGLES.strip().rstrip()},
+jpairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+          UNION ALL SELECT id_b, id_a FROM jpairs),
+reach(n, m) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+)
+SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+""",
+    doc="Same component semantics via the O(log n)-round large-star/"
+    "small-star contraction (Kiveris et al. SoCC'14) — the variant "
+    "that survives long transitive near-dup chains where "
+    "O(diameter) label propagation needs too many rounds.",
+)
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    return DD.connected_components_star(pairs)
+
+
+@register(
     "q_json_extract",
     oracle="""
 SELECT event_type,

@@ -133,3 +133,38 @@ def test_multimodal_features_and_frames(spark):
     assert sorted(r["frame_no"] for r in by_media[1]) == [0, 2]
     assert all(r["frame_len"] == 16 for r in by_media[1])
     assert 2 not in by_media  # 4 bytes -> no full frame
+
+
+def test_star_components_match_label_propagation(spark):
+    """Large-star/small-star CC must agree with plain min-label
+    propagation on adversarial shapes: long chains (worst case for
+    propagation), cliques, islands, and random graphs."""
+    import random
+
+    from files_kraken_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = [
+        [(i, i + 1) for i in range(0, 30)],                     # one long chain
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]      # clique
+        + [(10, 11), (12, 13)],                                  # + islands
+        [(1, 2)],
+    ]
+    rng = random.Random(7)
+    cases.append(
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(35)]
+    )
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        want = sorted(
+            (r["doc_id"], r["component"])
+            for r in connected_components(df, max_iter=100).collect()
+        )
+        got = sorted(
+            (r["doc_id"], r["component"])
+            for r in connected_components_star(df).collect()
+        )
+        assert got == want, pairs
