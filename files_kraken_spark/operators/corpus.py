@@ -105,6 +105,40 @@ def contamination_pairs(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES /
+    Efraimidis-Spirakis): per row draw u = hash-uniform(id) ∈ (0,1],
+    score = ln(u)/w, keep the top-k scores per stratum. Rows with
+    higher weight win proportionally more often, the draw is a pure
+    function of the id (reproducible anywhere), and the selection is
+    one window over the corpus — the distributed replacement for
+    reservoir sampling, used for weighted corpus mixing.
+
+    Keys with w <= 0 are excluded (zero mass).
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    # map the 32-bit hash to (0, 1]: (h+1) / 2^32 — never 0, so ln is finite
+    u = (h + F.lit(1.0)) / F.lit(4294967296.0)
+    score = F.log(u) / F.col(weight_col)
+    parts = [stratum_col] if stratum_col else []
+    w = Window.partitionBy(*parts).orderBy(F.col("__score").desc(), F.col(id_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__score", score)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__score", "__rk")
+    )
+
+
 def repetition_stats(df: DataFrame, id_col: str, text_col: str, max_frac: float = 0.2) -> DataFrame:
     """Gopher-style repetition rule: fraction of duplicated word
     bigrams within each document (1 - distinct/total). Boilerplate and

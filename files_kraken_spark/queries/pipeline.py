@@ -208,6 +208,36 @@ def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_weighted_sample",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+            / 4294967296.0) / n_chars AS score
+  FROM documents WHERE n_chars > 0
+), ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT doc_id, source, n_chars FROM ranked WHERE rk <= 5
+""",
+    doc="Deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis A-ES): ln(hash-uniform)/weight top-k per "
+    "stratum — the distributed, reproducible replacement for "
+    "reservoir sampling when mixing corpora by weight "
+    "(operators/corpus.py weighted_sample_topk). Only selected rows "
+    "are output, so a last-ulp ln() divergence across engines cannot "
+    "flip results unless two scores collide to within 1 ulp.",
+)
+def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.weighted_sample_topk(
+        docs, "doc_id", "n_chars", k=5, stratum_col="source"
+    ).select("doc_id", "source", "n_chars")
+
+
+@register(
     "t_contamination",
     oracle=f"""
 WITH toks AS (

@@ -350,3 +350,22 @@ def test_streaming_sliding_window(spark, tmp_path):
     )
     # events at 00:40/00:50 fall in windows starting 00:00 and 00:30
     assert got == [(0, 2), (30, 2)]
+
+
+def test_multiple_watchers_union_and_commit(spark, tmp_path, bp):
+    """D4: two watchers' change batches union into one tick; each
+    watcher's snapshot commits independently after processing."""
+    r1, r2 = tmp_path / "w1", tmp_path / "w2"
+    r1.mkdir(), r2.mkdir()
+    (r1 / "sample_1.lane_1.fastq.gz").write_text("fq")
+    (r2 / "sample_2.lane_1.fastq.gz").write_text("fq")
+    wf = Workflow(spark, "t12", [bp], data_dir=str(tmp_path / "wfdata"))
+    wf.add_watcher(str(r1), timeout=0)
+    wf.add_watcher(str(r2), timeout=0)
+    assert wf.run_once() == 2  # one change from each root
+    ids = sorted(r["id"] for r in wf.state.load(spark, bp).collect())
+    assert ids == ["1", "2"]
+    # only one root changes: the other watcher's diff is a no-op
+    (r1 / "sample_3.lane_1.fastq.gz").write_text("fq")
+    assert wf.run_once() == 1
+    assert sorted(r["id"] for r in wf.state.load(spark, bp).collect()) == ["1", "2", "3"]
