@@ -272,6 +272,69 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dq_expectations",
+    oracle="""
+SELECT 'not_null(l_orderkey)' AS rule,
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS violations,
+       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM lineitem
+UNION ALL
+SELECT 'in_range(l_discount,0.0,0.1)',
+       CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                      OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                 OR l_discount > 0.1 THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'accepted_values(l_returnflag)',
+       CAST(sum(CASE WHEN l_returnflag IS NULL
+                      OR l_returnflag NOT IN ('A','N','R')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN l_returnflag IS NULL
+                 OR l_returnflag NOT IN ('A','N','R')
+                THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'unique(l_orderkey,l_linenumber)',
+       CAST(coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT),
+       coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0) = 0
+FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+UNION ALL
+SELECT 'referential(l_orderkey)',
+       CAST(count(*) AS BIGINT),
+       count(*) = 0
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+""",
+    doc="Declarative data-quality expectations (files_kraken_spark."
+    "validate): not-null, range, accepted values, key uniqueness, "
+    "referential integrity — row-local rules share ONE aggregate "
+    "pass; unique/referential add one keyed shuffle each.",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..validate import (
+        accepted_values,
+        in_range,
+        not_null,
+        referential,
+        run_checks,
+        unique,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    checks = [
+        not_null("l_orderkey"),
+        in_range("l_discount", 0.0, 0.1),
+        accepted_values("l_returnflag", ["A", "N", "R"]),
+        unique(["l_orderkey", "l_linenumber"]),
+        referential("l_orderkey", orders, "o_orderkey"),
+    ]
+    return run_checks(li, checks)
+
+
+@register(
     "q_interval_join_counts",
     oracle="""
 WITH clicks AS (

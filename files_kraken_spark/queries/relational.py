@@ -818,3 +818,72 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    doc="TPC-H Q15 top supplier: revenue view + scalar-max subquery "
+    "(plans as one aggregate + broadcast of the 1-row max). Rounded "
+    "revenue makes the max compare exact on both engines.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        sup.join(revenue, revenue["supplier_no"] == sup["s_suppkey"])
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT round(sum(l.l_extendedprice) / 7.0, 6) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS threshold
+      FROM lineitem GROUP BY l_partkey) t
+  ON t.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.threshold
+""",
+    doc="TPC-H Q17 small-quantity-order revenue: correlated per-part "
+    "average decorrelated into a self-join against the grouped "
+    "aggregate — the standard Catalyst rewrite, expressed explicitly. "
+    "Threshold compares raw doubles (identical avg on both engines).",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("threshold")
+    )
+    return (
+        li.join(F.broadcast(part), part["p_partkey"] == li["l_partkey"])
+        .join(thr, thr["t_partkey"] == li["l_partkey"])
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+    )

@@ -51,3 +51,46 @@ def test_vector_expressions_match_numpy(spark):
         float(na_ @ nb_ / (np.linalg.norm(na_) * np.linalg.norm(nb_))),
         rel_tol=1e-9,
     )
+
+
+def test_expectations_report_violations(spark):
+    from files_kraken_spark.validate import (
+        accepted_values,
+        in_range,
+        matches,
+        not_null,
+        referential,
+        run_checks,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 0.05, "run_1"),
+            (1, "A", 0.05, "run_2"),   # duplicate key
+            (2, None, 0.5, "run_3"),   # null flag, out-of-range value
+            (3, "X", 0.01, "oops"),    # bad flag, bad name, dangling key
+        ],
+        "k long, flag string, v double, name string",
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "dk long")
+    report = {
+        r["rule"]: (r["violations"], r["passed"])
+        for r in run_checks(
+            df,
+            [
+                not_null("flag"),
+                in_range("v", 0.0, 0.1),
+                accepted_values("flag", ["A", "B"]),
+                matches("name", r"run_\d+"),
+                unique(["k"]),
+                referential("k", dim, "dk"),
+            ],
+        ).collect()
+    }
+    assert report["not_null(flag)"] == (1, False)
+    assert report["in_range(v,0.0,0.1)"] == (1, False)
+    assert report["accepted_values(flag)"] == (2, False)  # NULL + 'X'
+    assert report["matches(name)"] == (1, False)
+    assert report["unique(k)"] == (1, False)       # one extra row beyond first
+    assert report["referential(k)"] == (1, False)  # k=3 dangling
