@@ -115,3 +115,64 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     # batch2's a:y and b:x are duplicates -> only z is fresh in batch 2
     assert sorted(emitted["a"]) == ["x", "y", "z"]
     assert emitted["b"] == ["x"]
+
+
+def test_streaming_incremental_dedup_pipeline(spark, tmp_path):
+    """The streaming ingest dedup recipe: each micro-batch dedups
+    against the accumulated corpus with minhash_lsh_incremental
+    (cost ∝ batch, never corpus²) and only novel docs are appended."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from files_kraken_spark.operators.dedup import minhash_lsh_incremental
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away "
+    corpus_dir = str(tmp_path / "corpus")
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    # seed corpus: docs 0-4, three near-dup groups
+    seed = [(i, base + f"variant {i % 3}") for i in range(5)]
+    spark.createDataFrame(seed, "doc_id long, text string").write.parquet(corpus_dir)
+
+    # incoming batch: 10-11 duplicate existing groups, 12 is novel
+    rows = [
+        {"doc_id": 10, "text": base + "variant 0"},
+        {"doc_id": 11, "text": base + "variant 1"},
+        {"doc_id": 12, "text": "completely different content about ships and stars"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    def on_batch(bdf, batch_id):
+        corpus = bdf.sparkSession.read.parquet(corpus_dir)
+        everything = corpus.withColumn("is_new", F.lit(False)).unionByName(
+            bdf.withColumn("is_new", F.lit(True))
+        )
+        pairs = minhash_lsh_incremental(
+            everything, "doc_id", "text", "is_new", threshold=0.8
+        )
+        dup_ids = (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+            .join(bdf.select("doc_id"), "doc_id", "left_semi")
+            .distinct()
+        )
+        novel = bdf.join(dup_ids, "doc_id", "left_anti")
+        novel.write.mode("append").parquet(corpus_dir)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()
+    )
+    assert final == [0, 1, 2, 3, 4, 12]  # 10/11 deduped away, 12 kept
