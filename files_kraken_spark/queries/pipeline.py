@@ -410,6 +410,44 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_pandas_udaf_median",
+    oracle="""
+SELECT l_returnflag,
+       median(l_quantity) AS median_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="User-defined aggregate via an Arrow-batched grouped-agg pandas "
+    "UDF (numpy median) — the UDAF surface the reference lacks "
+    "(SURVEY §2.6), vectorized per group, no row-at-a-time Python. "
+    "Median interpolation is (a+b)/2 on both engines → bit-equal.",
+)
+def q_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` stringifies type hints, so the hint-based dispatch
+    # can't see pd.Series here
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def np_median(v):
+        return float(np.median(v.to_numpy()))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one
+    # agg — count via a second pandas aggregate over the same group
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def np_count(v):
+        return len(v)
+
+    return li.groupBy("l_returnflag").agg(
+        np_median("l_quantity").alias("median_qty"),
+        np_count("l_quantity").alias("n"),
+    )
+
+
 _SQL_COS = (
     "(list_sum(list_transform(range(1, len({a}) + 1), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"

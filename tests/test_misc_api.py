@@ -94,3 +94,28 @@ def test_expectations_report_violations(spark):
     assert report["matches(name)"] == (1, False)
     assert report["unique(k)"] == (1, False)       # one extra row beyond first
     assert report["referential(k)"] == (1, False)  # k=3 dangling
+
+
+def test_python_udtf_fanout(spark):
+    """Python UDTF (table function) surface — the reference has no
+    UDTF (SURVEY §2.6); Spark provides it natively. One input row
+    fans out to one row per token with its position."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split()):
+                yield i, t
+
+    df = Tokenize(lit("alpha beta gamma"))
+    assert [(r["pos"], r["token"]) for r in df.collect()] == [
+        (0, "alpha"), (1, "beta"), (2, "gamma"),
+    ]
+
+    # registered for SQL use with a lateral join over a real table
+    spark.udtf.register("tokenize", Tokenize)
+    rows = spark.sql(
+        "SELECT t.token FROM (SELECT 'a b' AS s), LATERAL tokenize(s) t"
+    ).collect()
+    assert sorted(r["token"] for r in rows) == ["a", "b"]
