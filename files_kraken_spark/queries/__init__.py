@@ -38,14 +38,18 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-# Importing the modules populates REGISTRY via @register.
+# Importing the modules populates REGISTRY via @register. Order =
+# registry order = the order a budget-capped correctness pass walks:
+# reference-parity ops and the novel operator families (temporal
+# joins, corpus pipeline, data quality) go before the long relational
+# tail so a truncated pass still covers every distinct surface.
 from . import relational  # noqa: E402,F401
 from . import kraken_ops  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
+from . import pipeline  # noqa: E402,F401
 from . import extended  # noqa: E402,F401
 from . import advanced_sql  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
-from . import pipeline  # noqa: E402,F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

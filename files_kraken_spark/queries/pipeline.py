@@ -411,6 +411,43 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_map_ops",
+    oracle="""
+SELECT event_id,
+       'bucket,type' AS m_keys,
+       concat(CAST(user_id % 10 AS VARCHAR), ',', event_type) AS m_vals,
+       event_type AS m_type,
+       2 AS m_size,
+       CAST(json_array_length(json_keys(props)) AS INT) AS n_json_keys,
+       json_extract_string(props, '$.k') AS k_from_map
+FROM events
+WHERE event_id < 200
+""",
+    doc="Map-typed column surface (SURVEY §2.6 gap in the reference): "
+    "create_map, map_keys/map_values (sorted, string-canonical for "
+    "the driver canon), element_at, size, and from_json into "
+    "map<string,string>.",
+)
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("bucket"), (F.col("user_id") % 10).cast("string"),
+    )
+    jm = F.from_json(F.col("props"), "map<string,string>")
+    withm = ev.select("event_id", m.alias("m"), jm.alias("jm"))
+    return withm.select(
+        "event_id",
+        F.array_join(F.sort_array(F.map_keys(F.col("m"))), ",").alias("m_keys"),
+        F.array_join(F.sort_array(F.map_values(F.col("m"))), ",").alias("m_vals"),
+        F.element_at(F.col("m"), "type").alias("m_type"),
+        F.size(F.col("m")).alias("m_size"),
+        F.size(F.col("jm")).alias("n_json_keys"),
+        F.element_at(F.col("jm"), "k").alias("k_from_map"),
+    )
+
+
+@register(
     "q_pandas_udaf_median",
     oracle="""
 SELECT l_returnflag,
