@@ -369,3 +369,42 @@ def test_multiple_watchers_union_and_commit(spark, tmp_path, bp):
     (r1 / "sample_3.lane_1.fastq.gz").write_text("fq")
     assert wf.run_once() == 1
     assert sorted(r["id"] for r in wf.state.load(spark, bp).collect()) == ["1", "2", "3"]
+
+
+def test_run_loop_with_live_mutations_and_exit_writer(spark, tmp_path, bp):
+    """Reference end-to-end monitor analog (tests/test_monitoring.py:
+    215-252): the poll LOOP runs in the main thread while a side
+    thread mutates the filesystem and finally writes the exit
+    sentinel; the final state reflects every mutation."""
+    import threading
+    import time as _time
+
+    root = tmp_path / "watch"
+    root.mkdir()
+    (root / "sample_1.lane_1.fastq.gz").write_text("fq")
+    exit_file = tmp_path / "stop"
+    exit_file.write_text("")  # empty: loop keeps running
+
+    wf = Workflow(
+        spark, "t13", [bp], data_dir=str(tmp_path / "wfdata"),
+        exit_file=str(exit_file),
+    )
+    wf.add_watcher(str(root), timeout=0)
+
+    def mutate():
+        _time.sleep(1.0)
+        (root / "sample_2.lane_1.fastq.gz").write_text("fq")   # create
+        _time.sleep(6.0)
+        os.remove(root / "sample_1.lane_1.fastq.gz")           # delete
+        _time.sleep(15.0)  # ≥2 full ticks: a tick in flight at delete
+        exit_file.write_text("stop")                           # exit signal
+
+    t = threading.Thread(target=mutate)
+    t.start()
+    wf.run(poll_interval=0.2)
+    t.join()
+
+    rows = {r["id"]: r for r in wf.state.load(spark, bp).collect()}
+    assert set(rows) == {"1", "2"}
+    assert rows["2"]["fastqs"] == [str(root / "sample_2.lane_1.fastq.gz")]
+    assert rows["1"]["fastqs"] is None  # deletion emptied the list (A7 parity)
