@@ -186,9 +186,46 @@ class StateStore:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(bp.name))  # atomic commit point
+        # time travel: keep the previous commit's manifest alongside —
+        # every bucket version either manifest references is retained
+        # by the prune below, so load_version(v-1) stays resolvable
+        # (the reference's BackupManager kept restorable backups, S8)
+        hist = os.path.join(self._dir(bp.name), f"manifest.v{v}.json")
+        with open(hist, "w") as f:
+            json.dump(manifest, f)
+        for entry in os.listdir(self._dir(bp.name)):
+            if entry.startswith("manifest.v"):
+                hv = int(entry[len("manifest.v"):-len(".json")])
+                if hv < v - 1:
+                    os.remove(os.path.join(self._dir(bp.name), entry))
         self._prune(bp.name, keep={(k, bv) for k, bv in new_buckets.items()}
                     | {(k, bv) for k, bv in old_buckets.items()})
         return v
+
+    # ---------------------------------------------------------- history
+
+    def load_version(self, spark: SparkSession, bp: Blueprint, version: int) -> DataFrame:
+        """Time travel: read the state as of a retained commit
+        (current or previous — older bucket data is pruned)."""
+        path = os.path.join(self._dir(bp.name), f"manifest.v{version}.json")
+        try:
+            with open(path) as f:
+                man = json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {version} of {bp.name} is not retained "
+                "(only the current and previous commits are)"
+            ) from None
+        if not man["buckets"]:
+            return align_to_schema(
+                spark.createDataFrame([], state_schema(bp)), bp
+            )
+        paths = [
+            os.path.join(self._dir(bp.name), f"b={k}", f"v={bv}")
+            for k, bv in man["buckets"].items()
+        ]
+        raw = spark.read.option("mergeSchema", "true").parquet(*paths)
+        return align_to_schema(raw, bp)
 
     def upsert_rows(self, spark: SparkSession, bp: Blueprint, rows: DataFrame) -> int:
         """S10/S12 — insert-or-replace whole rows by id (utility path;

@@ -112,3 +112,33 @@ def test_incremental_commit_updates_values(spark, tmp_path, bp):
     store.overwrite(bp, new, touched_ids=touched)
     rows = {r["id"]: r["description"] for r in store.load(spark, bp).collect()}
     assert rows == {"a": "ONE", "b": "two", "c": "three"}
+
+
+def test_time_travel_previous_version(spark, tmp_path, bp):
+    """The current AND previous commits stay loadable (S8 backup
+    semantics); older versions are pruned."""
+    store = StateStore(str(tmp_path / "state"), n_buckets=4)
+    v1 = store.overwrite(bp, _rows(spark, bp, [("a", "one")]))
+    v2 = store.overwrite(
+        bp,
+        _rows(spark, bp, [("a", "ONE"), ("b", "two")]),
+        touched_ids=spark.createDataFrame([("a",), ("b",)], "id string"),
+    )
+    now = {r["id"]: r["description"] for r in store.load(spark, bp).collect()}
+    assert now == {"a": "ONE", "b": "two"}
+    prev = {
+        r["id"]: r["description"]
+        for r in store.load_version(spark, bp, v1).collect()
+    }
+    assert prev == {"a": "one"}
+    # a third commit rolls the retention window forward
+    v3 = store.overwrite(
+        bp,
+        _rows(spark, bp, [("a", "ONE"), ("b", "TWO")]),
+        touched_ids=spark.createDataFrame([("b",)], "id string"),
+    )
+    assert store.load_version(spark, bp, v2).count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        store.load_version(spark, bp, v1)
