@@ -411,6 +411,131 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_hll_sketch",
+    oracle="""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h % 16 AS idx,
+         CASE WHEN h // 16 > 0
+              THEN bit_count(((h // 16) & -(h // 16)) - 1) + 1
+              ELSE 29 END AS rank
+  FROM hashed
+), regs AS (
+  SELECT event_type, idx, max(rank) AS m FROM ranked GROUP BY 1, 2
+), sk AS (
+  SELECT event_type,
+         string_agg(idx || ':' || m, ',' ORDER BY idx) AS registers,
+         sum(pow(2.0, -m)) + (16 - count(*)) * 1.0 AS denom
+  FROM regs GROUP BY event_type
+)
+SELECT s.event_type, s.registers,
+       0.673 * 256.0 / s.denom AS estimate,
+       d.exact_distinct
+FROM sk s JOIN (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+) d USING (event_type)
+""",
+    doc="HyperLogLog sketch built from integer-only expressions "
+    "(portable md5 hash, register = trailing-zero rank via "
+    "bit_count((w & -w) - 1)): registers and the estimate reproduce "
+    "bit-for-bit in any engine — the sum of powers of two is exact in "
+    "double. The mergeable-sketch pattern behind approx distinct "
+    "counts at 100 TB, exposed as data instead of an opaque binary.",
+)
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    h = md5_hash64(F.col("user_id").cast("string"))
+    hashed = ev.select("event_type", h.alias("h")).distinct()
+    w = F.floor(F.col("h") / 16).cast("long")
+    rank = F.when(
+        w > 0, F.bit_count((w.bitwiseAND(-w)) - 1) + 1
+    ).otherwise(F.lit(29))
+    ranked = hashed.select(
+        "event_type", F.pmod(F.col("h"), F.lit(16)).alias("idx"), rank.alias("rank")
+    )
+    regs = ranked.groupBy("event_type", "idx").agg(F.max("rank").alias("m"))
+    sk = regs.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("idx"), F.col("m")))
+                ),
+                lambda s: F.concat_ws(":", s["idx"], s["m"]),
+            ),
+            ",",
+        ).alias("registers"),
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m")))
+            + (F.lit(16) - F.count(F.lit(1))) * F.lit(1.0)
+        ).alias("denom"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        "registers",
+        (F.lit(0.673) * F.lit(256.0) / F.col("denom")).alias("estimate"),
+        "exact_distinct",
+    )
+
+
+@register(
+    "q_incremental_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Continuous-aggregate (hypertable-rollup) maintenance: the "
+    "per-hour rollup is built by MERGING three micro-batch partial "
+    "aggregates (operators/rollup.py) — O(batch) per tick — and must "
+    "equal the from-scratch aggregate over all events.",
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import merge_rollup, partial_rollup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000 div 3600000000").alias("hour_bucket"),
+        "value",
+    )
+    keys = ["event_type", "hour_bucket"]
+    aggs = {
+        "n": "count:*",
+        "total_value": "sum:value",
+        "min_value": "min:value",
+        "max_value": "max:value",
+    }
+    # three simulated micro-batches by id ranges
+    state = None
+    for lo, hi in ((0, 4000), (4000, 8000), (8000, 10**18)):
+        batch = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        part = partial_rollup(batch, keys, aggs)
+        state = part if state is None else merge_rollup(state, part, keys, aggs)
+    return state.select(
+        "event_type",
+        "hour_bucket",
+        "n",
+        F.round("total_value", 2).alias("total_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+@register(
     "q_map_ops",
     oracle="""
 SELECT event_id,
