@@ -46,3 +46,35 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # (inputFiles() reports the unpruned relation, so inspect the plan)
     assert "PartitionFilters" in plan
     assert "grp" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_permissive_json_tolerates_corrupt_records(spark, tmp_path):
+    """One bad record must not kill a 100 TB ingest: PERMISSIVE mode
+    parses good rows and quarantines the corrupt line into
+    _corrupt_record for later triage (the file-parsing analog of the
+    engine's conflict quarantine)."""
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"id": 1, "v": 10.0}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "v": 20.0}\n'
+    )
+    df = (
+        spark.read.schema("id long, v double, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = sorted((r["id"], r["v"]) for r in rows if r["_corrupt_record"] is None)
+    bad = [r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None]
+    assert good == [(1, 10.0), (2, 20.0)]
+    assert bad == ["THIS IS NOT JSON"]
+
+    # FAILFAST is the strict alternative: the same file raises
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.schema("id long, v double").option("mode", "FAILFAST").json(
+            str(p)
+        ).collect()
