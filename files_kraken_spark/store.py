@@ -247,6 +247,37 @@ class StateStore:
     def clear(self, bp: Blueprint) -> None:
         shutil.rmtree(self._dir(bp.name), ignore_errors=True)
 
+    def changes(self, spark: SparkSession, bp: Blueprint) -> DataFrame:
+        """Change-data-feed for the last commit: (id, change) rows with
+        change ∈ inserted|updated|deleted, derived by diffing the
+        current state against the retained previous version — the
+        downstream-consumer hook the reference's change reports
+        provide for files, applied to ENTITIES. One pass of two
+        anti-joins on (id, row-content hash)."""
+        man = self._read_manifest(bp.name)
+        cur = self.load(spark, bp)
+        if not man or man["version"] <= 1:
+            return cur.select("id", F.lit("inserted").alias("change"))
+        prev = self.load_version(spark, bp, man["version"] - 1)
+        cols = [c for c in cur.columns]
+        fp = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in cols])
+        c = cur.select("id", fp.alias("__fp"))
+        p = prev.select("id", fp.alias("__fp"))
+        inserted = (
+            c.join(p.select("id"), "id", "left_anti")
+            .select("id", F.lit("inserted").alias("change"))
+        )
+        deleted = (
+            p.join(c.select("id"), "id", "left_anti")
+            .select("id", F.lit("deleted").alias("change"))
+        )
+        updated = (
+            c.join(p.withColumnRenamed("__fp", "__pfp"), "id")
+            .filter(F.col("__fp") != F.col("__pfp"))
+            .select("id", F.lit("updated").alias("change"))
+        )
+        return inserted.unionByName(updated).unionByName(deleted)
+
     # ------------------------------------------------------------ hygiene
 
     def _prune(self, blueprint_name: str, keep: set[tuple[int, int]]) -> None:

@@ -142,3 +142,15 @@ def test_time_travel_previous_version(spark, tmp_path, bp):
 
     with _pytest.raises(ValueError):
         store.load_version(spark, bp, v1)
+
+
+def test_change_data_feed(spark, tmp_path, bp):
+    """changes() diffs the current commit against the previous one:
+    inserted / updated / deleted entity rows."""
+    store = StateStore(str(tmp_path / "state"), n_buckets=4)
+    store.overwrite(bp, _rows(spark, bp, [("a", "one"), ("b", "two"), ("c", "x")]))
+    # second commit: update a, delete c, insert d
+    new = _rows(spark, bp, [("a", "ONE"), ("b", "two"), ("d", "four")])
+    store.overwrite(bp, new)
+    got = {r["id"]: r["change"] for r in store.changes(spark, bp).collect()}
+    assert got == {"a": "updated", "c": "deleted", "d": "inserted"}
