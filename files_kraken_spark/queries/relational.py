@@ -887,3 +887,338 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+SELECT y,
+       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END), 4)
+         / round(sum(volume), 4) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS y,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+) t
+GROUP BY y
+""",
+    doc="TPC-H Q8 market share (adapted: no partsupp in this corpus; "
+    "share of NATION_5 suppliers in ASIA-region PROMO-part revenue "
+    "per year). Plan shape: 8-way join, all dims broadcast, one "
+    "shuffle for the yearly rollup; conditional aggregation instead "
+    "of a second scan. Both sums are rounded at the exact scale "
+    "before the division so the ratio is bit-equal across engines.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n1_region"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("y"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(0.0)),
+                4,
+            ).alias("nation_vol"),
+            F.round(F.sum(volume), 4).alias("total_vol"),
+        )
+        .select("y", (F.col("nation_vol") / F.col("total_vol")).alias("mkt_share"))
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+SELECT supp_nation, y, round(sum(amount), 4) AS sum_profit
+FROM (
+  SELECT n_name AS supp_nation, year(o_orderdate) AS y,
+         l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity AS amount
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE p_name LIKE '%red%'
+) t
+GROUP BY supp_nation, y
+""",
+    doc="TPC-H Q9 product-type profit (adapted: no partsupp, so cost "
+    "is modeled as 0.5 * p_retailprice instead of ps_supplycost). "
+    "Plan shape preserved: part-name LIKE filter pushed to the part "
+    "scan, 5-way join with broadcast dims, nation x year rollup. "
+    "Per-row amount is exact at 4 decimals (2-dec x 2-dec and "
+    "2-dec x integer quantity), so the rounded sum is bit-equal.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.5) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("supp_nation"), F.year("o_orderdate").alias("y"))
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH shipped AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+best AS (
+  SELECT l_partkey AS b_partkey, min(s_acctbal) AS min_bal
+  FROM shipped JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY l_partkey
+)
+SELECT p_partkey, p_brand, s_name, s_acctbal AS supplier_bal, n_name
+FROM part
+JOIN shipped  ON l_partkey = p_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN best     ON b_partkey = p_partkey AND s_acctbal = min_bal
+WHERE p_size = 15 AND p_type = 'SMALL'
+""",
+    doc="TPC-H Q2 min-cost supplier (adapted: no partsupp; the "
+    "part-supplier relation is derived as DISTINCT (partkey, suppkey) "
+    "pairs from lineitem, and min s_acctbal stands in for min "
+    "ps_supplycost). The correlated MIN subquery is decorrelated into "
+    "a grouped aggregate joined back on equality -- the standard "
+    "Catalyst rewrite, written explicitly. min() of 2-decimal doubles "
+    "is an exact selection, so the equality join is engine-stable.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    shipped = li.select("l_partkey", "l_suppkey").distinct()
+    with_bal = shipped.join(
+        F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey")
+    )
+    best = with_bal.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        with_bal.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            best,
+            (F.col("b_partkey") == F.col("p_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("s_acctbal").alias("supplier_bal"),
+            "n_name",
+        )
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+WITH value_by_part AS (
+  SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, part_value
+FROM value_by_part
+WHERE part_value > (SELECT 0.001 * round(sum(l_extendedprice * l_quantity), 2)
+                    FROM lineitem
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation   ON n_nationkey = s_nationkey
+                    WHERE n_name = 'NATION_3')
+""",
+    doc="TPC-H Q11 important stock (adapted: shipped value from "
+    "lineitem stands in for partsupp stock value). Plan shape: "
+    "grouped aggregate filtered against a scalar global-aggregate "
+    "subquery; in Spark the scalar side is a 1-row broadcast cross "
+    "join computed from the SAME grouped frame (one scan via reuse, "
+    "no second aggregation over the fact table). Both sides round "
+    "sums at the exact 2-decimal scale before the comparison.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    value_by_part = (
+        li.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("part_value"))
+    )
+    # Total = sum of the already-rounded per-part values would NOT match
+    # the oracle (it rounds the global sum once); recompute the global
+    # rounded sum from the raw join instead. Catalyst reuses the
+    # exchange for both aggregations under AQE.
+    total = (
+        li.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .agg(
+            (
+                F.lit(0.001)
+                * F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2)
+            ).alias("threshold")
+        )
+    )
+    return (
+        value_by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("partkey", "part_value")
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    oracle="""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT IN ('PROMO', 'ECONOMY')
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+    doc="TPC-H Q16 supplier-part-type count (adapted: part-supplier "
+    "pairs derived from lineitem; the excluded-supplier NOT IN list "
+    "is negative-balance suppliers instead of comment-matched ones). "
+    "Plan shape preserved: distinct pair reduction first (cheapest "
+    "shuffle), broadcast part filter, broadcast anti-join for the "
+    "NOT IN (keys are non-null so anti-join == NOT IN), then "
+    "count(DISTINCT) re-aggregation.",
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    bad_suppliers = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad_suppliers),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+""",
+    doc="TPC-H Q21 suppliers-who-kept-orders-waiting (adapted: no "
+    "l_commitdate/l_receiptdate in this corpus, so 'late' means "
+    "shipped >60 days after the order date, on finished orders). "
+    "Plan shape preserved exactly: the EXISTS becomes a left-semi "
+    "join against other-supplier lineitems of the same order and the "
+    "NOT EXISTS a left-anti join against other-supplier LATE "
+    "lineitems -- the same decorrelation Catalyst applies to the SQL "
+    "form. The late set is computed once and reused for l1 and l3.",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supplier = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
+    )
+    return (
+        late.join(
+            l2,
+            (F.col("o2_key") == F.col("l_orderkey"))
+            & (F.col("s2_key") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("o3_key") == F.col("l_orderkey"))
+            & (F.col("s3_key") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
