@@ -560,3 +560,56 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         packed = term if packed is None else packed + term
     return sums.select(F.col(id_col), packed.cast("bigint").alias("simhash"))
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 16,
+) -> DataFrame:
+    """Span-level exact dedup (Lee et al. 2021 'Deduplicating Training
+    Data Makes Language Models Better', at chunk granularity): split
+    each document into consecutive non-overlapping ``span_words``-word
+    chunks, keep only the FIRST occurrence of each distinct chunk
+    corpus-wide (ordered by doc id, then position), and reassemble the
+    surviving chunks per document.
+
+    Scale shape: one explode (rows = total chunks ≈ tokens/span_words),
+    one window shuffle keyed on the chunk text (the dedup key), one
+    group-back shuffle keyed on doc id. No driver materialization; at
+    100 TB replace the raw chunk string key with its 128-bit hash to
+    shrink shuffle width (kept as text here so the oracle can compare).
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * span_words + 1, span_words), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("chunk").orderBy(id_col, "pos")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    per_doc = ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk", "rn"))),
+                    lambda s: s["rn"] == 1,
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return per_doc

@@ -189,3 +189,52 @@ def lsh_bucketed_pairs(
         .filter(cosine(F.col("v_a"), F.col("v_b")) >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 5,
+    threshold: float = 0.40,
+) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023, with LSH cells
+    standing in for k-means clusters): partition the corpus into
+    deterministic random-hyperplane cells, compute exact cosine only
+    WITHIN each cell, and greedily drop every vector that duplicates
+    (cosine ≥ threshold) a lower-id vector in its cell.
+
+    Returns (id, cell, kept) for every input row. The greedy keep-min-id
+    rule makes the result order-independent and oracle-reproducible
+    (no iterative clustering state).
+
+    Scale shape: signature assignment is one narrow map; the in-cell
+    pair join shuffles on the cell key with expected n²/2^planes pair
+    work per cell; the final anti-join marks survivors. Identical to
+    production SemDeDup except cells come from fixed hyperplanes, so no
+    k-means fitting pass is needed (and the oracle can replay them).
+    """
+    planes = _planes(n_planes, dim)
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_sig(F.col(vec_col), planes).alias("cell"),
+    )
+    a = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a"), "cell")
+    b = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("v_b"), "cell")
+    dup_pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("v_a"), F.col("v_b")) >= threshold)
+        .select(F.col("id_b").alias("dropped_id"))
+        .distinct()
+    )
+    return (
+        sig.join(dup_pairs, sig["id"] == dup_pairs["dropped_id"], "left")
+        .select(
+            "id",
+            "cell",
+            F.col("dropped_id").isNull().alias("kept"),
+        )
+    )

@@ -689,3 +689,129 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.attach_binary(docs, "doc_id", "text", "image")
     return MM.extract_features(media)
+
+
+@register(
+    "t_span_dedup",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(r.range AS BIGINT) AS pos,
+         array_to_string(
+           list_slice(words, CAST(r.range AS INT) * 16 + 1,
+                      (CAST(r.range AS INT) + 1) * 16), ' ') AS chunk
+  FROM docs, range(0, 64) r
+  WHERE r.range * 16 < len(words)
+),
+ranked AS (
+  SELECT doc_id, pos, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '')
+         AS kept_text
+FROM ranked
+GROUP BY doc_id
+""",
+    doc="Span-level exact dedup (Lee et al. 2021 at 16-word-chunk "
+    "granularity): first corpus-wide occurrence of each chunk wins, "
+    "documents are reassembled from surviving chunks. One window "
+    "shuffle on the chunk key + one group-back; the oracle's static "
+    "range(0,64) bound exists only because SQL lacks a data-driven "
+    "sequence — the Spark side sizes chunks from the data.",
+)
+def t_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.span_dedup(docs, id_col="doc_id", text_col="text", span_words=16)
+
+
+@register(
+    "t_tfidf_top_terms",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+dfreq AS (SELECT word, count(DISTINCT doc_id) AS dfq FROM words GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, word, score FROM (
+  SELECT doc_id, word,
+         CAST(tf * n_docs AS DOUBLE) / dfq AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY CAST(tf * n_docs AS DOUBLE) / dfq DESC, word) AS rn
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+) WHERE rn <= 3
+""",
+    doc="Per-document top-3 terms by tf-idf. The idf factor is the "
+    "exact rational N/df (no log) so the score is one IEEE division "
+    "on both engines — bit-equal, deterministic tie-break on the "
+    "term. Plan: token explode, two partial-agg shuffles (term "
+    "frequency, document frequency), broadcast of the tiny df side, "
+    "one window for the top-k.",
+)
+def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = words.groupBy("word").agg(F.count_distinct("doc_id").alias("dfq"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("dfq")
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "word", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "score")
+    )
+
+
+def _semdedup_oracle_sql(n_planes: int = 5, dim: int = 64, threshold: float = 0.40) -> str:
+    from ..operators.similarity import _planes
+
+    planes = _planes(n_planes, dim)
+    bits = []
+    for p in planes:
+        consts = "[" + ", ".join(repr(v) for v in p) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({consts})[i]))"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    sig = " || ".join(bits)
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {sig} AS cell FROM embeddings
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM sigs a JOIN sigs b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= {threshold}
+)
+SELECT vec_id AS id, cell,
+       vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+FROM sigs
+"""
+
+
+@register(
+    "sem_dedup",
+    oracle=_semdedup_oracle_sql(5, 64, 0.40),
+    doc="Semantic dedup (SemDeDup, Abbas et al. 2023): deterministic "
+    "hyperplane cells stand in for k-means clusters, exact cosine "
+    "only within cells, greedy drop of every vector duplicating a "
+    "lower-id cell-mate. Labels every row kept/dropped — the "
+    "production corpus op is a semi-join of the corpus against the "
+    "kept ids.",
+)
+def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semdedup(emb, dim=64, n_planes=5, threshold=0.40)

@@ -168,3 +168,55 @@ def test_star_components_match_label_propagation(spark):
             for r in connected_components_star(df).collect()
         )
         assert got == want, pairs
+
+
+def test_span_dedup_drops_repeated_chunks(spark):
+    from files_kraken_spark.operators.dedup import span_dedup
+
+    # doc 0 and doc 1 share an identical 4-word chunk; doc 1's copy
+    # must be dropped (first occurrence ordered by doc id, pos wins).
+    shared = "alpha beta gamma delta"
+    rows = [
+        (0, shared + " " + "one two three four"),
+        (1, shared + " " + "five six seven eight"),
+        (2, "nine ten eleven twelve"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(df, span_words=4).collect()
+    }
+    assert out[0]["n_chunks"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["kept_text"] == rows[0][1]
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["kept_text"] == "five six seven eight"
+    assert out[2]["n_kept"] == 1 and out[2]["kept_text"] == rows[2][1]
+
+
+def test_span_dedup_position_order_within_doc(spark):
+    from files_kraken_spark.operators.dedup import span_dedup
+
+    # A doc repeating its own chunk keeps only the first copy, and
+    # reassembly preserves position order.
+    df = spark.createDataFrame(
+        [(7, "a b c d a b")], "doc_id long, text string"
+    )
+    (row,) = span_dedup(df, span_words=2).collect()
+    assert row["n_chunks"] == 3 and row["n_kept"] == 2
+    assert row["kept_text"] == "a b c d"
+
+
+def test_semdedup_greedy_keep_min_id(spark):
+    from files_kraken_spark.operators.similarity import semdedup
+
+    # Two identical vectors (cos=1) share every LSH cell: the lower id
+    # survives, the higher is dropped. The orthogonal third vector is
+    # never compared across cells — kept regardless.
+    dim = 8
+    v = [1.0] + [0.0] * (dim - 1)
+    u = [0.0] * (dim - 1) + [1.0]
+    df = spark.createDataFrame(
+        [(1, v), (2, v), (3, u)], "vec_id long, embedding array<float>"
+    )
+    out = {r["id"]: r["kept"] for r in semdedup(df, dim=dim, n_planes=3, threshold=0.9).collect()}
+    assert out == {1: True, 2: False, 3: True}
