@@ -32,6 +32,9 @@ ALLOWED_NESTED_LOOP = {
     "q_scalar_subquery",  # scalar subquery broadcast compare
     "q_not_in_null_semantics",  # NOT IN decorrelation uses BNLJ by spec
     "q_correlated_min",  # scalar-subquery equality: Catalyst picks BNLJ fallback
+    "q22_global_sales_opportunity",  # 1-row avg-balance threshold broadcast
+    "q11_important_stock",  # 1-row value threshold broadcast
+    "t_tfidf_top_terms",  # 1-row corpus-size broadcast
 }
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
@@ -60,13 +63,19 @@ def main() -> int:
         # row-at-a-time Python UDF: BatchEvalPython (Arrow path shows ArrowEvalPython)
         if "BatchEvalPython" in plan:
             hard.append((name, "row-at-a-time Python UDF (BatchEvalPython)"))
-        # column pruning: flag scans of wide tables reading all columns
-        for scan in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-            ncols = scan.group(1).count(":")
-            for t, width in WIDE_TABLES.items():
-                if f"/{t}.parquet" in plan and ncols >= width:
-                    soft.append((name, f"scan reads all {ncols} columns of a wide table"))
-                    break
+        # column pruning: flag scans of wide tables reading all columns.
+        # Pair each scan's Location with ITS ReadSchema (the formatted
+        # plan lists them within one scan-node block) — matching any
+        # scan's width against any table in the plan false-positives.
+        for scan in re.finditer(
+            r"Location:[^\n]*/(\w+)\.parquet[^\n]*\n(?:[^\n]*\n)*?"
+            r"ReadSchema: struct<([^>]*)>",
+            plan,
+        ):
+            t, ncols = scan.group(1), scan.group(2).count(":")
+            if WIDE_TABLES.get(t, 99) <= ncols:
+                soft.append((name, f"{t} scan reads all {ncols} columns"))
+                break
     for name, msg in hard:
         print(f"HARD {name}: {msg}")
     seen = set()
