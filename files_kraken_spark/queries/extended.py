@@ -597,6 +597,27 @@ def s1_file_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("name", "depth", "is_dir", (F.col("size") > 0).alias("nonempty"))
 
 
+@register(
+    "s1b_filetree_source",
+    oracle=None,  # filesystem source — DuckDB has no lister; rows-only
+    doc="The same S1 scan surfaced through the Spark 4 Python "
+    "DataSource ('filetree' format): planner-integrated partitioned "
+    "listing with depth/name filter pushdown into the walk "
+    "(sources/filetree_source.py). Same rows as s1_file_listing.",
+)
+def s1b_filetree_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.filetree_source import register_filetree
+
+    register_filetree(spark)
+    df = (
+        spark.read.format("filetree")
+        .option("roots", sf_dir)
+        .option("patterns", r".+\.parquet")
+        .load()
+    )
+    return df.select("name", "depth", "is_dir", (F.col("size") > 0).alias("nonempty"))
+
+
 # ------------------------------------------------------------ ANN: IVF
 
 @register(
