@@ -199,3 +199,50 @@ def quality_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         r_stop.alias("r_stopword"),
         (r_wc & r_mwl & r_sym & r_stop).alias("keep"),
     )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    max_records_per_file: int | None = None,
+    sort_within_by: str | list[str] | None = None,
+    fmt: str = "parquet",
+    shards_per_partition: int | None = None,
+) -> None:
+    """Sharded corpus export — the write side of a training-data
+    pipeline. Produces a layout trainers consume directly:
+
+    - ``partition_by``: hive-style directory partitioning (e.g. one
+      directory per ``lang`` — partition pruning for downstream readers)
+    - ``max_records_per_file``: bounded shard size via Spark's
+      ``maxRecordsPerFile`` (the writer splits output files, no extra
+      shuffle)
+    - ``sort_within_by``: ``sortWithinPartitions`` so each shard is
+      internally ordered (e.g. by packed-sequence id) without a global
+      sort
+    - ``shards_per_partition``: optional ``repartition(n, keys)`` to
+      fix the writer-task count — at 100 TB this, not
+      maxRecordsPerFile, decides shard parallelism; records land in
+      shards by key hash, deterministically.
+    - ``fmt``: ``parquet`` (default) or ``json`` (JSONL shards — the
+      common interchange format for text corpora)
+
+    All layout decisions ride the normal write path (no driver
+    materialization, no collect): this function only configures the
+    writer.
+    """
+    keys = (
+        [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
+    )
+    if shards_per_partition:
+        df = df.repartition(shards_per_partition, *[F.col(k) for k in keys] or [F.spark_partition_id()])
+    if sort_within_by:
+        cols = [sort_within_by] if isinstance(sort_within_by, str) else list(sort_within_by)
+        df = df.sortWithinPartitions(*cols)
+    writer = df.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    if keys:
+        writer = writer.partitionBy(*keys)
+    writer.format(fmt).save(path)

@@ -815,3 +815,37 @@ FROM sigs
 def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.semdedup(emb, dim=64, n_planes=5, threshold=0.40)
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+SELECT event_type,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                * CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sumsq
+FROM events
+GROUP BY event_type
+""",
+    doc="Semi-structured ingestion through Spark 4's VARIANT type: "
+    "parse_json once into a variant column, typed variant_get "
+    "extraction, aggregate. Unlike string get_json_object "
+    "(q_json_extract) the variant parses each document ONCE into a "
+    "binary-encoded tree that all downstream path reads share — the "
+    "right 100 TB shape when many fields are extracted from one "
+    "payload. The variant column is materialized before aggregation "
+    "(no CSE across aggregate expressions).",
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    with_k = events.select(
+        "event_type",
+        F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint").alias("k"),
+    )
+    return with_k.groupBy("event_type").agg(
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.sum(F.col("k") * F.col("k")).alias("k_sumsq"),
+    )

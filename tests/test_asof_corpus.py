@@ -230,3 +230,39 @@ def test_repetition_stats(spark):
     assert got[1]["r_repetition"] is False
     assert got[2]["dup_bigram_frac"] == 0.0 and got[2]["r_repetition"] is True
     assert got[3]["n_bigrams"] == 0 and got[3]["r_repetition"] is True
+
+
+def test_export_shards_layout(spark, tmp_path):
+    import glob
+    import os
+
+    from files_kraken_spark.operators.corpus import export_shards
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de", f"doc {i}") for i in range(90)],
+        "doc_id long, lang string, text string",
+    )
+    out = str(tmp_path / "corpus")
+    export_shards(
+        df,
+        out,
+        partition_by="lang",
+        max_records_per_file=10,
+        sort_within_by="doc_id",
+        fmt="json",
+    )
+    langs = sorted(os.path.basename(p) for p in glob.glob(f"{out}/lang=*"))
+    assert langs == ["lang=de", "lang=en"]
+    # 60 en-rows / 10 per file → ≥6 shard files
+    en_files = glob.glob(f"{out}/lang=en/*.json")
+    assert len(en_files) >= 6
+    import json
+
+    for fpath in en_files:
+        with open(fpath) as fh:
+            recs = [json.loads(line) for line in fh if line.strip()]
+        assert len(recs) <= 10
+        ids = [r["doc_id"] for r in recs]
+        assert ids == sorted(ids)  # sortWithinPartitions survived the split
+    back = spark.read.json(f"{out}")
+    assert back.count() == 90
