@@ -176,3 +176,39 @@ def test_streaming_incremental_dedup_pipeline(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()
     )
     assert final == [0, 1, 2, 3, 4, 12]  # 10/11 deduped away, 12 kept
+
+
+def test_transform_with_state_v2_or_documented_gate(spark, tmp_path):
+    """The v2 arbitrary-state path runs when protobuf is present;
+    otherwise the dependency gate must say so (no silent wrong answer)."""
+    import pytest
+
+    from files_kraken_spark.streaming.stateful import (
+        _has_tws_deps,
+        session_totals_v2,
+    )
+
+    if not _has_tws_deps():
+        pytest.skip("protobuf not installed — transformWithStateInPandas gated off")
+
+    src = tmp_path / "in"
+    src.mkdir()
+    import json
+
+    with open(src / "b0.json", "w") as fh:
+        for i in range(6):
+            fh.write(json.dumps({"key": "k" + str(i % 2), "value": float(i)}) + "\n")
+    stream = (
+        spark.readStream.schema("key string, value double").json(str(src))
+    )
+    out = session_totals_v2(stream.groupBy("key"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("v2_totals")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["key"]: r for r in spark.sql("SELECT * FROM v2_totals").collect()}
+    assert rows["k0"]["events"] == 3 and rows["k0"]["value_total"] == 0 + 2 + 4
