@@ -209,7 +209,8 @@ def export_shards(
     sort_within_by: str | list[str] | None = None,
     fmt: str = "parquet",
     shards_per_partition: int | None = None,
-) -> None:
+    metrics: list[Column] | None = None,
+) -> dict:
     """Sharded corpus export — the write side of a training-data
     pipeline. Produces a layout trainers consume directly:
 
@@ -231,6 +232,11 @@ def export_shards(
     All layout decisions ride the normal write path (no driver
     materialization, no collect): this function only configures the
     writer.
+
+    Returns the export metrics dict observed DURING the write (row
+    count + optional per-column aggregates via ``metrics``) — Spark's
+    ``Observation`` rides the write job itself, so accounting costs no
+    second scan of the corpus.
     """
     keys = (
         [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
@@ -240,9 +246,14 @@ def export_shards(
     if sort_within_by:
         cols = [sort_within_by] if isinstance(sort_within_by, str) else list(sort_within_by)
         df = df.sortWithinPartitions(*cols)
+    from pyspark.sql import Observation
+
+    obs = Observation("export_shards")
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"), *(metrics or []))
     writer = df.write.mode("overwrite")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     if keys:
         writer = writer.partitionBy(*keys)
     writer.format(fmt).save(path)
+    return obs.get

@@ -1222,3 +1222,54 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "q20_excess_shippers",
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey, l_suppkey, round(sum(l_quantity), 2) AS supp_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+totals AS (
+  SELECT l_partkey AS t_partkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT DISTINCT s_suppkey, s_name, n_name
+FROM per_part
+JOIN totals   ON t_partkey = l_partkey
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE 'small%' AND supp_qty > 0.2 * total_qty
+""",
+    doc="TPC-H Q20 excess-availability suppliers (adapted: no partsupp, "
+    "so 'holds excess stock' becomes 'shipped >20% of a small%-part's "
+    "corpus-wide quantity'). Plan shape preserved: per-(part,supplier) "
+    "aggregate, correlated half-of-total threshold decorrelated into a "
+    "join against the per-part total — both aggregates reuse ONE scan "
+    "exchange under AQE — then broadcast name-filtered part gate and a "
+    "distinct supplier projection. Quantities are integer-valued "
+    "doubles; sums rounded at 2 are exact, and 0.2*x is one identical "
+    "IEEE multiply on both engines.",
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    per_part = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.sum("l_quantity"), 2).alias("supp_qty")
+    )
+    totals = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty")
+    )
+    return (
+        per_part.join(totals, F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("supp_qty") > F.lit(0.2) * F.col("total_qty"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )

@@ -266,3 +266,20 @@ def test_export_shards_layout(spark, tmp_path):
         assert ids == sorted(ids)  # sortWithinPartitions survived the split
     back = spark.read.json(f"{out}")
     assert back.count() == 90
+
+
+def test_export_shards_observed_metrics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from files_kraken_spark.operators.corpus import export_shards
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "doc_id long, score double"
+    )
+    got = export_shards(
+        df,
+        str(tmp_path / "m"),
+        metrics=[F.round(F.sum("score"), 2).alias("score_total")],
+    )
+    assert got["rows_written"] == 20
+    assert got["score_total"] == sum(range(20))
