@@ -840,3 +840,157 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.col("qs"), F.lit(0.0), lambda a, x: a + x).cast("bigint").alias("q_sum"),
         F.array_max(err).alias("max_err"),
     )
+
+
+@register(
+    "q_bloom_filter",
+    oracle="""
+WITH members AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+),
+bits AS (
+  SELECT list_sort(list(DISTINCT
+           ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || i), 1, 8))::BIGINT % 1024
+         )) AS set_bits
+  FROM members, range(0, 3) r(i)
+),
+probe AS (
+  SELECT c.c_custkey,
+         c.c_acctbal > 9000 AS actual,
+         (list_contains(b.set_bits, ('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR) || '|0'), 1, 8))::BIGINT % 1024)
+          AND list_contains(b.set_bits, ('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR) || '|1'), 1, 8))::BIGINT % 1024)
+          AND list_contains(b.set_bits, ('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR) || '|2'), 1, 8))::BIGINT % 1024))
+           AS bloom_positive
+  FROM customer c CROSS JOIN bits b
+)
+SELECT count(*) FILTER (actual) AS n_members,
+       count(*) FILTER (bloom_positive) AS n_bloom_positive,
+       count(*) FILTER (bloom_positive AND NOT actual) AS n_false_positive,
+       (SELECT len(set_bits) FROM bits) AS n_bits_set
+FROM probe
+""",
+    doc="Portable Bloom filter as data: k=3 md5-derived bit positions "
+    "in a 1024-bit space over high-balance customers, then a full "
+    "probe pass counting true members, bloom positives, and false "
+    "positives. Zero false negatives by construction; the FP count is "
+    "deterministic because the hash is. At 100 TB this is the "
+    "broadcast semi-join pre-filter: build on the small side, probe "
+    "on the fact scan — same integer expressions, no opaque binary.",
+)
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_hash64
+
+    cust = load_table(spark, sf_dir, "customer")
+    members = cust.filter(F.col("c_acctbal") > 9000)
+
+    def bit(i):
+        return F.pmod(
+            md5_hash64(F.concat(F.col("c_custkey").cast("string"), F.lit(f"|{i}"))),
+            F.lit(1024),
+        )
+
+    bits = (
+        members.select(F.explode(F.array(bit(0), bit(1), bit(2))).alias("b"))
+        .agg(F.array_sort(F.collect_set("b")).alias("set_bits"))
+    )
+    probe = cust.crossJoin(F.broadcast(bits)).select(
+        (F.col("c_acctbal") > 9000).alias("actual"),
+        (
+            F.array_contains(F.col("set_bits"), bit(0))
+            & F.array_contains(F.col("set_bits"), bit(1))
+            & F.array_contains(F.col("set_bits"), bit(2))
+        ).alias("bloom_positive"),
+        F.size("set_bits").alias("nbits"),
+    )
+    return probe.agg(
+        F.count(F.when(F.col("actual"), 1)).alias("n_members"),
+        F.count(F.when(F.col("bloom_positive"), 1)).alias("n_bloom_positive"),
+        F.count(F.when(F.col("bloom_positive") & ~F.col("actual"), 1)).alias(
+            "n_false_positive"
+        ),
+        F.max("nbits").cast("bigint").alias("n_bits_set"),
+    )
+
+
+@register(
+    "q_countmin_sketch",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+counters AS (
+  SELECT i AS row_id,
+         ('0x' || substr(md5(word || '|' || i), 1, 8))::BIGINT % 256 AS bucket,
+         count(*) AS c
+  FROM words, range(0, 2) r(i)
+  GROUP BY 1, 2
+),
+targets AS (
+  SELECT unnest(['data', 'spark', 'table', 'query', 'zebra']) AS word
+),
+est AS (
+  SELECT t.word, min(c.c) AS estimate
+  FROM targets t, range(0, 2) r(i)
+  JOIN counters c
+    ON c.row_id = i
+   AND c.bucket = ('0x' || substr(md5(t.word || '|' || i), 1, 8))::BIGINT % 256
+  GROUP BY t.word
+)
+SELECT t.word,
+       coalesce(e.estimate, 0) AS estimate,
+       coalesce(x.exact_count, 0) AS exact_count
+FROM targets t
+LEFT JOIN est e USING (word)
+LEFT JOIN (SELECT word, count(*) AS exact_count FROM words GROUP BY 1) x USING (word)
+""",
+    doc="Portable Count-Min sketch: depth 2 x width 256 counters from "
+    "md5-derived buckets over the corpus token stream; point estimates "
+    "= min over rows of the word's bucket counters, compared against "
+    "exact counts (estimate >= exact always; overestimate = bucket "
+    "collisions). The counter build is two shuffle-free projections + "
+    "one 512-row aggregate — the mergeable heavy-hitter sketch shape "
+    "for streaming/distributed counting, as data instead of an opaque "
+    "binary.",
+)
+def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+
+    def bucket(word_col, i):
+        return F.pmod(
+            md5_hash64(F.concat(word_col, F.lit(f"|{i}"))), F.lit(256)
+        )
+
+    pairs = words.select(
+        F.posexplode(F.array(bucket(F.col("word"), 0), bucket(F.col("word"), 1))).alias(
+            "row_id", "bucket"
+        )
+    )
+    counters = pairs.groupBy("row_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    targets = F.explode(
+        F.array(*[F.lit(w) for w in ["data", "spark", "table", "query", "zebra"]])
+    )
+    tdf = docs.limit(1).select(targets.alias("word"))
+    texp = tdf.select(
+        "word",
+        F.posexplode(F.array(bucket(F.col("word"), 0), bucket(F.col("word"), 1))).alias(
+            "row_id", "bucket"
+        ),
+    )
+    est = (
+        texp.join(F.broadcast(counters), ["row_id", "bucket"], "left")
+        .groupBy("word")
+        .agg(F.min("c").alias("estimate"))
+    )
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        tdf.join(est, "word", "left")
+        .join(exact, "word", "left")
+        .select(
+            "word",
+            F.coalesce("estimate", F.lit(0)).alias("estimate"),
+            F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+        )
+    )

@@ -408,3 +408,54 @@ def test_run_loop_with_live_mutations_and_exit_writer(spark, tmp_path, bp):
     assert set(rows) == {"1", "2"}
     assert rows["2"]["fastqs"] == [str(root / "sample_2.lane_1.fastq.gz")]
     assert rows["1"]["fastqs"] is None  # deletion emptied the list (A7 parity)
+
+
+def test_streaming_drop_duplicates_within_watermark(spark, tmp_path):
+    """`dropDuplicatesWithinWatermark` (Spark 3.5+/4): unlike plain
+    dropDuplicates, state for a key is EVICTED once the watermark
+    passes it — the bounded-state dedup for unbounded streams. A
+    repeat far beyond the watermark horizon is admitted again (state
+    was released); a repeat within it is suppressed."""
+    import json
+
+    src = tmp_path / "ddw_src"
+    src.mkdir()
+    b1 = [
+        {"id": 1, "ts": "2024-01-01 00:01:00"},
+        {"id": 1, "ts": "2024-01-01 00:02:00"},  # within horizon: dropped
+        {"id": 2, "ts": "2024-01-01 00:03:00"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    ckpt = str(tmp_path / "ddw_ck")
+
+    def run():
+        stream = (
+            spark.readStream.schema("id long, ts timestamp")
+            .json(str(src))
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["id"])
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(tmp_path / "ddw_out"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run()
+    # the watermark only advances at the END of a batch, so eviction
+    # of id=1's state (expiry 00:11) needs an intervening batch that
+    # moves the watermark past it
+    (src / "b2.json").write_text(json.dumps({"id": 3, "ts": "2024-01-01 02:30:00"}))
+    run()
+    # now id=1 again, 2.5 hours later — far past the 10-minute
+    # horizon; its dedup state was evicted, so it is admitted again
+    (src / "b3.json").write_text(json.dumps({"id": 1, "ts": "2024-01-01 02:31:00"}))
+    run()
+    got = sorted(
+        (r["id"], str(r["ts"])) for r in spark.read.parquet(str(tmp_path / "ddw_out")).collect()
+    )
+    ids = [g[0] for g in got]
+    assert ids == [1, 1, 2, 3]  # batch1 {1,2} + batch2 {3} + batch3 {1}
