@@ -576,10 +576,15 @@ def span_dedup(
     surviving chunks per document.
 
     Scale shape: one explode (rows = total chunks ≈ tokens/span_words),
-    one window shuffle keyed on the chunk text (the dedup key), one
-    group-back shuffle keyed on doc id. No driver materialization; at
-    100 TB replace the raw chunk string key with its 128-bit hash to
-    shrink shuffle width (kept as text here so the oracle can compare).
+    then the first occurrence per chunk is found with a MIN(struct)
+    AGGREGATE — not a window. A window would sort each chunk's rows in
+    one partition, so a pathological hot chunk (boilerplate shared by
+    millions of docs) lands on one task; min() combines map-side and
+    is skew-immune with identical semantics. One agg shuffle on the
+    chunk key + one join back + one group-back on doc id. No driver
+    materialization; at 100 TB replace the raw chunk string key with
+    its 128-bit hash to shrink shuffle width (kept as text here so the
+    oracle can compare).
     """
     words = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
@@ -594,18 +599,23 @@ def span_dedup(
             )
         ).alias("pos", "chunk"),
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("chunk").orderBy(id_col, "pos")
-    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    first = chunks.groupBy("chunk").agg(
+        F.min(F.struct(F.col(id_col).alias("fid"), F.col("pos").alias("fpos"))).alias(
+            "first"
+        )
+    )
+    ranked = chunks.join(first, "chunk").withColumn(
+        "is_first",
+        (F.col("first.fid") == F.col(id_col)) & (F.col("first.fpos") == F.col("pos")),
+    )
     per_doc = ranked.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_chunks"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
         F.array_join(
             F.transform(
                 F.filter(
-                    F.array_sort(F.collect_list(F.struct("pos", "chunk", "rn"))),
-                    lambda s: s["rn"] == 1,
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk", "is_first"))),
+                    lambda s: s["is_first"],
                 ),
                 lambda s: s["chunk"],
             ),
