@@ -238,3 +238,110 @@ def semdedup(
             F.col("dropped_id").isNull().alias("kept"),
         )
     )
+
+
+def kmeans_fit_predict(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column, returning
+    (id, cell) after ``iters`` assignment/update rounds.
+
+    Engine-portable determinism: init centroids are the k lowest-id
+    vectors; each new centroid coordinate is round(sum, 6)/count (the
+    float-determinism policy — the rounded sum is exact at 1e-6 for
+    ~1e-8-grain float inputs, so every engine computes identical
+    centroids, identical distances, identical argmins; ties break to
+    the lower cell id). This is the trainer behind a real IVF index
+    (`sim_ivf_topk` probes cells); `semdedup` swaps its hyperplane
+    cells for these centroids to match the paper exactly.
+
+    Scale shape per round: one broadcast of k centroids (tiny), one
+    scan computing argmin per row (k·dim flops, map-only), one
+    partial-agg shuffle on (cell, dim) for the means. Rounds are a
+    driver loop over DataFrames — lineage stays k-bounded because each
+    round's centroid frame is tiny and re-broadcast. At huge k move
+    the argmin to a BLAS `mapInPandas` (same plan shape).
+    """
+    from pyspark.sql.window import Window
+
+    emb = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    seed = emb.orderBy("__id").limit(k)
+    cent = seed.select(
+        (F.row_number().over(Window.orderBy("__id")) - 1).alias("cell"),
+        F.col("__v").alias("__c"),
+    )
+    assigned = None
+    for _ in range(iters):
+        sqdist = F.aggregate(
+            F.zip_with(F.col("__v"), F.col("__c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            emb.crossJoin(F.broadcast(cent))
+            .select("__id", "__v", "cell", sqdist.alias("__d"))
+            .groupBy("__id")
+            .agg(F.min(F.struct(F.col("__d"), F.col("cell"))).alias("__best"))
+            .select("__id", F.col("__best.cell").alias("cell"))
+        )
+        means = (
+            assigned.join(emb, "__id")
+            .select("cell", F.posexplode("__v").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg((F.round(F.sum("val"), 6) / F.count(F.lit(1))).alias("mu"))
+        )
+        cent = means.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                lambda s: s["mu"],
+            ).alias("__c")
+        )
+    return assigned.select(
+        F.col("__id").alias(id_col), F.col("cell").cast("long").alias("cell")
+    )
+
+
+def semdedup_kmeans(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.40,
+) -> DataFrame:
+    """SemDeDup exactly as the paper runs it (Abbas et al. 2023): k-means
+    cluster the embeddings, compute pairwise cosine only within each
+    cluster, greedily drop every vector duplicating a lower-id
+    cluster-mate. `semdedup` (hyperplane cells) is the fitting-free
+    variant; this one pays the small Lloyd's cost for better-shaped
+    cells (boundary-straddling near-dups split across hyperplane cells
+    land together here).
+
+    Scale: k-means rounds as in `kmeans_fit_predict`; the in-cell pair
+    join shuffles on the cell id with per-cell n²/2 work — pick k so
+    the biggest cell's pairs fit a task (k ≈ corpus/√pairs_per_task).
+    """
+    cells = kmeans_fit_predict(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
+    sig = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).join(cells.withColumnRenamed(id_col, "id"), "id")
+    a = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a"), "cell")
+    b = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("v_b"), "cell")
+    dup_pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("v_a"), F.col("v_b")) >= threshold)
+        .select(F.col("id_b").alias("dropped_id"))
+        .distinct()
+    )
+    return (
+        sig.join(dup_pairs, sig["id"] == dup_pairs["dropped_id"], "left")
+        .select("id", "cell", F.col("dropped_id").isNull().alias("kept"))
+    )

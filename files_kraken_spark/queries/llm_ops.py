@@ -849,3 +849,90 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("k_max"),
         F.sum(F.col("k") * F.col("k")).alias("k_sumsq"),
     )
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unroll Lloyd's iterations into chained CTEs. Determinism mirrors
+    the operator: init = k lowest-id vectors; centroid coordinate =
+    round(sum, 6)/count (exact at that grain on both engines);
+    distances and argmins then match bit-for-bit, ties to lower cell."""
+    assign = """
+a{n} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, {dim} + 1),
+               i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))), c.cell) AS rn
+    FROM emb e CROSS JOIN c{n} c
+  ) WHERE rn = 1
+)"""
+    update = """
+c{n1} AS (
+  SELECT cell, list(mu ORDER BY dim) AS cvec
+  FROM (
+    SELECT a.cell, i AS dim, round(sum(e.v[i]), 6) / count(*) AS mu
+    FROM a{n} a JOIN emb e USING (vec_id), range(1, {dim} + 1) r(i)
+    GROUP BY a.cell, i
+  ) GROUP BY cell
+)"""
+    ctes = [
+        "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for n in range(iters):
+        ctes.append(assign.format(n=n, dim=dim).strip())
+        if n < iters - 1:
+            ctes.append(update.format(n=n, n1=n + 1, dim=dim).strip())
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a{iters - 1}"
+    )
+
+
+@register(
+    "emb_kmeans_cells",
+    oracle=_kmeans_oracle_sql(8, 2, 64),
+    doc="Distributed Lloyd's k-means (k=8, 2 rounds) cell assignment "
+    "over the embedding corpus — the trainer behind a real IVF index. "
+    "Deterministic across engines via the rounded-mean policy, so the "
+    "oracle replays the iterations as unrolled SQL. Per round: "
+    "broadcast k centroids, map-only argmin scan, one (cell, dim) "
+    "partial-agg shuffle.",
+)
+def emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.kmeans_fit_predict(emb, k=8, iters=2)
+
+
+@register(
+    "sem_dedup_kmeans",
+    oracle=_kmeans_oracle_sql(8, 2, 64).replace(
+        "\nSELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a1",
+        """,
+cells AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a1),
+sigs AS (
+  SELECT c.vec_id, c.cell, e.embedding
+  FROM cells c JOIN embeddings e USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM sigs a JOIN sigs b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE """
+        + _SQL_COS.format(a="a.embedding", b="b.embedding")
+        + """ >= 0.40
+)
+SELECT vec_id AS id, cell,
+       vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+FROM sigs""",
+    ),
+    doc="SemDeDup in the paper's exact form: k-means cells (k=8, 2 "
+    "Lloyd's rounds — emb_kmeans_cells) instead of hyperplane cells, "
+    "then in-cell cosine with greedy lower-id-wins dropping. The "
+    "oracle replays the full pipeline (unrolled k-means + pair scan) "
+    "in SQL.",
+)
+def sem_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semdedup_kmeans(emb, k=8, iters=2, threshold=0.40)

@@ -220,3 +220,21 @@ def test_semdedup_greedy_keep_min_id(spark):
     )
     out = {r["id"]: r["kept"] for r in semdedup(df, dim=dim, n_planes=3, threshold=0.9).collect()}
     assert out == {1: True, 2: False, 3: True}
+
+
+def test_kmeans_converges_on_separated_clusters(spark):
+    from files_kraken_spark.operators.similarity import kmeans_fit_predict
+
+    # two well-separated blobs in 4d; ids interleave so the lowest-id
+    # seeding (ids 0 and 1) starts one centroid in each blob — k=2
+    # must then split the blobs exactly
+    a = [[10.0, 10.0, 0.0, 0.0], [10.5, 9.5, 0.0, 0.0], [9.5, 10.5, 0.0, 0.0]]
+    b = [[-10.0, -10.0, 0.0, 0.0], [-9.5, -10.5, 0.0, 0.0], [-10.5, -9.5, 0.0, 0.0]]
+    rows = [(2 * i, v) for i, v in enumerate(a)] + [
+        (2 * i + 1, v) for i, v in enumerate(b)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["cell"] for r in kmeans_fit_predict(df, k=2, iters=3).collect()}
+    assert out[0] == out[2] == out[4]
+    assert out[1] == out[3] == out[5]
+    assert out[0] != out[1]
