@@ -345,3 +345,77 @@ def semdedup_kmeans(
         sig.join(dup_pairs, sig["id"] == dup_pairs["dropped_id"], "left")
         .select("id", "cell", F.col("dropped_id").isNull().alias("kept"))
     )
+
+
+def ivf_topk_trained(
+    df: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """Trained-IVF approximate nearest neighbors: k-means the corpus
+    (`kmeans_fit_predict`), probe each query's nearest centroid (one
+    cell), exact cosine top-k within the probed cell only.
+
+    This is the full production IVF recipe (train → assign → probe)
+    rather than a label stand-in (`sim_ivf_topk`). Work per query =
+    k centroid distances + |cell| cosines ≈ n/k — corpus-sublinear.
+    Multi-probe = relax the argmin to the p nearest centroids (same
+    plan, p× candidates). All math follows the determinism policy, so
+    an external engine replays it exactly.
+    """
+    cells = kmeans_fit_predict(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
+    emb = df.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvecf"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    ).join(cells.withColumnRenamed(id_col, "cid"), "cid")
+    centroids = (
+        emb.select("cell", F.posexplode("cv").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg((F.round(F.sum("val"), 6) / F.count(F.lit(1))).alias("mu"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+            ).alias("centroid")
+        )
+    )
+    q = df.join(query_ids, id_col).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vecf"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    sqdist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("q_id", "q_vecf", "cell", sqdist.alias("__d"))
+        .groupBy("q_id")
+        .agg(
+            F.min(F.struct(F.col("__d"), F.col("cell"))).alias("__best"),
+            F.first("q_vecf").alias("q_vecf"),
+        )
+        .select("q_id", F.col("__best.cell").alias("cell"), "q_vecf")
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        emb.join(F.broadcast(probed), "cell")
+        .filter(F.col("cid") != F.col("q_id"))
+        .select(
+            "q_id", "cid", cosine(F.col("q_vecf"), F.col("cvecf")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("q_id", F.col("cid").alias("cand_id"))
+    )

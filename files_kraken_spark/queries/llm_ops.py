@@ -936,3 +936,53 @@ FROM sigs""",
 def sem_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.semdedup_kmeans(emb, k=8, iters=2, threshold=0.40)
+
+
+@register(
+    "sim_ivf_trained_topk",
+    oracle=_kmeans_oracle_sql(8, 2, 64).replace(
+        "\nSELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a1",
+        """,
+cents AS (
+  SELECT cell, list(mu ORDER BY dim) AS centroid
+  FROM (
+    SELECT a.cell, i AS dim, round(sum(e.v[i]), 6) / count(*) AS mu
+    FROM a1 a JOIN emb e USING (vec_id), range(1, 65) r(i)
+    GROUP BY a.cell, i
+  ) GROUP BY cell
+),
+q AS (SELECT vec_id AS q_id, v AS qv, embedding AS qe
+      FROM emb JOIN embeddings USING (vec_id) WHERE vec_id < 8),
+probed AS (
+  SELECT q_id, cell, qe FROM (
+    SELECT q.q_id, c.cell, q.qe,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (q.qv[i] - c.centroid[i]) * (q.qv[i] - c.centroid[i]))), c.cell) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT p.q_id, a.vec_id AS cand_id,
+         """
+        + _SQL_COS.format(a="p.qe", b="e2.embedding")
+        + """ AS cos
+  FROM probed p
+  JOIN a1 a ON a.cell = p.cell AND a.vec_id <> p.q_id
+  JOIN embeddings e2 ON e2.vec_id = a.vec_id
+)
+SELECT q_id, cand_id FROM (
+  SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+  FROM scored
+) WHERE rn <= 5""",
+    ),
+    doc="Trained-IVF ANN: k-means the corpus (2 Lloyd's rounds), probe "
+    "each query's nearest centroid, exact cosine top-5 within the "
+    "probed cell — the full production train/assign/probe recipe, "
+    "corpus-sublinear per query (k distances + n/k cosines). Oracle "
+    "replays train + probe as unrolled SQL.",
+)
+def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select("vec_id")
+    return SIM.ivf_topk_trained(emb, q, k=8, iters=2, topk=5)
