@@ -355,17 +355,18 @@ def ivf_topk_trained(
     k: int = 8,
     iters: int = 2,
     topk: int = 5,
+    probes: int = 1,
 ) -> DataFrame:
     """Trained-IVF approximate nearest neighbors: k-means the corpus
-    (`kmeans_fit_predict`), probe each query's nearest centroid (one
-    cell), exact cosine top-k within the probed cell only.
+    (`kmeans_fit_predict`), probe each query's ``probes`` nearest
+    centroids, exact cosine top-k within the probed cells only.
 
     This is the full production IVF recipe (train → assign → probe)
     rather than a label stand-in (`sim_ivf_topk`). Work per query =
-    k centroid distances + |cell| cosines ≈ n/k — corpus-sublinear.
-    Multi-probe = relax the argmin to the p nearest centroids (same
-    plan, p× candidates). All math follows the determinism policy, so
-    an external engine replays it exactly.
+    k centroid distances + probes·n/k cosines — corpus-sublinear;
+    ``probes`` trades recall for candidate count with no plan change.
+    All math follows the determinism policy, so an external engine
+    replays it exactly.
     """
     cells = kmeans_fit_predict(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
     emb = df.select(
@@ -394,17 +395,16 @@ def ivf_topk_trained(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    from pyspark.sql.window import Window
+
+    wp = Window.partitionBy("q_id").orderBy(F.col("__d"), F.col("cell"))
     probed = (
         q.crossJoin(F.broadcast(centroids))
         .select("q_id", "q_vecf", "cell", sqdist.alias("__d"))
-        .groupBy("q_id")
-        .agg(
-            F.min(F.struct(F.col("__d"), F.col("cell"))).alias("__best"),
-            F.first("q_vecf").alias("q_vecf"),
-        )
-        .select("q_id", F.col("__best.cell").alias("cell"), "q_vecf")
+        .withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= probes)
+        .select("q_id", "cell", "q_vecf")
     )
-    from pyspark.sql.window import Window
 
     scored = (
         emb.join(F.broadcast(probed), "cell")

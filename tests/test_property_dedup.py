@@ -1,0 +1,88 @@
+"""Property-based checks for span-level and semantic dedup against
+naive Python references on arbitrary small corpora."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from files_kraken_spark.operators.dedup import span_dedup
+
+WORD = st.sampled_from(["aa", "bb", "cc", "dd"])
+DOC = st.lists(WORD, min_size=1, max_size=9)
+CORPUS = st.lists(DOC, min_size=1, max_size=6)
+
+SPAN = 2
+
+
+def _naive_span_dedup(corpus):
+    """First corpus-wide occurrence of each chunk wins, (doc, pos) order."""
+    seen = set()
+    out = {}
+    for doc_id, words in enumerate(corpus):
+        chunks = [
+            " ".join(words[i : i + SPAN]) for i in range(0, len(words), SPAN)
+        ]
+        kept = []
+        n_kept = 0
+        for ch in chunks:
+            if ch not in seen:
+                seen.add(ch)
+                kept.append(ch)
+                n_kept += 1
+        out[doc_id] = (len(chunks), n_kept, " ".join(kept))
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=CORPUS)
+def test_span_dedup_matches_naive(spark, corpus):
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_text"])
+        for r in span_dedup(df, span_words=SPAN).collect()
+    }
+    assert got == _naive_span_dedup(corpus)
+
+
+VEC = st.lists(
+    st.sampled_from([0.0, 1.0, -1.0, 0.5]), min_size=4, max_size=4
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=st.lists(VEC, min_size=2, max_size=8))
+def test_semdedup_invariants(spark, vecs):
+    """Structural invariants that hold for ANY input: every id labeled
+    exactly once; the lowest id in each cell is always kept; a dropped
+    id has a kept-or-dropped lower-id cell-mate with cosine >= t."""
+    from files_kraken_spark.operators.similarity import semdedup
+
+    vecs = [v for v in vecs if any(x != 0.0 for x in v)]  # cosine needs norm>0
+    if len(vecs) < 2:
+        return
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    rows = semdedup(df, dim=4, n_planes=2, threshold=0.95).collect()
+    assert sorted(r["id"] for r in rows) == list(range(len(vecs)))
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for members in by_cell.values():
+        lowest = min(m["id"] for m in members)
+        assert next(m for m in members if m["id"] == lowest)["kept"]
