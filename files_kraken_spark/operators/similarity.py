@@ -347,6 +347,372 @@ def semdedup_kmeans(
     )
 
 
+def pq_train_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``m`` subspaces of ``dim/m`` dims, k-means each subspace to ``ksub``
+    codewords, encode every vector as its per-subspace nearest-codeword
+    ids. Returns ``(codes, codebook)`` — codes ``(id, codes
+    array<long>)``, codebook ``(m, code, cv array<double>)``.
+
+    This is THE memory-scale path for vector search: a 64-dim float
+    corpus (256 B/row) becomes ``m`` small ints (~m bytes) — a 100 TB
+    embedding store shrinks ~64× and the ANN scan reads codes, not
+    vectors. All m codebooks train in ONE set of Lloyd's rounds by
+    carrying the subspace id in the group key (no per-subspace pass).
+
+    Determinism follows `kmeans_fit_predict`: init codewords are the
+    ksub lowest-id subvectors per subspace; means are round(sum,6)/count;
+    argmin ties break to the lower code. Empty codewords keep their
+    previous centroid (standard k-means practice), so the (m, code)
+    grid stays dense — positional ADC tables index it exactly.
+
+    Scale shape per round: subvector explode is a narrow map (m rows /
+    vector), assignment joins a broadcast m·ksub codebook (map-only),
+    the update is one (m, code, dim) partial-agg shuffle. Encoding adds
+    one groupBy(id) to pack codes — the only per-corpus shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    w = dim // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(mm).alias("m"),
+                F.transform(
+                    F.slice(F.col(vec_col), mm * w + 1, w), lambda x: x.cast("double")
+                ).alias("sv"),
+            )
+            for mm in range(m)
+        ]
+    )
+    sub = df.select(F.col(id_col).alias("__id"), F.explode(subs).alias("s")).select(
+        "__id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+    wn = Window.partitionBy("m").orderBy("__id")
+    cb = (
+        sub.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= ksub)
+        .select("m", (F.col("rn") - 1).cast("long").alias("code"), F.col("sv").alias("cv"))
+    )
+    sqd = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = None
+    for n in range(iters):
+        assigned = (
+            sub.join(F.broadcast(cb), "m")
+            .select("__id", "m", "code", sqd.alias("__d"))
+            .groupBy("__id", "m")
+            .agg(F.min(F.struct(F.col("__d"), F.col("code"))).alias("__b"))
+            .select("__id", "m", F.col("__b.code").alias("code"))
+        )
+        if n < iters - 1:
+            means = (
+                assigned.join(sub, ["__id", "m"])
+                .select("m", "code", F.posexplode("sv").alias("dim", "val"))
+                .groupBy("m", "code", "dim")
+                .agg((F.round(F.sum("val"), 6) / F.count(F.lit(1))).alias("mu"))
+                .groupBy("m", "code")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                        lambda s: s["mu"],
+                    ).alias("cv2")
+                )
+            )
+            cb = cb.join(means, ["m", "code"], "left").select(
+                "m", "code", F.coalesce(F.col("cv2"), F.col("cv")).alias("cv")
+            )
+    codes = (
+        assigned.groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+            ).alias("codes")
+        )
+        .select(F.col("__id").alias(id_col), "codes")
+    )
+    return codes, cb
+
+
+def pq_topk(
+    df: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    topk: int = 5,
+) -> DataFrame:
+    """PQ approximate nearest neighbors via asymmetric distance
+    computation (ADC): train/encode with `pq_train_encode`, build each
+    query's m·ksub lookup table of exact subvector-to-codeword squared
+    distances, then score every candidate as the m-ordered sum of table
+    entries selected by its codes.
+
+    Scale shape: the candidate scan touches ONLY the code column (~m
+    bytes/row — the 64× compressed store), the per-query LUT is m·ksub
+    doubles broadcast to it (map-only), and the single shuffle is the
+    per-query top-k window. Compose with `kmeans_fit_predict` cells to
+    make it IVF-PQ (probe cells first, ADC within). The ADC sum is
+    evaluated in fixed subspace order on bit-identical LUT entries, so
+    an external engine replays the ranking exactly.
+    """
+    from pyspark.sql.window import Window
+
+    w = dim // m
+    codes, cb = pq_train_encode(
+        df, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, iters=iters, dim=dim
+    )
+    cb = cb.persist()
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(mm).alias("m"),
+                F.transform(
+                    F.slice(F.col(vec_col), mm * w + 1, w), lambda x: x.cast("double")
+                ).alias("qsv"),
+            )
+            for mm in range(m)
+        ]
+    )
+    qsub = (
+        df.join(query_ids, id_col)
+        .select(F.col(id_col).alias("q_id"), F.explode(subs).alias("s"))
+        .select("q_id", F.col("s.m").alias("m"), F.col("s.qsv").alias("qsv"))
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("qsv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        qsub.join(F.broadcast(cb), "m")
+        .select(
+            "q_id", (F.col("m") * ksub + F.col("code")).alias("pos"), d.alias("d")
+        )
+        .groupBy("q_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "d"))), lambda s: s["d"]
+            ).alias("lut")
+        )
+    )
+    ad = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, mm: F.get(F.col("lut"), (mm * ksub + c).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(lut))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col).alias("cand_id"), ad.alias("ad"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("ad"), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= topk)
+        .select("q_id", "cand_id")
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    probes: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """IVF-PQ — the canonical billion-scale ANN layout (Jégou et al.
+    2011): a coarse k-means quantizer partitions the corpus into ``k``
+    inverted lists, product quantization compresses every vector to
+    ``m`` code bytes, and a query probes its ``probes`` nearest cells
+    scoring ONLY those cells' codes via the ADC lookup table.
+
+    Simplification vs the paper: PQ trains on raw vectors, not
+    cell-residuals (keeps the two trainings independent and the oracle
+    replayable); the rerank stage (`pq_topk_rerank`) recovers the
+    accuracy gap where it matters.
+
+    Scale shape: candidate scan cost drops twice — probes/k of the
+    corpus is visited (IVF) and each visited row is ~m bytes (PQ).
+    Cells and codes are one co-partitioned join on id (done once,
+    reusable as a materialized index table); per-query work is k
+    centroid distances + the probed cells' ADC sums. The only per-query
+    shuffle is the top-k window.
+    """
+    from pyspark.sql.window import Window
+
+    w = dim // m
+    cells = kmeans_fit_predict(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
+    codes, cb = pq_train_encode(
+        df, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, iters=iters, dim=dim
+    )
+    cb = cb.persist()
+    index = codes.join(cells, id_col)  # (id, codes, cell) — the IVF-PQ index table
+
+    emb_d = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    centroids = (
+        cells.withColumnRenamed(id_col, "__id")
+        .join(emb_d, "__id")
+        .select("cell", F.posexplode("__v").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg((F.round(F.sum("val"), 6) / F.count(F.lit(1))).alias("mu"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+            ).alias("centroid")
+        )
+    )
+    q = df.join(query_ids, id_col).select(
+        F.col(id_col).alias("q_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    celldist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("__d"), F.col("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("q_id", "cell", celldist.alias("__d"))
+        .withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= probes)
+        .select("q_id", "cell")
+    )
+
+    qsubs = F.array(
+        *[
+            F.struct(
+                F.lit(mm).alias("m"),
+                F.slice(F.col("qv"), mm * w + 1, w).alias("qsv"),
+            )
+            for mm in range(m)
+        ]
+    )
+    qsub = q.select("q_id", F.explode(qsubs).alias("s")).select(
+        "q_id", F.col("s.m").alias("m"), F.col("s.qsv").alias("qsv")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("qsv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        qsub.join(F.broadcast(cb), "m")
+        .select("q_id", (F.col("m") * ksub + F.col("code")).alias("pos"), d.alias("d"))
+        .groupBy("q_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "d"))), lambda s: s["d"]
+            ).alias("lut")
+        )
+    )
+    ad = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, mm: F.get(F.col("lut"), (mm * ksub + c).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        index.join(F.broadcast(probed.join(lut, "q_id")), "cell")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col).alias("cand_id"), ad.alias("ad"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("ad"), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= topk)
+        .select("q_id", "cand_id")
+    )
+
+
+def pq_topk_rerank(
+    df: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    shortlist: int = 50,
+    topk: int = 5,
+) -> DataFrame:
+    """Production PQ search shape: ADC over compressed codes produces a
+    ``shortlist`` (L ≫ k) per query, then EXACT L2 on raw vectors
+    reranks only those L candidates — recovering most of the recall the
+    12-bit codes lose while still scanning the 64×-smaller code column
+    for the corpus-wide pass.
+
+    Scale shape: stage 1 is `pq_topk` (code scan + broadcast LUT, one
+    q_id shuffle); stage 2 joins the L·|queries| shortlist back to the
+    vector store by id (a semi-join-sized probe, not a scan) and windows
+    per query. Raw vectors are touched for L rows per query only.
+    """
+    from pyspark.sql.window import Window
+
+    short = pq_topk(
+        df, query_ids, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub,
+        iters=iters, dim=dim, topk=shortlist,
+    )
+    cand = short.join(
+        df.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")),
+        "cand_id",
+    )
+    qv = df.join(query_ids, id_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d"), F.col("cand_id"))
+    return (
+        cand.join(F.broadcast(qv), "q_id")
+        .select("q_id", "cand_id", l2.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("q_id", "cand_id")
+    )
+
+
 def ivf_topk_trained(
     df: DataFrame,
     query_ids: DataFrame,

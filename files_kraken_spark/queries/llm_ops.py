@@ -986,3 +986,319 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8).select("vec_id")
     return SIM.ivf_topk_trained(emb, q, k=8, iters=2, topk=5)
+
+
+def _pq_oracle_sql(m: int = 4, ksub: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled product-quantization training (per-subspace Lloyd's) as
+    chained CTEs — mirrors ``operators.similarity.pq_train_encode``
+    exactly: init = ksub lowest-id subvectors per subspace, means =
+    round(sum,6)/count, argmin ties to the lower code, empty codewords
+    carry their previous centroid (dense grid). Ends with ``codes`` /
+    ``cb{last}`` CTEs for queries to build on."""
+    w = dim // m
+    assign = """
+a{n} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+             list_sum(list_transform(range(1, {w} + 1),
+               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), c.code) AS rn
+    FROM sub s JOIN cb{n} c USING (m)
+  ) WHERE rn = 1
+)"""
+    update = """
+cb{n1} AS (
+  SELECT c.m, c.code, coalesce(u.cv2, c.cv) AS cv
+  FROM cb{n} c LEFT JOIN (
+    SELECT m, code, list(mu ORDER BY dim) AS cv2
+    FROM (
+      SELECT a.m, a.code, i AS dim, round(sum(s.sv[i]), 6) / count(*) AS mu
+      FROM a{n} a JOIN sub s USING (vec_id, m), range(1, {w} + 1) r(i)
+      GROUP BY a.m, a.code, i
+    ) GROUP BY m, code
+  ) u ON u.m = c.m AND u.code = c.code
+)"""
+    ctes = [
+        "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"""sub AS (
+  SELECT vec_id, m, v[m * {w} + 1 : (m + 1) * {w}] AS sv
+  FROM emb, range(0, {m}) r(m)
+)""",
+        f"""cb0 AS (
+  SELECT m, rn - 1 AS code, sv AS cv FROM (
+    SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+    FROM sub
+  ) WHERE rn <= {ksub}
+)""",
+    ]
+    for n in range(iters):
+        ctes.append(assign.format(n=n, w=w).strip())
+        if n < iters - 1:
+            ctes.append(update.format(n=n, n1=n + 1, w=w).strip())
+    ctes.append(
+        f"codes AS (\n  SELECT vec_id, list(code ORDER BY m) AS cl FROM a{iters - 1} GROUP BY vec_id\n)"
+    )
+    return "WITH " + ",\n".join(ctes)
+
+
+@register(
+    "emb_pq_codes",
+    oracle=_pq_oracle_sql(4, 8, 2, 64)
+    + """
+SELECT vec_id,
+       array_to_string(list_transform(cl, x -> CAST(x AS VARCHAR)), ',') AS codes
+FROM codes""",
+    doc="Product-quantization encoding (Jégou et al. 2011): 4 subspaces "
+    "× 8 codewords trained in one joint Lloyd's pass, each vector "
+    "becomes 4 small ints — the 64x-compressed store an ANN scan reads "
+    "instead of raw floats. Oracle unrolls the per-subspace k-means.",
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, _ = SIM.pq_train_encode(emb, m=4, ksub=8, iters=2, dim=64)
+    return codes.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias(
+            "codes"
+        ),
+    )
+
+
+@register(
+    "sim_pq_topk",
+    oracle=_pq_oracle_sql(4, 8, 2, 64)
+    + """,
+q AS (SELECT vec_id AS q_id, m, sv AS qsv FROM sub WHERE vec_id < 8),
+lut AS (
+  SELECT q.q_id, c.m * 8 + c.code AS pos,
+         list_sum(list_transform(range(1, 17),
+           i -> (q.qsv[i] - c.cv[i]) * (q.qsv[i] - c.cv[i]))) AS d
+  FROM q JOIN cb1 c USING (m)
+),
+lutl AS (SELECT q_id, list(d ORDER BY pos) AS l FROM lut GROUP BY q_id),
+scored AS (
+  SELECT l.q_id, cd.vec_id AS cand_id,
+         list_sum(list_transform(range(0, 4),
+           mm -> l.l[mm * 8 + cd.cl[mm + 1] + 1])) AS ad
+  FROM codes cd CROSS JOIN lutl l
+  WHERE cd.vec_id <> l.q_id
+)
+SELECT q_id, cand_id FROM (
+  SELECT q_id, cand_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY ad, cand_id) AS rn
+  FROM scored
+) WHERE rn <= 5""",
+    doc="PQ ANN via asymmetric distance computation: per-query LUT of "
+    "exact subvector-to-codeword distances (m·ksub doubles, broadcast), "
+    "candidates scored as the subspace-ordered sum of LUT entries "
+    "picked by their codes — the scan reads ONLY the compressed code "
+    "column. Single shuffle = per-query top-k window. Compose with "
+    "k-means cells for IVF-PQ. Oracle replays train + LUT + ADC "
+    "with list-ordered sums so the double ranking matches bit-for-bit.",
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select("vec_id")
+    return SIM.pq_topk(emb, q, m=4, ksub=8, iters=2, dim=64, topk=5)
+
+
+@register(
+    "sim_pq_rerank",
+    oracle=_pq_oracle_sql(4, 8, 2, 64)
+    + """,
+q AS (SELECT vec_id AS q_id, m, sv AS qsv FROM sub WHERE vec_id < 8),
+lut AS (
+  SELECT q.q_id, c.m * 8 + c.code AS pos,
+         list_sum(list_transform(range(1, 17),
+           i -> (q.qsv[i] - c.cv[i]) * (q.qsv[i] - c.cv[i]))) AS d
+  FROM q JOIN cb1 c USING (m)
+),
+lutl AS (SELECT q_id, list(d ORDER BY pos) AS l FROM lut GROUP BY q_id),
+short AS (
+  SELECT q_id, cand_id FROM (
+    SELECT l.q_id, cd.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY l.q_id ORDER BY
+             list_sum(list_transform(range(0, 4),
+               mm -> l.l[mm * 8 + cd.cl[mm + 1] + 1])), cd.vec_id) AS rn
+    FROM codes cd CROSS JOIN lutl l
+    WHERE cd.vec_id <> l.q_id
+  ) WHERE rn <= 50
+)
+SELECT q_id, cand_id FROM (
+  SELECT s.q_id, s.cand_id,
+         row_number() OVER (PARTITION BY s.q_id ORDER BY
+           list_sum(list_transform(range(1, 65),
+             i -> (qe.v[i] - ce.v[i]) * (qe.v[i] - ce.v[i]))), s.cand_id) AS rn
+  FROM short s
+  JOIN emb qe ON qe.vec_id = s.q_id
+  JOIN emb ce ON ce.vec_id = s.cand_id
+) WHERE rn <= 5""",
+    doc="Production PQ search: ADC over the compressed code column "
+    "shortlists 50 candidates per query, exact L2 on raw vectors "
+    "reranks just those — corpus scan stays 64x compressed, raw "
+    "vectors are probed per-shortlist-row only. Oracle replays "
+    "train + ADC shortlist + ordered-sum rerank bit-for-bit.",
+)
+def sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select("vec_id")
+    return SIM.pq_topk_rerank(
+        emb, q, m=4, ksub=8, iters=2, dim=64, shortlist=50, topk=5
+    )
+
+
+def _ivfpq_oracle_sql(
+    k: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    probes: int = 2,
+    topk: int = 5,
+) -> str:
+    """IVF-PQ replay: the coarse k-means CTE chain (kc*/ka*, as in
+    ``_kmeans_oracle_sql``) and the PQ chain (cb*/a*, as in
+    ``_pq_oracle_sql``) side by side, then probe + ADC with
+    list-ordered sums. Mirrors ``operators.similarity.ivfpq_topk``."""
+    w = dim // m
+    k_assign = """
+ka{n} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, {dim} + 1),
+               i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))), c.cell) AS rn
+    FROM emb e CROSS JOIN kc{n} c
+  ) WHERE rn = 1
+)"""
+    k_update = """
+kc{n1} AS (
+  SELECT cell, list(mu ORDER BY dim) AS cvec
+  FROM (
+    SELECT a.cell, i AS dim, round(sum(e.v[i]), 6) / count(*) AS mu
+    FROM ka{n} a JOIN emb e USING (vec_id), range(1, {dim} + 1) r(i)
+    GROUP BY a.cell, i
+  ) GROUP BY cell
+)"""
+    p_assign = """
+a{n} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+             list_sum(list_transform(range(1, {w} + 1),
+               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), c.code) AS rn
+    FROM sub s JOIN cb{n} c USING (m)
+  ) WHERE rn = 1
+)"""
+    p_update = """
+cb{n1} AS (
+  SELECT c.m, c.code, coalesce(u.cv2, c.cv) AS cv
+  FROM cb{n} c LEFT JOIN (
+    SELECT m, code, list(mu ORDER BY dim) AS cv2
+    FROM (
+      SELECT a.m, a.code, i AS dim, round(sum(s.sv[i]), 6) / count(*) AS mu
+      FROM a{n} a JOIN sub s USING (vec_id, m), range(1, {w} + 1) r(i)
+      GROUP BY a.m, a.code, i
+    ) GROUP BY m, code
+  ) u ON u.m = c.m AND u.code = c.code
+)"""
+    ctes = [
+        "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"""kc0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {k})
+)""",
+        f"""sub AS (
+  SELECT vec_id, m, v[m * {w} + 1 : (m + 1) * {w}] AS sv
+  FROM emb, range(0, {m}) r(m)
+)""",
+        f"""cb0 AS (
+  SELECT m, rn - 1 AS code, sv AS cv FROM (
+    SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+    FROM sub
+  ) WHERE rn <= {ksub}
+)""",
+    ]
+    for n in range(iters):
+        ctes.append(k_assign.format(n=n, dim=dim).strip())
+        ctes.append(p_assign.format(n=n, w=w).strip())
+        if n < iters - 1:
+            ctes.append(k_update.format(n=n, n1=n + 1, dim=dim).strip())
+            ctes.append(p_update.format(n=n, n1=n + 1, w=w).strip())
+    last = iters - 1
+    ctes.append(
+        f"codes AS (\n  SELECT vec_id, list(code ORDER BY m) AS cl FROM a{last} GROUP BY vec_id\n)"
+    )
+    ctes.append(
+        f"""cents AS (
+  SELECT cell, list(mu ORDER BY dim) AS centroid
+  FROM (
+    SELECT a.cell, i AS dim, round(sum(e.v[i]), 6) / count(*) AS mu
+    FROM ka{last} a JOIN emb e USING (vec_id), range(1, {dim} + 1) r(i)
+    GROUP BY a.cell, i
+  ) GROUP BY cell
+)"""
+    )
+    ctes.append("q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 8)")
+    ctes.append(
+        f"""probed AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c.cell,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_sum(list_transform(range(1, {dim} + 1),
+               i -> (q.qv[i] - c.centroid[i]) * (q.qv[i] - c.centroid[i]))), c.cell) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {probes}
+)"""
+    )
+    ctes.append(
+        f"""lutl AS (
+  SELECT q_id, list(d ORDER BY pos) AS l FROM (
+    SELECT s.vec_id AS q_id, c.m * {ksub} + c.code AS pos,
+           list_sum(list_transform(range(1, {w} + 1),
+             i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d
+    FROM sub s JOIN cb{last} c USING (m)
+    WHERE s.vec_id < 8
+  ) GROUP BY q_id
+)"""
+    )
+    ctes.append(
+        f"""scored AS (
+  SELECT p.q_id, cd.vec_id AS cand_id,
+         list_sum(list_transform(range(0, {m}),
+           mm -> l.l[mm * {ksub} + cd.cl[mm + 1] + 1])) AS ad
+  FROM probed p
+  JOIN ka{last} a ON a.cell = p.cell
+  JOIN codes cd ON cd.vec_id = a.vec_id AND cd.vec_id <> p.q_id
+  JOIN lutl l ON l.q_id = p.q_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT q_id, cand_id FROM (
+  SELECT q_id, cand_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY ad, cand_id) AS rn
+  FROM scored
+) WHERE rn <= {topk}"""
+    )
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=_ivfpq_oracle_sql(8, 4, 8, 2, 64, 2, 5),
+    doc="IVF-PQ, the canonical billion-scale ANN layout: coarse k-means "
+    "inverted lists (probe 2 of 8 cells per query) x product-quantized "
+    "codes (ADC over 4x8 codebooks) — candidate scan cost drops "
+    "probes/k of the corpus AND 64x per row. The (cell, codes) index "
+    "join is materialize-once; per-query work = k centroid distances + "
+    "probed-cell ADC sums; the only shuffle is the top-k window. "
+    "Oracle replays both trainings and the probe/ADC bit-for-bit.",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select("vec_id")
+    return SIM.ivfpq_topk(
+        emb, q, k=8, m=4, ksub=8, iters=2, dim=64, probes=2, topk=5
+    )

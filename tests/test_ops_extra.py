@@ -238,3 +238,78 @@ def test_kmeans_converges_on_separated_clusters(spark):
     assert out[0] == out[2] == out[4]
     assert out[1] == out[3] == out[5]
     assert out[0] != out[1]
+
+
+def test_pq_codes_valid_and_seeds_self_encode(spark):
+    from files_kraken_spark.operators.similarity import pq_train_encode
+    from files_kraken_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    codes, cb = pq_train_encode(emb, m=4, ksub=8, iters=2, dim=64)
+    assert cb.count() == 4 * 8  # dense (m, code) grid survives training
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 8 for c in r["codes"])
+    # init codewords are the 8 lowest-id subvectors: those vectors
+    # quantize to themselves unless a mean drifted closer
+    by_id = {r["vec_id"]: r["codes"] for r in rows}
+    self_coded = sum(1 for i in range(8) if by_id[i] == [i, i, i, i])
+    assert self_coded >= 6
+
+
+def test_pq_topk_recall_vs_exact_l2(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from files_kraken_spark.operators.similarity import pq_topk
+    from files_kraken_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select("vec_id")
+    approx = {
+        (r["q_id"], r["cand_id"])
+        for r in pq_topk(emb, q, m=4, ksub=8, iters=2, dim=64, topk=5).collect()
+    }
+    qv = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("embedding"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d"), F.col("vec_id"))
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", l2.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    # coarse 4x8 codebooks on near-random 64-dim data (PQ's worst
+    # case): recall is modest but must beat random (5/499 ~ 1%) by a
+    # wide margin; fixed data => stable
+    assert recall >= 0.15, recall
+
+    # the production shape — ADC shortlist + exact rerank — must
+    # recover most of what the 12-bit codes lose
+    from files_kraken_spark.operators.similarity import pq_topk_rerank
+
+    rr = {
+        (r["q_id"], r["cand_id"])
+        for r in pq_topk_rerank(
+            emb, q, m=4, ksub=8, iters=2, dim=64, shortlist=50, topk=5
+        ).collect()
+    }
+    rerank_recall = len(rr & exact) / len(exact)
+    assert rerank_recall >= 2 * recall, (recall, rerank_recall)
