@@ -257,3 +257,91 @@ def export_shards(
         writer = writer.partitionBy(*keys)
     writer.format(fmt).save(path)
     return obs.get
+
+
+def bpe_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: int = 8,
+) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al. 2016) over the
+    corpus, returning the learned merge table ``(rank, pair, cnt)`` —
+    rank 1..merges, ``pair`` the two symbols joined by a space, ``cnt``
+    the word-frequency-weighted count that won the round.
+
+    BPE trains on the word-frequency dictionary, not raw text: one
+    corpus-wide tokenize + groupBy builds ``(word, count)`` (the only
+    corpus-sized shuffle), then every merge round runs over the dict —
+    pair counts are an explode + sum keyed on the pair, the winner is a
+    global top-1 (ties to the lexicographically smaller pair), and the
+    merge is applied with plain (non-regex) ``replace`` on the
+    space-delimited symbol string via a 1-row broadcast join — no
+    driver collect anywhere.
+
+    Engine-portable determinism: counts are integers; both Spark and
+    DuckDB ``replace`` scan left-to-right non-overlapping, and the
+    merge applies replace 3× so chained runs of a repeated symbol merge
+    identically (runs longer than ~9 symbols may keep stragglers — the
+    same stragglers on every engine). Words end with the canonical
+    '</w>' marker symbol.
+
+    Scale: the dict is |vocab| rows (≪ corpus); each round persists it
+    (bounded lineage) and shuffles only pair counts. For byte-level BPE
+    at web scale the same plan applies with bytes as initial symbols.
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+        .select(
+            F.concat(
+                F.expr(
+                    "array_join(transform(sequence(1, char_length(w)), "
+                    "i -> substr(w, i, 1)), ' ')"
+                ),
+                F.lit(" </w>"),
+            ).alias("sym"),
+            "wc",
+        )
+        .persist()
+    )
+    merge_rows = []
+    for r in range(merges):
+        pair_list = F.expr(
+            "transform(sequence(1, size(split(sym, ' ')) - 1), "
+            "i -> concat(element_at(split(sym, ' '), i), ' ', "
+            "element_at(split(sym, ' '), i + 1)))"
+        )
+        counts = (
+            words.select(F.explode(pair_list).alias("pair"), "wc")
+            .groupBy("pair")
+            .agg(F.sum("wc").cast("long").alias("cnt"))
+        )
+        best = (
+            counts.orderBy(F.col("cnt").desc(), F.col("pair"))
+            .limit(1)
+            .select(
+                F.lit(r + 1).cast("long").alias("rank"),
+                "pair",
+                "cnt",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+            )
+            .persist()
+        )
+        merge_rows.append(best.select("rank", "pair", "cnt"))
+        padded = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
+        search = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+        repl = F.concat(F.lit(" "), F.col("merged"), F.lit(" "))
+        merged_sym = padded
+        for _ in range(3):
+            merged_sym = F.replace(merged_sym, search, repl)
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select(F.trim(merged_sym).alias("sym"), "wc")
+            .persist()
+        )
+    out = merge_rows[0]
+    for b in merge_rows[1:]:
+        out = out.unionByName(b)
+    return out

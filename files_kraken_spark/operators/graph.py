@@ -1,0 +1,70 @@
+"""Graph analytics over edge-list DataFrames.
+
+PageRank here is the Pregel-on-DataFrames shape (join ranks to edges,
+shuffle contributions on dst, re-aggregate) with one twist: ranks are
+scaled BIGINT micro-units and every step is integer arithmetic
+(``DIV`` truncation), so the result is bit-exact regardless of
+aggregation order — a float PageRank's ``sum(double)`` differs across
+engines/partitionings, an integer one cannot. That makes the whole
+iteration replayable by an external SQL engine (the oracle unrolls the
+rounds) and insensitive to cluster repartitioning at 100 TB.
+
+Connected components (min-label and large-star/small-star) live in
+``operators/dedup.py`` next to their dedup use case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNIT = 1_000_000  # rank mass per node, in micro-units
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Iterative PageRank over a directed edge list, returning
+    ``(node, pr)`` with ``pr`` in integer micro-units (node mass starts
+    at 1_000_000; ranks sum to ≈ n·1e6 minus truncation dust).
+
+    Update rule (all-integer): ``pr' = (100-damping_pct)·UNIT/100 +
+    damping_pct · Σ_in(pr_src DIV out_deg(src)) DIV 100``. Dangling
+    nodes contribute nothing (symmetrize the edge list to avoid them —
+    every node then has out-degree ≥ 1).
+
+    Scale shape per round: one join of the (small) rank table to edges
+    on src — co-partitioned if edges are bucketed by src — then one
+    shuffle aggregating contributions on dst. Degrees and the node set
+    are computed once and persisted. Lineage grows linearly with
+    ``iters``; for deep iteration add a ``localCheckpoint`` every ~5
+    rounds like ``dedup.connected_components`` does.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    base = (100 - damping_pct) * UNIT // 100
+    ranks = nodes.select("node", F.lit(UNIT).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("pr DIV deg").alias("c"))
+        )
+        agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(
+            agg.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
+            )
+            .cast("long")
+            .alias("pr"),
+        )
+    return ranks

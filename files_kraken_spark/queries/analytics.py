@@ -217,3 +217,71 @@ def q_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+def _pagerank_oracle_sql(iters: int = 3, damping: int = 85) -> str:
+    """Unrolled integer PageRank over the symmetrized supplier–customer
+    supply graph — mirrors ``operators.graph.pagerank`` exactly (BIGINT
+    micro-unit ranks, DIV truncation, so aggregation order is
+    irrelevant and the replay is bit-exact)."""
+    base = (100 - damping) * 1_000_000 // 100
+    rounds = []
+    for n in range(iters):
+        rounds.append(
+            f"""r{n + 1} AS (
+  SELECT n.node,
+         CAST({base} + ({damping} * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.pr // d.deg) AS s
+    FROM edges e JOIN deg d ON d.src = e.src JOIN r{n} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+        )
+    return (
+        """WITH pairs AS (
+  SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT sk AS src, 10000000 + ck AS dst FROM pairs
+  UNION ALL
+  SELECT 10000000 + ck AS src, sk AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+"""
+        + ",\n".join(rounds)
+        + f"\nSELECT node, pr FROM r{iters}"
+    )
+
+
+@register(
+    "q_pagerank_supply",
+    oracle=_pagerank_oracle_sql(3, 85),
+    doc="Integer PageRank (3 rounds, d=0.85) over the symmetrized "
+    "supplier–customer supply graph: ranks are BIGINT micro-units and "
+    "every step is truncating integer math, so the result is bit-exact "
+    "under any aggregation order / partitioning — the float version "
+    "would drift across engines. Pregel-on-DataFrames shape: per round "
+    "one rank-to-edges join on src + one contribution shuffle on dst.",
+)
+def q_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("l_suppkey").alias("sk"), F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("sk").alias("src"), (F.lit(10_000_000) + F.col("ck")).alias("dst")
+    ).unionByName(
+        pairs.select(
+            (F.lit(10_000_000) + F.col("ck")).alias("src"), F.col("sk").alias("dst")
+        )
+    )
+    return pagerank(edges, iters=3, damping_pct=85)

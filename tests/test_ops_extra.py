@@ -313,3 +313,28 @@ def test_pq_topk_recall_vs_exact_l2(spark):
     }
     rerank_recall = len(rr & exact) / len(exact)
     assert rerank_recall >= 2 * recall, (recall, rerank_recall)
+
+
+def test_pagerank_matches_naive_integer_reference(spark):
+    from files_kraken_spark.operators.graph import UNIT, pagerank
+
+    # tiny directed graph, symmetrized: 1-2, 2-3, 3-1, 3-4
+    und = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank(df, iters=3).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    out = {n: [d for s, d in edges if s == n] for n in nodes}
+    pr = {n: UNIT for n in nodes}
+    base = 15 * UNIT // 100
+    for _ in range(3):
+        inc = {n: 0 for n in nodes}
+        for s in nodes:
+            c = pr[s] // len(out[s])
+            for d in out[s]:
+                inc[d] += c
+        pr = {n: base + (85 * inc[n]) // 100 for n in nodes}
+    assert got == pr
+    # truncating division only loses mass — never creates it
+    assert sum(got.values()) <= len(nodes) * UNIT
