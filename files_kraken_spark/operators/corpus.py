@@ -286,8 +286,11 @@ def bpe_train(
     same stragglers on every engine). Words end with the canonical
     '</w>' marker symbol.
 
-    Scale: the dict is |vocab| rows (≪ corpus); each round persists it
-    (bounded lineage) and shuffles only pair counts. For byte-level BPE
+    Scale: the dict is |vocab| rows (≪ corpus); each round
+    localCheckpoints it (the per-round plan embeds the previous round
+    twice — once through the pair counts, once through the merge join —
+    so without truncation lineage doubles per round) and shuffles only
+    pair counts. For byte-level BPE
     at web scale the same plan applies with bytes as initial symbols.
     """
     words = (
@@ -327,7 +330,7 @@ def bpe_train(
                 "cnt",
                 F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
             )
-            .persist()
+            .localCheckpoint()
         )
         merge_rows.append(best.select("rank", "pair", "cnt"))
         padded = F.concat(F.lit(" "), F.col("sym"), F.lit(" "))
@@ -339,9 +342,78 @@ def bpe_train(
         words = (
             words.crossJoin(F.broadcast(best))
             .select(F.trim(merged_sym).alias("sym"), "wc")
-            .persist()
+            .localCheckpoint()
         )
     out = merge_rows[0]
     for b in merge_rows[1:]:
         out = out.unionByName(b)
     return out
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Tokenize with a TRAINED BPE merge table (`bpe_train` output):
+    returns ``(id, n_bpe_tokens)`` — the post-merge symbol count per
+    document.
+
+    The scalable shape: merges apply to the DISTINCT-word dictionary
+    (|vocab| rows), not to every token occurrence; occurrences then
+    join the broadcast per-word symbol counts and aggregate. The merge
+    fold itself is a Catalyst ``aggregate`` over the (tiny, broadcast)
+    rank-ordered merge array — replace 3× per merge, mirroring
+    `bpe_train`'s application — so there is no Python crossing and no
+    driver collect.
+    """
+    marr = (
+        merges_df.select(
+            F.struct(
+                F.col("rank"),
+                F.col("pair"),
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+            ).alias("s")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("s")),
+                lambda s: F.concat(s["pair"], F.lit("\t"), s["merged"]),
+            ).alias("ml")
+        )
+    )
+    occ = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+    dict_df = occ.select("w").distinct().crossJoin(F.broadcast(marr))
+    init = F.concat(
+        F.lit(" "),
+        F.expr(
+            "array_join(transform(sequence(1, char_length(w)), "
+            "i -> substr(w, i, 1)), ' ')"
+        ),
+        F.lit(" </w> "),
+    )
+
+    def _rep3(acc, pat, rep):
+        x = acc
+        for _ in range(3):
+            x = F.replace(x, pat, rep)
+        return x
+
+    folded = F.aggregate(
+        F.col("ml"),
+        init,
+        lambda acc, x: _rep3(
+            acc,
+            F.concat(F.lit(" "), F.split_part(x, F.lit("\t"), F.lit(1)), F.lit(" ")),
+            F.concat(F.lit(" "), F.split_part(x, F.lit("\t"), F.lit(2)), F.lit(" ")),
+        ),
+    )
+    dict_tok = dict_df.select(
+        "w", F.size(F.split(F.trim(folded), " ")).alias("n_sym")
+    )
+    return (
+        occ.join(F.broadcast(dict_tok), "w")
+        .groupBy(id_col)
+        .agg(F.sum("n_sym").cast("long").alias("n_bpe_tokens"))
+    )

@@ -1302,3 +1302,129 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfpq_topk(
         emb, q, k=8, m=4, ksub=8, iters=2, dim=64, probes=2, topk=5
     )
+
+
+def _bpe_oracle_sql(merges: int = 8) -> str:
+    """Unrolled BPE merge training — mirrors
+    ``operators.corpus.bpe_train``: word-frequency dict, per-round pair
+    counts (integer, order-independent), top-1 winner with
+    lexicographic tie-break, merge applied as plain replace 3x on the
+    space-delimited symbol string."""
+    ctes = [
+        f"""w0 AS (
+  SELECT array_to_string(list_transform(range(1, len(w) + 1), i -> w[i:i]), ' ')
+           || ' </w>' AS sym,
+         CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest({_SQL_TOKENS.format(col='text')}) AS w FROM documents)
+  GROUP BY w
+)"""
+    ]
+    for r in range(merges):
+        ctes.append(
+            f"""c{r + 1} AS (
+  SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(string_split(sym, ' ')), 1),
+      i -> string_split(sym, ' ')[i] || ' ' || string_split(sym, ' ')[i + 1])) AS pair,
+           wc
+    FROM w{r}
+  ) GROUP BY pair
+)"""
+        )
+        ctes.append(
+            f"""b{r + 1} AS (
+  SELECT CAST({r + 1} AS BIGINT) AS rank, pair, cnt,
+         replace(pair, ' ', '') AS merged
+  FROM c{r + 1} ORDER BY cnt DESC, pair LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""w{r + 1} AS (
+  SELECT trim(replace(replace(replace(
+           ' ' || w.sym || ' ',
+           ' ' || b.pair || ' ', ' ' || b.merged || ' '),
+           ' ' || b.pair || ' ', ' ' || b.merged || ' '),
+           ' ' || b.pair || ' ', ' ' || b.merged || ' ')) AS sym,
+         w.wc
+  FROM w{r} w, b{r + 1} b
+)"""
+        )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _bpe_oracle_union(merges: int = 8) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT rank, pair, cnt FROM b{r + 1}" for r in range(merges)
+    )
+
+
+@register(
+    "t_bpe_train_merges",
+    oracle=_bpe_oracle_sql(8) + "\n" + _bpe_oracle_union(8),
+    doc="Distributed BPE merge training (Sennrich et al. 2016): one "
+    "corpus tokenize + groupBy builds the word-frequency dict (the "
+    "only corpus-sized shuffle), then each of 8 rounds counts symbol "
+    "pairs (integer, order-independent), picks the global winner "
+    "(ties lexicographic), and applies the merge via plain replace "
+    "through a 1-row broadcast join — no driver collect. Oracle "
+    "unrolls all 8 rounds.",
+)
+def t_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, "doc_id", "text", merges=8)
+
+
+_BPE_REPLACE3 = (
+    "replace(replace(replace(acc,\n"
+    "      ' ' || split_part(x, chr(9), 1) || ' ', ' ' || split_part(x, chr(9), 2) || ' '),\n"
+    "      ' ' || split_part(x, chr(9), 1) || ' ', ' ' || split_part(x, chr(9), 2) || ' '),\n"
+    "      ' ' || split_part(x, chr(9), 1) || ' ', ' ' || split_part(x, chr(9), 2) || ' ')"
+)
+
+
+@register(
+    "t_bpe_tokenize_trained",
+    oracle=_bpe_oracle_sql(8)
+    + f""",
+mstr AS (
+  SELECT list(pair || chr(9) || merged ORDER BY rank) AS ml FROM (
+    {" UNION ALL ".join(f"SELECT rank, pair, merged FROM b{r + 1}" for r in range(8))}
+  )
+),
+occ AS (
+  SELECT doc_id, source, unnest({_SQL_TOKENS.format(col='text')}) AS w
+  FROM documents
+),
+dictw AS (SELECT DISTINCT w FROM occ),
+applied AS (
+  SELECT w,
+         len(string_split(trim(list_reduce(list_prepend(
+           ' ' || array_to_string(list_transform(range(1, len(w) + 1), i -> w[i:i]), ' ')
+               || ' </w> ',
+           m.ml),
+           (acc, x) -> {_BPE_REPLACE3})), ' ')) AS n_sym
+  FROM dictw, mstr m
+)
+SELECT source, CAST(sum(a.n_sym) AS BIGINT) AS bpe_tokens
+FROM occ JOIN applied a USING (w)
+GROUP BY source""",
+    doc="Tokenize the corpus with the trained BPE merges (train + apply "
+    "end-to-end): merges fold over the DISTINCT-word dictionary (|vocab| "
+    "rows, Catalyst aggregate over the broadcast rank-ordered merge "
+    "list — no Python, no collect), occurrences then join the broadcast "
+    "per-word symbol counts. Oracle replays train + fold via "
+    "list_reduce with the init prepended.",
+)
+def t_bpe_tokenize_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import bpe_apply, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "doc_id", "text", merges=8)
+    per_doc = bpe_apply(docs, merges, "doc_id", "text")
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_bpe_tokens").cast("long").alias("bpe_tokens"))
+    )

@@ -338,3 +338,30 @@ def test_pagerank_matches_naive_integer_reference(spark):
     assert got == pr
     # truncating division only loses mass — never creates it
     assert sum(got.values()) <= len(nodes) * UNIT
+
+
+def test_bpe_train_hand_checked_merges(spark):
+    from files_kraken_spark.operators.corpus import bpe_train
+
+    df = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low newer new"),
+            (2, "low newer wider new new new"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = [
+        (r["rank"], r["pair"], r["cnt"])
+        for r in bpe_train(df, "doc_id", "text", merges=6).orderBy("rank").collect()
+    ]
+    # hand-derived: low:4 lower:1 lowest:1 newer:2 new:4 wider:1; ties
+    # break to the lexicographically smaller pair ("l o" < "n e" at 6,
+    # "er </w>" < "lo w</w>" at 4)
+    assert got == [
+        (1, "w </w>", 8),
+        (2, "l o", 6),
+        (3, "n e", 6),
+        (4, "e r", 4),
+        (5, "er </w>", 4),
+        (6, "lo w</w>", 4),
+    ]
