@@ -43,6 +43,10 @@ EXTRA = [
     "q8_market_share",
     "q21_waiting_supplier",
     "q_variant_json",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "q_pagerank_supply",
+    "t_bpe_train_merges",
 ]
 
 

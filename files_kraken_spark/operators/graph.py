@@ -27,6 +27,7 @@ def pagerank(
     damping_pct: int = 85,
     src_col: str = "src",
     dst_col: str = "dst",
+    symmetrize: bool = False,
 ) -> DataFrame:
     """Iterative PageRank over a directed edge list, returning
     ``(node, pr)`` with ``pr`` in integer micro-units (node mass starts
@@ -37,6 +38,10 @@ def pagerank(
     nodes contribute nothing (symmetrize the edge list to avoid them —
     every node then has out-degree ≥ 1).
 
+    ``symmetrize=True`` adds the reverse of every edge INSIDE the
+    operator, after persisting the base edge set — callers that union
+    both directions themselves pay the upstream edge computation twice.
+
     Scale shape per round: one join of the (small) rank table to edges
     on src — co-partitioned if edges are bucketed by src — then one
     shuffle aggregating contributions on dst. Degrees and the node set
@@ -44,7 +49,15 @@ def pagerank(
     ``iters``; for deep iteration add a ``localCheckpoint`` every ~5
     rounds like ``dedup.connected_components`` does.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # edges feed degrees, the node set, AND every round's contribution
+    # join — persist once or the upstream plan re-executes per consumer
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    if symmetrize:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     nodes = e.select(F.col("src").alias("node")).distinct().persist()
     base = (100 - damping_pct) * UNIT // 100

@@ -279,9 +279,5 @@ def q_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.select(
         F.col("sk").alias("src"), (F.lit(10_000_000) + F.col("ck")).alias("dst")
-    ).unionByName(
-        pairs.select(
-            (F.lit(10_000_000) + F.col("ck")).alias("src"), F.col("sk").alias("dst")
-        )
     )
-    return pagerank(edges, iters=3, damping_pct=85)
+    return pagerank(edges, iters=3, damping_pct=85, symmetrize=True)

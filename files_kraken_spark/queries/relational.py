@@ -1273,3 +1273,30 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
         .distinct()
     )
+
+
+from ..operators.layout import zorder_key_sql as _zorder_key_sql
+
+
+@register(
+    "q_zorder_key",
+    oracle="SELECT event_id, ("
+    + _zorder_key_sql(["(user_id & 1023)", "((epoch_us(ts) // 1000000) & 1023)"], 10)
+    + """) AS zkey
+FROM events WHERE event_id < 5000""",
+    doc="Z-order clustering key over (user_id, event-second): bit "
+    "interleave via pure shift/and/or integer expressions (whole-stage "
+    "codegen, engine-portable). `layout.cluster_write` range-partitions "
+    "+ sorts on this key so every parquet file covers a tight 2-D box "
+    "and min/max stats skip on BOTH columns (locality proven in "
+    "tests/test_layout.py: 8x8 box -> <=3 of 16 files vs >=14 hashed).",
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zorder_key
+
+    events = load_table(spark, sf_dir, "events")  # ts = long nanos
+    x = F.col("user_id").bitwiseAND(F.lit(1023))
+    y = F.expr("ts DIV 1000000000").bitwiseAND(F.lit(1023))
+    return events.filter(F.col("event_id") < 5000).select(
+        "event_id", zorder_key([x, y], bits=10).alias("zkey")
+    )

@@ -1,0 +1,46 @@
+"""Z-order clustering: prove the layout buys multi-column locality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from files_kraken_spark.operators.layout import (
+    cluster_write,
+    files_touched,
+    zorder_key,
+)
+
+
+def test_zorder_key_interleaves_bits(spark):
+    df = spark.createDataFrame([(5, 3)], "x long, y long")  # 101, 011
+    # interleaved (bit j of col i at j*2+i): x bits at even, y at odd
+    # x=101, y=011 -> z = 1<<0 | 1<<1 | 0<<2 | 1<<3 | 1<<4 | 0<<5 = 27
+    got = df.select(
+        zorder_key([F.col("x"), F.col("y")], bits=3).alias("z")
+    ).collect()[0]["z"]
+    assert got == 27
+
+
+def test_zorder_layout_touches_few_files_for_box_query(spark, tmp_path):
+    grid = (
+        spark.range(0, 64 * 64)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        )
+    )
+    zpath = str(tmp_path / "zordered")
+    rpath = str(tmp_path / "rand")
+    cluster_write(grid, zpath, ["x", "y"], bits=6, n_files=16)
+    # control: same data hash-scattered across the same file count
+    grid.repartition(16, "payload").write.mode("overwrite").parquet(rpath)
+
+    box = (F.col("x").between(8, 15)) & (F.col("y").between(8, 15))
+    z_files = files_touched(spark.read.parquet(zpath).filter(box))
+    r_files = files_touched(spark.read.parquet(rpath).filter(box))
+    assert spark.read.parquet(zpath).filter(box).count() == 64
+    # an 8x8 box out of 64x64 is one z-block neighborhood: a few files
+    # in the clustered layout, essentially all files in the hash layout
+    assert z_files <= 3, z_files
+    assert r_files >= 14, r_files

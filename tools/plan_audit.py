@@ -35,6 +35,14 @@ ALLOWED_NESTED_LOOP = {
     "q22_global_sales_opportunity",  # 1-row avg-balance threshold broadcast
     "q11_important_stock",  # 1-row value threshold broadcast
     "t_tfidf_top_terms",  # 1-row corpus-size broadcast
+    "emb_kmeans_cells",  # k-centroid broadcast × corpus argmin: Lloyd's IS a nested loop
+    "sem_dedup_kmeans",  # same trainer underneath
+    "sim_ivf_trained_topk",  # k-centroid probe broadcast
+    "sim_pq_topk",  # m·ksub ADC LUT broadcast × code scan
+    "sim_pq_rerank",  # same ADC stage + per-shortlist probe
+    "sim_ivfpq_topk",  # centroid probe + ADC LUT broadcasts
+    "t_bpe_tokenize_trained",  # 1-row merge-winner / merge-list broadcasts
+    "q_bloom_filter",  # 1-row bitmap broadcast vs probe side
 }
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
