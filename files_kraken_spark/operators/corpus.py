@@ -417,3 +417,93 @@ def bpe_apply(
         .groupBy(id_col)
         .agg(F.sum("n_sym").cast("long").alias("n_bpe_tokens"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window chunking for retrieval/context pipelines: token
+    windows of ``chunk_tokens`` advancing by ``chunk_tokens - overlap``,
+    emitted as ``(id, chunk_no, n_tokens, chunk_text)``. The final
+    window may be short; documents shorter than one stride yield a
+    single chunk; empty documents yield none.
+
+    Pure Catalyst: tokenize once, ``posexplode`` the window-start
+    sequence, ``slice`` the token array — a narrow map with row fan-out
+    ≈ tokens/stride, no shuffle at all. At 100 TB chunking is a
+    map-only pass that parallelizes with the scan.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    ).filter(F.size("__t") > 0)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("__t") - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_no", "__s"),
+        F.col("__t"),
+    ).select(
+        F.col(id_col),
+        "chunk_no",
+        F.size(F.slice("__t", F.col("__s"), F.lit(chunk_tokens))).alias("n_tokens"),
+        F.array_join(
+            F.slice("__t", F.col("__s"), F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    target_total: int = 10_000,
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-sampling
+    recipe, α = 0.5): a group with share p of the corpus gets a target
+    share ∝ √p — upweighting small sources, damping dominant ones.
+    Returns per-group ``(group, n_docs, target_n, rep_factor)`` where
+    ``rep_factor`` is the integer per-document replication to hit the
+    target (callers expand with ``explode(sequence(1, rep_factor))``
+    and a downstream shuffle/pack).
+
+    α = 0.5 deliberately: √ is IEEE-correctly-rounded on every engine,
+    so targets are bit-reproducible (an arbitrary ``pow(p, α)`` is
+    libm-dependent and is NOT). All-integer afterwards: targets are
+    floor-scaled, replication factors are ceils of integer division.
+    One tiny aggregate + a broadcast-sized group table — no data pass
+    beyond the group counts.
+    """
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum("n_docs").cast("long").alias("corpus_n"),
+        F.round(F.sum(F.sqrt(F.col("n_docs").cast("double"))), 6).alias("z"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            F.floor(
+                F.lit(float(target_total)) * F.sqrt(F.col("n_docs").cast("double"))
+                / F.col("z")
+            )
+            .cast("long")
+            .alias("target_n"),
+        )
+        .withColumn(
+            "rep_factor",
+            F.expr("(target_n + n_docs - 1) DIV n_docs"),
+        )
+    )

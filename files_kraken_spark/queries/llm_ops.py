@@ -1428,3 +1428,60 @@ def t_bpe_tokenize_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("n_bpe_tokens").cast("long").alias("bpe_tokens"))
     )
+
+
+@register(
+    "t_chunk_documents",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, (s - 1) // 48 AS chunk_no,
+       len(t[s : least(s + 63, len(t))]) AS n_tokens,
+       array_to_string(t[s : least(s + 63, len(t))], ' ') AS chunk_text
+FROM (
+  SELECT doc_id, t,
+         unnest(range(1, greatest(len(t) - 16, 1) + 1, 48)) AS s
+  FROM toks WHERE len(t) > 0
+)""",
+    doc="Sliding-window chunking for retrieval pipelines: 64-token "
+    "windows advancing by 48 (16 overlap) — posexplode window starts + "
+    "array slice, a pure narrow map (fan-out tokens/stride, zero "
+    "shuffle), so chunking parallelizes with the scan at 100 TB.",
+)
+def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+@register(
+    "t_temperature_resample",
+    oracle="""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS corpus_n,
+         round(sum(sqrt(CAST(n_docs AS DOUBLE))), 6) AS z
+  FROM counts
+)
+SELECT source, n_docs,
+       CAST(floor(10000.0 * sqrt(CAST(n_docs AS DOUBLE)) / z) AS BIGINT) AS target_n,
+       (CAST(floor(10000.0 * sqrt(CAST(n_docs AS DOUBLE)) / z) AS BIGINT)
+          + n_docs - 1) // n_docs AS rep_factor
+FROM counts, tot""",
+    doc="Temperature-based source rebalancing (multilingual-sampling "
+    "recipe, α=0.5): target share ∝ √(corpus share) — upweights small "
+    "sources, damps dominant ones. α=0.5 on purpose: IEEE sqrt is "
+    "correctly rounded on every engine (arbitrary pow(p,α) is "
+    "libm-dependent); everything after the one rounded √-sum is "
+    "integer math. One tiny aggregate — no corpus pass.",
+)
+def t_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_resample(docs, "source", "doc_id", target_total=10_000)

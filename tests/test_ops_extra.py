@@ -365,3 +365,46 @@ def test_bpe_train_hand_checked_merges(spark):
         (5, "er </w>", 4),
         (6, "lo w</w>", 4),
     ]
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from files_kraken_spark.operators.corpus import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b"), (3, "")], ["doc_id", "text"]
+    )
+    rows = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_no"]] = (
+            r["n_tokens"], r["chunk_text"]
+        )
+    # stride 3 over 10 tokens: starts 1,4,7 -> full, full, short(4? tokens 7..10)
+    assert by_doc[1][0] == (4, "w0 w1 w2 w3")
+    assert by_doc[1][1] == (4, "w3 w4 w5 w6")
+    assert by_doc[1][2] == (4, "w6 w7 w8 w9")
+    assert len(by_doc[1]) == 3
+    # consecutive chunks share exactly `overlap` tokens
+    assert by_doc[1][0][1].split()[-1] == by_doc[1][1][1].split()[0]
+    assert by_doc[2] == {0: (2, "a b")}  # shorter than one window
+    assert 3 not in by_doc  # empty doc -> no chunks
+
+
+def test_temperature_resample_upweights_small_sources(spark):
+    from files_kraken_spark.operators.corpus import temperature_resample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        ["doc_id", "source"],
+    )
+    out = {r["source"]: r for r in
+           temperature_resample(df, "source", "doc_id", target_total=1000).collect()}
+    # √-temperature: big 90% -> ~75%, small 10% -> ~25%
+    assert out["big"]["n_docs"] == 900 and out["small"]["n_docs"] == 100
+    assert 700 <= out["big"]["target_n"] <= 760
+    assert 240 <= out["small"]["target_n"] <= 300
+    assert out["small"]["rep_factor"] >= 2  # small source gets replicated
+    assert out["big"]["rep_factor"] == 1
+    total = out["big"]["target_n"] + out["small"]["target_n"]
+    assert 995 <= total <= 1000  # floor dust only
