@@ -455,12 +455,18 @@ def pq_topk(
     iters: int = 2,
     dim: int = 64,
     topk: int = 5,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """PQ approximate nearest neighbors via asymmetric distance
     computation (ADC): train/encode with `pq_train_encode`, build each
     query's m·ksub lookup table of exact subvector-to-codeword squared
     distances, then score every candidate as the m-ordered sum of table
     entries selected by its codes.
+
+    ``index`` takes a prebuilt ``(codes, codebook)`` pair — the
+    production pattern: train/encode ONCE (persist or write the code
+    table), amortize over every query batch. Omitted, it trains inline
+    (the oracle-checked single-shot form).
 
     Scale shape: the candidate scan touches ONLY the code column (~m
     bytes/row — the 64× compressed store), the per-query LUT is m·ksub
@@ -473,10 +479,13 @@ def pq_topk(
     from pyspark.sql.window import Window
 
     w = dim // m
-    codes, cb = pq_train_encode(
-        df, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, iters=iters, dim=dim
-    )
-    cb = cb.persist()
+    if index is None:
+        codes, cb = pq_train_encode(
+            df, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, iters=iters, dim=dim
+        )
+        cb = cb.persist()
+    else:
+        codes, cb = index
     subs = F.array(
         *[
             F.struct(
@@ -532,9 +541,8 @@ def pq_topk(
     )
 
 
-def ivfpq_topk(
+def ivfpq_build_index(
     df: DataFrame,
-    query_ids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
@@ -542,37 +550,19 @@ def ivfpq_topk(
     ksub: int = 8,
     iters: int = 2,
     dim: int = 64,
-    probes: int = 2,
-    topk: int = 5,
-) -> DataFrame:
-    """IVF-PQ — the canonical billion-scale ANN layout (Jégou et al.
-    2011): a coarse k-means quantizer partitions the corpus into ``k``
-    inverted lists, product quantization compresses every vector to
-    ``m`` code bytes, and a query probes its ``probes`` nearest cells
-    scoring ONLY those cells' codes via the ADC lookup table.
-
-    Simplification vs the paper: PQ trains on raw vectors, not
-    cell-residuals (keeps the two trainings independent and the oracle
-    replayable); the rerank stage (`pq_topk_rerank`) recovers the
-    accuracy gap where it matters.
-
-    Scale shape: candidate scan cost drops twice — probes/k of the
-    corpus is visited (IVF) and each visited row is ~m bytes (PQ).
-    Cells and codes are one co-partitioned join on id (done once,
-    reusable as a materialized index table); per-query work is k
-    centroid distances + the probed cells' ADC sums. The only per-query
-    shuffle is the top-k window.
-    """
-    from pyspark.sql.window import Window
-
-    w = dim // m
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the IVF-PQ index once: returns ``(index_table, codebook,
+    centroids)`` where index_table is the (id, codes, cell) join —
+    persist it (or write it as a table; it's ~m bytes + a cell id per
+    vector) and feed every subsequent `ivfpq_topk` call via ``index=``.
+    Training cost amortizes to zero over query batches, exactly like a
+    production ANN service's build/serve split."""
     cells = kmeans_fit_predict(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
     codes, cb = pq_train_encode(
         df, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, iters=iters, dim=dim
     )
     cb = cb.persist()
-    index = codes.join(cells, id_col)  # (id, codes, cell) — the IVF-PQ index table
-
+    idx = codes.join(cells, id_col)  # (id, codes, cell) — the IVF-PQ index table
     emb_d = df.select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
@@ -590,6 +580,56 @@ def ivfpq_topk(
             ).alias("centroid")
         )
     )
+    return idx, cb, centroids
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    probes: int = 2,
+    topk: int = 5,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF-PQ — the canonical billion-scale ANN layout (Jégou et al.
+    2011): a coarse k-means quantizer partitions the corpus into ``k``
+    inverted lists, product quantization compresses every vector to
+    ``m`` code bytes, and a query probes its ``probes`` nearest cells
+    scoring ONLY those cells' codes via the ADC lookup table.
+
+    ``index`` takes a prebuilt ``(index_table, codebook, centroids)``
+    triple from `ivfpq_build_index` — train once, persist/write the
+    (cell, codes) table, amortize over every query batch. Omitted, it
+    trains inline (the oracle-checked single-shot form).
+
+    Simplification vs the paper: PQ trains on raw vectors, not
+    cell-residuals (keeps the two trainings independent and the oracle
+    replayable); the rerank stage (`pq_topk_rerank`) recovers the
+    accuracy gap where it matters.
+
+    Scale shape: candidate scan cost drops twice — probes/k of the
+    corpus is visited (IVF) and each visited row is ~m bytes (PQ).
+    Cells and codes are one co-partitioned join on id (done once,
+    reusable as a materialized index table); per-query work is k
+    centroid distances + the probed cells' ADC sums. The only per-query
+    shuffle is the top-k window.
+    """
+    from pyspark.sql.window import Window
+
+    w = dim // m
+    if index is None:
+        idx, cb, centroids = ivfpq_build_index(
+            df, id_col=id_col, vec_col=vec_col, k=k, m=m, ksub=ksub,
+            iters=iters, dim=dim,
+        )
+    else:
+        idx, cb, centroids = index
     q = df.join(query_ids, id_col).select(
         F.col(id_col).alias("q_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
@@ -645,7 +685,7 @@ def ivfpq_topk(
         lambda acc, x: acc + x,
     )
     scored = (
-        index.join(F.broadcast(probed.join(lut, "q_id")), "cell")
+        idx.join(F.broadcast(probed.join(lut, "q_id")), "cell")
         .filter(F.col(id_col) != F.col("q_id"))
         .select("q_id", F.col(id_col).alias("cand_id"), ad.alias("ad"))
     )

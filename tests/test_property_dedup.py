@@ -86,3 +86,39 @@ def test_semdedup_invariants(spark, vecs):
     for members in by_cell.values():
         lowest = min(m["id"] for m in members)
         assert next(m for m in members if m["id"] == lowest)["kept"]
+
+
+CHUNK_WORD = st.sampled_from(["aa", "bb", "cc"])
+CHUNK_DOC = st.lists(CHUNK_WORD, min_size=0, max_size=20)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(doc=CHUNK_DOC, chunk_tokens=st.integers(3, 6), overlap=st.integers(0, 2))
+def test_chunk_documents_covers_tokens_exactly(spark, doc, chunk_tokens, overlap):
+    from files_kraken_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame([(1, " ".join(doc))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(
+            df, "doc_id", "text", chunk_tokens=chunk_tokens, overlap=overlap
+        ).collect(),
+        key=lambda r: r["chunk_no"],
+    )
+    stride = chunk_tokens - overlap
+    if not doc:
+        assert rows == []
+        return
+    # reconstruct: chunk i contributes tokens [i*stride, i*stride+len)
+    rebuilt = []
+    for r in rows:
+        toks = r["chunk_text"].split() if r["chunk_text"] else []
+        assert r["n_tokens"] == len(toks) <= chunk_tokens
+        start = r["chunk_no"] * stride
+        assert toks == doc[start : start + chunk_tokens]
+        rebuilt = rebuilt[:start] + toks
+    assert rebuilt == doc  # full coverage, no token lost or invented
