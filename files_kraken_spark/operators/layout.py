@@ -87,3 +87,69 @@ def files_touched(df: DataFrame) -> int:
     return (
         df.select(F.input_file_name().alias("f")).distinct().count()
     )
+
+
+def compact(
+    spark,
+    path: str,
+    out_path: str,
+    target_rows_per_file: int = 1_000_000,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the perpetual 100 TB housekeeping job:
+    streaming sinks and incremental commits leave thousands of KB-sized
+    files whose per-file open/footer cost dominates scans. Rewrite the
+    directory into ``ceil(rows / target_rows_per_file)`` files,
+    optionally re-sorted (pass the z-key or a clustering column to
+    restore locality while compacting). Returns the output file count.
+
+    One count + one exchange + one write; with ``sort_cols`` the
+    exchange is range-based so min/max stats stay tight. Writes to
+    ``out_path`` (atomic swap is the caller's rename — same
+    single-writer discipline as the state store).
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
+def collect_zone_map(
+    spark, path: str, stat_cols: list[str]
+) -> DataFrame:
+    """Build a file-level zone map (the Iceberg/Delta manifest idea as
+    a plain DataFrame): one row per parquet file with min/max of each
+    stat column. One scan, one groupBy(file) — O(files) output that a
+    planner (or `prune_files`) consults instead of opening footers at
+    query time. Recompute per compaction/ingest batch, not per query."""
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return (
+        df.withColumn("file", F.input_file_name())
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    )
+
+
+def prune_files(
+    zone_map: DataFrame, col: str, lo, hi
+) -> list[str]:
+    """Files whose [min, max] range intersects [lo, hi] — the read set
+    a planner passes to ``spark.read.parquet(*files)``. The zone map is
+    O(files) rows, so this collect is manifest-sized, not data-sized."""
+    rows = zone_map.filter(
+        (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
+    ).select("file")
+    return [r["file"] for r in rows.collect()]

@@ -44,3 +44,42 @@ def test_zorder_layout_touches_few_files_for_box_query(spark, tmp_path):
     # in the clustered layout, essentially all files in the hash layout
     assert z_files <= 3, z_files
     assert r_files >= 14, r_files
+
+
+def test_compact_reduces_file_count_and_preserves_rows(spark, tmp_path):
+    from files_kraken_spark.operators.layout import compact
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    spark.range(0, 5000).withColumn("v", F.col("id") % 7).repartition(
+        64
+    ).write.parquet(src)
+    assert len([f for f in __import__("os").listdir(src) if f.endswith(".parquet")]) == 64
+    n_files = compact(spark, src, dst, target_rows_per_file=2500, sort_cols=["id"])
+    assert n_files == 2
+    out = spark.read.parquet(dst)
+    assert out.count() == 5000
+    assert out.agg(F.sum("id")).collect()[0][0] == 5000 * 4999 // 2
+
+
+def test_zone_map_prunes_files_for_range_query(spark, tmp_path):
+    from files_kraken_spark.operators.layout import collect_zone_map, prune_files
+
+    path = str(tmp_path / "ranged")
+    # range-partitioned on id -> each of 10 files covers a tight id band
+    spark.range(0, 10_000).withColumn(
+        "v", F.col("id") * 3
+    ).repartitionByRange(10, "id").sortWithinPartitions("id").write.parquet(path)
+    zm = collect_zone_map(spark, path, ["id", "v"])
+    assert zm.count() == 10
+    assert zm.agg(F.sum("n_rows")).collect()[0][0] == 10_000
+
+    files = prune_files(zm, "id", 4100, 4200)
+    assert 1 <= len(files) <= 2  # a 100-id band lives in 1-2 of 10 files
+    # the pruned read set returns exactly the predicate's rows
+    got = (
+        spark.read.parquet(*files)
+        .filter(F.col("id").between(4100, 4200))
+        .count()
+    )
+    assert got == 101
