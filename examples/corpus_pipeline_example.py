@@ -1,6 +1,8 @@
 """Runnable tour of the training-data pipeline operators over the
 synthetic corpus: quality rules → dedup → contamination check →
-weighted sampling → sequence packing → expectations report.
+temperature resampling → BPE tokenizer training + tokenization →
+chunking → weighted sampling → sequence packing → expectations
+report.
 
     python examples/corpus_pipeline_example.py [sf_dir]
 
@@ -47,7 +49,28 @@ def main() -> None:
     )
     leaks.orderBy(F.col("n_shared").desc()).show(5)
 
-    print("== 4. weighted sample (3 per source, weight = n_chars)")
+    print("== 4a. temperature resample (α=0.5 source rebalancing)")
+    C.temperature_resample(kept, "source", "doc_id", target_total=5000).orderBy(
+        F.col("n_docs").desc()
+    ).show(5)
+
+    print("== 4b. BPE: train 8 merges on the corpus, tokenize with them")
+    merges = C.bpe_train(kept, "doc_id", "text", merges=8)
+    merges.orderBy("rank").show(8, truncate=False)
+    per_doc = C.bpe_apply(kept, merges, "doc_id", "text")
+    per_doc.agg(
+        F.sum("n_bpe_tokens").alias("bpe_tokens_total"),
+        F.round(F.avg("n_bpe_tokens"), 1).alias("avg_per_doc"),
+    ).show()
+
+    print("== 4c. chunk into 64-token windows (16 overlap)")
+    chunks = C.chunk_documents(kept, "doc_id", "text", chunk_tokens=64, overlap=16)
+    chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.round(F.avg("n_tokens"), 1).alias("avg_chunk_tokens"),
+    ).show()
+
+    print("== 4d. weighted sample (3 per source, weight = n_chars)")
     C.weighted_sample_topk(kept, "doc_id", "n_chars", k=3, stratum_col="source").select(
         "source", "doc_id", "n_chars"
     ).orderBy("source", "doc_id").show(9)
