@@ -6,12 +6,14 @@ resize / frame-sample run as Arrow-batched ``mapInPandas`` passes —
 one Python crossing per batch, never per row — and each pass declares
 its output schema up front so downstream stays columnar.
 
-The actual codec step is STUBBED: image/audio libraries are not in
-this environment. ``decode_stub`` produces deterministic fake features
-from the raw bytes (so the Spark-side plumbing — schema, partitioning,
-UDF signature, Arrow batch shape — is real and tested); ``decode_real``
-raises ``NotImplementedError`` until a codec (Pillow/torchaudio/…) is
-importable.
+Codecs: binary Netpbm images (P5/P6) decode FOR REAL in pure numpy
+(`decode_netpbm`), so `image_stats` and `resize_image` operate on
+actual decoded pixels end-to-end. Compressed formats (JPEG/PNG/audio/
+video) still need codec libraries absent in this environment —
+``decode_real`` gates them behind ``NotImplementedError`` and
+``decode_stub`` produces deterministic fake features so that plumbing
+(schema, partitioning, UDF signature, Arrow batch shape) stays
+exercised.
 """
 
 from __future__ import annotations
@@ -64,14 +66,58 @@ def attach_binary(df: DataFrame, id_col: str, payload_col: str, modality: str) -
     )
 
 
+def decode_netpbm(data: bytes):
+    """REAL image decode for binary Netpbm payloads (P5 grayscale / P6
+    RGB, maxval ≤ 255) in pure numpy — no codec library needed. Returns
+    an (H, W, C) uint8 array. Header comments (#…) are honored per the
+    spec. Anything that isn't P5/P6 still needs a codec → decode_real.
+    """
+    import numpy as np
+
+    magic = data[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm payload (P5/P6)")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    c = 3 if magic == b"P6" else 1
+    arr = np.frombuffer(data, dtype=np.uint8, count=w * h * c, offset=pos)
+    return arr.reshape(h, w, c)
+
+
+def encode_netpbm(arr) -> bytes:
+    """Inverse of `decode_netpbm`: (H, W, 1|3) uint8 → P5/P6 bytes."""
+    h, w, c = arr.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
 def decode_real(data: bytes, modality: str):
-    """Real media decode — requires codec libraries absent here."""
+    """Real media decode. Binary Netpbm images decode in pure numpy
+    (`decode_netpbm`); every other format needs a codec library that is
+    absent in this environment."""
+    if modality == "image" and data[:2] in (b"P5", b"P6"):
+        return decode_netpbm(data)
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
             "media codecs (Pillow/torchaudio/av) not installed in this "
-            "environment; use decode_stub for plumbing tests"
+            "environment; netpbm (P5/P6) images decode without them, "
+            "use decode_stub for other plumbing tests"
         ) from e
     raise NotImplementedError("wire the codec here when available")
 
@@ -164,3 +210,79 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", LongType()),
+        StructField("px_max", LongType()),
+    ]
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """REAL decoded-pixel statistics for Netpbm image payloads:
+    dimensions plus integer pixel sum/min/max (integers so results are
+    engine/BLAS-independent). Same Arrow-batched ``mapInPandas`` shape
+    as every other media pass — decode happens executor-side per batch,
+    bytes never visit the driver. Non-netpbm rows are skipped (a real
+    deployment routes them to the codec-backed variant)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "width", "height", "channels",
+                                     "px_sum", "px_min", "px_max")}
+            for mid, raw in zip(pdf["media_id"], pdf["data"]):
+                data = bytes(raw)
+                if data[:2] not in (b"P5", b"P6"):
+                    continue
+                arr = decode_netpbm(data)
+                h, w, c = arr.shape
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                rows["px_sum"].append(int(arr.sum()))
+                rows["px_min"].append(int(arr.min()))
+                rows["px_max"].append(int(arr.max()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
+
+
+def resize_image(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize for Netpbm payloads: decode,
+    index-map rows/cols (floor(i·H/out_h) — deterministic integer
+    sampling), re-encode. Output keeps the MEDIA_SCHEMA contract
+    (payload, byte_len, sha256 all recomputed), so it drops into any
+    downstream media pass. Non-netpbm rows pass through `resize_stub`
+    semantics would — here they are skipped explicitly."""
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "modality", "data",
+                                     "byte_len", "sha256")}
+            for mid, mod, raw in zip(pdf["media_id"], pdf["modality"], pdf["data"]):
+                data = bytes(raw)
+                if data[:2] not in (b"P5", b"P6"):
+                    continue
+                arr = decode_netpbm(data)
+                h, w, _ = arr.shape
+                ri = (np.arange(out_h) * h) // out_h
+                ci = (np.arange(out_w) * w) // out_w
+                small = arr[ri][:, ci]
+                payload = encode_netpbm(np.ascontiguousarray(small))
+                rows["media_id"].append(mid)
+                rows["modality"].append(mod)
+                rows["data"].append(payload)
+                rows["byte_len"].append(len(payload))
+                rows["sha256"].append(hashlib.sha256(payload).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)

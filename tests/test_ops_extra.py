@@ -408,3 +408,52 @@ def test_temperature_resample_upweights_small_sources(spark):
     assert out["big"]["rep_factor"] == 1
     total = out["big"]["target_n"] + out["small"]["target_n"]
     assert 995 <= total <= 1000  # floor dust only
+
+
+def _ppm(w, h, pixels):
+    """Build a real P6 payload; pixels = flat [r,g,b,...] list."""
+    return b"P6\n# test comment\n" + f"{w} {h}\n255\n".encode() + bytes(pixels)
+
+
+def test_netpbm_decode_stats_and_resize_real_pixels(spark):
+    import numpy as np
+
+    from files_kraken_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_netpbm,
+        image_stats,
+        resize_image,
+    )
+
+    # 2x2 RGB: red, green, blue, white
+    img = _ppm(2, 2, [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    arr = decode_netpbm(img)
+    assert arr.shape == (2, 2, 3)
+    assert arr[0, 0].tolist() == [255, 0, 0] and arr[1, 1].tolist() == [255, 255, 255]
+
+    pgm = b"P5\n3 1\n255\n" + bytes([0, 128, 255])
+    assert decode_netpbm(pgm).shape == (1, 3, 1)
+
+    import hashlib as _h
+
+    rows = [
+        (1, "image", img, len(img), _h.sha256(img).hexdigest()),
+        (2, "image", pgm, len(pgm), _h.sha256(pgm).hexdigest()),
+        (3, "image", b"\x89PNG not decodable", 18, "x"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    stats = {r["media_id"]: r for r in image_stats(media).collect()}
+    assert stats[1]["width"] == 2 and stats[1]["height"] == 2
+    assert stats[1]["channels"] == 3
+    assert stats[1]["px_sum"] == 1530  # sum of all 12 channel bytes
+    assert stats[2]["px_sum"] == 0 + 128 + 255 and stats[2]["channels"] == 1
+    assert 3 not in stats  # non-netpbm skipped, not crashed
+
+    # upscale 2x2 -> 4x4 nearest neighbor: each pixel becomes a 2x2 block
+    big = {r["media_id"]: r for r in resize_image(media, 4, 4).collect()}
+    up = decode_netpbm(bytes(big[1]["data"]))
+    assert up.shape == (4, 4, 3)
+    assert np.array_equal(up[0:2, 0:2].reshape(-1, 3), np.tile([255, 0, 0], (4, 1)))
+    assert np.array_equal(up[2:4, 2:4].reshape(-1, 3), np.tile([255, 255, 255], (4, 1)))
+    # round-trip hash metadata is consistent
+    assert big[1]["byte_len"] == len(bytes(big[1]["data"]))
