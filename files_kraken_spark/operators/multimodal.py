@@ -6,9 +6,10 @@ resize / frame-sample run as Arrow-batched ``mapInPandas`` passes —
 one Python crossing per batch, never per row — and each pass declares
 its output schema up front so downstream stays columnar.
 
-Codecs: binary Netpbm images (P5/P6) decode FOR REAL in pure numpy
-(`decode_netpbm`), so `image_stats` and `resize_image` operate on
-actual decoded pixels end-to-end. Compressed formats (JPEG/PNG/audio/
+Codecs: binary Netpbm images (P5/P6) and RIFF/WAVE PCM audio decode
+FOR REAL in pure numpy (`decode_netpbm`, `decode_wav`), so
+`image_stats`, `resize_image`, and `audio_stats` operate on actual
+decoded pixels/samples end-to-end. Compressed formats (JPEG/PNG/mp3/
 video) still need codec libraries absent in this environment —
 ``decode_real`` gates them behind ``NotImplementedError`` and
 ``decode_stub`` produces deterministic fake features so that plumbing
@@ -286,3 +287,86 @@ def resize_image(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
+def decode_wav(data: bytes):
+    """REAL audio decode for uncompressed RIFF/WAVE PCM payloads (8- or
+    16-bit) in pure numpy — no codec library needed. Returns
+    ``(samples, sample_rate, n_channels)`` with samples shaped
+    (frames, channels) as int32. Compressed audio (mp3/aac/…) still
+    needs a codec → `decode_real`."""
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError("only 8/16-bit PCM decodable without codec libs")
+    if bits == 16:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    else:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+    frames = len(samples) // n_channels
+    return samples[: frames * n_channels].reshape(frames, n_channels), sample_rate, n_channels
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("energy", LongType()),  # Σ sample² — integer, exact
+        StructField("zero_crossings", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL decoded-sample statistics for WAV/PCM payloads: duration,
+    integer energy (Σ sample², exact — no float drift), zero crossings
+    and peak per media row, first channel. Arrow-batched like every
+    media pass; non-WAV rows are skipped."""
+    import numpy as np
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "sample_rate", "channels",
+                                     "n_frames", "duration_ms", "energy",
+                                     "zero_crossings", "peak")}
+            for mid, raw in zip(pdf["media_id"], pdf["data"]):
+                data = bytes(raw)
+                if data[:4] != b"RIFF":
+                    continue
+                samples, rate, nch = decode_wav(data)
+                ch0 = samples[:, 0].astype(np.int64)
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(nch)
+                rows["n_frames"].append(len(ch0))
+                rows["duration_ms"].append(len(ch0) * 1000 // rate if rate else 0)
+                rows["energy"].append(int((ch0 * ch0).sum()))
+                signs = np.sign(ch0)
+                nz = signs[signs != 0]
+                rows["zero_crossings"].append(int((nz[1:] != nz[:-1]).sum()))
+                rows["peak"].append(int(np.abs(ch0).max()) if len(ch0) else 0)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, schema=AUDIO_STATS_SCHEMA)

@@ -457,3 +457,43 @@ def test_netpbm_decode_stats_and_resize_real_pixels(spark):
     assert np.array_equal(up[2:4, 2:4].reshape(-1, 3), np.tile([255, 255, 255], (4, 1)))
     # round-trip hash metadata is consistent
     assert big[1]["byte_len"] == len(bytes(big[1]["data"]))
+
+
+def _wav(rate, samples16):
+    """Minimal 16-bit mono RIFF/WAVE payload."""
+    import struct
+
+    raw = b"".join(struct.pack("<h", s) for s in samples16)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_decode_and_audio_stats(spark):
+    from files_kraken_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_stats,
+        decode_wav,
+    )
+
+    # one second of a +1000/-1000 square wave at 8 samples/s
+    sq = [1000, -1000, 1000, -1000, 1000, -1000, 1000, -1000]
+    wav = _wav(8, sq)
+    samples, rate, nch = decode_wav(wav)
+    assert rate == 8 and nch == 1 and samples.shape == (8, 1)
+    assert samples[:, 0].tolist() == sq
+
+    import hashlib as _h
+
+    rows = [
+        (1, "audio", wav, len(wav), _h.sha256(wav).hexdigest()),
+        (2, "audio", b"not audio at all!", 17, "x"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    stats = {r["media_id"]: r for r in audio_stats(media).collect()}
+    s = stats[1]
+    assert s["n_frames"] == 8 and s["duration_ms"] == 1000
+    assert s["energy"] == 8 * 1000 * 1000  # exact integer Σ sample²
+    assert s["zero_crossings"] == 7 and s["peak"] == 1000
+    assert 2 not in stats
