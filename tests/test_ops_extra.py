@@ -497,3 +497,17 @@ def test_wav_decode_and_audio_stats(spark):
     assert s["energy"] == 8 * 1000 * 1000  # exact integer Σ sample²
     assert s["zero_crossings"] == 7 and s["peak"] == 1000
     assert 2 not in stats
+
+
+def test_pq_adc_impls_bit_identical(spark):
+    import pyspark.sql.functions as F
+
+    from files_kraken_spark.operators.similarity import pq_topk, pq_train_encode
+    from files_kraken_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select("vec_id")
+    idx = pq_train_encode(emb, m=4, ksub=8, iters=2, dim=64)
+    a = sorted(map(tuple, pq_topk(emb, q, topk=5, index=idx, impl="expr").collect()))
+    b = sorted(map(tuple, pq_topk(emb, q, topk=5, index=idx, impl="arrow").collect()))
+    assert a == b and len(a) == 40
