@@ -476,31 +476,30 @@ def temperature_resample(
     target (callers expand with ``explode(sequence(1, rep_factor))``
     and a downstream shuffle/pack).
 
-    α = 0.5 deliberately: √ is IEEE-correctly-rounded on every engine,
-    so targets are bit-reproducible (an arbitrary ``pow(p, α)`` is
-    libm-dependent and is NOT). All-integer afterwards: targets are
-    floor-scaled, replication factors are ceils of integer division.
-    One tiny aggregate + a broadcast-sized group table — no data pass
-    beyond the group counts.
+    α = 0.5 deliberately, and in INTEGER arithmetic throughout: each
+    group's weight is ``floor(sqrt(n_docs · 10^6))`` — a scaled integer
+    square root (IEEE sqrt is correctly rounded, and floor(sqrt(k)) is
+    exact for k ≪ 2^52, so every engine computes the identical BIGINT)
+    — then weights SUM as integers (order-independent, unlike a sum of
+    irrational doubles) and targets are integer-scaled shares. An
+    arbitrary ``pow(p, α)`` would be libm-dependent; this is
+    bit-reproducible everywhere. One tiny aggregate + a broadcast-sized
+    group table — no data pass beyond the group counts.
     """
     counts = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
-    tot = counts.agg(
-        F.sum("n_docs").cast("long").alias("corpus_n"),
-        F.round(F.sum(F.sqrt(F.col("n_docs").cast("double"))), 6).alias("z"),
+    w = F.floor(F.sqrt((F.col("n_docs") * F.lit(1_000_000)).cast("double"))).cast(
+        "long"
     )
+    counts = counts.withColumn("__w", w)
+    tot = counts.agg(F.sum("__w").cast("long").alias("z"))
     return (
         counts.crossJoin(F.broadcast(tot))
         .select(
             F.col("grp").alias(group_col),
             "n_docs",
-            F.floor(
-                F.lit(float(target_total)) * F.sqrt(F.col("n_docs").cast("double"))
-                / F.col("z")
-            )
-            .cast("long")
-            .alias("target_n"),
+            F.expr(f"({target_total} * __w) DIV z").alias("target_n"),
         )
         .withColumn(
             "rep_factor",

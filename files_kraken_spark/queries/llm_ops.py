@@ -1461,24 +1461,22 @@ def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_temperature_resample",
     oracle="""
 WITH counts AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT) AS w
+  FROM documents GROUP BY source
 ),
-tot AS (
-  SELECT CAST(sum(n_docs) AS BIGINT) AS corpus_n,
-         round(sum(sqrt(CAST(n_docs AS DOUBLE))), 6) AS z
-  FROM counts
-)
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM counts)
 SELECT source, n_docs,
-       CAST(floor(10000.0 * sqrt(CAST(n_docs AS DOUBLE)) / z) AS BIGINT) AS target_n,
-       (CAST(floor(10000.0 * sqrt(CAST(n_docs AS DOUBLE)) / z) AS BIGINT)
-          + n_docs - 1) // n_docs AS rep_factor
+       (10000 * w) // z AS target_n,
+       ((10000 * w) // z + n_docs - 1) // n_docs AS rep_factor
 FROM counts, tot""",
     doc="Temperature-based source rebalancing (multilingual-sampling "
     "recipe, α=0.5): target share ∝ √(corpus share) — upweights small "
-    "sources, damps dominant ones. α=0.5 on purpose: IEEE sqrt is "
-    "correctly rounded on every engine (arbitrary pow(p,α) is "
-    "libm-dependent); everything after the one rounded √-sum is "
-    "integer math. One tiny aggregate — no corpus pass.",
+    "sources, damps dominant ones. Fully integer: weights are scaled "
+    "integer square roots floor(sqrt(n·10^6)) (exact on every engine "
+    "for n ≪ 2^40), summed as BIGINTs (order-independent, unlike "
+    "float √-sums), shares integer-scaled. One tiny aggregate — no "
+    "corpus pass.",
 )
 def t_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import temperature_resample
