@@ -28,6 +28,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     symmetrize: bool = False,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Iterative PageRank over a directed edge list, returning
     ``(node, pr)`` with ``pr`` in integer micro-units (node mass starts
@@ -41,6 +42,12 @@ def pagerank(
     ``symmetrize=True`` adds the reverse of every edge INSIDE the
     operator, after persisting the base edge set — callers that union
     both directions themselves pay the upstream edge computation twice.
+
+    ``seeds`` (a 1-column DataFrame of node ids) switches to
+    PERSONALIZED PageRank: initial mass and the teleport term go only
+    to seed nodes, so rank concentrates in the seeds' neighborhoods —
+    topic-sensitive importance (e.g. "rank suppliers relative to these
+    customers"). Same integer arithmetic, same bit-exactness.
 
     Scale shape per round: one join of the (small) rank table to edges
     on src — co-partitioned if edges are bucketed by src — then one
@@ -61,11 +68,24 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     nodes = e.select(F.col("src").alias("node")).distinct().persist()
     base = (100 - damping_pct) * UNIT // 100
-    ranks = nodes.select("node", F.lit(UNIT).cast("long").alias("pr"))
+    if seeds is not None:
+        seed_col = seeds.columns[0]
+        nodes = nodes.join(
+            seeds.select(F.col(seed_col).alias("node"), F.lit(1).alias("__seed")),
+            "node",
+            "left",
+        ).select("node", F.coalesce("__seed", F.lit(0)).alias("__seed")).persist()
+        init = F.when(F.col("__seed") == 1, F.lit(UNIT)).otherwise(F.lit(0))
+        base_expr = F.when(F.col("__seed") == 1, F.lit(base)).otherwise(F.lit(0))
+    else:
+        nodes = nodes.withColumn("__seed", F.lit(1))
+        init = F.lit(UNIT)
+        base_expr = F.lit(base)
+    ranks = nodes.select("node", init.cast("long").alias("pr"))
     for _ in range(iters):
         contrib = (
             e.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(ranks.withColumnRenamed("node", "src").select("src", "pr"), "src")
             .select("dst", F.expr("pr DIV deg").alias("c"))
         )
         agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
@@ -73,11 +93,12 @@ def pagerank(
             agg.withColumnRenamed("dst", "node"), "node", "left"
         ).select(
             "node",
+            "__seed",
             (
-                F.lit(base)
+                base_expr
                 + F.expr(f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
             )
             .cast("long")
             .alias("pr"),
         )
-    return ranks
+    return ranks.select("node", "pr")

@@ -511,3 +511,36 @@ def test_pq_adc_impls_bit_identical(spark):
     a = sorted(map(tuple, pq_topk(emb, q, topk=5, index=idx, impl="expr").collect()))
     b = sorted(map(tuple, pq_topk(emb, q, topk=5, index=idx, impl="arrow").collect()))
     assert a == b and len(a) == 40
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    from files_kraken_spark.operators.graph import UNIT, pagerank
+
+    # two 3-cliques bridged by one edge: 1-2-3 and 10-11-12, bridge 3-10
+    und = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    df = spark.createDataFrame(und, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, iters=4, symmetrize=True, seeds=seeds).collect()
+    }
+    # mass should be concentrated in seed 1's clique, not the far one
+    near = got[1] + got[2] + got[3]
+    far = got[10] + got[11] + got[12]
+    assert near > 3 * far, got
+    assert got[1] == max(got.values())
+    # naive integer mirror (same update rule)
+    edges = und + [(b, a) for a, b in und]
+    nodes = sorted({n for e in edges for n in e})
+    out = {n: [d for s, d in edges if s == n] for n in nodes}
+    pr = {n: (UNIT if n == 1 else 0) for n in nodes}
+    base = 15 * UNIT // 100
+    for _ in range(4):
+        inc = {n: 0 for n in nodes}
+        for s in nodes:
+            if out[s]:
+                c = pr[s] // len(out[s])
+                for d in out[s]:
+                    inc[d] += c
+        pr = {n: (base if n == 1 else 0) + (85 * inc[n]) // 100 for n in nodes}
+    assert got == pr
