@@ -170,6 +170,65 @@ def merge_into_state(
     return joined.select(*cols)
 
 
+#: above this many distinct parent directories the content scan falls
+#: back to per-top-level-group common prefixes instead of listing each
+#: directory individually as a load path.
+_CONTENT_DIR_CAP = 1024
+
+
+def _content_roots(out: DataFrame, src_col: str) -> list[str]:
+    """Derive binaryFile load roots covering every path in ``out``.
+
+    A single global commonpath degrades badly when one batch spans
+    unrelated trees (``/a/…`` and ``/z/…`` → commonpath ``/`` → scan
+    the world). Instead:
+
+    - collect the DISTINCT parent directories (bounded by directory
+      count, not file count — the same metadata Spark's own file index
+      materializes) and use them directly as load paths when there are
+      at most ``_CONTENT_DIR_CAP`` of them;
+    - otherwise compress on the driver: group the sampled dirs by top-
+      level path component and take one commonpath per group, so
+      disjoint trees still never merge into ``/``.
+    """
+    import os
+
+    dir_expr = F.regexp_replace(F.col(src_col), "/[^/]*$", "")
+    dirs = [
+        r[0]
+        for r in out.select(dir_expr.alias("__d"))
+        .where(F.col("__d").isNotNull() & (F.col("__d") != ""))
+        .distinct()
+        .limit(_CONTENT_DIR_CAP + 1)
+        .collect()
+    ]
+    if not dirs:
+        return []
+    if len(dirs) <= _CONTENT_DIR_CAP:
+        # drop dirs nested under another selected dir (binaryFile with
+        # recursiveFileLookup would double-load them)
+        keep: list[str] = []
+        for d in sorted(dirs):
+            if not keep or not (d == keep[-1] or d.startswith(keep[-1] + "/")):
+                keep.append(d)
+        return keep
+    # too many dirs to enumerate: one commonpath per top-level group,
+    # via a tiny per-group min/max aggregate (rows = #groups, not #files)
+    top = F.regexp_extract(F.col(src_col), r"^(/?[^/]+)", 1)
+    groups = (
+        out.select(top.alias("__t"), F.col(src_col).alias("__p"))
+        .groupBy("__t")
+        .agg(F.min("__p").alias("lo"), F.max("__p").alias("hi"))
+        .collect()
+    )
+    return sorted(
+        {
+            os.path.commonpath([os.path.dirname(g["lo"]), os.path.dirname(g["hi"])])
+            for g in groups
+        }
+    )
+
+
 def _join_content(
     out: DataFrame,
     src_col: str,
@@ -181,23 +240,16 @@ def _join_content(
     locality, retries, and IO scheduling stay with Spark.
 
     Fully distributed: the content side is a binaryFile read over the
-    watch ``roots`` (or, when not supplied, the batch paths' common
-    directory prefix — derived from a 1-row min/max aggregate, never a
-    collect of the path list) joined on path. No forced broadcast:
-    file bytes can dwarf the 8 GB broadcast cap, so the optimizer
-    picks the strategy from the relation's size stats."""
-    import os
-
+    watch ``roots`` (or, when not supplied, prefixes derived from the
+    batch paths — see ``_content_roots`` — never a collect of the full
+    path list) joined on path. No forced broadcast: file bytes can
+    dwarf the 8 GB broadcast cap, so the optimizer picks the strategy
+    from the relation's size stats."""
     spark = out.sparkSession
     if not roots:
-        # O(1) driver fetch: the lexicographic min/max bracket every
-        # batch path, so their common directory prefix covers them all.
-        lo, hi = out.select(
-            F.min(src_col).alias("lo"), F.max(src_col).alias("hi")
-        ).first()
-        if lo is None:
+        roots = _content_roots(out, src_col)
+        if not roots:
             return out.withColumn(content_col, F.lit(None).cast("binary"))
-        roots = [os.path.commonpath([os.path.dirname(lo), os.path.dirname(hi)])]
     content = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")

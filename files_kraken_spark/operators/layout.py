@@ -153,3 +153,35 @@ def prune_files(
         (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
     ).select("file")
     return [r["file"] for r in rows.collect()]
+
+
+def prune_files_df(
+    spark, path: str, zone_map: DataFrame, col: str, lo, hi
+) -> DataFrame:
+    """Zone-map pruning with the manifest kept DISTRIBUTED: the
+    surviving-file set stays a DataFrame and is broadcast
+    semi-joined into the scan on ``input_file_name()`` — the driver
+    never materializes the file list, so the pattern holds at
+    100M-file manifests where ``prune_files``' collect would not.
+
+    Semantics match ``spark.read.parquet(*prune_files(...))`` row-for-
+    row. The I/O trade: Spark still *opens* every footer (file-level
+    skip at plan time needs the list on the driver, or a table format —
+    Delta/Iceberg — whose scan planner does this same manifest join
+    natively), but every row outside the surviving files is dropped at
+    the scan by the semi-join, and the added predicate on ``col`` is
+    pushed to parquet row-group stats so non-surviving files read ~no
+    data blocks. Use ``prune_files`` when the survivor count is driver-
+    sized; use this form when the manifest itself is big data."""
+    survivors = (
+        zone_map.filter(
+            (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
+        )
+        .select(F.col("file").alias("__file"))
+    )
+    df = spark.read.parquet(path)
+    return (
+        df.withColumn("__file", F.input_file_name())
+        .join(F.broadcast(survivors), "__file", "left_semi")
+        .drop("__file")
+    )

@@ -408,3 +408,67 @@ def a11_upsert_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("row_status"),
     )
+
+
+@register(
+    "a11_upsert_cow",
+    oracle="""
+WITH state AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY o_custkey
+), batch AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+  GROUP BY o_custkey
+)
+SELECT coalesce(b.o_custkey, s.o_custkey) AS custkey,
+       coalesce(b.total, s.total) AS total
+FROM state s FULL OUTER JOIN batch b ON s.o_custkey = b.o_custkey
+""",
+    doc="A11 upsert executed THROUGH the rename-free copy-on-write "
+    "state backend (CowStateStore): seed pre-1998 per-customer totals "
+    "as a commit, upsert the 1998+ batch as a second commit (only "
+    "touched buckets rewritten, manifest-object commit point), read "
+    "the merged state back. Oracle replays the same keyed MERGE in "
+    "SQL (data_organizer/_data_organizer.py:31-47).",
+)
+def a11_upsert_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..blueprint import Blueprint
+    from ..cow_store import CowStateStore
+
+    bp = Blueprint(
+        name="CustTotals",
+        required={"key": (r"(\w+)", 1)},
+        optional={"description": (r"desc_(\w+)", 1)},
+    )
+    store = CowStateStore(tempfile.mkdtemp(prefix="fks_cow_q_"), n_buckets=8)
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+
+    def to_state(df: DataFrame) -> DataFrame:
+        # double → string → double is lossless (shortest round-trip
+        # repr), so the store's string-typed field preserves the value
+        return df.select(
+            F.lit(bp.name).alias("blueprint"),
+            F.col("o_custkey").cast("string").alias("id"),
+            F.col("o_custkey").cast("string").alias("key"),
+            F.col("total").cast("string").alias("description"),
+            F.array().cast("array<string>").alias("_conflicts"),
+        )
+
+    totals = lambda pred: (  # noqa: E731
+        orders.filter(pred)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    store.overwrite(bp, to_state(totals(F.col("o_orderdate") < cutoff)))
+    store.upsert_rows(
+        spark, bp, to_state(totals(F.col("o_orderdate") >= cutoff))
+    )
+    return store.load(spark, bp).select(
+        F.col("id").cast("bigint").alias("custkey"),
+        F.col("description").cast("double").alias("total"),
+    )

@@ -588,21 +588,26 @@ GROUP BY l_returnflag
 )
 def q_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    # explicit functionType: the module's `from __future__ import
-    # annotations` stringifies type hints, so the hint-based dispatch
-    # can't see pd.Series here
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    # The module's `from __future__ import annotations` stringifies
+    # inline hints, so attach real annotation objects for the
+    # hint-based dispatch (Series -> scalar = grouped aggregate).
     def np_median(v):
         return float(np.median(v.to_numpy()))
+
+    np_median.__annotations__ = {"v": pd.Series, "return": float}
+    np_median = pandas_udf(np_median, "double")
 
     li = load_table(spark, sf_dir, "lineitem")
     # grouped-agg pandas UDFs cannot mix with JVM aggregates in one
     # agg — count via a second pandas aggregate over the same group
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
     def np_count(v):
         return len(v)
+
+    np_count.__annotations__ = {"v": pd.Series, "return": int}
+    np_count = pandas_udf(np_count, "long")
 
     return li.groupBy("l_returnflag").agg(
         np_median("l_quantity").alias("median_qty"),

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -32,13 +33,29 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
-        # reader refuses by default; read as raw nanos (long). Queries
-        # do exact integer time math on nanos — no precision loss.
+        # events.parquet has stored TIMESTAMP(NANOS) in some corpus
+        # generations (Spark's reader refuses it by default; read as
+        # raw nanos long) and TIMESTAMP(MICROS) in others. Queries do
+        # exact integer time math on BIGINT nanos, so normalize both
+        # physical encodings to that: timezone-free microsecond delta
+        # from the NTZ epoch × 1000 — bit-exact, no tz dependence.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass  # already set / immutable in this deployment
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        from pyspark.sql import types as T
+
+        if not isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+                    "CAST(ts AS TIMESTAMP_NTZ)) * CAST(1000 AS BIGINT)"
+                ),
+            )
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

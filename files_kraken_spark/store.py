@@ -81,6 +81,16 @@ class StateStore:
         except (FileNotFoundError, ValueError):
             return None  # S8 semantics: missing/corrupt manifest → empty
 
+    def _load_manifest_file(self, path: str) -> dict:
+        """Parse one manifest file (subclasses add integrity checks)."""
+        with open(path) as f:
+            return json.load(f)
+
+    def _bucket_path(self, blueprint_name: str, k, v) -> str:
+        """Filesystem location of bucket ``k`` at version ``v``
+        (subclasses override for copy-on-write layouts)."""
+        return os.path.join(self._dir(blueprint_name), f"b={k}", f"v={v}")
+
     def _bucket_col(self):
         return F.pmod(F.xxhash64(F.col("id")), F.lit(self.n_buckets)).cast("int")
 
@@ -98,7 +108,7 @@ class StateStore:
             raw = spark.createDataFrame([], state_schema(bp))
         else:
             paths = [
-                os.path.join(self._dir(bp.name), f"b={k}", f"v={v}")
+                self._bucket_path(bp.name, k, v)
                 for k, v in man["buckets"].items()
             ]
             raw = spark.read.option("mergeSchema", "true").parquet(*paths)
@@ -116,9 +126,7 @@ class StateStore:
         bv = man["buckets"].get(str(k))
         if bv is None:
             return spark.createDataFrame([], state_schema(bp)).filter(pred)
-        raw = spark.read.parquet(
-            os.path.join(self._dir(bp.name), f"b={k}", f"v={bv}")
-        )
+        raw = spark.read.parquet(self._bucket_path(bp.name, k, bv))
         return align_to_schema(raw, bp).filter(pred)
 
     # ------------------------------------------------------------ writes
@@ -209,9 +217,8 @@ class StateStore:
         (current or previous — older bucket data is pruned)."""
         path = os.path.join(self._dir(bp.name), f"manifest.v{version}.json")
         try:
-            with open(path) as f:
-                man = json.load(f)
-        except FileNotFoundError:
+            man = self._load_manifest_file(path)
+        except (FileNotFoundError, ValueError):
             raise ValueError(
                 f"version {version} of {bp.name} is not retained "
                 "(only the current and previous commits are)"
@@ -221,7 +228,7 @@ class StateStore:
                 spark.createDataFrame([], state_schema(bp)), bp
             )
         paths = [
-            os.path.join(self._dir(bp.name), f"b={k}", f"v={bv}")
+            self._bucket_path(bp.name, k, bv)
             for k, bv in man["buckets"].items()
         ]
         raw = spark.read.option("mergeSchema", "true").parquet(*paths)

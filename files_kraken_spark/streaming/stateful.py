@@ -84,7 +84,10 @@ def _has_tws_deps() -> bool:
     container ships pyarrow/pandas but not protobuf. Gate the v2 API
     behind the dependency probe (mirrors the multimodal codec gate)."""
     try:
-        import google.protobuf  # noqa: F401
+        # probe a real submodule: `google.protobuf` alone can resolve
+        # as an empty namespace package (e.g. cloud-sdk trees on
+        # sys.path) while the actual runtime is absent
+        import google.protobuf.descriptor  # noqa: F401
 
         return True
     except ImportError:

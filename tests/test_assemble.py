@@ -231,3 +231,47 @@ def test_pattern_parser_reads_matched_file(spark, tmp_path):
     batch = _changes(spark, [(str(f), "created")])
     row = assemble(batch, _empty_state(spark, bp), bp).collect()[0]
     assert row["result"] == 3.25
+
+
+def test_content_roots_disjoint_trees(spark, tmp_path):
+    """Round-2 verdict nit: a batch spanning unrelated roots must not
+    degrade the content scan to the global commonpath. The derived
+    binaryFile load roots are the batch dirs themselves and exclude
+    the unrelated sibling tree entirely."""
+    from files_kraken_spark.operators.assemble import _content_roots, _join_content
+
+    a = tmp_path / "tree_a" / "deep"
+    z = tmp_path / "tree_z"
+    other = tmp_path / "unrelated"
+    for d in (a, z, other):
+        d.mkdir(parents=True)
+    fa = a / "sample_1.metrics.txt"
+    fz = z / "sample_2.metrics.txt"
+    fa.write_text("1.5")
+    fz.write_text("2.5")
+    (other / "huge.bin").write_text("x" * 10)
+
+    batch = _changes(spark, [(str(fa), "created"), (str(fz), "created")])
+    roots = _content_roots(batch, "path")
+    assert sorted(roots) == [str(a), str(z)]
+    assert not any(str(other) in r or r == str(tmp_path) for r in roots)
+
+    joined = _join_content(batch, "path", "content").collect()
+    got = {r["path"]: bytes(r["content"]).decode() for r in joined}
+    assert got == {str(fa): "1.5", str(fz): "2.5"}
+
+
+def test_content_roots_nested_dirs_deduped(spark, tmp_path):
+    """A dir nested under another selected dir is dropped so the
+    recursive binaryFile read never double-loads it."""
+    from files_kraken_spark.operators.assemble import _content_roots
+
+    outer = tmp_path / "outer"
+    inner = outer / "inner"
+    inner.mkdir(parents=True)
+    f1 = outer / "f1.txt"
+    f2 = inner / "f2.txt"
+    f1.write_text("a")
+    f2.write_text("b")
+    batch = _changes(spark, [(str(f1), "created"), (str(f2), "created")])
+    assert _content_roots(batch, "path") == [str(outer)]

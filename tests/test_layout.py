@@ -83,3 +83,27 @@ def test_zone_map_prunes_files_for_range_query(spark, tmp_path):
         .count()
     )
     assert got == 101
+
+
+def test_zone_map_prune_df_matches_collected_list(spark, tmp_path):
+    """prune_files_df (manifest stays a DataFrame, semi-joined into the
+    scan) returns exactly the rows of the collected-list read path."""
+    from files_kraken_spark.operators.layout import (
+        collect_zone_map,
+        prune_files,
+        prune_files_df,
+    )
+
+    path = str(tmp_path / "ranged")
+    spark.range(0, 10_000).withColumn(
+        "v", F.col("id") * 3
+    ).repartitionByRange(10, "id").sortWithinPartitions("id").write.parquet(path)
+    zm = collect_zone_map(spark, path, ["id", "v"])
+
+    pruned = prune_files_df(spark, path, zm, "id", 4100, 4200)
+    files = prune_files(zm, "id", 4100, 4200)
+    via_list = spark.read.parquet(*files)
+    assert pruned.count() == via_list.count()
+    got = pruned.filter(F.col("id").between(4100, 4200))
+    assert got.count() == 101
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(4100, 4201))
