@@ -50,6 +50,42 @@ EXTRA = [
 ]
 
 
+def serve_entries(spark, sf_dir):
+    """ANN SERVE-path benchmarks (round-2 verdict item #4): build each
+    index ONCE outside the timed region, then time only query serving
+    against the persisted index — the number that matters at 100 TB,
+    where training amortizes over every query batch. These run WITHOUT
+    the per-run clearCache of the main loop: a warm persisted index IS
+    the serving scenario being measured."""
+    from pyspark.sql import functions as F
+
+    from files_kraken_spark.operators import similarity as SIM
+    from files_kraken_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select("vec_id")
+    kw = dict(k=8, m=4, ksub=8, iters=2, dim=64)
+
+    codes, cb = SIM.pq_train_encode(emb, m=4, ksub=8, iters=2, dim=64)
+    pq_idx = (codes.persist(), cb.persist())
+    ivfpq_idx = tuple(d.persist() for d in SIM.ivfpq_build_index(emb, **kw))
+    ivfadc_idx = tuple(d.persist() for d in SIM.ivfadc_build_index(emb, **kw))
+    for d in (*pq_idx, *ivfpq_idx, *ivfadc_idx):
+        d.count()  # materialize: training cost paid here, not in the timings
+
+    return {
+        "sim_pq_topk_serve": lambda: SIM.pq_topk(
+            emb, q, m=4, ksub=8, iters=2, dim=64, topk=5, index=pq_idx
+        ),
+        "sim_ivfpq_topk_serve": lambda: SIM.ivfpq_topk(
+            emb, q, **kw, probes=2, topk=5, index=ivfpq_idx
+        ),
+        "sim_ivfadc_topk_serve": lambda: SIM.ivfadc_topk(
+            emb, q, **kw, probes=2, topk=5, index=ivfadc_idx
+        ),
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -83,6 +119,16 @@ def main():
         bucket = timings if name in HEADLINE else extra
         bucket[name] = min(raw[name])
         print(f"# {name}: {bucket[name]:.2f}s {raw[name]}", file=sys.stderr)
+
+    # serve path: index built once (untimed), queries timed warm
+    for name, run in serve_entries(spark, sf_dir).items():
+        raw[name] = []
+        for _ in range(runs_per_query):
+            t0 = time.time()
+            run().write.format("noop").mode("overwrite").save()
+            raw[name].append(round(time.time() - t0, 3))
+        extra[name] = min(raw[name])
+        print(f"# {name}: {extra[name]:.2f}s {raw[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -861,3 +861,186 @@ def ivf_topk_trained(
         .filter(F.col("rn") <= topk)
         .select("q_id", F.col("cid").alias("cand_id"))
     )
+
+
+def _cell_centroids(
+    emb_d: DataFrame, cells: DataFrame, id_col: str
+) -> DataFrame:
+    """Per-cell mean vectors from a final k-means assignment —
+    round(sum,6)/count per dim (the engine-portable determinism rule),
+    one partial-agg shuffle."""
+    return (
+        cells.withColumnRenamed(id_col, "__id")
+        .join(emb_d, "__id")
+        .select("cell", F.posexplode("__v").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg((F.round(F.sum("val"), 6) / F.count(F.lit(1))).alias("mu"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+            ).alias("centroid")
+        )
+    )
+
+
+def ivfadc_build_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Paper-exact IVFADC training (Jégou et al. 2011 §IV): PQ is
+    trained on CELL-RESIDUALS ``r = x − centroid(cell(x))`` instead of
+    raw vectors. Residuals concentrate near the origin regardless of
+    which cell a vector lives in, so the m×ksub codebook spends its
+    capacity on local displacement, not on re-describing the coarse
+    structure the IVF already captured — at high compression this is
+    where the recall gap between raw-PQ and IVFADC comes from.
+
+    Returns ``(index_table, codebook, centroids)`` with index_table =
+    (id, codes, cell); serve with `ivfadc_topk(..., index=...)`.
+
+    Scale shape: one extra broadcast join (centroids, k rows) over
+    `ivfpq_build_index` to form residuals; everything else identical —
+    the residual frame is narrow (id, rv) and feeds the same
+    one-shuffle-per-round PQ training.
+    """
+    cells = kmeans_fit_predict(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
+    emb_d = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    centroids = _cell_centroids(emb_d, cells, id_col).persist()
+    resid = (
+        emb_d.join(cells.withColumnRenamed(id_col, "__id"), "__id")
+        .join(F.broadcast(centroids), "cell")
+        .select(
+            F.col("__id").alias(id_col),
+            F.zip_with(F.col("__v"), F.col("centroid"), lambda x, c: x - c).alias(
+                "rv"
+            ),
+        )
+    )
+    codes, cb = pq_train_encode(
+        resid, id_col=id_col, vec_col="rv", m=m, ksub=ksub, iters=iters, dim=dim
+    )
+    cb = cb.persist()
+    idx = codes.join(cells, id_col)
+    return idx, cb, centroids
+
+
+def ivfadc_topk(
+    df: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    probes: int = 2,
+    topk: int = 5,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVFADC serving: residual-PQ ADC. Because codes encode residuals
+    RELATIVE TO THEIR CELL, the query's lookup table is built per
+    (query, probed cell) from the query residual ``q − centroid(cell)``
+    — the per-probe LUT of the paper — instead of one LUT per query.
+    Cost: probes× the LUT rows of raw-PQ (still m·ksub tiny floats per
+    (q, cell), broadcast), unchanged candidate scan.
+
+    Distance scored is ``Σ_m ‖(q − c)_m − cv[m, code]‖²`` ≈
+    ‖q − x‖² up to the quantization error — the ADC estimator of
+    Jégou et al. §IV.A applied in the residual space.
+    """
+    from pyspark.sql.window import Window
+
+    w = dim // m
+    if index is None:
+        idx, cb, centroids = ivfadc_build_index(
+            df, id_col=id_col, vec_col=vec_col, k=k, m=m, ksub=ksub,
+            iters=iters, dim=dim,
+        )
+    else:
+        idx, cb, centroids = index
+    q = df.join(query_ids, id_col).select(
+        F.col(id_col).alias("q_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    celldist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("__d"), F.col("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("q_id", "cell", "centroid", celldist.alias("__d"))
+        .withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= probes)
+        .select("q_id", "cell", "centroid")
+    )
+    # per-(query, probed cell) residual subvectors → per-probe LUT
+    qres = probed.join(q, "q_id").select(
+        "q_id",
+        "cell",
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, c: x - c).alias("qrv"),
+    )
+    qsubs = F.array(
+        *[
+            F.struct(
+                F.lit(mm).alias("m"),
+                F.slice(F.col("qrv"), mm * w + 1, w).alias("qsv"),
+            )
+            for mm in range(m)
+        ]
+    )
+    qsub = qres.select("q_id", "cell", F.explode(qsubs).alias("s")).select(
+        "q_id", "cell", F.col("s.m").alias("m"), F.col("s.qsv").alias("qsv")
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("qsv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        qsub.join(F.broadcast(cb), "m")
+        .select(
+            "q_id",
+            "cell",
+            (F.col("m") * ksub + F.col("code")).alias("pos"),
+            d.alias("d"),
+        )
+        .groupBy("q_id", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "d"))), lambda s: s["d"]
+            ).alias("lut")
+        )
+    )
+    ad = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, mm: F.get(F.col("lut"), (mm * ksub + c).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        idx.join(F.broadcast(lut), "cell")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col).alias("cand_id"), ad.alias("ad"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("ad"), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= topk)
+        .select("q_id", "cand_id")
+    )

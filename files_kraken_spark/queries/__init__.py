@@ -60,7 +60,8 @@ _SAMPLE_PRIORITY = [
     "a11_upsert_cow",
     "mm_binary_meta", "mm_frame_sample", "mm_resize", "mm_feature_extract",
     "mm_doc_embedding_join",
-    "sim_pq_topk", "sim_ivfpq_topk", "sim_pq_rerank", "sim_ivf_trained_topk",
+    "sim_pq_topk", "sim_ivfpq_topk", "sim_ivfpq_residual_topk",
+    "sim_pq_rerank", "sim_ivf_trained_topk",
     "sim_ivf_topk", "sim_knn_classify",
     "dedup_incremental", "dedup_cluster_star", "sem_dedup", "sem_dedup_kmeans",
     "t_span_dedup",

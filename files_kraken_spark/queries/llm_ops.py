@@ -1483,3 +1483,180 @@ def t_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_resample(docs, "source", "doc_id", target_total=10_000)
+
+
+def _ivfadc_oracle_sql(
+    k: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    probes: int = 2,
+    topk: int = 5,
+) -> str:
+    """IVFADC replay (residual-PQ): the coarse k-means chain as in
+    ``_ivfpq_oracle_sql``, then PQ trained on CELL-RESIDUALS
+    ``r = v − centroid(cell(v))`` and a per-(query, probed-cell)
+    residual lookup table. Mirrors ``operators.similarity.ivfadc_topk``
+    bit-for-bit (round(sum,6)/count centroid rule on both engines)."""
+    w = dim // m
+    k_assign = """
+ka{n} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, {dim} + 1),
+               i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))), c.cell) AS rn
+    FROM emb e CROSS JOIN kc{n} c
+  ) WHERE rn = 1
+)"""
+    k_update = """
+kc{n1} AS (
+  SELECT cell, list(mu ORDER BY dim) AS cvec
+  FROM (
+    SELECT a.cell, i AS dim, round(sum(e.v[i]), 6) / count(*) AS mu
+    FROM ka{n} a JOIN emb e USING (vec_id), range(1, {dim} + 1) r(i)
+    GROUP BY a.cell, i
+  ) GROUP BY cell
+)"""
+    p_assign = """
+a{n} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+             list_sum(list_transform(range(1, {w} + 1),
+               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), c.code) AS rn
+    FROM sub s JOIN cb{n} c USING (m)
+  ) WHERE rn = 1
+)"""
+    p_update = """
+cb{n1} AS (
+  SELECT c.m, c.code, coalesce(u.cv2, c.cv) AS cv
+  FROM cb{n} c LEFT JOIN (
+    SELECT m, code, list(mu ORDER BY dim) AS cv2
+    FROM (
+      SELECT a.m, a.code, i AS dim, round(sum(s.sv[i]), 6) / count(*) AS mu
+      FROM a{n} a JOIN sub s USING (vec_id, m), range(1, {w} + 1) r(i)
+      GROUP BY a.m, a.code, i
+    ) GROUP BY m, code
+  ) u ON u.m = c.m AND u.code = c.code
+)"""
+    ctes = [
+        "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"""kc0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    # the full coarse chain first: residuals need the FINAL assignment
+    for n in range(iters):
+        ctes.append(k_assign.format(n=n, dim=dim).strip())
+        if n < iters - 1:
+            ctes.append(k_update.format(n=n, n1=n + 1, dim=dim).strip())
+    last = iters - 1
+    ctes.append(
+        f"""cents AS (
+  SELECT cell, list(mu ORDER BY dim) AS centroid
+  FROM (
+    SELECT a.cell, i AS dim, round(sum(e.v[i]), 6) / count(*) AS mu
+    FROM ka{last} a JOIN emb e USING (vec_id), range(1, {dim} + 1) r(i)
+    GROUP BY a.cell, i
+  ) GROUP BY cell
+)"""
+    )
+    ctes.append(
+        f"""resid AS (
+  SELECT e.vec_id,
+         list_transform(range(1, {dim} + 1), i -> e.v[i] - c.centroid[i]) AS rv
+  FROM ka{last} a JOIN emb e USING (vec_id) JOIN cents c ON c.cell = a.cell
+)"""
+    )
+    ctes.append(
+        f"""sub AS (
+  SELECT vec_id, m, rv[m * {w} + 1 : (m + 1) * {w}] AS sv
+  FROM resid, range(0, {m}) r(m)
+)"""
+    )
+    ctes.append(
+        f"""cb0 AS (
+  SELECT m, rn - 1 AS code, sv AS cv FROM (
+    SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+    FROM sub
+  ) WHERE rn <= {ksub}
+)"""
+    )
+    for n in range(iters):
+        ctes.append(p_assign.format(n=n, w=w).strip())
+        if n < iters - 1:
+            ctes.append(p_update.format(n=n, n1=n + 1, w=w).strip())
+    ctes.append(
+        f"codes AS (\n  SELECT vec_id, list(code ORDER BY m) AS cl FROM a{last} GROUP BY vec_id\n)"
+    )
+    ctes.append("q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 8)")
+    ctes.append(
+        f"""probed AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c.cell,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_sum(list_transform(range(1, {dim} + 1),
+               i -> (q.qv[i] - c.centroid[i]) * (q.qv[i] - c.centroid[i]))), c.cell) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {probes}
+)"""
+    )
+    ctes.append(
+        f"""qres AS (
+  SELECT p.q_id, p.cell,
+         list_transform(range(1, {dim} + 1), i -> q.qv[i] - c.centroid[i]) AS qrv
+  FROM probed p JOIN q USING (q_id) JOIN cents c USING (cell)
+)"""
+    )
+    ctes.append(
+        f"""lutl AS (
+  SELECT q_id, cell, list(d ORDER BY pos) AS l FROM (
+    SELECT r.q_id, r.cell, c.m * {ksub} + c.code AS pos,
+           list_sum(list_transform(range(1, {w} + 1),
+             i -> (r.qrv[c.m * {w} + i] - c.cv[i]) * (r.qrv[c.m * {w} + i] - c.cv[i]))) AS d
+    FROM qres r CROSS JOIN cb{last} c
+  ) GROUP BY q_id, cell
+)"""
+    )
+    ctes.append(
+        f"""scored AS (
+  SELECT l.q_id, cd.vec_id AS cand_id,
+         list_sum(list_transform(range(0, {m}),
+           mm -> l.l[mm * {ksub} + cd.cl[mm + 1] + 1])) AS ad
+  FROM lutl l
+  JOIN ka{last} a ON a.cell = l.cell
+  JOIN codes cd ON cd.vec_id = a.vec_id AND cd.vec_id <> l.q_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT q_id, cand_id FROM (
+  SELECT q_id, cand_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY ad, cand_id) AS rn
+  FROM scored
+) WHERE rn <= {topk}"""
+    )
+
+
+@register(
+    "sim_ivfpq_residual_topk",
+    oracle=_ivfadc_oracle_sql(8, 4, 8, 2, 64, 2, 5),
+    doc="Paper-exact IVFADC (Jégou et al. 2011 §IV): PQ trained on "
+    "cell-residuals r = x − centroid(cell(x)) instead of raw vectors — "
+    "the codebook encodes local displacement, which is where residual "
+    "training recovers recall at high compression. Serving builds the "
+    "ADC lookup table per (query, probed cell) from the query residual. "
+    "Oracle replays coarse training, residual PQ training, and the "
+    "per-probe LUT scan bit-for-bit.",
+)
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select("vec_id")
+    return SIM.ivfadc_topk(
+        emb, q, k=8, m=4, ksub=8, iters=2, dim=64, probes=2, topk=5
+    )

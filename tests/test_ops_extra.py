@@ -544,3 +544,27 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
                     inc[d] += c
         pr = {n: (base if n == 1 else 0) + (85 * inc[n]) // 100 for n in nodes}
     assert got == pr
+
+
+def test_minlabel_cc_deep_chain_falls_back_to_star(spark):
+    """A chain deeper than max_iter must NOT return partially-propagated
+    labels (measured failure: 20 rounds on a 2000-deep chain left 198k
+    bogus components) — the convergence check finishes via star-CC."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from files_kraken_spark.operators.dedup import connected_components
+
+    # one 60-node path: diameter 59 >> max_iter=5
+    pairs = (
+        spark.range(59)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, max_iter=5).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 60
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=5, on_nonconverged="raise")
