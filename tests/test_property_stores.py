@@ -1,0 +1,80 @@
+"""Property check: both state backends (rename-in-place StateStore and
+copy-on-write CowStateStore) implement the SAME keyed-upsert contract —
+random op sequences against a plain-dict model must agree on the final
+state, on both backends."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from files_kraken_spark.blueprint import Blueprint
+from files_kraken_spark.cow_store import CowStateStore
+from files_kraken_spark.operators.assemble import state_schema
+from files_kraken_spark.store import StateStore
+
+IDS = ["a", "b", "c", "d"]
+VALS = ["x", "y", "z"]
+
+OP = st.one_of(
+    st.tuples(
+        st.just("upsert"),
+        st.lists(
+            st.tuples(st.sampled_from(IDS), st.sampled_from(VALS)),
+            min_size=1,
+            max_size=3,
+            unique_by=lambda t: t[0],
+        ),
+    ),
+    st.tuples(st.just("delete"), st.sampled_from(IDS)),
+)
+
+SEQ = st.lists(OP, min_size=1, max_size=5)
+
+
+def _bp():
+    return Blueprint(
+        name="PropRecord",
+        required={"key": (r"(\w+)", 1)},
+        optional={"description": (r"desc_(\w+)", 1)},
+    )
+
+
+def _rows(spark, bp, rows):
+    return spark.createDataFrame(
+        [(bp.name, rid, rid, desc, []) for rid, desc in rows], state_schema(bp)
+    )
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seq=SEQ)
+def test_both_backends_match_dict_model(spark, tmp_path_factory, seq):
+    bp = _bp()
+    base = tmp_path_factory.mktemp("stores")
+    stores = [
+        StateStore(str(base / "plain"), n_buckets=4),
+        CowStateStore(str(base / "cow"), n_buckets=4),
+    ]
+    model: dict[str, str] = {}
+    for op in seq:
+        if op[0] == "upsert":
+            for store in stores:
+                store.upsert_rows(spark, bp, _rows(spark, bp, op[1]))
+            model.update(dict(op[1]))
+        else:
+            for store in stores:
+                store.delete(spark, bp, op[1])
+            model.pop(op[1], None)
+    for store in stores:
+        got = {
+            r["id"]: r["description"]
+            for r in store.load(spark, bp).collect()
+        }
+        assert got == model, type(store).__name__
