@@ -506,3 +506,78 @@ def temperature_resample(
             F.expr("(target_n + n_docs - 1) DIV n_docs"),
         )
     )
+
+
+# Knuth's multiplicative constant: portable BIGINT hash both engines
+# compute identically (no xxhash in DuckDB, no overflow for id < 2^31).
+_MIX = 2_654_435_761
+_MOD = 4_294_967_296
+
+
+def global_shuffle_order(
+    df: DataFrame, id_col: str, seed: int = 1
+) -> DataFrame:
+    """Deterministic pseudorandom training order: every epoch of a
+    training run must see the corpus in a shuffled-but-reproducible
+    order, independent of file layout or partitioning. Position =
+    rank of a multiplicative integer hash of (id, seed) — change the
+    seed, get an uncorrelated new permutation; same seed, same order
+    on any engine and any cluster size.
+
+    Scale shape: the hash is a narrow map; the ORDER BY is one
+    range-exchange (Spark's sort is a sampled range partition — no
+    single-reducer bottleneck). For sharded export, write with
+    ``repartitionByRange(n_shards, position)`` and the per-shard files
+    come out both shuffled and deterministic.
+    """
+    h = ((F.col(id_col) + F.lit(seed)) * F.lit(_MIX)) % F.lit(_MOD)
+    w = Window.orderBy(h, F.col(id_col))
+    return df.select(
+        F.col(id_col),
+        h.alias("shuffle_key"),
+        F.row_number().over(w).cast("long").alias("position"),
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_pct: int = 90,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Train/validation split that cannot leak duplicated content
+    across the boundary: the split decision is made per CONTENT GROUP,
+    not per row. Default grouping is the exact-duplicate fingerprint
+    (md5 of the raw text); pass ``group_col`` (e.g. the ``component``
+    from `connected_components` over MinHash pairs) to make the
+    boundary near-duplicate-safe as well — the split logic is
+    identical, only the grouping key changes.
+
+    Every group hashes to a side via the same portable multiplicative
+    scheme as `global_shuffle_order` on the group's min id — engine-
+    replayable, and stable under corpus growth (adding new docs never
+    flips an existing group's side, the property that keeps eval sets
+    frozen across dataset versions).
+
+    Scale: one groupBy(fingerprint) + one join back — both shuffles on
+    the dedup key the pipeline already uses.
+    """
+    if group_col is None:
+        keyed = df.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("__grp")
+        )
+    else:
+        keyed = df.select(F.col(id_col), F.col(group_col).alias("__grp"))
+    gmin = keyed.groupBy("__grp").agg(F.min(id_col).alias("__gmin"))
+    side = ((F.col("__gmin") * F.lit(_MIX)) % F.lit(_MOD)) % F.lit(100)
+    return (
+        keyed.join(gmin, "__grp")
+        .select(
+            F.col(id_col),
+            F.col("__gmin").alias("group_id"),
+            F.when(side < F.lit(train_pct), F.lit("train"))
+            .otherwise(F.lit("val"))
+            .alias("split"),
+        )
+    )

@@ -1660,3 +1660,56 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfadc_topk(
         emb, q, k=8, m=4, ksub=8, iters=2, dim=64, probes=2, topk=5
     )
+
+
+@register(
+    "t_global_shuffle",
+    oracle="""
+SELECT doc_id,
+       ((doc_id + 1) * 2654435761) % 4294967296 AS shuffle_key,
+       CAST(row_number() OVER (
+         ORDER BY ((doc_id + 1) * 2654435761) % 4294967296, doc_id
+       ) AS BIGINT) AS position
+FROM documents
+WHERE doc_id < 3000
+""",
+    doc="Deterministic pseudorandom training order: position = rank of "
+    "a portable multiplicative integer hash of (id, seed) — every "
+    "epoch sees a reproducible permutation independent of file layout "
+    "or cluster size; a new seed gives an uncorrelated new order. The "
+    "sort is one range-exchange (sampled range partition, no single "
+    "reducer); sharded export writes repartitionByRange(n, position).",
+)
+def t_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import global_shuffle_order
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 3000)
+    return global_shuffle_order(docs, "doc_id", seed=1)
+
+
+@register(
+    "t_leakage_safe_split",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, md5(text) AS grp FROM documents
+), gmin AS (
+  SELECT grp, min(doc_id) AS group_id FROM keyed GROUP BY grp
+)
+SELECT k.doc_id, g.group_id,
+       CASE WHEN ((g.group_id * 2654435761) % 4294967296) % 100 < 90
+            THEN 'train' ELSE 'val' END AS split
+FROM keyed k JOIN gmin g USING (grp)
+""",
+    doc="Leakage-safe train/val split: the side is decided per CONTENT "
+    "GROUP (exact-dup md5 fingerprint here; plug the connected-"
+    "components id in for near-dup safety) via a portable integer "
+    "hash of the group's min id — duplicated content can never "
+    "straddle the boundary, and adding new docs never flips an "
+    "existing group's side (frozen eval sets across versions). One "
+    "groupBy + one join back, both on the dedup key.",
+)
+def t_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split(docs, "doc_id", "text", train_pct=90)

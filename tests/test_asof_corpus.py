@@ -283,3 +283,38 @@ def test_export_shards_observed_metrics(spark, tmp_path):
     )
     assert got["rows_written"] == 20
     assert got["score_total"] == sum(range(20))
+
+
+def test_global_shuffle_deterministic_and_seed_sensitive(spark):
+    from files_kraken_spark.operators.corpus import global_shuffle_order
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["position"] for r in global_shuffle_order(df, "doc_id", seed=1).collect()}
+    b = {r["doc_id"]: r["position"] for r in global_shuffle_order(df, "doc_id", seed=1).collect()}
+    c = {r["doc_id"]: r["position"] for r in global_shuffle_order(df, "doc_id", seed=2).collect()}
+    assert a == b  # reproducible
+    assert a != c  # seed changes the permutation
+    assert sorted(a.values()) == list(range(1, 101))  # a true permutation
+    assert a != {i: i + 1 for i in range(100)}  # actually shuffled
+
+
+def test_leakage_safe_split_groups_stay_together(spark):
+    from files_kraken_spark.operators.corpus import leakage_safe_split
+
+    rows = [(i, f"text {i % 7}") for i in range(50)]  # 7 content groups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df, "doc_id", "text").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())  # no group straddles
+    assert len(by_group) == 7
+
+    # growth stability: adding docs never flips an existing group's side
+    grown = spark.createDataFrame(
+        rows + [(100 + i, f"new {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    before = {r["doc_id"]: r["split"] for r in out}
+    after = {r["doc_id"]: r["split"] for r in leakage_safe_split(grown, "doc_id", "text").collect()}
+    assert all(after[d] == s for d, s in before.items())
