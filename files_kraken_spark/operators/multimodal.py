@@ -370,3 +370,56 @@ def audio_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_stats, schema=AUDIO_STATS_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash_hi", LongType()),
+        StructField("dhash_lo", LongType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """REAL perceptual image hash (difference hash) over decoded Netpbm
+    payloads: decode (`decode_netpbm`), grayscale by integer-floor
+    channel mean, nearest-neighbor resample to (hash_w+1)×hash_h with
+    the same ``(k·src)//dst`` index map as `resize_image`, then bit
+    (i,j) = [px(i,j) > px(i,j+1)]. Returns two BIGINT halves (rows
+    0..h/2-1 → dhash_hi, rest → dhash_lo) — 64 bits total at the
+    default 8×8 without touching the int64 sign bit.
+
+    Near-duplicate images = small Hamming distance between hashes; at
+    scale, band the halves into 16-bit keys and bucket-join exactly
+    like MinHash-LSH (`dedup.minhash_lsh_pairs` shape). Every step is
+    integer-deterministic, so the hash is engine- and
+    partitioning-portable. Arrow-batched `mapInPandas`; payloads never
+    leave the executors.
+    """
+    import numpy as np
+
+    def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        half = hash_h // 2
+        for pdf in batches:
+            out = {"media_id": [], "dhash_hi": [], "dhash_lo": []}
+            for mid, raw in zip(pdf["media_id"], pdf["data"]):
+                data = bytes(raw)
+                if data[:2] not in (b"P5", b"P6"):
+                    continue
+                arr = decode_netpbm(data).astype(np.int64)
+                gray = arr.sum(axis=2) // arr.shape[2]  # integer-floor mean
+                h, w = gray.shape
+                ri = (np.arange(hash_h) * h) // hash_h
+                ci = (np.arange(hash_w + 1) * w) // (hash_w + 1)
+                g = gray[ri][:, ci]
+                bits = (g[:, :-1] > g[:, 1:]).astype(np.int64)
+                weights = 1 << (
+                    np.arange(half * hash_w).reshape(half, hash_w)
+                )
+                out["media_id"].append(mid)
+                out["dhash_hi"].append(int((bits[:half] * weights).sum()))
+                out["dhash_lo"].append(int((bits[half:] * weights).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_dhash, schema=DHASH_SCHEMA)

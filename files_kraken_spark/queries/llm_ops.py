@@ -1713,3 +1713,46 @@ def t_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return leakage_safe_split(docs, "doc_id", "text", train_pct=90)
+
+
+@register(
+    "mm_image_dhash",
+    oracle="""
+WITH px AS (
+  SELECT doc_id, i, j,
+         ascii(substr(text, i * 16 + (j * 16) // 9 + 1, 1)) AS p,
+         ascii(substr(text, i * 16 + ((j + 1) * 16) // 9 + 1, 1)) AS pn
+  FROM documents, range(0, 8) r1(i), range(0, 8) r2(j)
+  WHERE n_chars >= 128
+)
+SELECT doc_id AS media_id,
+       CAST(sum(CASE WHEN i < 4 AND p > pn
+                     THEN (CAST(1 AS BIGINT) << (i * 8 + j)) ELSE 0 END)
+            AS BIGINT) AS dhash_hi,
+       CAST(sum(CASE WHEN i >= 4 AND p > pn
+                     THEN (CAST(1 AS BIGINT) << ((i - 4) * 8 + j)) ELSE 0 END)
+            AS BIGINT) AS dhash_lo
+FROM px GROUP BY doc_id
+""",
+    doc="REAL perceptual image hash (dHash) through the actual Netpbm "
+    "decode path: each doc's first 128 ASCII bytes become a 16x8 P5 "
+    "raster, decoded by decode_netpbm, nearest-neighbor resampled to "
+    "9x8 with the (k*src)//dst index map, difference-hashed to two "
+    "BIGINT halves. Near-dup images = small Hamming distance; band "
+    "the halves into 16-bit keys for an LSH bucket join at scale. The "
+    "oracle recomputes every pixel from the same bytes (ascii = "
+    "grayscale value for a P5 payload), so the whole decode->resample"
+    "->hash chain is engine-replayed.",
+)
+def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary, image_dhash
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 128)
+    pgm = docs.select(
+        "doc_id",
+        F.concat(F.lit("P5\n16 8\n255\n"), F.substring("text", 1, 128)).alias(
+            "payload"
+        ),
+    )
+    media = attach_binary(pgm, "doc_id", "payload", "image")
+    return image_dhash(media, hash_w=8, hash_h=8)

@@ -568,3 +568,50 @@ def test_minlabel_cc_deep_chain_falls_back_to_star(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=5, on_nonconverged="raise")
+
+
+def test_image_dhash_real_decode_and_neardup_property(spark):
+    """dHash through the real Netpbm decoder: a horizontal gradient
+    hashes to all-ones per row (left > right nowhere... gradient up →
+    px[j] < px[j+1] → bits 0; reversed gradient → bits 1); a one-pixel
+    perturbation moves Hamming distance only slightly, while the
+    reversed image is far — the property a perceptual hash must have."""
+    import numpy as np
+
+    from files_kraken_spark.operators.multimodal import (
+        encode_netpbm,
+        image_dhash,
+    )
+
+    def media_df(rows):
+        import hashlib
+
+        data = [
+            (i, "image", payload, len(payload),
+             hashlib.sha256(payload).hexdigest())
+            for i, payload in rows
+        ]
+        return spark.createDataFrame(
+            data,
+            "media_id long, modality string, data binary, "
+            "byte_len long, sha256 string",
+        )
+
+    up = np.tile(np.arange(0, 160, 10, dtype=np.uint8), (8, 1))[..., None]
+    down = up[:, ::-1]
+    jitter = up.copy()
+    jitter[3, 5, 0] = 255  # one hot pixel
+
+    df = media_df(
+        [(0, encode_netpbm(up)), (1, encode_netpbm(np.ascontiguousarray(down))),
+         (2, encode_netpbm(jitter))]
+    )
+    got = {r["media_id"]: (r["dhash_hi"], r["dhash_lo"])
+           for r in image_dhash(df).collect()}
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert got[0] == (0, 0)  # ascending rows: no left>right anywhere
+    assert ham(got[0], got[1]) == 64  # reversed gradient: every bit flips
+    assert 0 < ham(got[0], got[2]) <= 4  # tiny perturbation stays near
