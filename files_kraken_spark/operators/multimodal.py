@@ -423,3 +423,67 @@ def image_dhash(media: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_dhash, schema=DHASH_SCHEMA)
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Image near-duplicate pairs from dHash values — the MinHash-LSH
+    recipe transplanted to perceptual hashes: band each 64-bit hash
+    into 4×16-bit keys (two per half), bucket-join on (band, key) —
+    near-dups within ``max_hamming ≤ 6`` bit flips agree on at least
+    one band by pigeonhole whenever the flips cluster into ≤3 bands,
+    and random pairs collide with p ≈ 2^-16 per band — then verify
+    candidates EXACTLY with an integer XOR popcount. Returns
+    (id_a, id_b, hamming), id_a < id_b.
+
+    Scale shape: banding is a narrow 4-row fan-out, the join shuffles
+    candidates only (never corpus×corpus), the verify is pure integer
+    expressions on the pair rows. Identical cost model to
+    `dedup.minhash_lsh_pairs`.
+    """
+    bands = hashes.select(
+        F.col("media_id"),
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(
+                            F.col("dhash_hi") if b < 2 else F.col("dhash_lo"),
+                            (b % 2) * 16,
+                        ).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "media_id", "dhash_hi", "dhash_lo",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            (
+                F.bit_count(
+                    F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi"))
+                )
+                + F.bit_count(
+                    F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo"))
+                )
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

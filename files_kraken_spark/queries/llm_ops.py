@@ -1756,3 +1756,58 @@ def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = attach_binary(pgm, "doc_id", "payload", "image")
     return image_dhash(media, hash_w=8, hash_h=8)
+
+
+@register(
+    "mm_dhash_neardup",
+    oracle="""
+WITH px AS (
+  SELECT doc_id, i, j,
+         ascii(substr(text, i * 16 + (j * 16) // 9 + 1, 1)) AS p,
+         ascii(substr(text, i * 16 + ((j + 1) * 16) // 9 + 1, 1)) AS pn
+  FROM documents, range(0, 8) r1(i), range(0, 8) r2(j)
+  WHERE n_chars >= 128
+),
+h AS (
+  SELECT doc_id AS media_id,
+         CAST(sum(CASE WHEN i < 4 AND p > pn
+                       THEN (CAST(1 AS BIGINT) << (i * 8 + j)) ELSE 0 END)
+              AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN i >= 4 AND p > pn
+                       THEN (CAST(1 AS BIGINT) << ((i - 4) * 8 + j)) ELSE 0 END)
+              AS BIGINT) AS lo
+  FROM px GROUP BY doc_id
+),
+bands AS (
+  SELECT media_id, hi, lo, b.band,
+         CASE WHEN b.band < 2 THEN (hi >> (b.band % 2 * 16)) & 65535
+              ELSE (lo >> (b.band % 2 * 16)) & 65535 END AS key
+  FROM h, range(0, 4) b(band)
+)
+SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+            AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+""",
+    doc="Image near-duplicate detection end-to-end: dHash (real Netpbm "
+    "decode) -> 4x16-bit band keys -> bucket join (candidates only, "
+    "never corpus x corpus) -> exact XOR-popcount Hamming verify <= 6. "
+    "The MinHash-LSH cost model applied to perceptual hashes; every "
+    "stage integer-exact and replayed by the oracle.",
+)
+def mm_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary, dhash_neardup_pairs, image_dhash
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 128)
+    pgm = docs.select(
+        "doc_id",
+        F.concat(F.lit("P5\n16 8\n255\n"), F.substring("text", 1, 128)).alias(
+            "payload"
+        ),
+    )
+    hashes = image_dhash(attach_binary(pgm, "doc_id", "payload", "image"))
+    return dhash_neardup_pairs(hashes, max_hamming=6).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )

