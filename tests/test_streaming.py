@@ -459,3 +459,38 @@ def test_streaming_drop_duplicates_within_watermark(spark, tmp_path):
     )
     ids = [g[0] for g in got]
     assert ids == [1, 1, 2, 3]  # batch1 {1,2} + batch2 {3} + batch3 {1}
+
+
+def test_workflow_end_to_end_on_cow_backend(spark, tmp_path, bp):
+    """The copy-on-write store is a drop-in Workflow backend: the full
+    poll → assemble → commit → mutate → re-poll loop runs against it,
+    commits are manifest-objects (no staging renames), and state
+    matches the default backend's semantics."""
+    from files_kraken_spark.cow_store import CowStateStore
+
+    root = tmp_path / "watch"
+    root.mkdir()
+    (root / "sample_1.lane_1.fastq.gz").write_text("fq")
+    (root / "sample_1.metrics.txt").write_text("50")
+
+    cow = CowStateStore(str(tmp_path / "cowstate"))
+    wf = Workflow(
+        spark, "t1", [bp], data_dir=str(tmp_path / "wfdata"), state_store=cow
+    )
+    wf.add_watcher(str(root), timeout=0)
+
+    assert wf.run_once() == 2
+    row = wf.state.load(spark, bp).collect()[0]
+    assert row["metric"] == 50.0
+
+    (root / "sample_1.lane_2.fastq.gz").write_text("fq")
+    assert wf.run_once() == 1
+    row = wf.state.load(spark, bp).collect()[0]
+    assert sorted(row["fastqs"]) == [
+        str(root / "sample_1.lane_1.fastq.gz"),
+        str(root / "sample_1.lane_2.fastq.gz"),
+    ]
+    # commit artifacts are versioned manifests, never a staging dir
+    bdir = cow._dir(bp.name)
+    assert not any(e.startswith("_stage") for e in os.listdir(bdir))
+    assert any(e.startswith("manifest.v") for e in os.listdir(bdir))
