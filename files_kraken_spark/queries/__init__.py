@@ -60,6 +60,7 @@ _SAMPLE_PRIORITY = [
     "a11_upsert_cow",
     "mm_binary_meta", "mm_frame_sample", "mm_resize", "mm_feature_extract",
     "mm_doc_embedding_join", "mm_image_dhash", "mm_dhash_neardup",
+    "mm_audio_fingerprint",
     "sim_pq_topk", "sim_ivfpq_topk", "sim_ivfpq_residual_topk",
     "sim_pq_rerank", "sim_ivf_trained_topk",
     "sim_ivf_topk", "sim_knn_classify",

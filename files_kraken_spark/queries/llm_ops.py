@@ -1811,3 +1811,60 @@ def mm_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_neardup_pairs(hashes, max_hamming=6).withColumn(
         "hamming", F.col("hamming").cast("long")
     )
+
+
+@register(
+    "mm_audio_fingerprint",
+    oracle="""
+WITH e AS (
+  SELECT doc_id, f,
+         CAST(sum((ascii(substr(text, f * 4 + t + 1, 1)) - 128)
+                  * (ascii(substr(text, f * 4 + t + 1, 1)) - 128))
+              AS BIGINT) AS energy
+  FROM documents, range(0, 32) fr(f), range(0, 4) st(t)
+  WHERE n_chars >= 128
+  GROUP BY doc_id, f
+)
+SELECT e1.doc_id AS media_id,
+       CAST(32 AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN e2.energy > e1.energy
+                     THEN (CAST(1 AS BIGINT) << e1.f) ELSE 0 END)
+            AS BIGINT) AS afp
+FROM e e1 JOIN e e2 ON e2.doc_id = e1.doc_id AND e2.f = e1.f + 1
+GROUP BY e1.doc_id
+""",
+    doc="REAL audio fingerprint through the actual RIFF/WAVE decode "
+    "path: each doc's first 128 ASCII bytes become 8-bit PCM mono "
+    "samples behind a real WAV header, decode_wav parses it, 4-sample "
+    "frames yield integer energies, and bit k = [energy(k+1) > "
+    "energy(k)] — the sign-of-energy-delta signature (Shazam-style "
+    "matching reduced to its integer skeleton). Oracle recomputes "
+    "every sample as ascii-128 and replays the energy/delta chain.",
+)
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_fingerprint
+
+    n = 128
+    header = (
+        b"RIFF"
+        + (36 + n).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")   # PCM
+        + (1).to_bytes(2, "little")   # mono
+        + (8000).to_bytes(4, "little")
+        + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")   # 8-bit
+        + b"data"
+        + n.to_bytes(4, "little")
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= n)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.lit(header), F.encode(F.substring("text", 1, n), "UTF-8")
+        ).alias("data"),
+    )
+    return audio_fingerprint(media, frame_samples=4, max_bits=62)

@@ -999,3 +999,47 @@ def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
         )
     )
+
+
+@register(
+    "q_udtf_sentence_split",
+    oracle="""
+SELECT doc_id,
+       CAST(u.pos - 1 AS INT) AS pos,
+       trim(u.s) AS sentence,
+       CAST(len(trim(u.s)) AS BIGINT) AS n_chars
+FROM (
+  SELECT doc_id, unnest(string_split(text, '.')) AS s,
+         generate_subscripts(string_split(text, '.'), 1) AS pos
+  FROM documents
+  WHERE doc_id < 300
+) u
+WHERE trim(u.s) <> ''
+""",
+    doc="Python UDTF surface (Spark 4 table function; the one UDF "
+    "family the reference's scalar parse hook cannot express, SURVEY "
+    "§2.6): a sentence splitter emitting (pos, sentence, n_chars) rows "
+    "per document via a LATERAL-style table-function join. The UDTF "
+    "itself is trivially deterministic so DuckDB's UNNEST replays it; "
+    "the point under test is the table-function execution surface.",
+)
+def q_udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, sentence string, n_chars bigint")
+    class SentenceSplit:
+        def eval(self, text: str):
+            pos = 0
+            for part in (text or "").split("."):
+                s = part.strip()
+                if s:
+                    yield pos, s, len(s)
+                pos += 1
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    spark.udtf.register("fks_sentence_split", SentenceSplit)
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.sentence, s.n_chars "
+        "FROM __udtf_docs d, LATERAL fks_sentence_split(d.text) s"
+    )

@@ -647,3 +647,39 @@ def test_dhash_neardup_pairs_bucket_join(spark):
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
     assert (0, 1) in got and got[(0, 1)] <= 4
     assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_audio_fingerprint_16bit_stereo(spark):
+    """Fingerprint through the real WAV decode on 16-bit stereo input:
+    a rising-then-falling envelope yields the expected delta bits, and
+    a DC-shifted copy (louder but same shape) fingerprints identically
+    — amplitude-shape invariance is what makes it a fingerprint."""
+    import numpy as np
+
+    from files_kraken_spark.operators.multimodal import audio_fingerprint
+
+    def wav16(stereo: np.ndarray) -> bytes:
+        raw = stereo.astype("<i2").tobytes()
+        return (
+            b"RIFF" + (36 + len(raw)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+            + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + len(raw).to_bytes(4, "little") + raw
+        )
+
+    env = np.array([1, 2, 4, 8, 4, 2, 1, 1], dtype=np.int64)
+    base = np.repeat(env * 100, 4)  # 4 samples per frame
+    stereo = np.stack([base, base], axis=1)
+    louder = np.stack([base * 2, base * 2], axis=1)
+
+    media = spark.createDataFrame(
+        [(0, wav16(stereo)), (1, wav16(louder))],
+        "media_id long, data binary",
+    )
+    got = {r["media_id"]: r for r in audio_fingerprint(media, frame_samples=4).collect()}
+    assert got[0]["n_frames"] == 8
+    # deltas: energies rise for frames 1-3, fall after → bits 0,1,2 set
+    assert got[0]["afp"] == 0b0000111
+    assert got[1]["afp"] == got[0]["afp"]  # scale-invariant shape
