@@ -47,6 +47,8 @@ EXTRA = [
     "sim_ivfpq_topk",
     "q_pagerank_supply",
     "t_bpe_train_merges",
+    "t_global_shuffle",
+    "mm_dhash_neardup",
 ]
 
 
