@@ -93,6 +93,23 @@ class CowStateStore(StateStore):
                 continue
         return None
 
+    def _prev_version(self, blueprint_name: str, current: int) -> int | None:
+        """Largest VALID retained manifest below ``current`` — version
+        numbers skip past torn commits here, so v-1 may not exist."""
+        for v in self._manifest_versions(blueprint_name):
+            if v >= current:
+                continue
+            try:
+                self._load_manifest_file(
+                    os.path.join(
+                        self._dir(blueprint_name), f"manifest.v{v}.json"
+                    )
+                )
+                return v
+            except (ValueError, KeyError, FileNotFoundError):
+                continue
+        return None
+
     def _next_version(self, blueprint_name: str) -> int:
         """1 + the highest version number ever RESERVED — counting torn
         manifests and orphan data dirs, so an interrupted commit's N is

@@ -91,6 +91,12 @@ class StateStore:
         (subclasses override for copy-on-write layouts)."""
         return os.path.join(self._dir(blueprint_name), f"b={k}", f"v={v}")
 
+    def _prev_version(self, blueprint_name: str, current: int) -> int | None:
+        """The retained commit preceding ``current``, or None at v1.
+        Versions are consecutive here; copy-on-write subclasses skip
+        numbers past crashed commits and override this."""
+        return current - 1 if current > 1 else None
+
     def _bucket_col(self):
         return F.pmod(F.xxhash64(F.col("id")), F.lit(self.n_buckets)).cast("int")
 
@@ -263,9 +269,10 @@ class StateStore:
         anti-joins on (id, row-content hash)."""
         man = self._read_manifest(bp.name)
         cur = self.load(spark, bp)
-        if not man or man["version"] <= 1:
+        prev_v = self._prev_version(bp.name, man["version"]) if man else None
+        if prev_v is None:
             return cur.select("id", F.lit("inserted").alias("change"))
-        prev = self.load_version(spark, bp, man["version"] - 1)
+        prev = self.load_version(spark, bp, prev_v)
         cols = [c for c in cur.columns]
         fp = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in cols])
         c = cur.select("id", fp.alias("__fp"))

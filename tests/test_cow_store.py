@@ -168,3 +168,26 @@ def test_change_data_feed(spark, tmp_path, bp):
     ))
     got = {r["id"]: r["change"] for r in store.changes(spark, bp).collect()}
     assert got == {"a": "updated", "b": "deleted", "c": "inserted"}
+
+
+def test_change_feed_skips_torn_commit(spark, tmp_path, bp):
+    """Version numbers skip past a crashed commit; the change feed must
+    diff against the last VALID commit, not blindly against v-1."""
+    store = CowStateStore(str(tmp_path / "state"))
+    store.overwrite(bp, _rows(spark, bp, [("a", "one"), ("b", "two")]))
+    bdir = store._dir(bp.name)
+    with open(os.path.join(bdir, "manifest.v2.json"), "w") as f:
+        f.write('{"version": 2, "buckets"')  # torn commit
+
+    batch = _rows(spark, bp, [("a", "ONE"), ("c", "three")])
+    merged = (
+        store.load(spark, bp)
+        .filter(~F.col("id").isin("a", "b"))
+        .unionByName(batch)
+    )
+    v = store.overwrite(bp, merged, touched_ids=spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "id string"
+    ))
+    assert v == 3  # torn v2 reserved its number
+    got = {r["id"]: r["change"] for r in store.changes(spark, bp).collect()}
+    assert got == {"a": "updated", "b": "deleted", "c": "inserted"}
