@@ -509,9 +509,12 @@ def temperature_resample(
 
 
 # Knuth's multiplicative constant: portable BIGINT hash both engines
-# compute identically (no xxhash in DuckDB, no overflow for id < 2^31).
+# compute identically (no xxhash in DuckDB). Inputs wrap to 31 bits
+# BEFORE the multiply so the product stays < 2^63 for ANY BIGINT id —
+# DuckDB errors on overflow where Spark would silently wrap.
 _MIX = 2_654_435_761
 _MOD = 4_294_967_296
+_WRAP = 2_147_483_648
 
 
 def global_shuffle_order(
@@ -530,7 +533,7 @@ def global_shuffle_order(
     ``repartitionByRange(n_shards, position)`` and the per-shard files
     come out both shuffled and deterministic.
     """
-    h = ((F.col(id_col) + F.lit(seed)) * F.lit(_MIX)) % F.lit(_MOD)
+    h = (((F.col(id_col) + F.lit(seed)) % F.lit(_WRAP)) * F.lit(_MIX)) % F.lit(_MOD)
     w = Window.orderBy(h, F.col(id_col))
     return df.select(
         F.col(id_col),
@@ -570,7 +573,7 @@ def leakage_safe_split(
     else:
         keyed = df.select(F.col(id_col), F.col(group_col).alias("__grp"))
     gmin = keyed.groupBy("__grp").agg(F.min(id_col).alias("__gmin"))
-    side = ((F.col("__gmin") * F.lit(_MIX)) % F.lit(_MOD)) % F.lit(100)
+    side = (((F.col("__gmin") % F.lit(_WRAP)) * F.lit(_MIX)) % F.lit(_MOD)) % F.lit(100)
     return (
         keyed.join(gmin, "__grp")
         .select(

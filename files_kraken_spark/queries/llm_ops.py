@@ -1666,9 +1666,9 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_global_shuffle",
     oracle="""
 SELECT doc_id,
-       ((doc_id + 1) * 2654435761) % 4294967296 AS shuffle_key,
+       (((doc_id + 1) % 2147483648) * 2654435761) % 4294967296 AS shuffle_key,
        CAST(row_number() OVER (
-         ORDER BY ((doc_id + 1) * 2654435761) % 4294967296, doc_id
+         ORDER BY (((doc_id + 1) % 2147483648) * 2654435761) % 4294967296, doc_id
        ) AS BIGINT) AS position
 FROM documents
 WHERE doc_id < 3000
@@ -1696,7 +1696,7 @@ WITH keyed AS (
   SELECT grp, min(doc_id) AS group_id FROM keyed GROUP BY grp
 )
 SELECT k.doc_id, g.group_id,
-       CASE WHEN ((g.group_id * 2654435761) % 4294967296) % 100 < 90
+       CASE WHEN (((g.group_id % 2147483648) * 2654435761) % 4294967296) % 100 < 90
             THEN 'train' ELSE 'val' END AS split
 FROM keyed k JOIN gmin g USING (grp)
 """,
