@@ -193,11 +193,14 @@ def _content_roots(out: DataFrame, src_col: str) -> list[str]:
     """
     import os
 
-    dir_expr = F.regexp_replace(F.col(src_col), "/[^/]*$", "")
+    # root-level files ('/x.bin') have parent '' after the strip — map
+    # that to '/' so they keep a covering root (old commonpath parity)
+    raw_dir = F.regexp_replace(F.col(src_col), "/[^/]*$", "")
+    dir_expr = F.when(raw_dir == "", F.lit("/")).otherwise(raw_dir)
     dirs = [
         r[0]
         for r in out.select(dir_expr.alias("__d"))
-        .where(F.col("__d").isNotNull() & (F.col("__d") != ""))
+        .where(F.col("__d").isNotNull())
         .distinct()
         .limit(_CONTENT_DIR_CAP + 1)
         .collect()
@@ -206,10 +209,16 @@ def _content_roots(out: DataFrame, src_col: str) -> list[str]:
         return []
     if len(dirs) <= _CONTENT_DIR_CAP:
         # drop dirs nested under another selected dir (binaryFile with
-        # recursiveFileLookup would double-load them)
+        # recursiveFileLookup would double-load them). Sorting does NOT
+        # place a nested dir adjacent to its ancestor ('/data-old'
+        # sorts between '/data' and '/data/sub'), so check against
+        # every kept root, not just the last one.
         keep: list[str] = []
         for d in sorted(dirs):
-            if not keep or not (d == keep[-1] or d.startswith(keep[-1] + "/")):
+            covered = any(
+                d == k or d.startswith(k.rstrip("/") + "/") for k in keep
+            )
+            if not covered:
                 keep.append(d)
         return keep
     # too many dirs to enumerate: one commonpath per top-level group,

@@ -527,19 +527,48 @@ def global_shuffle_order(
     seed, get an uncorrelated new permutation; same seed, same order
     on any engine and any cluster size.
 
-    Scale shape: the hash is a narrow map; the ORDER BY is one
-    range-exchange (Spark's sort is a sampled range partition — no
-    single-reducer bottleneck). For sharded export, write with
-    ``repartitionByRange(n_shards, position)`` and the per-shard files
-    come out both shuffled and deterministic.
+    Scale shape: the hash is a narrow map, and the global rank is the
+    distributed zipWithIndex pattern — range-exchange sort on
+    (shuffle_key, id), per-partition row_number, plus a broadcast of
+    per-partition counts (one small int per partition) to offset into
+    the global position. NO unpartitioned window: ``row_number()`` over
+    a global ORDER BY would move the whole corpus to one task. The
+    result is still exactly the global rank — range boundaries vary
+    with sampling, but offsets are exact counts over a total order, so
+    ``position`` is deterministic regardless of partitioning. For
+    sharded export, write with ``repartitionByRange(n_shards,
+    "position")`` and the per-shard files come out both shuffled and
+    deterministic.
     """
     h = (((F.col(id_col) + F.lit(seed)) % F.lit(_WRAP)) * F.lit(_MIX)) % F.lit(_MOD)
-    w = Window.orderBy(h, F.col(id_col))
-    return df.select(
-        F.col(id_col),
-        h.alias("shuffle_key"),
-        F.row_number().over(w).cast("long").alias("position"),
+    keyed = (
+        df.select(F.col(id_col), h.alias("shuffle_key"))
+        .repartitionByRange(F.col("shuffle_key"), F.col(id_col))
+        .sortWithinPartitions("shuffle_key", id_col)
+        .withColumn("__pid", F.spark_partition_id())
+    ).persist()
+    counts = {
+        r["__pid"]: r["n"]
+        for r in keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        ),
+        F.col("__pid"),
     )
+    wp = Window.partitionBy("__pid").orderBy("shuffle_key", id_col)
+    out = keyed.select(
+        F.col(id_col),
+        "shuffle_key",
+        (F.row_number().over(wp) + off).cast("long").alias("position"),
+    )
+    return out
 
 
 def leakage_safe_split(

@@ -422,6 +422,10 @@ def connected_components(
     clique-shaped graphs near-dup actually produces (SCALING.md,
     "Dedup" measurements).
     """
+    if on_nonconverged not in ("star", "raise"):
+        raise ValueError(
+            f"on_nonconverged={on_nonconverged!r}: expected 'star' or 'raise'"
+        )
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))

@@ -165,14 +165,19 @@ def prune_files_df(
     100M-file manifests where ``prune_files``' collect would not.
 
     Semantics match ``spark.read.parquet(*prune_files(...))`` row-for-
-    row. The I/O trade: Spark still *opens* every footer (file-level
-    skip at plan time needs the list on the driver, or a table format —
-    Delta/Iceberg — whose scan planner does this same manifest join
-    natively), but every row outside the surviving files is dropped at
-    the scan by the semi-join, and the added predicate on ``col`` is
-    pushed to parquet row-group stats so non-surviving files read ~no
-    data blocks. Use ``prune_files`` when the survivor count is driver-
-    sized; use this form when the manifest itself is big data."""
+    row: ALL rows of surviving files (callers add their own row
+    predicate on ``col``, which Catalyst pushes to parquet row-group
+    stats independently of this join). The I/O trade: Spark still
+    opens every footer and reads non-surviving files' blocks — true
+    file-level skip at plan time needs the list on the driver, or a
+    table format (Delta/Iceberg) whose scan planner does this same
+    manifest join natively; what this form buys is that the MANIFEST
+    never lands on the driver. The join strategy is left to the
+    optimizer: AQE broadcasts a small survivor set and shuffles a huge
+    one — a forced broadcast would re-collect the manifest to the
+    driver, the exact bottleneck this variant exists to avoid. Use
+    ``prune_files`` when the survivor count is driver-sized; use this
+    form when the manifest itself is big data."""
     survivors = (
         zone_map.filter(
             (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
@@ -182,6 +187,6 @@ def prune_files_df(
     df = spark.read.parquet(path)
     return (
         df.withColumn("__file", F.input_file_name())
-        .join(F.broadcast(survivors), "__file", "left_semi")
+        .join(survivors, "__file", "left_semi")
         .drop("__file")
     )

@@ -399,8 +399,15 @@ def image_dhash(media: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame
     """
     import numpy as np
 
+    half = hash_h // 2
+    if max(half, hash_h - half) * hash_w > 62:
+        raise ValueError(
+            f"hash_w={hash_w}, hash_h={hash_h}: a half would need "
+            f"{max(half, hash_h - half) * hash_w} bits; each BIGINT "
+            "half holds at most 62"
+        )
+
     def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        half = hash_h // 2
         for pdf in batches:
             out = {"media_id": [], "dhash_hi": [], "dhash_lo": []}
             for mid, raw in zip(pdf["media_id"], pdf["data"]):
@@ -414,12 +421,14 @@ def image_dhash(media: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame
                 ci = (np.arange(hash_w + 1) * w) // (hash_w + 1)
                 g = gray[ri][:, ci]
                 bits = (g[:, :-1] > g[:, 1:]).astype(np.int64)
-                weights = 1 << (
-                    np.arange(half * hash_w).reshape(half, hash_w)
-                )
+
+                def pack(rows):
+                    w_ = 1 << np.arange(rows.size).reshape(rows.shape)
+                    return int((rows * w_).sum())
+
                 out["media_id"].append(mid)
-                out["dhash_hi"].append(int((bits[:half] * weights).sum()))
-                out["dhash_lo"].append(int((bits[half:] * weights).sum()))
+                out["dhash_hi"].append(pack(bits[:half]))
+                out["dhash_lo"].append(pack(bits[half:]))
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_dhash, schema=DHASH_SCHEMA)

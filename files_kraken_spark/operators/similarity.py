@@ -603,19 +603,7 @@ def ivfpq_build_index(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
-    centroids = (
-        cells.withColumnRenamed(id_col, "__id")
-        .join(emb_d, "__id")
-        .select("cell", F.posexplode("__v").alias("dim", "val"))
-        .groupBy("cell", "dim")
-        .agg((F.round(F.sum("val"), 6) / F.count(F.lit(1))).alias("mu"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
-            ).alias("centroid")
-        )
-    )
+    centroids = _cell_centroids(emb_d, cells, id_col)
     return idx, cb, centroids
 
 

@@ -275,3 +275,22 @@ def test_content_roots_nested_dirs_deduped(spark, tmp_path):
     f2.write_text("b")
     batch = _changes(spark, [(str(f1), "created"), (str(f2), "created")])
     assert _content_roots(batch, "path") == [str(outer)]
+
+
+def test_content_roots_nonadjacent_nested_dirs(spark, tmp_path):
+    """'/data-old' sorts BETWEEN '/data' and '/data/sub', so ancestor
+    dedup must check all kept roots, not just the previous one —
+    otherwise /data/sub survives and its files double-load."""
+    from files_kraken_spark.operators.assemble import _content_roots
+
+    data = tmp_path / "data"
+    data_old = tmp_path / "data-old"
+    sub = data / "sub"
+    sub.mkdir(parents=True)
+    data_old.mkdir()
+    files = [data / "a.txt", data_old / "b.txt", sub / "c.txt"]
+    for f in files:
+        f.write_text("x")
+    batch = _changes(spark, [(str(f), "created") for f in files])
+    roots = _content_roots(batch, "path")
+    assert sorted(roots) == [str(data), str(data_old)]

@@ -683,3 +683,33 @@ def test_audio_fingerprint_16bit_stereo(spark):
     # deltas: energies rise for frames 1-3, fall after → bits 0,1,2 set
     assert got[0]["afp"] == 0b0000111
     assert got[1]["afp"] == got[0]["afp"]  # scale-invariant shape
+
+
+def test_dhash_odd_height_and_width_guard(spark):
+    """Odd hash_h packs unequal halves without shape errors; an
+    over-wide config fails fast instead of overflowing int64."""
+    import numpy as np
+    import pytest
+
+    from files_kraken_spark.operators.multimodal import encode_netpbm, image_dhash
+
+    img = np.tile(np.arange(0, 160, 10, dtype=np.uint8), (8, 1))[..., None]
+    media = spark.createDataFrame(
+        [(0, "image", encode_netpbm(img), 0, "")],
+        "media_id long, modality string, data binary, byte_len long, sha256 string",
+    )
+    rows = image_dhash(media, hash_w=8, hash_h=7).collect()
+    assert rows and rows[0]["dhash_hi"] == 0 and rows[0]["dhash_lo"] == 0
+
+    with pytest.raises(ValueError, match="62"):
+        image_dhash(media, hash_w=16, hash_h=8)
+
+
+def test_cc_rejects_unknown_nonconverged_mode(spark):
+    import pytest
+
+    from files_kraken_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="on_nonconverged"):
+        connected_components(pairs, on_nonconverged="Raise")
