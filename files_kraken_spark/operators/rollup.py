@@ -52,3 +52,75 @@ def merge_rollup(
         for out, spec in aggs.items()
     ]
     return merged.groupBy(*keys).agg(*exprs)
+
+
+def histogram_sketch(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 1000,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable fixed-bin histogram — the 100 TB quantile pattern.
+
+    Exact percentiles need a global sort; engine-native approximations
+    (Spark GK, DuckDB t-digest) give engine-DEPENDENT answers. A fixed
+    integer binning sidesteps both: bin = clamp(floor((x-lo)/w), 0,
+    bins-1) is a narrow map, counts are BIGINTs (one partial-agg
+    shuffle), and two sketches MERGE by adding counts — so per-shard /
+    per-day sketches roll up without re-reading data, the property
+    continuous aggregation needs. Quantile error is bounded by one bin
+    width, chosen up front.
+    """
+    w = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(w))),
+    ).cast("long")
+    gcols = [*(keys or []), b.alias("bin")]
+    return df.groupBy(*gcols).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 1000,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Quantiles from a histogram sketch: the first bin whose running
+    count reaches ceil(q·N), reported as the bin's LOWER BOUND —
+    deterministic on every engine (no interpolation, no float
+    accumulation; the only floats are the final lo + bin·w bound).
+    One window pass over ≤bins rows per key group."""
+    from pyspark.sql.window import Window
+
+    w = (hi - lo) / bins
+    kcols = keys or []
+    wn = Window.partitionBy(*kcols).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy(*kcols)
+    cum = sketch.select(
+        *kcols,
+        "bin",
+        F.sum("n").over(wn).alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    out = None
+    for q in qs:
+        need = F.ceil(F.lit(q) * F.col("total")).cast("long")
+        hit = (
+            cum.filter(F.col("cum") >= need)
+            .groupBy(*kcols)
+            .agg(F.min("bin").alias("bin"))
+            .select(
+                *kcols,
+                F.lit(q).alias("q"),
+                (F.lit(lo) + F.col("bin") * F.lit(w)).alias("value"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -1043,3 +1043,43 @@ def q_udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.pos, s.sentence, s.n_chars "
         "FROM __udtf_docs d, LATERAL fks_sentence_split(d.text) s"
     )
+
+
+@register(
+    "q_histogram_quantile",
+    oracle="""
+WITH sk AS (
+  SELECT l_returnflag,
+         least(999, greatest(0,
+           CAST(floor((l_extendedprice - 900.0) / 105.0) AS BIGINT))) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, bin,
+         sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         sum(n) OVER (PARTITION BY l_returnflag) AS total
+  FROM sk
+), qs AS (SELECT unnest([0.5, 0.95, 0.99]) AS q)
+SELECT l_returnflag, q,
+       900.0 + min(bin) * 105.0 AS value
+FROM cum, qs
+WHERE c >= CAST(ceil(q * total) AS BIGINT)
+GROUP BY l_returnflag, q
+""",
+    doc="Mergeable histogram quantiles — the 100 TB percentile pattern: "
+    "fixed integer bins (narrow map + one partial-agg shuffle, "
+    "BIGINT counts merge across shards/days without re-reading data), "
+    "quantile = lower bound of the first bin reaching ceil(q*N). "
+    "Engine-portable where native approx sketches (GK vs t-digest) "
+    "are not; error bounded by one bin width chosen up front.",
+)
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import histogram_quantiles, histogram_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lo, hi, bins = 900.0, 105_900.0, 1000
+    sk = histogram_sketch(li, "l_extendedprice", lo, hi, bins, keys=["l_returnflag"])
+    return histogram_quantiles(
+        sk, [0.5, 0.95, 0.99], lo, hi, bins, keys=["l_returnflag"]
+    )

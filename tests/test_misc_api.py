@@ -119,3 +119,38 @@ def test_python_udtf_fanout(spark):
         "SELECT t.token FROM (SELECT 'a b' AS s), LATERAL tokenize(s) t"
     ).collect()
     assert sorted(r["token"] for r in rows) == ["a", "b"]
+
+
+def test_histogram_sketch_merges_exactly(spark):
+    """The mergeability contract: sketches of two halves, counts added,
+    give the SAME quantiles as one sketch of the whole — the property
+    that lets per-shard sketches roll up without re-reading data."""
+    from pyspark.sql import functions as F
+
+    from files_kraken_spark.operators.rollup import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    df = spark.range(10_000).select(
+        "id", (F.col("id") % 997).cast("double").alias("x")
+    )
+    a = df.filter(F.col("id") < 5000).select("x")
+    b = df.filter(F.col("id") >= 5000).select("x")
+    df = df.select("x")
+
+    lo, hi, bins = 0.0, 1000.0, 100
+    whole = histogram_sketch(df, "x", lo, hi, bins)
+    merged = (
+        histogram_sketch(a, "x", lo, hi, bins)
+        .unionByName(histogram_sketch(b, "x", lo, hi, bins))
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    qw = {r["q"]: r["value"] for r in histogram_quantiles(whole, [0.5, 0.9], lo, hi, bins).collect()}
+    qm = {r["q"]: r["value"] for r in histogram_quantiles(merged, [0.5, 0.9], lo, hi, bins).collect()}
+    assert qw == qm
+    # error bound: one bin width of the true quantile
+    import math
+    true_median = 997 // 2
+    assert abs(qw[0.5] - true_median) <= (hi - lo) / bins
