@@ -1026,7 +1026,7 @@ WHERE trim(u.s) <> ''
 def q_udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, sentence string, n_chars bigint")
+    @udtf(returnType="pos int, sentence string, n_chars bigint", useArrow=True)
     class SentenceSplit:
         def eval(self, text: str):
             pos = 0
