@@ -613,3 +613,33 @@ def leakage_safe_split(
             .alias("split"),
         )
     )
+
+
+def per_group_cap(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    cap: int,
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Per-source/domain document cap — the curation rule that stops a
+    single crawl domain from dominating a pretraining mix: keep at most
+    ``cap`` docs per group, best-first (``quality_col`` descending when
+    given, else lowest id). Deterministic: ties break on id.
+
+    One window shuffle on the group key. At 100 TB the group key is
+    the natural partition key of a crawl corpus, so the sort is local
+    to each domain's rows; heavily-skewed domains are exactly the rows
+    the cap discards, so AQE's skew split handles the sort spill.
+    """
+    order = (
+        [F.col(quality_col).desc(), F.col(id_col)]
+        if quality_col
+        else [F.col(id_col)]
+    )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )

@@ -71,7 +71,7 @@ _SAMPLE_PRIORITY = [
     "q_unpivot_measures",
     "q_pagerank_supply", "t_bpe_train_merges", "t_bpe_tokenize_trained",
     "t_global_shuffle", "t_leakage_safe_split", "q_udtf_sentence_split",
-    "q_histogram_quantile",
+    "q_histogram_quantile", "t_per_source_cap",
     "s1_file_listing", "s1b_filetree_source", "s11_point_lookup",
     "d5_subtree_restrict", "f5_multimatch_vector", "f5_multimatch_tuple",
     "emb_centroids", "t_tfidf_top_terms", "q_variant_json", "emb_kmeans_cells",

@@ -1868,3 +1868,29 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("data"),
     )
     return audio_fingerprint(media, frame_samples=4, max_bits=62)
+
+
+@register(
+    "t_per_source_cap",
+    oracle="""
+SELECT doc_id, source, n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 25
+""",
+    doc="Per-source document cap — the curation rule that stops one "
+    "crawl domain from dominating a pretraining mix: keep the best 25 "
+    "docs per source (longest first, id tiebreak). One window shuffle "
+    "on the group key; skewed domains are exactly the rows the cap "
+    "discards.",
+)
+def t_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import per_group_cap
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return per_group_cap(docs, "doc_id", "source", cap=25, quality_col="n_chars")
