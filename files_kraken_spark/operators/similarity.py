@@ -1032,3 +1032,52 @@ def ivfadc_topk(
         .filter(F.col("rn") <= topk)
         .select("q_id", "cand_id")
     )
+
+
+def ivfadc_topk_rerank(
+    df: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    probes: int = 2,
+    shortlist: int = 50,
+    topk: int = 5,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Production IVFADC serving: the residual-ADC scan shortlists
+    ``shortlist`` candidates per query (compressed codes only), then
+    exact L2 on raw vectors reranks just those rows — the IVFADC +
+    rerank recipe of Jégou et al. §V. Raw vectors are probed
+    per-shortlist-row only, so the corpus scan stays ~m bytes/row and
+    the refinement cost is O(queries · shortlist · dim)."""
+    from pyspark.sql.window import Window
+
+    short = ivfadc_topk(
+        df, query_ids, id_col=id_col, vec_col=vec_col, k=k, m=m, ksub=ksub,
+        iters=iters, dim=dim, probes=probes, topk=shortlist, index=index,
+    )
+    vecs = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    qv = vecs.withColumnRenamed(id_col, "q_id").withColumnRenamed("__v", "__qv")
+    cv = vecs.withColumnRenamed(id_col, "cand_id").withColumnRenamed("__v", "__cv")
+    d = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("__d"), F.col("cand_id"))
+    return (
+        short.join(qv, "q_id")
+        .join(cv, "cand_id")
+        .select("q_id", "cand_id", d.alias("__d"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= topk)
+        .select("q_id", "cand_id")
+    )

@@ -62,7 +62,7 @@ _SAMPLE_PRIORITY = [
     "mm_doc_embedding_join", "mm_image_dhash", "mm_dhash_neardup",
     "mm_audio_fingerprint",
     "sim_pq_topk", "sim_ivfpq_topk", "sim_ivfpq_residual_topk",
-    "sim_pq_rerank", "sim_ivf_trained_topk",
+    "sim_ivfadc_rerank", "sim_pq_rerank", "sim_ivf_trained_topk",
     "sim_ivf_topk", "sim_knn_classify",
     "dedup_incremental", "dedup_cluster_star", "sem_dedup", "sem_dedup_kmeans",
     "t_span_dedup",

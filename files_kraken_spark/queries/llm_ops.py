@@ -1485,15 +1485,14 @@ def t_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_resample(docs, "source", "doc_id", target_total=10_000)
 
 
-def _ivfadc_oracle_sql(
+def _ivfadc_ctes(
     k: int = 8,
     m: int = 4,
     ksub: int = 8,
     iters: int = 2,
     dim: int = 64,
     probes: int = 2,
-    topk: int = 5,
-) -> str:
+) -> list:
     """IVFADC replay (residual-PQ): the coarse k-means chain as in
     ``_ivfpq_oracle_sql``, then PQ trained on CELL-RESIDUALS
     ``r = v − centroid(cell(v))`` and a per-(query, probed-cell)
@@ -1631,6 +1630,19 @@ cb{n1} AS (
   JOIN codes cd ON cd.vec_id = a.vec_id AND cd.vec_id <> l.q_id
 )"""
     )
+    return ctes
+
+
+def _ivfadc_oracle_sql(
+    k: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    probes: int = 2,
+    topk: int = 5,
+) -> str:
+    ctes = _ivfadc_ctes(k, m, ksub, iters, dim, probes)
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -1639,6 +1651,45 @@ SELECT q_id, cand_id FROM (
   SELECT q_id, cand_id,
          row_number() OVER (PARTITION BY q_id ORDER BY ad, cand_id) AS rn
   FROM scored
+) WHERE rn <= {topk}"""
+    )
+
+
+def _ivfadc_rerank_oracle_sql(
+    k: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    probes: int = 2,
+    shortlist: int = 50,
+    topk: int = 5,
+) -> str:
+    """IVFADC shortlist + exact-L2 rerank replay (Jégou §V): the full
+    residual-ADC chain down to ``scored``, top-``shortlist`` per query,
+    then exact squared L2 on raw vectors for just those pairs."""
+    ctes = _ivfadc_ctes(k, m, ksub, iters, dim, probes)
+    ctes.append(
+        f"""short AS (
+  SELECT q_id, cand_id FROM (
+    SELECT q_id, cand_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY ad, cand_id) AS rn
+    FROM scored
+  ) WHERE rn <= {shortlist}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT q_id, cand_id FROM (
+  SELECT s.q_id, s.cand_id,
+         row_number() OVER (PARTITION BY s.q_id ORDER BY
+           list_sum(list_transform(range(1, {dim} + 1),
+             i -> (qe.v[i] - ce.v[i]) * (qe.v[i] - ce.v[i]))), s.cand_id) AS rn
+  FROM short s
+  JOIN emb qe ON qe.vec_id = s.q_id
+  JOIN emb ce ON ce.vec_id = s.cand_id
 ) WHERE rn <= {topk}"""
     )
 
@@ -1894,3 +1945,23 @@ def t_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     return per_group_cap(docs, "doc_id", "source", cap=25, quality_col="n_chars")
+
+
+@register(
+    "sim_ivfadc_rerank",
+    oracle=_ivfadc_rerank_oracle_sql(8, 4, 8, 2, 64, 2, 50, 5),
+    doc="Production IVFADC serving (Jégou et al. §V): residual-ADC "
+    "scan over compressed codes shortlists 50 candidates per query, "
+    "exact L2 on raw vectors reranks just those — the corpus scan "
+    "stays ~m bytes/row and raw vectors are touched per-shortlist-row "
+    "only. This is the recipe that recovers the recall residual "
+    "quantization alone leaves on uniform corpora (SCALING.md). "
+    "Oracle replays training, probe, ADC shortlist, and rerank.",
+)
+def sim_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select("vec_id")
+    return SIM.ivfadc_topk_rerank(
+        emb, q, k=8, m=4, ksub=8, iters=2, dim=64, probes=2,
+        shortlist=50, topk=5,
+    )
