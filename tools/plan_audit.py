@@ -42,6 +42,7 @@ ALLOWED_NESTED_LOOP = {
     "sim_pq_rerank",  # same ADC stage + per-shortlist probe
     "sim_ivfpq_topk",  # centroid probe + ADC LUT broadcasts
     "sim_ivfpq_residual_topk",  # same probe + per-(q,cell) residual LUT broadcast
+    "sim_ivfadc_rerank",  # same residual probe/LUT broadcasts + shortlist rerank
     "t_temperature_resample",  # 1-row weight-total broadcast vs per-source counts
     "t_bpe_tokenize_trained",  # 1-row merge-winner / merge-list broadcasts
     "q_bloom_filter",  # 1-row bitmap broadcast vs probe side
