@@ -12,8 +12,13 @@ Distributed strategy — the union-tag trick, ONE shuffle total:
 2. one window per key ordered by (ts, side) — right rows sort before
    left rows at equal ts, making the match inclusive like DuckDB's
    ``ASOF JOIN ... ON l.ts >= r.ts``;
-3. ``last(payload, ignorenulls=True)`` carries the latest right
-   payload forward onto each left row; keep left rows.
+3. ``last(struct(payload...), ignorenulls=True)`` carries the latest
+   right ROW forward onto each left row; keep left rows. The carry is
+   one struct, not per-column: a per-column last() would skip a NULL
+   payload field of the true match and resurrect an OLDER right row's
+   value (and mix columns of different right rows in one output row).
+   The struct is non-NULL for every right row even when its fields
+   are NULL, so the match is whole-row and NULLs survive.
 
 Compared to the naive approach (range join + per-left-row max
 aggregation, which shuffles twice and explodes on wide time ranges),
@@ -61,9 +66,10 @@ def asof_join(
         right = right.withColumn("__match_ts", F.col(right_ts))
 
     lcols = left.columns
+    row_type = right.select(*[F.col(p) for p in carry]).schema
     tagged_left = left.select(
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__r_{p}") for p in carry],
+        F.lit(None).cast(row_type).alias("__r"),
         F.lit(1).alias("__side"),
         F.col(left_ts).alias("__t"),
     )
@@ -72,7 +78,7 @@ def asof_join(
             F.col(on).alias(c) if c == on else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in lcols
         ],
-        *[F.col(p).alias(f"__r_{p}") for p in carry],
+        F.struct(*[F.col(p).alias(p) for p in carry]).alias("__r"),
         F.lit(0).alias("__side"),
         F.col(right_ts).alias("__t"),
     )
@@ -86,10 +92,11 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    matched = F.last("__r", ignorenulls=True).over(w)
     carried = unioned.select(
         *lcols,
         "__side",
-        *[F.last(f"__r_{p}", ignorenulls=True).over(w).alias(f"{p}{suffix}") for p in carry],
+        *[matched[p].alias(f"{p}{suffix}") for p in carry],
     )
     out = carried.filter(F.col("__side") == 1).drop("__side")
     if tolerance is not None:

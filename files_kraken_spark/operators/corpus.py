@@ -61,16 +61,20 @@ def stratified_sample_hash(
     df: DataFrame, id_col: str, stratum_col: str, pct: int
 ) -> DataFrame:
     """Deterministic ~pct% sample per stratum: keep rows whose portable
-    md5-derived hash of the id lands below ``pct`` mod 100.
+    md5-derived hash of (stratum, id) lands below ``pct`` mod 100.
 
-    Unlike ``df.sample``, the decision is a pure function of the id —
+    Unlike ``df.sample``, the decision is a pure function of the keys —
     reproducible across runs, engines, and cluster sizes, and stable
     under re-partitioning (the property a train/eval split must have).
+    The stratum is part of the hashed key, so each stratum draws an
+    INDEPENDENT pseudorandom sequence (expected-rate sampling per
+    stratum, not exact-count — use a per-stratum rank for exactness).
     No shuffle at all: the filter runs at the scan.
     """
-    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
+    key = F.concat_ws(
+        ":", F.col(stratum_col).cast("string"), F.col(id_col).cast("string")
     )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
     return df.filter(F.pmod(h, F.lit(100)) < pct)
 
 
@@ -242,7 +246,13 @@ def export_shards(
         [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
     )
     if shards_per_partition:
-        df = df.repartition(shards_per_partition, *[F.col(k) for k in keys] or [F.spark_partition_id()])
+        if keys:
+            df = df.repartition(shards_per_partition, *[F.col(k) for k in keys])
+        else:
+            # round-robin: hash-partitioning on spark_partition_id()
+            # maps whole input partitions onto shards (collisions +
+            # empty shards); plain repartition(n) balances exactly
+            df = df.repartition(shards_per_partition)
     if sort_within_by:
         cols = [sort_within_by] if isinstance(sort_within_by, str) else list(sort_within_by)
         df = df.sortWithinPartitions(*cols)

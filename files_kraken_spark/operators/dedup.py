@@ -98,8 +98,12 @@ def shingle_sets(
                         shs.append(s)
             yield pd.DataFrame({id_col: ids, "shingle": shs})
 
+    # preserve the caller's id type (string/int/... ids all valid) —
+    # a hardcoded `long` would corrupt or reject non-bigint ids and
+    # diverge from the expr impl's output contract
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
-        _shingle, f"{id_col} long, shingle string"
+        _shingle, f"{id_col} {id_type}, shingle string"
     )
 
 

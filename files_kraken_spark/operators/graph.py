@@ -35,9 +35,11 @@ def pagerank(
     at 1_000_000; ranks sum to ≈ n·1e6 minus truncation dust).
 
     Update rule (all-integer): ``pr' = (100-damping_pct)·UNIT/100 +
-    damping_pct · Σ_in(pr_src DIV out_deg(src)) DIV 100``. Dangling
-    nodes contribute nothing (symmetrize the edge list to avoid them —
-    every node then has out-degree ≥ 1).
+    damping_pct · Σ_in(pr_src DIV out_deg(src)) DIV 100``. The node
+    set is src ∪ dst, so SINK nodes (in-edges only) get a rank row —
+    teleport base plus their incoming mass. Sinks redistribute
+    nothing (their mass leaks, the standard simplified variant);
+    symmetrize the edge list if every node should have out-degree ≥ 1.
 
     ``symmetrize=True`` adds the reverse of every edge INSIDE the
     operator, after persisting the base edge set — callers that union
@@ -66,7 +68,12 @@ def pagerank(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
     base = (100 - damping_pct) * UNIT // 100
     if seeds is not None:
         seed_col = seeds.columns[0]

@@ -27,6 +27,12 @@ def zorder_key(cols: list[Column], bits: int = 10) -> Column:
     at position ``j * len(cols) + i``. Callers clamp/rank dimensions
     into [0, 2^bits) first — ``value & (2^bits - 1)`` for ids,
     bucketed epoch for timestamps."""
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"{len(cols)} cols x {bits} bits = {len(cols) * bits} "
+            "interleaved bits > 63: Spark shiftleft wraps the shift "
+            "amount mod 64, which would silently corrupt the key"
+        )
     n = len(cols)
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):

@@ -79,7 +79,14 @@ def histogram_sketch(
         F.greatest(F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(w))),
     ).cast("long")
     gcols = [*(keys or []), b.alias("bin")]
-    return df.groupBy(*gcols).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # NULL measurements are EXCLUDED, not binned: Spark's greatest()
+    # skips NULL operands, so floor(NULL) would otherwise collapse
+    # into bin 0 and drag every quantile toward lo
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*gcols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
 
 
 def histogram_quantiles(

@@ -123,13 +123,21 @@ def cosine_pairs_above(
     """
     import pandas as pd
 
-    b_a = (F.col(id_col) / block_size).cast("int")
-    rows = df.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("vec"),
-                     b_a.alias("block"))
-    n_blocks_row = rows.agg(F.max("block")).collect()[0][0]
-    if n_blocks_row is None:
+    # block assignment must survive sparse/hashed/negative ids: derive
+    # the block count from the ROW count (not max id — a 2^32-range id
+    # space would mean a ~10^13-cell driver grid) and spread ids with
+    # pmod (never negative). Block occupancy is ~block_size in
+    # expectation for any id distribution; exactness is unaffected
+    # (every block pair still meets exactly once).
+    n = df.count()
+    if n == 0:
         return df.sparkSession.createDataFrame([], "id_a long, id_b long")
-    n_blocks = int(n_blocks_row) + 1
+    n_blocks = max(1, -(-n // block_size))
+    rows = df.select(
+        F.col(id_col).alias("rid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("block"),
+    )
     grid = df.sparkSession.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
     )

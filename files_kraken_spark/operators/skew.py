@@ -31,7 +31,17 @@ def salted_join(
     broadcast-sized or modestly sized); the fact side gets a random
     salt in [0, N) so a single hot key lands on N different shuffle
     partitions instead of one straggler task.
+
+    Only ``inner`` and ``left`` are sound: an outer-preserved dim side
+    would emit one null-padded row per unmatched SALT COPY (up to
+    salt_buckets duplicates per dim row), so other modes are rejected.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "exploded dim side would duplicate outer-preserved rows "
+            "per salt copy"
+        )
     salted_fact = fact.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

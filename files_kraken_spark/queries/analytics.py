@@ -249,7 +249,7 @@ edges AS (
   SELECT 10000000 + ck AS src, sk AS dst FROM pairs
 ),
 deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
 """
         + ",\n".join(rounds)

@@ -194,10 +194,12 @@ def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id, source
 FROM documents
-WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20
+WHERE ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      % 100 < 20
 """,
-    doc="Deterministic stratified sampling: keep ids whose portable "
-    "md5-derived hash lands under the rate — reproducible across "
+    doc="Deterministic stratified sampling: keep rows whose portable "
+    "md5 hash of (stratum, id) lands under the rate — each stratum "
+    "draws an independent pseudorandom sequence; reproducible across "
     "engines/cluster sizes, zero shuffles (filter at the scan).",
 )
 def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

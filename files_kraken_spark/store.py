@@ -196,17 +196,22 @@ class StateStore:
             "version": v,
             "buckets": {str(k): bv for k, bv in sorted(new_buckets.items())},
         }
+        # time travel: keep a per-version manifest alongside — every
+        # bucket version either retained manifest references survives
+        # the prune below, so load_version(v-1) stays resolvable
+        # (the reference's BackupManager kept restorable backups, S8).
+        # Written BEFORE the commit point: a crash in between leaves an
+        # orphan history file (harmless, overwritten on retry), whereas
+        # the reverse order could commit a version whose history file
+        # never lands — breaking the retained-previous invariant
+        # changes()/_prev_version relies on after the NEXT commit.
+        hist = os.path.join(self._dir(bp.name), f"manifest.v{v}.json")
+        with open(hist, "w") as f:
+            json.dump(manifest, f)
         tmp = self._manifest_path(bp.name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(bp.name))  # atomic commit point
-        # time travel: keep the previous commit's manifest alongside —
-        # every bucket version either manifest references is retained
-        # by the prune below, so load_version(v-1) stays resolvable
-        # (the reference's BackupManager kept restorable backups, S8)
-        hist = os.path.join(self._dir(bp.name), f"manifest.v{v}.json")
-        with open(hist, "w") as f:
-            json.dump(manifest, f)
         for entry in os.listdir(self._dir(bp.name)):
             if entry.startswith("manifest.v"):
                 hv = int(entry[len("manifest.v"):-len(".json")])

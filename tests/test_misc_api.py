@@ -154,3 +154,40 @@ def test_histogram_sketch_merges_exactly(spark):
     import math
     true_median = 997 // 2
     assert abs(qw[0.5] - true_median) <= (hi - lo) / bins
+
+
+def test_histogram_sketch_excludes_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from files_kraken_spark.operators.rollup import histogram_quantiles, histogram_sketch
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(100)] + [(None,)] * 500, "x double"
+    )
+    sk = histogram_sketch(df, "x", 0.0, 100.0, 10)
+    assert sk.agg(F.sum("n")).collect()[0][0] == 100  # NULLs not binned
+    q = {r["q"]: r["value"] for r in histogram_quantiles(sk, [0.5], 0.0, 100.0, 10).collect()}
+    assert q[0.5] == 40.0  # median bin lower bound, not dragged to 0
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest
+
+    from files_kraken_spark.operators.skew import salted_join
+
+    f = spark.createDataFrame([(1, "a")], "k long, v string")
+    d = spark.createDataFrame([(1, "x")], "k long, w string")
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(f, d, "k", how="full")
+
+
+def test_zorder_key_rejects_over_wide_interleave(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from files_kraken_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(1,)], "x long")
+    cols = [F.col("x")] * 7
+    with pytest.raises(ValueError, match="63"):
+        df.select(zorder_key(cols, bits=10))

@@ -713,3 +713,22 @@ def test_cc_rejects_unknown_nonconverged_mode(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="on_nonconverged"):
         connected_components(pairs, on_nonconverged="Raise")
+
+
+def test_pagerank_sink_nodes_get_rank_rows(spark):
+    """Review regression: sink nodes (in-edges only) were absent from
+    the output entirely — no teleport base, incoming mass discarded,
+    and a sink SEED lost the whole personalization mass."""
+    from files_kraken_spark.operators.graph import UNIT, pagerank
+
+    edges = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank(edges, iters=2).collect()}
+    assert set(got) == {1, 2, 3}
+    base = 15 * UNIT // 100
+    assert got[1] == base and got[3] == base  # no in-edges: teleport only
+    assert got[2] > base  # sink receives both sources' mass
+
+    seeds = spark.createDataFrame([(2,)], "node long")
+    ppr = {r["node"]: r["pr"] for r in pagerank(edges, iters=2, seeds=seeds).collect()}
+    assert ppr[2] > 0  # the sink seed keeps its teleport mass
+    assert ppr[1] == 0 and ppr[3] == 0

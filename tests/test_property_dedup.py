@@ -122,3 +122,19 @@ def test_chunk_documents_covers_tokens_exactly(spark, doc, chunk_tokens, overlap
         assert toks == doc[start : start + chunk_tokens]
         rebuilt = rebuilt[:start] + toks
     assert rebuilt == doc  # full coverage, no token lost or invented
+
+
+def test_shingle_sets_preserves_string_ids(spark):
+    """Review regression: the arrow impl hardcoded the id column as
+    long, breaking string-keyed corpora (e.g. path ids) that the expr
+    impl accepted. Both impls must agree on typed output."""
+    from files_kraken_spark.operators.dedup import shingle_sets
+
+    df = spark.createDataFrame(
+        [("/a/x.txt", "one two three four"), ("/b/y.txt", "two three four five")],
+        "doc_id string, text string",
+    )
+    arrow = {(r["doc_id"], r["shingle"]) for r in shingle_sets(df, "doc_id", "text", 3).collect()}
+    expr = {(r["doc_id"], r["shingle"]) for r in shingle_sets(df, "doc_id", "text", 3, impl="expr").collect()}
+    assert arrow == expr
+    assert ("/a/x.txt", "one two three") in arrow

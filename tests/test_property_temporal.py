@@ -75,3 +75,29 @@ def test_interval_join_property(spark, points, raw_ivals, width):
         if pk == ik and lo <= pt <= hi
     )
     assert got == want, (points, ivals, width)
+
+
+def test_asof_null_payload_of_true_match_survives(spark):
+    """Review regression: per-column ignorenulls carry resurrected an
+    OLDER right row's value when the true match's payload was NULL.
+    The whole-row struct carry must return the true match's NULL."""
+    from files_kraken_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 1, 5.0, "p1"), (1, 2, None, "p2")],
+        "k long, t long, x double, tag string",
+    )
+    left = spark.createDataFrame([(1, 3)], "k long, t long")
+    row = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        payload=["x", "tag"], suffix="",
+    ).collect()[0]
+    assert row["tag"] == "p2"  # newest row at t=2 is the match
+    assert row["x"] is None    # its NULL x must NOT fall back to t=1's 5.0
+
+    # tolerance interacts: match_ts and values come from the SAME row
+    row = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        payload=["x", "tag"], suffix="", tolerance=1,
+    ).collect()[0]
+    assert row["tag"] == "p2" and row["x"] is None
