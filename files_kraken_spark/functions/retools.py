@@ -58,8 +58,17 @@ def fullmatch_pred(col: Column, pattern: str) -> Column:
 
 
 def search(col: Column, pattern: str, group: int = 0) -> Column:
-    """F2 — ``re.search`` semantics: substring match, extract group."""
-    return _null_if_empty(F.regexp_extract(col, pattern, group))
+    """F2 — ``re.search`` semantics: substring match, extract group.
+
+    Same rlike guard as ``fullmatch``: the reference returns the group
+    of any successful match — including a legitimately EMPTY group
+    (``_retools.py:8-10,16-18`` gates on the match object, not the
+    group text) — so matched-with-empty-group stays ``''`` and only
+    true no-match maps to NULL. A bare nullif('') would silently turn
+    an empty-group match into a miss, dropping the file from required
+    gates and breaking scheme_match's first-hit-wins order.
+    """
+    return F.when(col.rlike(pattern), F.regexp_extract(col, pattern, group))
 
 
 def findall(col: Column, pattern: str, group: int = 0) -> Column:

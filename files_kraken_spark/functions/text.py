@@ -100,12 +100,13 @@ def shingles_from_tokens(t: Column, k: int = 3) -> Column:
 
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Array of k-word shingles (space-joined) — input to MinHash /
-    Jaccard dedup. Pure expression: slide over the token array."""
-    t = tokens(col)
-    n = F.size(t)
-    # start indices 1..n-k+1 (slice is 1-based); explicitly empty when
-    # fewer than k tokens — sequence(1, 0) would count DOWN in Spark.
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+    Jaccard dedup. Convenience form over a raw TEXT column; delegates
+    to `shingles_from_tokens` so the slide logic lives once.
+
+    Hot-path caveat (the sibling's docstring applies doubly here):
+    Catalyst does no CSE inside lambda bodies, so the inlined
+    ``tokens(col)`` re-splits the document per slide index — O(n²) per
+    doc. For corpus-scale shingling, PROJECT the tokens into a real
+    column first and call ``shingles_from_tokens`` on it (what
+    ``operators/dedup.shingle_sets`` does)."""
+    return shingles_from_tokens(tokens(col), k)

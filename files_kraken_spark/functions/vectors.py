@@ -31,7 +31,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL for zero-norm inputs instead of a job-killing
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode — a single
+    all-zero embedding must not abort a corpus-wide similarity pass."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
 
 
 def hyperplane_sig(a: Column, planes: list[list[float]]) -> Column:

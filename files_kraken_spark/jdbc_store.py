@@ -73,6 +73,12 @@ class JdbcStateStore:
         ``createTableColumnTypes`` because that option only parses
         Spark DDL types (no CLOB). Identifiers are quoted: Spark's JDBC
         writer emits exact-case delimited identifiers."""
+        return ", ".join(
+            f'"{f.name}" {self._sql_type(f)}' for f in state_schema(bp)
+        )
+
+    @staticmethod
+    def _sql_type(f) -> str:
         from pyspark.sql.types import ArrayType, StringType
 
         sql_type = {
@@ -85,18 +91,13 @@ class JdbcStateStore:
             "date": "DATE",
             "binary": "BLOB",
         }
-        parts = []
-        for f in state_schema(bp):
-            if f.name in ("blueprint", "id"):
-                t = "VARCHAR(512)"
-            elif isinstance(f.dataType, ArrayType):
-                t = "CLOB"
-            elif isinstance(f.dataType, StringType):
-                t = "VARCHAR(32672)"  # Derby max
-            else:
-                t = sql_type.get(f.dataType.simpleString(), "VARCHAR(32672)")
-            parts.append(f'"{f.name}" {t}')
-        return ", ".join(parts)
+        if f.name in ("blueprint", "id"):
+            return "VARCHAR(512)"
+        if isinstance(f.dataType, ArrayType):
+            return "CLOB"
+        if isinstance(f.dataType, StringType):
+            return "VARCHAR(32672)"  # Derby max
+        return sql_type.get(f.dataType.simpleString(), "VARCHAR(32672)")
 
     def _recreate_table(self, table: str, bp: Blueprint) -> None:
         if self._table_exists(table):
@@ -112,6 +113,32 @@ class JdbcStateStore:
             stmt.close()
         finally:
             conn.close()
+
+    def _table_columns(self, name: str) -> set:
+        jvm = self.spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            rs = conn.getMetaData().getColumns(None, None, name, None)
+            cols = set()
+            while rs.next():
+                cols.add(rs.getString("COLUMN_NAME"))
+            return cols
+        finally:
+            conn.close()
+
+    def _evolve_table(self, table: str, bp: Blueprint) -> None:
+        """Write-side schema evolution: ALTER TABLE ADD any blueprint
+        column the existing table lacks (as NULLs — the same contract
+        the read side already honors). Without this, a blueprint
+        gaining a field would break every subsequent MERGE against the
+        old table."""
+        existing = self._table_columns(table)
+        for f in state_schema(bp):
+            if f.name not in existing:
+                self._exec(
+                    f'ALTER TABLE {table} ADD COLUMN "{f.name}" '
+                    f"{self._sql_type(f)}"
+                )
 
     def _table_exists(self, name: str) -> bool:
         jvm = self.spark._jvm
@@ -155,10 +182,19 @@ class JdbcStateStore:
             batch = df.join(touched_ids.select("id").distinct(), "id", "left_semi")
             self.merge_upsert(bp, batch)
             return
-        self._recreate_table(self._table(bp), bp)
+        # stage-first: ``df`` is lazy and commonly DERIVES from this
+        # store's own table (assemble merges batch into load()); a
+        # drop-then-write would execute the plan against the freshly
+        # emptied table and silently lose all prior state. Materialize
+        # into the stage, then swap.
+        table, stage = self._table(bp), self._table(bp) + "_STAGE"
+        self._recreate_table(stage, bp)
         self._encode(df, bp).write.mode("append").jdbc(
-            self.url, self._table(bp), properties=self._props
+            self.url, stage, properties=self._props
         )
+        if self._table_exists(table):
+            self._exec(f"DROP TABLE {table}")
+        self._exec(f"RENAME TABLE {stage} TO {table}")
 
     def merge_upsert(self, bp: Blueprint, batch: DataFrame) -> None:
         """A11/S12 — true MERGE upsert: bulk-stage the batch, then one
@@ -174,6 +210,7 @@ class JdbcStateStore:
             # first batch: the stage simply becomes the table
             self._exec(f'RENAME TABLE {stage} TO {table}')
             return
+        self._evolve_table(table, bp)
         set_clause = ", ".join(
             f"s.{c} = t.{c}" for c in quoted if c not in ('"blueprint"', '"id"')
         )

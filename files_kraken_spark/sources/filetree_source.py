@@ -206,7 +206,16 @@ class FileTreeReader(_FileTreeReaderBase, DataSourceReader):
         cfg = self.cfg
         for f in filters:
             col = f.attribute[0] if len(f.attribute) == 1 else None
-            if col == "depth" and isinstance(f, (LessThan, LessThanOrEqual)):
+            if (
+                col == "depth"
+                and not cfg["keep_empty_dirs"]
+                and isinstance(f, (LessThan, LessThanOrEqual))
+            ):
+                # with empty-dir rows enabled the bound must NOT tighten
+                # the walk: a dir whose only content is DEEPER than the
+                # bound would look empty and gain a row that the
+                # unfiltered scan does not have — so in that mode the
+                # filter is yielded back for post-scan evaluation
                 bound = f.value - 1 if isinstance(f, LessThan) else f.value
                 if bound < 0:
                     yield f  # can't express "no rows" — let Spark filter
@@ -249,8 +258,14 @@ class FileTreeStreamReader(_FileTreeReaderBase, DataSourceStreamReader):
         return {"watermark_us": start}
 
     def latestOffset(self):
-        # driver-side metadata walk for the max mtime; emission stays
-        # executor-side via partitions()
+        # driver-side metadata walk for the max CHANGE time; emission
+        # stays executor-side via partitions(). The watermark tracks
+        # max(mtime, ctime): a file that ARRIVES with an old mtime
+        # (mv, rsync -a, tar -x into the watched tree — the normal way
+        # data lands in drop dirs) still has a fresh inode ctime, so it
+        # is emitted instead of silently skipped forever. Residual
+        # boundary: a file whose change time equals the committed
+        # watermark in the same microsecond waits for its next change.
         mx = 0
         for root in self.cfg["roots"]:
             for dirpath, _dirnames, filenames in os.walk(root):
@@ -259,7 +274,7 @@ class FileTreeStreamReader(_FileTreeReaderBase, DataSourceStreamReader):
                         st = os.stat(os.path.join(dirpath, fn))
                     except OSError:
                         continue
-                    mx = max(mx, int(st.st_mtime * 1e6))
+                    mx = max(mx, int(max(st.st_mtime, st.st_ctime) * 1e6))
         return {"watermark_us": mx}
 
     def partitions(self, start, end):
@@ -272,8 +287,14 @@ class FileTreeStreamReader(_FileTreeReaderBase, DataSourceStreamReader):
     def read(self, partition: _TreePartition):
         lo, hi = partition.lo, partition.hi
         for row in self.walk_partition(partition):
-            # files only — dirs carry no content to tail
-            if not row[4] and lo < row[6] <= hi:
+            if row[4]:
+                continue  # files only — dirs carry no content to tail
+            try:
+                st = os.stat(row[0])
+            except OSError:
+                continue  # vanished between walk and stat
+            t = int(max(st.st_mtime, st.st_ctime) * 1e6)
+            if lo < t <= hi:
                 yield row
 
     def commit(self, end):

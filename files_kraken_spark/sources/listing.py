@@ -107,7 +107,10 @@ def _walk(
                     produced = True
                     yield row
             if not produced and keep_empty_dirs:
-                st = e.stat(follow_symlinks=False)
+                try:
+                    st = e.stat(follow_symlinks=False)
+                except OSError:
+                    continue  # dir vanished mid-walk — same race the file branch tolerates
                 yield (e.path, e.name, root, _depth, True, 0, int(st.st_mtime * 1e6))
         else:
             if matcher is not None and not matcher.match(e.name):
@@ -176,11 +179,18 @@ def list_files_distributed(
         except (FileNotFoundError, NotADirectoryError, PermissionError):
             continue
         for e in entries:
-            if e.is_dir(follow_symlinks=False):
+            try:
+                is_dir = e.is_dir(follow_symlinks=False)
+            except OSError:
+                continue  # entry vanished between scandir and type check
+            if is_dir:
                 if dir_matcher is not None and not dir_matcher.match(e.name):
                     continue
                 if keep_empty_dirs:
-                    st = e.stat(follow_symlinks=False)
+                    try:
+                        st = e.stat(follow_symlinks=False)
+                    except OSError:
+                        continue
                     shallow_dirs.append(
                         (e.path, e.name, d, depth, int(st.st_mtime * 1e6))
                     )
@@ -189,7 +199,10 @@ def list_files_distributed(
             else:
                 if matcher is not None and not matcher.match(e.name):
                     continue
-                st = e.stat(follow_symlinks=False)
+                try:
+                    st = e.stat(follow_symlinks=False)
+                except OSError:
+                    continue
                 shallow_rows.append(
                     (e.path, e.name, d, depth, False, st.st_size, int(st.st_mtime * 1e6))
                 )

@@ -326,9 +326,14 @@ class Workflow:
         )
 
         def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # binaryFile reports URI-form paths (file:/...); the poll
+            # loop and the content join use plain OS paths — normalize
+            # here or PATH-typed state splits into two conflicting
+            # spellings of the same file and parsers get NULL bytes
+            plain = F.regexp_replace(F.col("path"), "^file:(//)?", "")
             changes = batch_df.distinct().select(
-                "path",
-                F.element_at(F.split(F.col("path"), "/"), -1).alias("name"),
+                plain.alias("path"),
+                F.element_at(F.split(plain, "/"), -1).alias("name"),
                 F.lit("created").alias("change"),
             )
             self.process_changes(changes)

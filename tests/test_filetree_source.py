@@ -115,3 +115,79 @@ def test_streaming_tail_new_files(spark, tmp_path):
     run_batch()
     both = [r["name"] for r in spark.read.parquet(out).collect()]
     assert sorted(both) == ["first.txt", "second.txt"]  # no re-emission
+
+
+def test_depth_pushdown_does_not_fabricate_empty_dirs(spark, tmp_path):
+    """Review regression: tightening the walk for a depth filter while
+    keepEmptyDirs is on made dirs with only DEEPER content look empty —
+    the pushed query returned rows the unfiltered scan does not have."""
+    from files_kraken_spark.sources.filetree_source import register_filetree
+
+    root = tmp_path / "t"
+    (root / "a" / "b").mkdir(parents=True)
+    (root / "a" / "b" / "deep.txt").write_text("x")
+    (root / "top.txt").write_text("x")
+    register_filetree(spark)
+    df = (
+        spark.read.format("filetree")
+        .option("roots", str(root))
+        .option("keepEmptyDirs", "true")
+        .load()
+    )
+    full = {(r["name"], r["is_dir"], r["depth"]) for r in df.collect()}
+    pushed = {
+        (r["name"], r["is_dir"], r["depth"])
+        for r in df.filter("depth <= 0").collect()
+    }
+    assert pushed == {x for x in full if x[2] <= 0}
+    assert ("a", True, 0) not in pushed  # 'a' has deep content — not empty
+
+
+def test_stream_emits_file_moved_in_with_old_mtime(spark, tmp_path):
+    """Review regression: the mtime watermark permanently skipped files
+    that ARRIVE with an old mtime (mv/rsync -a/tar -x) — the watermark
+    now tracks inode change time as well."""
+    import os as _os
+    import shutil
+    import time as _time
+
+    from files_kraken_spark.sources.filetree_source import register_filetree
+
+    watch = tmp_path / "watch"
+    outside = tmp_path / "outside"
+    watch.mkdir()
+    outside.mkdir()
+    (watch / "first.txt").write_text("a")
+    register_filetree(spark)
+
+    stream = (
+        spark.readStream.format("filetree").option("roots", str(watch)).load()
+    )
+    names = []
+
+    def on_batch(df, _bid):
+        names.extend(r["name"] for r in df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert "first.txt" in names
+
+    # a file whose mtime predates everything, moved INTO the tree
+    old = outside / "moved.txt"
+    old.write_text("b")
+    _os.utime(old, (1_000_000, 1_000_000))  # mtime far in the past
+    shutil.move(str(old), str(watch / "moved.txt"))
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert "moved.txt" in names

@@ -101,3 +101,40 @@ def test_wide_array_column_exceeds_varchar_width(spark, store, bp):
     more = many + ["/data/extra.fastq.gz"]
     store.merge_upsert(bp, _state_rows(spark, bp, [("w", more)]))
     assert store.load(spark, bp).collect()[0]["fastqs"] == more
+
+
+def test_full_replace_derived_from_own_load_keeps_state(spark, store, bp):
+    """Review regression: drop-then-write executed the lazy plan against
+    the freshly emptied table when the new state DERIVED from load() —
+    all prior entities vanished. Stage-first write must preserve them."""
+    store.overwrite(bp, _state_rows(spark, bp, [("1", ["a"]), ("2", ["x"])]))
+    merged = store.load(spark, bp).unionByName(
+        _state_rows(spark, bp, [("3", ["z"])])
+    )
+    store.overwrite(bp, merged)  # full replace, no touched_ids
+    got = {r["id"]: r["fastqs"] for r in store.load(spark, bp).collect()}
+    assert got == {"1": ["a"], "2": ["x"], "3": ["z"]}
+
+
+def test_merge_after_blueprint_gains_field(spark, store, bp):
+    """Review regression: a blueprint gaining a field broke every
+    subsequent MERGE (stage had the column, main did not). The write
+    side now evolves the main table like the read side always did."""
+    store.overwrite(bp, _state_rows(spark, bp, [("1", ["a"])]))
+
+    evolved = Blueprint(
+        name=bp.name,
+        required={"sample": (r"sample_([^\.]+?)\.", 1)},
+        optional={
+            "fastqs": (r".+\.fastq\.gz", 0),
+            "owner": (r"owner_(\w+)", 1),  # NEW field
+        },
+        types={"fastqs": FieldType.LIST_PATH},
+    )
+    batch = spark.createDataFrame(
+        [(evolved.name, "2", "2", ["y"], "me", [])], state_schema(evolved)
+    )
+    store.overwrite(evolved, batch, touched_ids=batch.select("id"))
+    got = {r["id"]: (r["fastqs"], r["owner"])
+           for r in store.load(spark, evolved).collect()}
+    assert got == {"1": (["a"], None), "2": (["y"], "me")}

@@ -191,3 +191,16 @@ def test_zorder_key_rejects_over_wide_interleave(spark):
     cols = [F.col("x")] * 7
     with pytest.raises(ValueError, match="63"):
         df.select(zorder_key(cols, bits=10))
+
+
+def test_cosine_zero_vector_is_null_not_error(spark):
+    """Review regression: ANSI mode turned a zero-norm embedding into a
+    job-killing DIVIDE_BY_ZERO; it must degrade to NULL per row."""
+    from files_kraken_spark.functions.vectors import cosine
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([0.0, 0.0], [1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    got = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
+    assert got[0] == 1.0 and got[1] is None

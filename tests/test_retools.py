@@ -153,3 +153,14 @@ def test_template_is_anchored_fullmatch(spark):
     pat = tpl.to_column({"project": F.lit("project_1")})
     got = [r[0] for r in df.select(F.regexp_like(F.col("name"), pat)).collect()]
     assert got == [True, False, False]
+
+
+def test_search_preserves_empty_group_match(spark):
+    """Review regression: the reference gates on the MATCH OBJECT, so a
+    successful match with an empty group returns '' — nullif('') turned
+    it into a miss and dropped files from required gates."""
+    from files_kraken_spark.functions import retools as rt
+
+    df = spark.createDataFrame([("runx",), ("nope",)], ["name"])
+    got = [r[0] for r in df.select(rt.search(F.col("name"), r"run(\d*)x", 1)).collect()]
+    assert got == ["", None]  # matched-with-empty-group vs true no-match
