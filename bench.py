@@ -90,14 +90,17 @@ def serve_entries(spark, sf_dir):
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.0  # 0.0 = unlabeled fixture dir
     spark = get_session("files-kraken-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen once so timings measure the queries, not startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    # Two timed runs per query, report the MIN: single-run timings on
+    # Several timed runs per query (default 3), report the MIN: single-run timings on
     # this box vary up to ±50% with scheduler/VM noise (r1 verdict item
     # 9 asked for variance-aware numbers); the min is the reproducible
     # steady-state cost. Raw per-run timings ship in "raw_runs".

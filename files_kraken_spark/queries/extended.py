@@ -45,11 +45,6 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.expr("ts div 1000")
     w = Window.partitionBy("user_id").orderBy(t, "event_id")
     is_new = F.when(t - F.lag(t).over(w) > SESSION_GAP_US, 1).otherwise(0)
-    wrun = (
-        Window.partitionBy("user_id")
-        .orderBy(t.alias("t"), "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     sess = events.select(
         "user_id", t.alias("t"), F.col("event_id"), is_new.alias("is_new")
     ).withColumn("session_no", F.sum("is_new").over(

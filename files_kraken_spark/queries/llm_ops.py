@@ -22,12 +22,10 @@ from ..operators import similarity as SIM
 from ..operators.dedup import MINHASH_P, _perm_constants
 from ..sources.tables import load_table
 from . import register
+from ._sql_fragments import SQL_TOKENS as _SQL_TOKENS, SQL_STOPWORD_PAT as _SQL_STOPWORD_PAT, SQL_COS as _SQL_COS  # noqa: E501
 
 # Shared SQL fragments — keep in lockstep with functions/text.py.
-_SQL_TOKENS = (
-    "list_filter(regexp_split_to_array(trim({col}), '\\s+'), x -> x <> '')"
-)
-_SQL_STOPWORD_PAT = r"\b(?:" + "|".join(T.EN_STOPWORDS) + r")\b"
+
 
 
 @register(
@@ -319,12 +317,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Double-math cosine fragment: index-ordered product sum (matches Spark
 # zip_with+aggregate evaluation order).
-_SQL_COS = (
-    "(list_sum(list_transform(range(1, len({a}) + 1), "
-    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
-)
+
 
 
 @register(

@@ -19,10 +19,9 @@ from ..operators import corpus as C
 from ..operators.asof import asof_join
 from ..sources.tables import load_table
 from . import register
+from ._sql_fragments import SQL_TOKENS as _SQL_TOKENS, SQL_COS as _SQL_COS  # noqa: E501
 
-_SQL_TOKENS = (
-    "list_filter(regexp_split_to_array(trim({col}), '\\s+'), x -> x <> '')"
-)
+
 
 
 @register(
@@ -617,12 +616,7 @@ def q_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_COS = (
-    "(list_sum(list_transform(range(1, len({a}) + 1), "
-    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
-)
+
 
 
 @register(

@@ -667,7 +667,7 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
   AND l.l_returnflag = 'R'
 GROUP BY 1, 2, 4
-ORDER BY revenue DESC
+ORDER BY revenue DESC, c.c_custkey
 LIMIT 20
 """,
     doc="TPC-H Q10 returned-item reporting: 3-way fact join + dim "
@@ -690,7 +690,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(rev.alias("revenue"))
-        .orderBy(F.col("revenue").desc())
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name")
     )

@@ -113,9 +113,18 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     n_pass = n_fail = n_rows_only = 0
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        print(f"FAIL unknown query name(s): {unknown} — see REGISTRY")
+        names = [n for n in names if n in REGISTRY]
+        n_fail += len(unknown)
     for name in names:
         spec = REGISTRY[name]
         t0 = time.time()
+        # full-registry runs share one session: clear cached frames a
+        # query persisted internally (LSH candidates, dedup pairs) so
+        # storage memory stays bounded across 160+ queries
+        spark.catalog.clearCache()
         try:
             sdf = spec.spark(spark, sf_dir)
             scols = sdf.columns
