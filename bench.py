@@ -136,6 +136,12 @@ def main():
         print(f"# {name}: {extra[name]:.2f}s {raw[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # raw per-run timings go to STDERR only: embedding them in the stdout
+    # metric line grew it past the driver's tail capture in round 4
+    # (BENCH_r04 "parsed": null). The machine-readable record must be a
+    # COMPACT single JSON line and it must be the LAST thing on stdout.
+    print(json.dumps({"raw_runs": raw}), file=sys.stderr)
+    sys.stderr.flush()
     print(
         json.dumps(
             {
@@ -147,10 +153,10 @@ def main():
                 "sf": sf,
                 "runs_per_query": runs_per_query,
                 "agg": "min",
-                "raw_runs": raw,
             }
         )
     )
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

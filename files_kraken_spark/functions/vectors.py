@@ -33,9 +33,36 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """NULL for zero-norm inputs instead of a job-killing
     DIVIDE_BY_ZERO under Spark 4's default ANSI mode — a single
-    all-zero embedding must not abort a corpus-wide similarity pass."""
+    all-zero embedding must not abort a corpus-wide similarity pass.
+
+    COST NOTE: Catalyst does not CSE across ``when`` branches, so
+    ``denom`` (two full ``aggregate()`` norms) is evaluated twice per
+    invocation. Fine per-row; NEVER use this inside a pair join — the
+    round-4 bench showed +47% on ``sem_dedup`` from exactly that.
+    Pair joins must pre-normalize each side once per ROW with
+    :func:`unit` and compare plain :func:`dot` products instead."""
     denom = norm(a) * norm(b)
     return F.when(denom > 0, dot(a, b) / denom)
+
+
+def unit(a: Column) -> Column:
+    """L2-normalize a vector once per ROW so pair joins can compare
+    plain dot products (``dot(unit(a), unit(b)) == cosine(a, b)``).
+    Moves the O(d) norm work from the E[n²/bucket] pair side to the n
+    row side — the scale-safe shape for every bucketed similarity join.
+
+    Zero-norm vectors map to all-zero outputs (dot = 0, below any
+    positive threshold) rather than tripping ANSI DIVIDE_BY_ZERO; the
+    norm is evaluated per row only, so the ``when`` double-eval that
+    makes :func:`cosine` pair-join-hostile is harmless here."""
+    n2 = F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(
+        n2 > 0, F.transform(a, lambda x: x.cast("double") / F.sqrt(n2))
+    ).otherwise(F.transform(a, lambda x: F.lit(0.0)))
 
 
 def hyperplane_sig(a: Column, planes: list[list[float]]) -> Column:

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, hyperplane_sig
+from ..functions.vectors import dot, hyperplane_sig, unit
 
 # Fixed pseudo-random hyperplanes (LCG, seed=7) for deterministic LSH
 # signatures; regenerate with more planes for tighter buckets.
@@ -37,19 +37,24 @@ def cosine_topk(
     """Exact top-k: broadcast the (small) query set against the
     candidate corpus, rank per query. The corpus side never shuffles
     until the per-query top-k aggregation — with a broadcast query set
-    this is a single scan + partial top-k (window on q_id)."""
+    this is a single scan + partial top-k (window on q_id).
+
+    Vectors are L2-normalized ONCE PER ROW on each side (``unit``), so
+    the per-pair work is a single dot product — ``cosine()`` per pair
+    would re-evaluate both norms for every (query, candidate) pair
+    (and twice over, via its ANSI zero-guard ``when`` branch)."""
     from pyspark.sql.window import Window
 
     q = queries_df.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"), unit(F.col(vec_col)).alias("q_vec")
     )
     c = candidates_df.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("cand_id"), unit(F.col(vec_col)).alias("c_vec")
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("cand_id"))
-        .select("q_id", "cand_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+        .select("q_id", "cand_id", dot(F.col("q_vec"), F.col("c_vec")).alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
     return (
@@ -71,15 +76,17 @@ def knn_classify(
     per query vector, predicted label = the most frequent neighbor
     label (ties break to the smaller label — deterministic). Same
     broadcast-query-set plan as ``cosine_topk``: one corpus scan, one
-    window, then a per-query vote aggregation over ≤ k rows."""
+    window, then a per-query vote aggregation over ≤ k rows. Both
+    sides pre-normalized per row (``unit``) → per-pair cost is one
+    dot product."""
     from pyspark.sql.window import Window
 
     q = queries_df.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"), unit(F.col(vec_col)).alias("q_vec")
     )
     c = candidates_df.select(
         F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("c_vec"),
+        unit(F.col(vec_col)).alias("c_vec"),
         F.col(label_col).alias("__lbl"),
     )
     scored = (
@@ -87,7 +94,7 @@ def knn_classify(
         .filter(F.col("q_id") != F.col("cand_id"))
         .select(
             "q_id", "cand_id", "__lbl",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+            dot(F.col("q_vec"), F.col("c_vec")).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
@@ -166,8 +173,23 @@ def cosine_pairs_above(
         ia, ib = np.nonzero(sims >= threshold)
         ids_a = a["id"].to_numpy()[ia]
         ids_b = b["id"].to_numpy()[ib]
-        keep = ids_a < ids_b  # dedup within the diagonal block, orient pairs
-        return pd.DataFrame({"id_a": ids_a[keep], "id_b": ids_b[keep]})
+        if bi == bj:
+            # diagonal cell: both sides hold the same block, every pair
+            # appears twice (plus self-pairs) — keep one orientation
+            keep = ids_a < ids_b
+            return pd.DataFrame({"id_a": ids_a[keep], "id_b": ids_b[keep]})
+        # off-diagonal cell: sides hold DISJOINT blocks, each pair
+        # appears exactly once, but with pmod blocking the smaller id
+        # may sit on either side — emit (min, max), never filter.
+        # (Filtering ids_a < ids_b here silently dropped ~half of all
+        # cross-block pairs whenever the lower id hashed to the
+        # higher-numbered block.)
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ids_a, ids_b),
+                "id_b": np.maximum(ids_a, ids_b),
+            }
+        )
 
     return both.groupBy("bi", "bj").applyInPandas(_block_pairs, "id_a long, id_b long")
 
@@ -182,19 +204,24 @@ def lsh_bucketed_pairs(
 ) -> DataFrame:
     """Approximate near-dup pairs: random-hyperplane LSH buckets, then
     exact cosine verify within buckets only. The join key is the
-    signature → work is per-bucket (expected n²/2^planes)."""
+    signature → work is per-bucket (expected n²/2^planes).
+
+    Each side is L2-normalized once per ROW before the bucket join, so
+    the per-pair verify is a single dot product — the norms are paid n
+    times, not E[n²/2^planes] times (the round-4 ``sem_dedup`` bench
+    regression was exactly the per-pair ``cosine()`` shape)."""
     planes = _planes(n_planes, dim)
     sig = df.select(
         F.col(id_col),
-        F.col(vec_col),
+        unit(F.col(vec_col)).alias("__un"),
         hyperplane_sig(F.col(vec_col), planes).alias("sig"),
     )
-    a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "sig")
-    b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "sig")
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("__un").alias("u_a"), "sig")
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("__un").alias("u_b"), "sig")
     return (
         a.join(b, "sig")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("v_a"), F.col("v_b")) >= threshold)
+        .filter(dot(F.col("u_a"), F.col("u_b")) >= threshold)
         .select("id_a", "id_b")
     )
 
@@ -226,15 +253,15 @@ def semdedup(
     planes = _planes(n_planes, dim)
     sig = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
+        unit(F.col(vec_col)).alias("__un"),
         hyperplane_sig(F.col(vec_col), planes).alias("cell"),
     )
-    a = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a"), "cell")
-    b = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("v_b"), "cell")
+    a = sig.select(F.col("id").alias("id_a"), F.col("__un").alias("u_a"), "cell")
+    b = sig.select(F.col("id").alias("id_b"), F.col("__un").alias("u_b"), "cell")
     dup_pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("v_a"), F.col("v_b")) >= threshold)
+        .filter(dot(F.col("u_a"), F.col("u_b")) >= threshold)
         .select(F.col("id_b").alias("dropped_id"))
         .distinct()
     )
@@ -338,14 +365,14 @@ def semdedup_kmeans(
     """
     cells = kmeans_fit_predict(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
     sig = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("id"), unit(F.col(vec_col)).alias("__un")
     ).join(cells.withColumnRenamed(id_col, "id"), "id")
-    a = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a"), "cell")
-    b = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("v_b"), "cell")
+    a = sig.select(F.col("id").alias("id_a"), F.col("__un").alias("u_a"), "cell")
+    b = sig.select(F.col("id").alias("id_b"), F.col("__un").alias("u_b"), "cell")
     dup_pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("v_a"), F.col("v_b")) >= threshold)
+        .filter(dot(F.col("u_a"), F.col("u_b")) >= threshold)
         .select(F.col("id_b").alias("dropped_id"))
         .distinct()
     )
@@ -809,7 +836,7 @@ def ivf_topk_trained(
     cells = kmeans_fit_predict(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
     emb = df.select(
         F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("cvecf"),
+        unit(F.col(vec_col)).alias("cu"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
     ).join(cells.withColumnRenamed(id_col, "cid"), "cid")
     centroids = (
@@ -825,7 +852,7 @@ def ivf_topk_trained(
     )
     q = df.join(query_ids, id_col).select(
         F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vecf"),
+        unit(F.col(vec_col)).alias("qu"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
     )
     sqdist = F.aggregate(
@@ -838,18 +865,16 @@ def ivf_topk_trained(
     wp = Window.partitionBy("q_id").orderBy(F.col("__d"), F.col("cell"))
     probed = (
         q.crossJoin(F.broadcast(centroids))
-        .select("q_id", "q_vecf", "cell", sqdist.alias("__d"))
+        .select("q_id", "qu", "cell", sqdist.alias("__d"))
         .withColumn("__pr", F.row_number().over(wp))
         .filter(F.col("__pr") <= probes)
-        .select("q_id", "cell", "q_vecf")
+        .select("q_id", "cell", "qu")
     )
 
     scored = (
         emb.join(F.broadcast(probed), "cell")
         .filter(F.col("cid") != F.col("q_id"))
-        .select(
-            "q_id", "cid", cosine(F.col("q_vecf"), F.col("cvecf")).alias("cos")
-        )
+        .select("q_id", "cid", dot(F.col("qu"), F.col("cu")).alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cid"))
     return (

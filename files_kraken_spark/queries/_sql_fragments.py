@@ -24,5 +24,19 @@ SQL_COS = (
     " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
 )
 
+#: per-row L2 normalization — mirrors functions/vectors.unit: the
+#: squared-norm sum is sequential in index order, sqrt'd once, and each
+#: element is divided by it, so the unit vectors match Spark's
+#: bit-for-bit. Pair-join oracles compute this once per row in a CTE
+#: and compare SQL_DOT of the unit columns (never SQL_COS per pair).
+SQL_UNIT = (
+    "list_transform({a}, x -> CAST(x AS DOUBLE) / "
+    "sqrt(list_sum(list_transform({a}, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))"
+)
+
+#: plain dot product of two double lists in index order — mirrors
+#: functions/vectors.dot over pre-normalized (unit) columns
+SQL_DOT = "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+
 #: English stopword alternation — mirrors text.EN_STOPWORDS
 SQL_STOPWORD_PAT = r"\b(?:" + "|".join(T.EN_STOPWORDS) + r")\b"

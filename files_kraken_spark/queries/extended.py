@@ -618,16 +618,17 @@ def s1b_filetree_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ivf_topk",
     oracle="""
-WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS ql
-           FROM embeddings WHERE vec_id < 8),
+WITH u AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                    sqrt(list_sum(list_transform(embedding,
+                      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS un
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, un AS qu, label AS ql FROM u WHERE vec_id < 8),
 scored AS (
   SELECT q_id, c.vec_id AS cand_id,
-         (list_sum(list_transform(range(1, len(qv) + 1),
-              i -> CAST(qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           * sqrt(list_sum(list_transform(c.embedding,
-                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS cos
-  FROM embeddings c JOIN q ON c.label = q.ql AND c.vec_id <> q.q_id
+         list_sum(list_transform(range(1, len(qu) + 1),
+              i -> qu[i] * c.un[i])) AS cos
+  FROM u c JOIN q ON c.label = q.ql AND c.vec_id <> q.q_id
 ),
 ranked AS (
   SELECT q_id, cand_id,
@@ -641,20 +642,22 @@ SELECT q_id, cand_id FROM ranked WHERE rn <= 5
     "the cell — the classic inverted-file scale path for similarity search.",
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vectors import cosine
+    from ..functions.vectors import dot, unit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 8).select(
+    # normalize per ROW before the cell join: per-pair cost is one dot
+    un = emb.select("vec_id", "label", unit(F.col("embedding")).alias("un"))
+    q = un.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qv"),
+        F.col("un").alias("qu"),
         F.col("label").alias("ql"),
     )
     scored = (
-        emb.join(F.broadcast(q), (emb["label"] == q["ql"]) & (emb["vec_id"] != q["q_id"]))
+        un.join(F.broadcast(q), (un["label"] == q["ql"]) & (un["vec_id"] != q["q_id"]))
         .select(
             "q_id",
             F.col("vec_id").alias("cand_id"),
-            cosine(F.col("qv"), F.col("embedding")).alias("cos"),
+            dot(F.col("qu"), F.col("un")).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))

@@ -22,7 +22,7 @@ from ..operators import similarity as SIM
 from ..operators.dedup import MINHASH_P, _perm_constants
 from ..sources.tables import load_table
 from . import register
-from ._sql_fragments import SQL_TOKENS as _SQL_TOKENS, SQL_STOPWORD_PAT as _SQL_STOPWORD_PAT, SQL_COS as _SQL_COS  # noqa: E501
+from ._sql_fragments import SQL_TOKENS as _SQL_TOKENS, SQL_STOPWORD_PAT as _SQL_STOPWORD_PAT, SQL_COS as _SQL_COS, SQL_UNIT as _SQL_UNIT, SQL_DOT as _SQL_DOT  # noqa: E501
 
 # Shared SQL fragments — keep in lockstep with functions/text.py.
 
@@ -323,11 +323,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_cosine_topk",
     oracle=f"""
-WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+WITH u AS (SELECT vec_id, {_SQL_UNIT.format(a='embedding')} AS un FROM embeddings),
+q AS (SELECT vec_id AS q_id, un AS qu FROM u WHERE vec_id < 5),
 scored AS (
   SELECT q_id, c.vec_id AS cand_id,
-         {_SQL_COS.format(a='qv', b='c.embedding')} AS cos
-  FROM embeddings c, q
+         {_SQL_DOT.format(a='qu', b='c.un')} AS cos
+  FROM u c, q
   WHERE c.vec_id <> q_id
 ),
 ranked AS (
@@ -378,11 +379,11 @@ def _lsh_oracle_sql(n_planes: int = 6, dim: int = 64, threshold: float = 0.40) -
     sig = " || ".join(bits)
     return f"""
 WITH sigs AS (
-  SELECT vec_id, embedding, {sig} AS sig FROM embeddings
+  SELECT vec_id, {_SQL_UNIT.format(a='embedding')} AS un, {sig} AS sig FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
-WHERE {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= {threshold}
+WHERE {_SQL_DOT.format(a='a.un', b='b.un')} >= {threshold}
 """
 
 
@@ -782,12 +783,12 @@ def _semdedup_oracle_sql(n_planes: int = 5, dim: int = 64, threshold: float = 0.
     sig = " || ".join(bits)
     return f"""
 WITH sigs AS (
-  SELECT vec_id, embedding, {sig} AS cell FROM embeddings
+  SELECT vec_id, {_SQL_UNIT.format(a='embedding')} AS un, {sig} AS cell FROM embeddings
 ),
 dropped AS (
   SELECT DISTINCT b.vec_id
   FROM sigs a JOIN sigs b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= {threshold}
+  WHERE {_SQL_DOT.format(a='a.un', b='b.un')} >= {threshold}
 )
 SELECT vec_id AS id, cell,
        vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
@@ -906,14 +907,16 @@ def emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
 cells AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a1),
 sigs AS (
-  SELECT c.vec_id, c.cell, e.embedding
+  SELECT c.vec_id, c.cell, """
+        + _SQL_UNIT.format(a="e.embedding")
+        + """ AS un
   FROM cells c JOIN embeddings e USING (vec_id)
 ),
 dropped AS (
   SELECT DISTINCT b.vec_id
   FROM sigs a JOIN sigs b ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE """
-        + _SQL_COS.format(a="a.embedding", b="b.embedding")
+        + _SQL_DOT.format(a="a.un", b="b.un")
         + """ >= 0.40
 )
 SELECT vec_id AS id, cell,
@@ -944,11 +947,14 @@ cents AS (
     GROUP BY a.cell, i
   ) GROUP BY cell
 ),
-q AS (SELECT vec_id AS q_id, v AS qv, embedding AS qe
-      FROM emb JOIN embeddings USING (vec_id) WHERE vec_id < 8),
+u AS (SELECT vec_id, """
+        + _SQL_UNIT.format(a="embedding")
+        + """ AS un FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, un AS qu
+      FROM emb JOIN u USING (vec_id) WHERE vec_id < 8),
 probed AS (
-  SELECT q_id, cell, qe FROM (
-    SELECT q.q_id, c.cell, q.qe,
+  SELECT q_id, cell, qu FROM (
+    SELECT q.q_id, c.cell, q.qu,
            row_number() OVER (PARTITION BY q.q_id ORDER BY
              list_sum(list_transform(range(1, 65),
                i -> (q.qv[i] - c.centroid[i]) * (q.qv[i] - c.centroid[i]))), c.cell) AS rn
@@ -958,11 +964,11 @@ probed AS (
 scored AS (
   SELECT p.q_id, a.vec_id AS cand_id,
          """
-        + _SQL_COS.format(a="p.qe", b="e2.embedding")
+        + _SQL_DOT.format(a="p.qu", b="e2.un")
         + """ AS cos
   FROM probed p
   JOIN a1 a ON a.cell = p.cell AND a.vec_id <> p.q_id
-  JOIN embeddings e2 ON e2.vec_id = a.vec_id
+  JOIN u e2 ON e2.vec_id = a.vec_id
 )
 SELECT q_id, cand_id FROM (
   SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn

@@ -19,7 +19,7 @@ from ..operators import corpus as C
 from ..operators.asof import asof_join
 from ..sources.tables import load_table
 from . import register
-from ._sql_fragments import SQL_TOKENS as _SQL_TOKENS, SQL_COS as _SQL_COS  # noqa: E501
+from ._sql_fragments import SQL_TOKENS as _SQL_TOKENS, SQL_UNIT as _SQL_UNIT, SQL_DOT as _SQL_DOT  # noqa: E501
 
 
 
@@ -622,11 +622,12 @@ def q_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_knn_classify",
     oracle=f"""
-WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+WITH u AS (SELECT vec_id, label, {_SQL_UNIT.format(a='embedding')} AS un FROM embeddings),
+q AS (SELECT vec_id AS q_id, un AS qu FROM u WHERE vec_id < 10),
 scored AS (
   SELECT q_id, c.vec_id AS cand_id, c.label AS lbl,
-         {_SQL_COS.format(a='qv', b='c.embedding')} AS cos
-  FROM embeddings c, q
+         {_SQL_DOT.format(a='qu', b='c.un')} AS cos
+  FROM u c, q
   WHERE c.vec_id >= 10
 ), topk AS (
   SELECT q_id, lbl FROM (

@@ -732,3 +732,55 @@ def test_pagerank_sink_nodes_get_rank_rows(spark):
     ppr = {r["node"]: r["pr"] for r in pagerank(edges, iters=2, seeds=seeds).collect()}
     assert ppr[2] > 0  # the sink seed keeps its teleport mass
     assert ppr[1] == 0 and ppr[3] == 0
+
+
+def test_cosine_pairs_above_cross_block_orientation(spark):
+    """Advice regression (round 4): with pmod block assignment, a pair
+    whose LOWER id lands in the HIGHER-numbered block meets only in
+    grid cell (min_blk, max_blk) with ids_a > ids_b; the old
+    ``ids_a < ids_b`` keep-filter silently dropped it — roughly half of
+    all cross-block pairs. Force many blocks (block_size=2) so every
+    near-dup pair is cross-block, in both orientations."""
+    from files_kraken_spark.operators.similarity import cosine_pairs_above
+
+    dim = 4
+    v = [1.0, 0.0, 0.0, 0.0]
+    u = [0.0, 1.0, 0.0, 0.0]
+    # ids chosen so with n_blocks=3 (6 rows / block_size 2):
+    #   pair (1, 9): 1 % 3 = 1, 9 % 3 = 0 -> lower id in HIGHER block
+    #   pair (2, 7): 2 % 3 = 2, 7 % 3 = 1 -> lower id in HIGHER block
+    #   pair (3, 4): 3 % 3 = 0, 4 % 3 = 1 -> lower id in lower block
+    w = [0.0, 0.0, 1.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, v), (9, v), (2, u), (7, u), (3, w), (4, w)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_above(df, threshold=0.99, block_size=2).collect()
+    }
+    assert got == {(1, 9), (2, 7), (3, 4)}
+
+
+def test_unit_dot_matches_cosine(spark):
+    """unit()+dot() must equal cosine() (the pair-join fast path), and
+    zero-norm vectors must yield 0 dot, not ANSI DIVIDE_BY_ZERO."""
+    from pyspark.sql import functions as F
+
+    from files_kraken_spark.functions.vectors import cosine, dot, unit
+
+    df = spark.createDataFrame(
+        [
+            ([1.0, 2.0, 3.0], [4.0, -5.0, 6.0]),
+            ([1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),
+            ([0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),  # zero-norm left side
+        ],
+        "a array<float>, b array<float>",
+    )
+    rows = df.select(
+        cosine(F.col("a"), F.col("b")).alias("cos"),
+        dot(unit(F.col("a")), unit(F.col("b"))).alias("ud"),
+    ).collect()
+    assert abs(rows[0]["cos"] - rows[0]["ud"]) < 1e-12
+    assert rows[1]["ud"] == 1.0
+    assert rows[2]["cos"] is None and rows[2]["ud"] == 0.0
