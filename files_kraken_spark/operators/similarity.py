@@ -301,16 +301,28 @@ def kmeans_fit_predict(
     round's centroid frame is tiny and re-broadcast. At huge k move
     the argmin to a BLAS `mapInPandas` (same plan shape).
     """
-    from pyspark.sql.window import Window
-
     emb = df.select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
     seed = emb.orderBy("__id").limit(k)
-    cent = seed.select(
-        (F.row_number().over(Window.orderBy("__id")) - 1).alias("cell"),
-        F.col("__v").alias("__c"),
+    # cell id = rank of __id among the k seeds, via a k²-pair self-join
+    # instead of row_number() over an unpartitioned window — the k-row
+    # frame is tiny, but the global window would still plant a
+    # "No Partition Defined" single-task stage in every plan built on
+    # this trainer (IVF/PQ/semdedup all inline it).
+    cellno = (
+        seed.select(F.col("__id").alias("__ida"))
+        .join(
+            F.broadcast(seed.select(F.col("__id").alias("__idb"))),
+            F.col("__idb") < F.col("__ida"),
+            "left",
+        )
+        .groupBy("__ida")
+        .agg(F.count("__idb").cast("int").alias("cell"))
+    )
+    cent = seed.join(cellno, seed["__id"] == cellno["__ida"]).select(
+        "cell", F.col("__v").alias("__c")
     )
     assigned = None
     for _ in range(iters):

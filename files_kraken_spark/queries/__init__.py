@@ -52,34 +52,20 @@ from . import advanced_sql  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 
 # A budget-capped correctness pass walks the registry in order and may
-# only reach a prefix. Front-load the queries that have not yet had an
-# external driver-verified row (rounds 1-3 covered 65 of 153); the
-# long-verified relational/kraken tail goes last. Names and semantics
-# are byte-stable — only the iteration order changes.
+# only reach a prefix. Front-load the 49 queries that have never had an
+# external driver-verified row (rounds 1-4 covered the other 115 —
+# round 4's 50-query sample was exactly the previous priority prefix),
+# then the pair-join queries whose cosine path changed this round (so
+# the driver re-verifies the pre-normalized form), then the
+# long-verified tail. Names and semantics are byte-stable — only the
+# iteration order changes.
 _SAMPLE_PRIORITY = [
-    "a11_upsert_cow",
-    "mm_binary_meta", "mm_frame_sample", "mm_resize", "mm_feature_extract",
-    "mm_doc_embedding_join", "mm_image_dhash", "mm_dhash_neardup",
-    "mm_audio_fingerprint",
-    "sim_pq_topk", "sim_ivfpq_topk", "sim_ivfpq_residual_topk",
-    "sim_ivfadc_rerank", "sim_pq_rerank", "sim_ivf_trained_topk",
-    "sim_ivf_topk", "sim_knn_classify",
-    "dedup_incremental", "dedup_cluster_star", "sem_dedup", "sem_dedup_kmeans",
-    "t_span_dedup",
-    "q_asof_join", "q_asof_forward", "q_asof_tolerance", "q_interval_join_counts",
-    "q_pivot_returnflag", "q_grouping_sets_explicit", "q_cube_events",
-    "q_unpivot_measures",
-    "q_pagerank_supply", "t_bpe_train_merges", "t_bpe_tokenize_trained",
-    "t_global_shuffle", "t_leakage_safe_split", "q_udtf_sentence_split",
-    "q_histogram_quantile", "t_per_source_cap",
-    "s1_file_listing", "s1b_filetree_source", "s11_point_lookup",
-    "d5_subtree_restrict", "f5_multimatch_vector", "f5_multimatch_tuple",
-    "emb_centroids", "t_tfidf_top_terms", "q_variant_json", "emb_kmeans_cells",
-    "emb_pq_codes", "t_chunk_documents", "t_temperature_resample",
-    "t_pack_sequences", "t_stratified_sample", "t_weighted_sample",
-    "t_contamination", "q_dq_expectations", "q_salted_join_revenue",
-    "q_hll_sketch", "q_incremental_rollup", "q_map_ops", "q_pandas_udaf_median",
-    "t_quality_rules", "t_corpus_pipeline", "t_repetition", "emb_quantize_int8",
+    # -- never driver-sampled through round 4 (49) --
+    "t_temperature_resample", "t_pack_sequences", "t_stratified_sample",
+    "t_weighted_sample", "t_contamination", "q_dq_expectations",
+    "q_salted_join_revenue", "q_hll_sketch", "q_incremental_rollup",
+    "q_map_ops", "q_pandas_udaf_median", "t_quality_rules",
+    "t_corpus_pipeline", "t_repetition", "emb_quantize_int8",
     "q_bloom_filter", "q_countmin_sketch", "q_sessionize", "q_percentile_qty",
     "q_string_funcs", "q_date_parts", "q_scalar_subquery", "q_multi_distinct",
     "q_ntile_rank_frames", "q_cross_join_dims", "q_join_strategy_hints",
@@ -90,6 +76,29 @@ _SAMPLE_PRIORITY = [
     "q_regex_backref_replace", "q_string_pad_pos", "t_top_terms",
     "q_funnel_stages", "q_retention_cohort", "q_bool_aggregates", "q_min_max_by",
     "t_length_histogram", "t_char_trigrams", "q_distribution_windows",
+    # -- changed this round (unit-normalized pair joins): re-verify --
+    "sim_cosine_topk", "sim_knn_classify", "sim_lsh_bucketed", "sem_dedup",
+    "sem_dedup_kmeans", "sim_ivf_trained_topk", "sim_ivf_topk",
+    "dedup_embedding_cosine",
+    # -- previously driver-green, kept next in rough value order --
+    "a11_upsert_cow",
+    "mm_binary_meta", "mm_frame_sample", "mm_resize", "mm_feature_extract",
+    "mm_doc_embedding_join", "mm_image_dhash", "mm_dhash_neardup",
+    "mm_audio_fingerprint",
+    "sim_pq_topk", "sim_ivfpq_topk", "sim_ivfpq_residual_topk",
+    "sim_ivfadc_rerank", "sim_pq_rerank",
+    "dedup_incremental", "dedup_cluster_star",
+    "t_span_dedup",
+    "q_asof_join", "q_asof_forward", "q_asof_tolerance", "q_interval_join_counts",
+    "q_pivot_returnflag", "q_grouping_sets_explicit", "q_cube_events",
+    "q_unpivot_measures",
+    "q_pagerank_supply", "t_bpe_train_merges", "t_bpe_tokenize_trained",
+    "t_global_shuffle", "t_leakage_safe_split", "q_udtf_sentence_split",
+    "q_histogram_quantile", "t_per_source_cap",
+    "s1_file_listing", "s1b_filetree_source", "s11_point_lookup",
+    "d5_subtree_restrict", "f5_multimatch_vector", "f5_multimatch_tuple",
+    "emb_centroids", "t_tfidf_top_terms", "q_variant_json", "emb_kmeans_cells",
+    "emb_pq_codes", "t_chunk_documents",
 ]
 
 _reordered = {n: REGISTRY[n] for n in _SAMPLE_PRIORITY if n in REGISTRY}

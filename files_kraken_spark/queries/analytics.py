@@ -207,15 +207,25 @@ FROM customer
 WHERE c_nationkey < 5
 """,
     doc="Distribution window functions: percent_rank and cume_dist with "
-    "deterministic tiebreak.",
+    "deterministic tiebreak. The (c_acctbal, c_custkey) order key is "
+    "total (unique tiebreaker), so rank == row_number and cume_dist "
+    "groups are singletons: pr = (p-1)/(n-1), cd = p/n over the "
+    "distributed two-phase global position — no unpartitioned window.",
 )
 def q_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_row_number
+
     customer = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return customer.select(
+    pos = global_row_number(
+        customer.select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        "__p",
+    )
+    n = pos.agg(F.count(F.lit(1)).alias("__n"))
+    return pos.crossJoin(F.broadcast(n)).select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round((F.col("__p") - 1) / (F.col("__n") - 1), 6).alias("pr"),
+        F.round(F.col("__p") / F.col("__n"), 6).alias("cd"),
     )
 
 

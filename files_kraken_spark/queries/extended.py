@@ -228,22 +228,33 @@ FROM orders
 WHERE o_orderdate >= TIMESTAMP '2001-01-01'
 """,
     doc="Window-function surface: ntile, rank with ties, first_value with "
-    "an explicit ROWS frame.",
+    "an explicit ROWS frame. The global ntile is computed from the "
+    "distributed two-phase row number (range exchange + per-partition "
+    "rank + broadcast offsets) and pure bucket arithmetic — the "
+    "status-partitioned windows stay ordinary windows.",
 )
 def q_ntile_rank_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_row_number, ntile_from_position
+
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
     )
-    w_nt = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    pos = global_row_number(
+        base, [F.col("o_totalprice").desc(), F.col("o_orderkey")], "__p"
+    )
+    n = pos.agg(F.count(F.lit(1)).alias("__n"))
     w_rk = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
     w_fv = (
         Window.partitionBy("o_orderstatus")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return orders.select(
+    return pos.crossJoin(F.broadcast(n)).select(
         "o_orderkey",
-        F.ntile(4).over(w_nt).alias("quartile"),
+        ntile_from_position(F.col("__p"), F.col("__n"), 4).alias("quartile"),
         F.rank().over(w_rk).alias("prio_rank"),
         F.first("o_orderkey").over(w_fv).alias("top_key"),
     )

@@ -211,18 +211,20 @@ FROM orders
 WHERE o_orderdate >= TIMESTAMP '2001-06-01'
 """,
     doc="D2 ReSorter: deterministic ordering by regex-extracted int key "
-    "(retools/_retools.py:144-156), surfaced as a rank column.",
+    "(retools/_retools.py:144-156), surfaced as a rank column. The "
+    "global dense_rank is computed scale-safely: rank the distinct key "
+    "values (a handful of priorities) and broadcast-join back — no "
+    "unpartitioned window, no single-task sort.",
 )
 def d2_ordered_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from ..operators.ranks import dense_rank_low_card
 
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp")
     )
     key = rt.re_sort_key(F.col("o_orderpriority"), r"([0-9]+)-", 1, "int")
-    return orders.select("o_orderkey", key.alias("prio_num")).withColumn(
-        "prio_rank", F.dense_rank().over(Window.orderBy(F.col("prio_num")))
-    )
+    keyed = orders.select("o_orderkey", key.alias("prio_num"))
+    return dense_rank_low_card(keyed, "prio_num", out_col="prio_rank")
 
 
 # ---------------------------------------------------------------- A ops

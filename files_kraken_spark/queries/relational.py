@@ -256,21 +256,32 @@ FROM (
 ) t
 """,
     doc="RANGE window frame: 30-day rolling revenue per order date "
-    "(value-based frame, not row-based).",
+    "(value-based frame, not row-based). Scale-safe evaluation: the "
+    "RANGE frame depends only on the day VALUE, so aggregate per day "
+    "first (one shuffle on d), range-join the tiny per-day frame to "
+    "itself within the 30-day lookback, and broadcast the rolled-up "
+    "day totals back to the fact rows — replacing the single-task "
+    "global-window sort with per-day work bounded by the date span.",
 )
 def q_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
     d = (F.unix_timestamp("o_orderdate") / 86400).cast("bigint")
     base = orders.select(
         "o_orderkey", F.round("o_totalprice", 2).alias("p2"), d.alias("d")
     )
-    w = Window.orderBy("d").rangeBetween(-30, 0)
-    return base.select(
-        "o_orderkey",
-        "d",
-        F.round(F.sum("p2").over(w), 2).alias("rolling_30d"),
+    day_sums = base.groupBy("d").agg(F.sum("p2").alias("day_sum"))
+    a = day_sums.select(F.col("d"))
+    b = day_sums.select(F.col("d").alias("d2"), "day_sum")
+    rolled = (
+        a.join(
+            F.broadcast(b),
+            (F.col("d2") >= F.col("d") - 30) & (F.col("d2") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.sum("day_sum").alias("roll"))
+    )
+    return base.join(F.broadcast(rolled), "d").select(
+        "o_orderkey", "d", F.round("roll", 2).alias("rolling_30d")
     )
 
 
