@@ -153,10 +153,21 @@ class JdbcStateStore:
 
     def load(self, spark: SparkSession, bp: Blueprint) -> DataFrame:
         """S14 — full scan; empty frame with the blueprint schema when
-        the table doesn't exist yet (reference empty-DB tolerance)."""
+        the table doesn't exist yet (reference empty-DB tolerance).
+
+        Crash recovery: if the live table is missing but a swap
+        leftover exists, adopt it — ``_STAGE`` (fully materialized
+        before any rename in ``overwrite``) wins over ``_OLD`` (the
+        pre-swap state)."""
         from .store import align_to_schema
 
-        if not self._table_exists(self._table(bp)):
+        table = self._table(bp)
+        if not self._table_exists(table):
+            for leftover in (table + "_STAGE", table + "_OLD"):
+                if self._table_exists(leftover):
+                    self._exec(f"RENAME TABLE {leftover} TO {table}")
+                    break
+        if not self._table_exists(table):
             return spark.createDataFrame([], state_schema(bp))
         raw = spark.read.jdbc(self.url, self._table(bp), properties=self._props)
         return align_to_schema(self._decode(raw, bp), bp)
@@ -186,15 +197,25 @@ class JdbcStateStore:
         # store's own table (assemble merges batch into load()); a
         # drop-then-write would execute the plan against the freshly
         # emptied table and silently lose all prior state. Materialize
-        # into the stage, then swap.
+        # into the stage, then swap. The swap itself parks the live
+        # table as _OLD before promoting the stage — a crash between
+        # the two renames leaves recoverable state (_STAGE complete,
+        # _OLD intact) instead of NO table, and ``load`` adopts the
+        # leftover stage on next start (round-4 advice: the old
+        # DROP-then-RENAME had a total-state-loss window).
         table, stage = self._table(bp), self._table(bp) + "_STAGE"
+        old = table + "_OLD"
         self._recreate_table(stage, bp)
         self._encode(df, bp).write.mode("append").jdbc(
             self.url, stage, properties=self._props
         )
         if self._table_exists(table):
-            self._exec(f"DROP TABLE {table}")
+            if self._table_exists(old):
+                self._exec(f"DROP TABLE {old}")
+            self._exec(f"RENAME TABLE {table} TO {old}")
         self._exec(f"RENAME TABLE {stage} TO {table}")
+        if self._table_exists(old):
+            self._exec(f"DROP TABLE {old}")
 
     def merge_upsert(self, bp: Blueprint, batch: DataFrame) -> None:
         """A11/S12 — true MERGE upsert: bulk-stage the batch, then one

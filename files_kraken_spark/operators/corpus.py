@@ -550,35 +550,17 @@ def global_shuffle_order(
     "position")`` and the per-shard files come out both shuffled and
     deterministic.
     """
+    from .ranks import global_row_number
+
     h = (((F.col(id_col) + F.lit(seed)) % F.lit(_WRAP)) * F.lit(_MIX)) % F.lit(_MOD)
-    keyed = (
-        df.select(F.col(id_col), h.alias("shuffle_key"))
-        .repartitionByRange(F.col("shuffle_key"), F.col(id_col))
-        .sortWithinPartitions("shuffle_key", id_col)
-        .withColumn("__pid", F.spark_partition_id())
-    ).persist()
-    counts = {
-        r["__pid"]: r["n"]
-        for r in keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-        ),
-        F.col("__pid"),
+    keyed = df.select(F.col(id_col), h.alias("shuffle_key"))
+    # the two-phase distributed rank lives in operators/ranks.py now
+    # (shared with the window-function queries); it early-returns on
+    # empty input (a zero-entry create_map would fail analysis) and
+    # documents the persist contract for its range-exchanged frame.
+    return global_row_number(
+        keyed, [F.col("shuffle_key"), F.col(id_col)], "position"
     )
-    wp = Window.partitionBy("__pid").orderBy("shuffle_key", id_col)
-    out = keyed.select(
-        F.col(id_col),
-        "shuffle_key",
-        (F.row_number().over(wp) + off).cast("long").alias("position"),
-    )
-    return out
 
 
 def leakage_safe_split(
@@ -596,11 +578,16 @@ def leakage_safe_split(
     boundary near-duplicate-safe as well — the split logic is
     identical, only the grouping key changes.
 
-    Every group hashes to a side via the same portable multiplicative
-    scheme as `global_shuffle_order` on the group's min id — engine-
-    replayable, and stable under corpus growth (adding new docs never
-    flips an existing group's side, the property that keeps eval sets
-    frozen across dataset versions).
+    Every group hashes to a side from its CONTENT FINGERPRINT (the md5
+    hex of the group key), not from any row id — engine-replayable, and
+    genuinely stable under corpus growth: a new duplicate never changes
+    the group's fingerprint, so an existing group's side can never flip
+    (the property that keeps eval sets frozen across dataset versions;
+    a min-id hash, by contrast, flips when a lower-id duplicate
+    arrives, and goes negative-sided for negative ids — round-4
+    advice). The side function is a positional weighted sum of the
+    first 8 hex chars (ascii·31^i mod 100) — plain integer arithmetic
+    both engines evaluate identically.
 
     Scale: one groupBy(fingerprint) + one join back — both shuffles on
     the dedup key the pipeline already uses.
@@ -609,10 +596,12 @@ def leakage_safe_split(
         keyed = df.select(
             F.col(id_col), F.md5(F.col(text_col)).alias("__grp")
         )
+        fp = F.col("__grp")  # already an md5 hex fingerprint
     else:
         keyed = df.select(F.col(id_col), F.col(group_col).alias("__grp"))
+        fp = F.md5(F.col("__grp").cast("string"))
     gmin = keyed.groupBy("__grp").agg(F.min(id_col).alias("__gmin"))
-    side = (((F.col("__gmin") % F.lit(_WRAP)) * F.lit(_MIX)) % F.lit(_MOD)) % F.lit(100)
+    side = _hex_side(fp)
     return (
         keyed.join(gmin, "__grp")
         .select(
@@ -623,6 +612,25 @@ def leakage_safe_split(
             .alias("split"),
         )
     )
+
+
+#: weights for the fingerprint→side hash: 31^i for the i-th of the
+#: first 8 hex chars; max sum ≈ 102·Σ31^i ≈ 2.9e12 — well inside BIGINT
+#: on both engines.
+SIDE_WEIGHTS = [31**i for i in range(8)]
+
+
+def _hex_side(fp) -> "F.Column":
+    """Portable [0,100) side from a hex-string fingerprint: weighted
+    ascii sum of the first 8 chars mod 100. ``ascii``/``substring`` are
+    identical on Spark and DuckDB, inputs are non-negative, and the
+    arithmetic stays in BIGINT — no sign or overflow divergence."""
+    total = F.lit(0).cast("bigint")
+    for i, w in enumerate(SIDE_WEIGHTS):
+        # ascii() is INT; the weight products need BIGINT (31^6·102
+        # already overflows int32 — ANSI mode faults instead of wrapping)
+        total = total + F.ascii(F.substring(fp, i + 1, 1)).cast("bigint") * F.lit(w)
+    return total % F.lit(100)
 
 
 def per_group_cap(

@@ -1737,26 +1737,37 @@ def t_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_shuffle_order(docs, "doc_id", seed=1)
 
 
+def _side_sql(fp: str) -> str:
+    from ..operators.corpus import SIDE_WEIGHTS
+
+    terms = " + ".join(
+        f"CAST(ascii(substr({fp}, {i + 1}, 1)) AS BIGINT) * {w}"
+        for i, w in enumerate(SIDE_WEIGHTS)
+    )
+    return f"({terms}) % 100"
+
+
 @register(
     "t_leakage_safe_split",
-    oracle="""
+    oracle=f"""
 WITH keyed AS (
   SELECT doc_id, md5(text) AS grp FROM documents
 ), gmin AS (
   SELECT grp, min(doc_id) AS group_id FROM keyed GROUP BY grp
 )
 SELECT k.doc_id, g.group_id,
-       CASE WHEN (((g.group_id % 2147483648) * 2654435761) % 4294967296) % 100 < 90
+       CASE WHEN {_side_sql('k.grp')} < 90
             THEN 'train' ELSE 'val' END AS split
 FROM keyed k JOIN gmin g USING (grp)
 """,
     doc="Leakage-safe train/val split: the side is decided per CONTENT "
     "GROUP (exact-dup md5 fingerprint here; plug the connected-"
     "components id in for near-dup safety) via a portable integer "
-    "hash of the group's min id — duplicated content can never "
-    "straddle the boundary, and adding new docs never flips an "
-    "existing group's side (frozen eval sets across versions). One "
-    "groupBy + one join back, both on the dedup key.",
+    "hash of the group FINGERPRINT — duplicated content can never "
+    "straddle the boundary, and because the side depends only on "
+    "content (not on min id), adding new duplicates can never flip "
+    "an existing group's side (frozen eval sets across versions). "
+    "One groupBy + one join back, both on the dedup key.",
 )
 def t_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import leakage_safe_split

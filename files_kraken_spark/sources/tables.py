@@ -37,12 +37,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # generations (Spark's reader refuses it by default; read as
         # raw nanos long) and TIMESTAMP(MICROS) in others. Queries do
         # exact integer time math on BIGINT nanos, so normalize both
-        # physical encodings to that: timezone-free microsecond delta
-        # from the NTZ epoch × 1000 — bit-exact, no tz dependence.
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass  # already set / immutable in this deployment
+        # physical encodings to that. NOTE the NTZ cast below is
+        # session-timezone DEPENDENT when the parquet column is
+        # instant-typed TIMESTAMP (it renders the instant in session
+        # tz first) — the engine pins UTC in its session factory, and
+        # we re-pin here so a foreign session (driver harness, user
+        # notebook in another tz) still matches the DuckDB oracle,
+        # which reads the same column as naive-UTC.
+        for k, v in (
+            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+            ("spark.sql.session.timeZone", "UTC"),
+        ):
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # already set / immutable in this deployment
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         from pyspark.sql import types as T
 

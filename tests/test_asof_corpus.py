@@ -318,3 +318,36 @@ def test_leakage_safe_split_groups_stay_together(spark):
     before = {r["doc_id"]: r["split"] for r in out}
     after = {r["doc_id"]: r["split"] for r in leakage_safe_split(grown, "doc_id", "text").collect()}
     assert all(after[d] == s for d, s in before.items())
+
+
+def test_global_shuffle_order_empty_input(spark):
+    """Advice regression: zero-entry F.create_map() used to throw an
+    AnalysisException on empty input."""
+    from files_kraken_spark.operators.corpus import global_shuffle_order
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = global_shuffle_order(empty, "doc_id")
+    assert out.columns == ["doc_id", "shuffle_key", "position"]
+    assert out.count() == 0
+
+
+def test_leakage_safe_split_stable_under_growth_and_negative_ids(spark):
+    """The split side hashes the content FINGERPRINT, so adding a new
+    duplicate (even with a smaller or negative id) must not flip the
+    group's side — the frozen-eval-set property."""
+    from files_kraken_spark.operators.corpus import leakage_safe_split
+
+    base = spark.createDataFrame(
+        [(10, "alpha doc"), (20, "beta doc")], "doc_id long, text string"
+    )
+    before = {r["doc_id"]: r["split"] for r in
+              leakage_safe_split(base, "doc_id", "text").collect()}
+
+    grown = spark.createDataFrame(
+        [(10, "alpha doc"), (20, "beta doc"), (-5, "alpha doc")],
+        "doc_id long, text string",
+    )
+    after = {r["doc_id"]: r["split"] for r in
+             leakage_safe_split(grown, "doc_id", "text").collect()}
+    assert after[10] == before[10] and after[20] == before[20]
+    assert after[-5] == after[10]  # same content -> same side, no leak

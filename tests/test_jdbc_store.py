@@ -138,3 +138,28 @@ def test_merge_after_blueprint_gains_field(spark, store, bp):
     got = {r["id"]: (r["fastqs"], r["owner"])
            for r in store.load(spark, evolved).collect()}
     assert got == {"1": (["a"], None), "2": (["y"], "me")}
+
+
+def test_overwrite_swap_is_crash_recoverable(spark, store, bp):
+    """Advice regression (round 4): the old swap DROPped the live table
+    before RENAMEing the stage — a crash in between left NO table and
+    load() silently returned empty state. Now the live table parks as
+    _OLD first, and load() adopts a leftover _STAGE/_OLD."""
+    store.overwrite(bp, _state_rows(spark, bp, [("1", ["a"])]))
+    store.overwrite(bp, _state_rows(spark, bp, [("1", ["a2"]), ("2", ["b"])]))
+    back = {r["id"]: r["fastqs"] for r in store.load(spark, bp).collect()}
+    assert back == {"1": ["a2"], "2": ["b"]}
+
+    # simulate a crash window: stage fully written, live table renamed
+    # away, promotion rename never ran
+    table = store._table(bp)
+    store._recreate_table(table + "_STAGE", bp)
+    store._encode(_state_rows(spark, bp, [("9", ["new"])]), bp).write.mode(
+        "append"
+    ).jdbc(store.url, table + "_STAGE", properties=store._props)
+    store._exec(f"RENAME TABLE {table} TO {table}_OLD")
+    assert not store._table_exists(table)
+
+    recovered = {r["id"]: r["fastqs"] for r in store.load(spark, bp).collect()}
+    assert recovered == {"9": ["new"]}  # the complete stage wins
+    assert store._table_exists(table)
