@@ -49,6 +49,7 @@ EXTRA = [
     "t_bpe_train_merges",
     "t_global_shuffle",
     "mm_dhash_neardup",
+    "mm_audio_neardup",
 ]
 
 

@@ -106,21 +106,47 @@ def encode_netpbm(arr) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
 
 
+def _pil_decode(data: bytes):
+    """Decode any PIL-supported image format (JPEG/PNG/…) to the same
+    (H, W, C) uint8 layout `decode_netpbm` produces: grayscale stays
+    single-channel, everything else converts to RGB. Perceptual hashes
+    computed downstream are therefore identical for a PNG and its
+    Netpbm twin (asserted in tests when Pillow is installed)."""
+    import io
+
+    import numpy as np
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(data))
+    if img.mode != "L":
+        img = img.convert("RGB")
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
 def decode_real(data: bytes, modality: str):
     """Real media decode. Binary Netpbm images decode in pure numpy
-    (`decode_netpbm`); every other format needs a codec library that is
-    absent in this environment."""
-    if modality == "image" and data[:2] in (b"P5", b"P6"):
-        return decode_netpbm(data)
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "media codecs (Pillow/torchaudio/av) not installed in this "
-            "environment; netpbm (P5/P6) images decode without them, "
-            "use decode_stub for other plumbing tests"
-        ) from e
-    raise NotImplementedError("wire the codec here when available")
+    (`decode_netpbm`, no codec library needed); other image formats
+    decode through Pillow when it is installed (optional feature gate —
+    absent in this sandbox). Audio WAV decodes in `audio_fingerprint`'s
+    pure-python RIFF reader; compressed audio/video still need a codec
+    library."""
+    if modality == "image":
+        if data[:2] in (b"P5", b"P6"):
+            return decode_netpbm(data)
+        try:
+            return _pil_decode(data)
+        except ImportError as e:  # pragma: no cover - environment-dependent
+            raise NotImplementedError(
+                "media codecs (Pillow/torchaudio/av) not installed in this "
+                "environment; netpbm (P5/P6) images decode without them, "
+                "use decode_stub for other plumbing tests"
+            ) from e
+    raise NotImplementedError(
+        "no codec for modality=" + modality + " in this environment"
+    )
 
 
 def decode_stub(data: bytes) -> tuple[int, int]:
@@ -408,13 +434,26 @@ def image_dhash(media: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame
         )
 
     def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # optional PIL gate: PNG/JPEG payloads hash too when present
+            import PIL.Image  # noqa: F401
+
+            has_pil = True
+        except ImportError:
+            has_pil = False
         for pdf in batches:
             out = {"media_id": [], "dhash_hi": [], "dhash_lo": []}
             for mid, raw in zip(pdf["media_id"], pdf["data"]):
                 data = bytes(raw)
-                if data[:2] not in (b"P5", b"P6"):
+                if data[:2] in (b"P5", b"P6"):
+                    decoded = decode_netpbm(data)
+                elif has_pil:
+                    try:
+                        decoded = _pil_decode(data)
+                    except Exception:
+                        continue  # not an image payload
+                else:
                     continue
-                arr = decode_netpbm(data).astype(np.int64)
+                arr = decoded.astype(np.int64)
                 gray = arr.sum(axis=2) // arr.shape[2]  # integer-floor mean
                 h, w = gray.shape
                 ri = (np.arange(hash_h) * h) // hash_h
@@ -546,3 +585,64 @@ def audio_fingerprint(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_fp, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_neardup_pairs(
+    fps: DataFrame,
+    n_bands: int = 4,
+    band_bits: int = 8,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Audio near-duplicate pairs from `audio_fingerprint` signatures —
+    the same MinHash-LSH cost model as `dhash_neardup_pairs` applied to
+    the energy-delta fingerprint: band the fingerprint into
+    ``n_bands``×``band_bits``-bit keys, bucket-join on (band, key)
+    (near-matches agree on ≥1 band by pigeonhole when flips cluster;
+    random pairs collide with p ≈ 2^-band_bits per band), then verify
+    candidates EXACTLY with an integer XOR popcount. Returns
+    (id_a, id_b, hamming), id_a < id_b.
+
+    Scale shape: banding is a narrow n_bands-row fan-out, the join
+    shuffles candidates only (never corpus×corpus), the verify is pure
+    integer expressions on the pair rows — Shazam-style matching's
+    candidate-generation stage expressed as a bucket join.
+    """
+    mask = (1 << band_bits) - 1
+    bands = fps.select(
+        "media_id",
+        "afp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("afp"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "media_id", "afp",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.bit_count(F.col("a.afp").bitwiseXOR(F.col("b.afp")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

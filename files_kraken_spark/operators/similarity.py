@@ -226,12 +226,33 @@ def lsh_bucketed_pairs(
     )
 
 
+def auto_planes(n: int, base_planes: int = 5, base_n: int = 500) -> int:
+    """Plane count that holds SemDeDup cell occupancy ~flat as the
+    corpus grows: +4 planes per 10× rows over the (base_n, base_planes)
+    reference point — SCALING.md's measured rule. In-cell pair work is
+    E[n²/2^planes]; 10× rows at fixed planes is 100× pairs, while +4
+    planes cuts 16× back, keeping per-cell occupancy slightly BELOW the
+    reference as the corpus grows."""
+    import math
+
+    if n <= base_n:
+        return base_planes
+    return base_planes + math.ceil(4 * math.log10(n / base_n))
+
+
+def auto_cells(n: int, rows_per_cell: int = 1000, min_k: int = 8) -> int:
+    """k for the k-means SemDeDup form targeting ``rows_per_cell``
+    expected occupancy — the paper's knob expressed as a corpus-derived
+    default instead of a hand-picked constant."""
+    return max(min_k, -(-n // rows_per_cell))
+
+
 def semdedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 5,
+    n_planes: int | None = 5,
     threshold: float = 0.40,
 ) -> DataFrame:
     """Semantic dedup (SemDeDup, Abbas et al. 2023, with LSH cells
@@ -249,7 +270,15 @@ def semdedup(
     work per cell; the final anti-join marks survivors. Identical to
     production SemDeDup except cells come from fixed hyperplanes, so no
     k-means fitting pass is needed (and the oracle can replay them).
+
+    ``n_planes=None`` derives the plane count from a cheap corpus
+    count via :func:`auto_planes` (+4 planes per 10× rows), so the
+    default in-cell pair budget stays bounded as the corpus grows
+    instead of silently exploding at fixed planes. Pass an explicit
+    int for oracle-replayable runs.
     """
+    if n_planes is None:
+        n_planes = auto_planes(df.count())
     planes = _planes(n_planes, dim)
     sig = df.select(
         F.col(id_col).alias("id"),
@@ -359,7 +388,7 @@ def semdedup_kmeans(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | None = 8,
     iters: int = 2,
     threshold: float = 0.40,
 ) -> DataFrame:
@@ -374,7 +403,12 @@ def semdedup_kmeans(
     Scale: k-means rounds as in `kmeans_fit_predict`; the in-cell pair
     join shuffles on the cell id with per-cell n²/2 work — pick k so
     the biggest cell's pairs fit a task (k ≈ corpus/√pairs_per_task).
+    ``k=None`` derives it from a corpus count via :func:`auto_cells`
+    (target ~1000 rows/cell); pass an explicit int for
+    oracle-replayable runs.
     """
+    if k is None:
+        k = auto_cells(df.count())
     cells = kmeans_fit_predict(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
     sig = df.select(
         F.col(id_col).alias("id"), unit(F.col(vec_col)).alias("__un")

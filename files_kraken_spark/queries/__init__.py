@@ -76,6 +76,8 @@ _SAMPLE_PRIORITY = [
     "q_regex_backref_replace", "q_string_pad_pos", "t_top_terms",
     "q_funnel_stages", "q_retention_cohort", "q_bool_aggregates", "q_min_max_by",
     "t_length_histogram", "t_char_trigrams", "q_distribution_windows",
+    # -- new this round --
+    "mm_audio_neardup",
     # -- changed this round (unit-normalized pair joins): re-verify --
     "sim_cosine_topk", "sim_knn_classify", "sim_lsh_bucketed", "sem_dedup",
     "sem_dedup_kmeans", "sim_ivf_trained_topk", "sim_ivf_topk",

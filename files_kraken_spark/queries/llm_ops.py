@@ -1874,6 +1874,34 @@ def mm_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wav_media(spark: SparkSession, sf_dir: str, n: int = 128) -> DataFrame:
+    """documents → (media_id, data) rows whose payload is each doc's
+    first ``n`` ASCII bytes as 8-bit PCM mono behind a real WAV header
+    — the corpus the audio queries decode for real."""
+    header = (
+        b"RIFF"
+        + (36 + n).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")   # PCM
+        + (1).to_bytes(2, "little")   # mono
+        + (8000).to_bytes(4, "little")
+        + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")   # 8-bit
+        + b"data"
+        + n.to_bytes(4, "little")
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= n)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.lit(header), F.encode(F.substring("text", 1, n), "UTF-8")
+        ).alias("data"),
+    )
+
+
 @register(
     "mm_audio_fingerprint",
     oracle="""
@@ -1905,30 +1933,56 @@ GROUP BY e1.doc_id
 def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import audio_fingerprint
 
-    n = 128
-    header = (
-        b"RIFF"
-        + (36 + n).to_bytes(4, "little")
-        + b"WAVE"
-        + b"fmt "
-        + (16).to_bytes(4, "little")
-        + (1).to_bytes(2, "little")   # PCM
-        + (1).to_bytes(2, "little")   # mono
-        + (8000).to_bytes(4, "little")
-        + (8000).to_bytes(4, "little")
-        + (1).to_bytes(2, "little")
-        + (8).to_bytes(2, "little")   # 8-bit
-        + b"data"
-        + n.to_bytes(4, "little")
-    )
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= n)
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.concat(
-            F.lit(header), F.encode(F.substring("text", 1, n), "UTF-8")
-        ).alias("data"),
-    )
-    return audio_fingerprint(media, frame_samples=4, max_bits=62)
+    return audio_fingerprint(_wav_media(spark, sf_dir), frame_samples=4, max_bits=62)
+
+
+_AUDIO_FP_CTE = """
+e AS (
+  SELECT doc_id, f,
+         CAST(sum((ascii(substr(text, f * 4 + t + 1, 1)) - 128)
+                  * (ascii(substr(text, f * 4 + t + 1, 1)) - 128))
+              AS BIGINT) AS energy
+  FROM documents, range(0, 32) fr(f), range(0, 4) st(t)
+  WHERE n_chars >= 128
+  GROUP BY doc_id, f
+),
+fp AS (
+  SELECT e1.doc_id AS media_id,
+         CAST(sum(CASE WHEN e2.energy > e1.energy
+                       THEN (CAST(1 AS BIGINT) << e1.f) ELSE 0 END)
+              AS BIGINT) AS afp
+  FROM e e1 JOIN e e2 ON e2.doc_id = e1.doc_id AND e2.f = e1.f + 1
+  GROUP BY e1.doc_id
+)"""
+
+
+@register(
+    "mm_audio_neardup",
+    oracle=f"""
+WITH {_AUDIO_FP_CTE},
+banded AS (
+  SELECT media_id, afp, b AS band, (afp >> (b * 8)) & 255 AS key
+  FROM fp, range(0, 4) r(b)
+)
+SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 4
+""",
+    doc="Audio near-duplicate pairs at the MinHash-LSH cost model: the "
+    "31-bit energy-delta fingerprint (mm_audio_fingerprint, real WAV "
+    "decode) bands into 4×8-bit bucket keys, candidates come only "
+    "from shared buckets (never corpus²), and an integer XOR popcount "
+    "verifies Hamming ≤ 4 exactly — Shazam-style candidate matching "
+    "as a bucket join. Oracle replays decode, fingerprint, banding, "
+    "and verify in SQL.",
+)
+def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_fingerprint, audio_neardup_pairs
+
+    fps = audio_fingerprint(_wav_media(spark, sf_dir), frame_samples=4, max_bits=62)
+    return audio_neardup_pairs(fps, n_bands=4, band_bits=8, max_hamming=4)
 
 
 @register(

@@ -784,3 +784,48 @@ def test_unit_dot_matches_cosine(spark):
     assert abs(rows[0]["cos"] - rows[0]["ud"]) < 1e-12
     assert rows[1]["ud"] == 1.0
     assert rows[2]["cos"] is None and rows[2]["ud"] == 0.0
+
+
+def test_png_netpbm_dhash_parity(spark):
+    """PIL-gated (verdict item #6): a PNG and its Netpbm twin must
+    produce identical dHashes — the PIL decode path normalizes to the
+    exact (H, W, C) uint8 layout decode_netpbm emits."""
+    import pytest
+
+    np = pytest.importorskip("numpy")
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from files_kraken_spark.operators.multimodal import encode_netpbm, image_dhash
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(arr).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(0, encode_netpbm(arr)), (1, buf.getvalue())],
+        "media_id long, data binary",
+    )
+    got = {r["media_id"]: (r["dhash_hi"], r["dhash_lo"])
+           for r in image_dhash(df).collect()}
+    assert got[0] == got[1]
+
+
+def test_audio_neardup_pairs_banded_join(spark):
+    """Identical fingerprints must pair at hamming 0; one-bit flips
+    within a shared band must pair; far fingerprints must not."""
+    from files_kraken_spark.operators.multimodal import audio_neardup_pairs
+
+    fps = spark.createDataFrame(
+        [
+            (1, 32, 0b1011_0110_1011),
+            (2, 32, 0b1011_0110_1011),            # exact dup of 1
+            (3, 32, 0b1011_0110_1010),            # 1 bit off -> near-dup
+            (4, 32, 0b0100_1001_0100_0101_0000),  # far: no shared band value
+        ],
+        "media_id long, n_frames long, afp long",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in audio_neardup_pairs(fps, max_hamming=4).collect()}
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 1 and got[(2, 3)] == 1
+    assert not any(4 in p for p in got)

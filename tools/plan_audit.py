@@ -46,6 +46,14 @@ ALLOWED_NESTED_LOOP = {
     "t_temperature_resample",  # 1-row weight-total broadcast vs per-source counts
     "t_bpe_tokenize_trained",  # 1-row merge-winner / merge-list broadcasts
     "q_bloom_filter",  # 1-row bitmap broadcast vs probe side
+    # round-5 departitioned global windows: the BNLJ sides are a 1-row
+    # total count (ntile / percent_rank arithmetic) or a tiny
+    # distinct-value / per-day frame (dense_rank grid, 30-day range
+    # join) — the trade that REMOVED the single-task WindowExec stage
+    "q_ntile_rank_frames",  # 1-row count broadcast for ntile arithmetic
+    "q_distribution_windows",  # 1-row count broadcast for pr/cd arithmetic
+    "q_range_frame_rolling",  # per-day frame range-joined within 30-day lookback
+    "d2_ordered_changes",  # u² distinct-priority grid (u ≈ 5)
 }
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
