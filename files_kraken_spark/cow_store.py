@@ -56,7 +56,20 @@ def _payload_crc(version: int, buckets: dict) -> str:
 
 
 class CowStateStore(StateStore):
-    """Rename-free copy-on-write state store (see module docstring)."""
+    """Rename-free copy-on-write state store (see module docstring).
+
+    ``retain`` = number of commits kept for time travel (Delta-style
+    version retention, default 2 = current + previous, the base-store
+    window). ``load_version`` reads any retained commit; ``versions``
+    lists them; ``vacuum`` shrinks the history on demand. Because
+    buckets are copy-on-write, retaining N commits costs only the
+    buckets that CHANGED between them — unchanged buckets share one
+    immutable data dir across every manifest that references it.
+    """
+
+    def __init__(self, root: str, n_buckets: int = 32, retain: int = 2):
+        super().__init__(root, n_buckets)
+        self.retain = max(2, retain)
 
     # ---------------------------------------------------------- layout
 
@@ -204,8 +217,42 @@ class CowStateStore(StateStore):
         # store, CRC-guarded against torn local writes. No pointer swap.
         with open(os.path.join(bdir, f"manifest.v{v}.json"), "w") as f:
             f.write(json.dumps(manifest))
-        self._prune_cow(bp.name, keep_versions=[v, prev_version])
+        self._prune_cow(bp.name, keep_versions=self._retained(bp.name))
         return v
+
+    # ---------------------------------------------------------- history
+
+    def _retained(self, blueprint_name: str) -> list[int]:
+        """The last ``retain`` VALID manifest versions, descending —
+        torn commits are skipped, they never count against retention."""
+        out = []
+        for v in self._manifest_versions(blueprint_name):
+            try:
+                self._load_manifest_file(
+                    os.path.join(
+                        self._dir(blueprint_name), f"manifest.v{v}.json"
+                    )
+                )
+            except (ValueError, KeyError, FileNotFoundError):
+                continue
+            out.append(v)
+            if len(out) >= self.retain:
+                break
+        return out
+
+    def versions(self, blueprint_name: str) -> list[int]:
+        """Retained commit versions, newest first — each readable via
+        ``load_version`` (Delta's DESCRIBE HISTORY, reduced to ids)."""
+        return self._retained(blueprint_name)
+
+    def vacuum(self, blueprint_name: str, keep: int = 1) -> list[int]:
+        """Shrink the retained history to the newest ``keep`` commits
+        and reap every data version no surviving manifest references —
+        Delta's VACUUM. Returns the surviving versions, newest first.
+        Safe at any point: the current commit is always kept."""
+        survivors = self._retained(blueprint_name)[: max(1, keep)]
+        self._prune_cow(blueprint_name, keep_versions=survivors)
+        return survivors
 
     # ------------------------------------------------------------ hygiene
 

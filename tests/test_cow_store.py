@@ -191,3 +191,37 @@ def test_change_feed_skips_torn_commit(spark, tmp_path, bp):
     assert v == 3  # torn v2 reserved its number
     got = {r["id"]: r["change"] for r in store.changes(spark, bp).collect()}
     assert got == {"a": "updated", "b": "deleted", "c": "inserted"}
+
+
+def test_retention_versions_and_vacuum(spark, tmp_path, bp):
+    """Delta-parity history: retain=3 keeps three readable commits
+    (copy-on-write: unchanged buckets shared across manifests), older
+    commits are reaped automatically, and vacuum() shrinks on demand."""
+    import pytest as _pytest
+
+    store = CowStateStore(str(tmp_path / "state"), retain=3)
+    v1 = store.overwrite(bp, _rows(spark, bp, [("a", "one")]))
+    v2 = store.overwrite(bp, _rows(spark, bp, [("a", "one"), ("b", "two")]))
+    v3 = store.overwrite(bp, _rows(spark, bp, [("a", "ONE"), ("b", "two")]))
+    v4 = store.overwrite(
+        bp, _rows(spark, bp, [("a", "ONE"), ("b", "two"), ("c", "three")])
+    )
+    assert store.versions(bp.name) == [v4, v3, v2]
+
+    # every retained version reads back exactly as committed
+    assert {r["id"]: r["description"]
+            for r in store.load_version(spark, bp, v2).collect()} == {
+        "a": "one", "b": "two"}
+    assert {r["id"]: r["description"]
+            for r in store.load_version(spark, bp, v3).collect()} == {
+        "a": "ONE", "b": "two"}
+    # the commit past the retention window is gone
+    with _pytest.raises(ValueError):
+        store.load_version(spark, bp, v1)
+
+    # vacuum to a single commit: only the current survives and still reads
+    assert store.vacuum(bp.name, keep=1) == [v4]
+    assert store.versions(bp.name) == [v4]
+    with _pytest.raises(ValueError):
+        store.load_version(spark, bp, v3)
+    assert {r["id"] for r in store.load(spark, bp).collect()} == {"a", "b", "c"}
