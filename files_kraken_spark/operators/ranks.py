@@ -89,7 +89,10 @@ def dense_rank_low_card(
     """
     dk = df.select(F.col(key_col).alias("__k")).distinct()
     a = dk.select(F.col("__k").alias("__ka"))
-    b = dk.select(F.col("__k").alias("__kb"))
+    # __m marks a MATCHED join row even when the matched key itself is
+    # NULL — count("__kb") would skip the NULL key and under-rank
+    # everything above it
+    b = dk.select(F.col("__k").alias("__kb"), F.lit(1).alias("__m"))
     if nulls_first:
         below = (F.col("__kb").isNull() & F.col("__ka").isNotNull()) | (
             F.col("__kb") < F.col("__ka")
@@ -101,7 +104,7 @@ def dense_rank_low_card(
     ranks = (
         a.join(F.broadcast(b), below, "left")
         .groupBy("__ka")
-        .agg((F.count("__kb") + 1).cast("int").alias(out_col))
+        .agg((F.count("__m") + 1).cast("int").alias(out_col))
     )
     return df.join(
         F.broadcast(ranks), df[key_col].eqNullSafe(F.col("__ka")), "left"

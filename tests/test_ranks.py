@@ -1,0 +1,66 @@
+"""operators/ranks.py: distributed replacements for global windows must
+agree exactly with Spark's own window functions (which are the
+semantics oracle — fine on tiny test data, a single-task stage at
+scale)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from files_kraken_spark.operators.ranks import (
+    dense_rank_low_card,
+    global_row_number,
+    ntile_from_position,
+)
+
+
+def test_global_row_number_matches_window(spark):
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(50)) for i in range(337)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["__rn"]
+        for r in global_row_number(df, [F.col("v"), F.col("id")]).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_ntile_from_position_matches_spark_ntile(spark):
+    # cover n % b == 0, n < b, and ragged sizes
+    for n, b in [(12, 4), (13, 4), (3, 4), (1, 4), (100, 7), (99, 7)]:
+        df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "p long")
+        got = {
+            r["p"]: r["q"]
+            for r in df.select(
+                "p", ntile_from_position(F.col("p"), F.lit(n), b).alias("q")
+            ).collect()
+        }
+        w = Window.orderBy("p")
+        want = {
+            r["p"]: r["q"]
+            for r in df.withColumn("q", F.ntile(b).over(w)).collect()
+        }
+        assert got == want, (n, b)
+
+
+def test_dense_rank_low_card_matches_window_with_nulls(spark):
+    rows = [(1, 3), (2, 1), (3, 1), (4, None), (5, 7), (6, None), (7, 3)]
+    df = spark.createDataFrame(rows, "id long, k int")
+    got = {
+        r["id"]: r["dr"]
+        for r in dense_rank_low_card(df, "k", out_col="dr").collect()
+    }
+    w = Window.orderBy("k")  # Spark: NULLS FIRST on ASC
+    want = {
+        r["id"]: r["dr"]
+        for r in df.withColumn("dr", F.dense_rank().over(w)).collect()
+    }
+    assert got == want
