@@ -243,14 +243,17 @@ def test_no_cache_accumulation_across_ticks(spark, tmp_path, bp):
     root.mkdir()
     wf = Workflow(spark, "t10", [bp], data_dir=str(tmp_path / "wfdata"))
     wf.add_watcher(str(root), timeout=0)
-    jsc = spark.sparkContext._jsc.sc()
-    # other suites may leave session-global cache entries; assert the
-    # poll loop adds NONE on top of that baseline
-    baseline = jsc.getPersistentRDDs().size()
+    jsc = spark.sparkContext._jsc
+    # other suites may leave session-global cache entries, and Spark's
+    # ContextCleaner unpersists them ASYNCHRONOUSLY once the Python
+    # objects are GC'd — so compare RDD-id SETS (did the loop ADD any
+    # entry?), not counts (which can drop below the baseline mid-test)
+    baseline = set(jsc.getPersistentRDDs().keySet().toArray())
     for i in range(6):
         (root / f"sample_{i}.lane_1.fastq.gz").write_text("fq")
         wf.run_once()
-    assert jsc.getPersistentRDDs().size() == baseline
+    added = set(jsc.getPersistentRDDs().keySet().toArray()) - baseline
+    assert not added
 
 
 def test_snapshot_commit_deferred_until_processing_succeeds(spark, tmp_path, bp):
