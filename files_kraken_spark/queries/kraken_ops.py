@@ -259,13 +259,18 @@ FROM lineitem
 GROUP BY l_orderkey
 """,
     doc="A6 scalar merge: set-if-unset with conflict detection surfaced as a "
-    "quarantine flag instead of an executor exception (fields/_fields.py:73-86).",
+    "quarantine flag instead of an executor exception (fields/_fields.py:73-86). "
+    "Both outputs come from ONE collect_set buffer (array_min / size) — "
+    "a distinct aggregate next to any other aggregate triggers "
+    "Catalyst's Expand rewrite, ~2x slower measured.",
 )
 def a6_merge_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_orderkey").agg(
-        F.min("l_returnflag").alias("merged_flag"),
-        (F.count_distinct(F.col("l_returnflag")) > 1).alias("has_conflict"),
+    s = li.groupBy("l_orderkey").agg(F.collect_set("l_returnflag").alias("__s"))
+    return s.select(
+        "l_orderkey",
+        F.array_min("__s").alias("merged_flag"),
+        (F.size("__s") > 1).alias("has_conflict"),
     )
 
 
@@ -280,13 +285,19 @@ GROUP BY l_orderkey
 """,
     doc="A6 list merge: append-dedup accumulation, canonically sorted "
     "(fields/_fields.py:128-139; order made deterministic per SURVEY §7.4). "
-    "Projected as a joined string for the driver's pandas canonicalizer.",
+    "Projected as a joined string for the driver's pandas canonicalizer. "
+    "n_parts = size(collect_set) rather than count_distinct: mixing a "
+    "distinct aggregate with collect_set forces Catalyst's Expand "
+    "rewrite (every input row duplicated per aggregate group — 3x "
+    "slower measured); one set buffer serves both outputs.",
 )
 def a6_merge_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_orderkey").agg(
-        F.array_join(F.sort_array(F.collect_set("l_partkey")), ",").alias("parts"),
-        F.count_distinct(F.col("l_partkey")).alias("n_parts"),
+    s = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("__s"))
+    return s.select(
+        "l_orderkey",
+        F.array_join(F.sort_array("__s"), ",").alias("parts"),
+        F.size("__s").alias("n_parts"),
     )
 
 
