@@ -224,9 +224,13 @@ def minhash_lsh_pairs(
         ).alias(f"band{bi}")
         for bi in range(bands)
     ]
+    # persist the band table: the candidate self-join reads it as BOTH
+    # sides, and without a persist each side re-runs the whole
+    # hash + 16-min-agg signature pipeline (the shingle cache only
+    # covers the explode) — measured ~2× on the sf0.1 bench
     exploded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
-    )
+    ).persist()
     a = exploded.select(F.col(id_col).alias("id_a"), "band_key")
     b = exploded.select(F.col(id_col).alias("id_b"), "band_key")
     candidates = (
