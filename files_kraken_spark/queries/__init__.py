@@ -77,7 +77,7 @@ _SAMPLE_PRIORITY = [
     "q_funnel_stages", "q_retention_cohort", "q_bool_aggregates", "q_min_max_by",
     "t_length_histogram", "t_char_trigrams", "q_distribution_windows",
     # -- new this round --
-    "mm_audio_neardup",
+    "mm_audio_neardup", "q_gap_fill_ffill", "q_linear_interpolate",
     # -- changed this round (unit-normalized pair joins): re-verify --
     "sim_cosine_topk", "sim_knn_classify", "sim_lsh_bucketed", "sem_dedup",
     "sem_dedup_kmeans", "sim_ivf_trained_topk", "sim_ivf_topk",

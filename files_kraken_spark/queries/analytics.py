@@ -291,3 +291,155 @@ def q_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sk").alias("src"), (F.lit(10_000_000) + F.col("ck")).alias("dst")
     )
     return pagerank(edges, iters=3, damping_pct=85, symmetrize=True)
+
+
+# ----------------------------------------------------- time-series repair
+
+_SPARSE = "user_id % 50 = 0"  # sparsify so hour buckets have real gaps
+
+
+@register(
+    "q_gap_fill_ffill",
+    oracle=f"""
+WITH hours AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE {_SPARSE} GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(h) AS mn, max(h) AS mx FROM hours GROUP BY 1),
+spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS h FROM bounds),
+joined AS (
+  SELECT s.event_type, s.h, hr.n
+  FROM spine s LEFT JOIN hours hr USING (event_type, h)
+)
+SELECT event_type, h, (n IS NOT NULL) AS observed,
+       CAST(last_value(n IGNORE NULLS) OVER (
+              PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_filled
+FROM joined
+""",
+    doc="Time-series gap filling with forward-fill: per event type, build "
+    "the complete hourly spine between the series' first and last "
+    "observation (sequence explode per key — never a global calendar "
+    "cross join), left-join the observed counts, and carry the last "
+    "known value across gaps with an ignore-nulls window. Every stage "
+    "is partitioned by the series key, so a 100 TB corpus with "
+    "millions of keys runs with no single-task stage.",
+)
+def q_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.expr(_SPARSE))
+    hours = ev.groupBy(
+        F.col("event_type"), F.expr("ts div 3600000000000").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = hours.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("mn", "mx")).alias("h")
+    )
+    joined = spine.join(hours, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "h",
+        F.col("n").isNotNull().alias("observed"),
+        F.last("n", ignorenulls=True).over(w).cast("long").alias("n_filled"),
+    )
+
+
+@register(
+    "q_linear_interpolate",
+    oracle=f"""
+WITH hours AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE {_SPARSE} GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, min(h) AS mn, max(h) AS mx FROM hours GROUP BY 1),
+spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS h FROM bounds),
+joined AS (
+  SELECT s.event_type, s.h, hr.n
+  FROM spine s LEFT JOIN hours hr USING (event_type, h)
+),
+ctx AS (
+  SELECT event_type, h, n,
+         last_value(n IGNORE NULLS) OVER wp AS prev_n,
+         last_value(CASE WHEN n IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS prev_h,
+         first_value(n IGNORE NULLS) OVER wf AS next_n,
+         first_value(CASE WHEN n IS NOT NULL THEN h END IGNORE NULLS) OVER wf AS next_h
+  FROM joined
+  WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, h,
+       CASE
+         WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+         WHEN next_n IS NULL THEN CAST(prev_n AS DOUBLE)
+         WHEN prev_n IS NULL THEN CAST(next_n AS DOUBLE)
+         ELSE CAST(prev_n AS DOUBLE)
+              + (CAST(next_n AS DOUBLE) - CAST(prev_n AS DOUBLE))
+                * (CAST(h - prev_h AS DOUBLE) / CAST(next_h - prev_h AS DOUBLE))
+       END AS n_interp
+FROM ctx
+""",
+    doc="Linear interpolation of missing time-series points: on the same "
+    "per-key hourly spine as q_gap_fill_ffill, each gap hour gets "
+    "prev + (next-prev)*(t-t_prev)/(t_next-t_prev) from the nearest "
+    "observations on either side (ignore-nulls forward and backward "
+    "windows); leading/trailing gaps clamp to the nearest observation. "
+    "Identical double expression on both engines — bit-reproducible. "
+    "All windows partitioned by the series key.",
+)
+def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.expr(_SPARSE))
+    hours = ev.groupBy(
+        F.col("event_type"), F.expr("ts div 3600000000000").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = hours.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("mn", "mx")).alias("h")
+    )
+    joined = spine.join(hours, ["event_type", "h"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("n").isNotNull(), F.col("h"))
+    ctx = joined.select(
+        "event_type",
+        "h",
+        "n",
+        F.last("n", ignorenulls=True).over(wp).alias("prev_n"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("prev_h"),
+        F.first("n", ignorenulls=True).over(wf).alias("next_n"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("next_h"),
+    )
+    frac = (F.col("h") - F.col("prev_h")).cast("double") / (
+        F.col("next_h") - F.col("prev_h")
+    ).cast("double")
+    interp = (
+        F.when(F.col("n").isNotNull(), F.col("n").cast("double"))
+        .when(F.col("next_n").isNull(), F.col("prev_n").cast("double"))
+        .when(F.col("prev_n").isNull(), F.col("next_n").cast("double"))
+        .otherwise(
+            F.col("prev_n").cast("double")
+            + (F.col("next_n").cast("double") - F.col("prev_n").cast("double"))
+            * frac
+        )
+    )
+    return ctx.select("event_type", "h", interp.alias("n_interp"))
