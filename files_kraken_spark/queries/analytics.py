@@ -443,3 +443,72 @@ def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ctx.select("event_type", "h", interp.alias("n_interp"))
+
+
+@register(
+    "q_rolling_zscore",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+ctx AS (
+  SELECT event_type, h, n,
+         sum(n)     OVER w AS s1,
+         sum(n * n) OVER w AS s2,
+         count(*)   OVER w AS m
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, h, n,
+       round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+             / sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+                    / CAST(m - 1 AS DOUBLE)), 6) AS z
+FROM ctx
+WHERE m >= 12
+  AND (CAST(s2 AS DOUBLE)
+       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)) > 0
+""",
+    doc="Rolling z-score anomaly signal: each hour's event count scored "
+    "against the mean/std of the PRECEDING 24 hours (frame excludes "
+    "the current row so an anomaly can't mask itself). Variance is "
+    "computed from windowed integer sums via the explicit "
+    "(s2 - s1^2/m)/(m-1) formula — bit-identical on both engines, "
+    "unlike builtin stddev whose streaming accumulation order "
+    "differs. Window partitioned per series key; warm-up (<12 rows) "
+    "and zero-variance frames excluded.",
+)
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"), F.expr("ts div 3600000000000").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    ctx = hourly.select(
+        "event_type",
+        "h",
+        "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("m"),
+    )
+    s1d, s2d, md = (
+        F.col("s1").cast("double"),
+        F.col("s2").cast("double"),
+        F.col("m").cast("double"),
+    )
+    var_num = s2d - s1d * s1d / md
+    z = (F.col("n").cast("double") - s1d / md) / F.sqrt(
+        var_num / (F.col("m") - 1).cast("double")
+    )
+    return (
+        ctx.filter((F.col("m") >= 12) & (var_num > 0))
+        .select("event_type", "h", "n", F.round(z, 6).alias("z"))
+    )
