@@ -512,3 +512,65 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctx.filter((F.col("m") >= 12) & (var_num > 0))
         .select("event_type", "h", "n", F.round(z, 6).alias("z"))
     )
+
+
+@register(
+    "q_ewma_halflife",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+ctx AS (
+  SELECT event_type, h, n,
+         list(CAST(n AS DOUBLE)) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+  FROM hourly
+)
+SELECT event_type, h, n,
+       round(
+         list_sum(list_transform(range(1, len(xs) + 1),
+                  i -> list_reverse(xs)[i] * pow(0.5, i - 1)))
+         / list_sum(list_transform(range(1, len(xs) + 1),
+                  i -> pow(0.5, i - 1))), 6) AS ewma
+FROM ctx
+""",
+    doc="Exponentially weighted moving average over each series' last 20 "
+    "hours (newest-first half-life weights, normalized). EWMA's "
+    "recursive form is non-associative — no builtin window aggregate "
+    "computes it — so the frame is collected into an array (bounded: "
+    "20 doubles/row) and folded with higher-order functions, the "
+    "engine's escape hatch for non-associative window math. Decay "
+    "0.5 is chosen deliberately: powers of two are EXACT doubles, so "
+    "the weighted sums are bit-identical across engines where an "
+    "arbitrary libm pow() would drift in the last ulp. Windows "
+    "partitioned per key.",
+)
+def q_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"), F.expr("ts div 3600000000000").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-19, 0)
+    )
+    ctx = hourly.select(
+        "event_type", "h", "n",
+        F.collect_list(F.col("n").cast("double")).over(w).alias("xs"),
+    )
+    rev = F.reverse(F.col("xs"))
+    idx = F.sequence(F.lit(0), F.size("xs") - 1)
+    wts = F.transform(idx, lambda i: F.pow(F.lit(0.5), i.cast("double")))
+    num = F.aggregate(
+        F.zip_with(rev, wts, lambda x, wt: x * wt),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(wts, F.lit(0.0), lambda acc, x: acc + x)
+    return ctx.select(
+        "event_type", "h", "n", F.round(num / den, 6).alias("ewma")
+    )
