@@ -78,7 +78,8 @@ _SAMPLE_PRIORITY = [
     "t_length_histogram", "t_char_trigrams", "q_distribution_windows",
     # -- new this round --
     "mm_audio_neardup", "q_gap_fill_ffill", "q_linear_interpolate",
-    "q_rolling_zscore", "q_ewma_halflife",
+    "q_rolling_zscore", "q_ewma_halflife", "q_triangle_count",
+    "q_fuzzy_match_blocked",
     # -- changed this round (unit-normalized pair joins): re-verify --
     "sim_cosine_topk", "sim_knn_classify", "sim_lsh_bucketed", "sem_dedup",
     "sem_dedup_kmeans", "sim_ivf_trained_topk", "sim_ivf_topk",

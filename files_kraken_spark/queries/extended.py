@@ -677,3 +677,146 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("q_id", "cand_id")
     )
+
+
+# ------------------------------------------------------- graph: triangles
+
+@register(
+    "q_triangle_count",
+    oracle="""
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+o AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e0.u < e0.v)
+              THEN e0.u ELSE e0.v END AS s,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND e0.u < e0.v)
+              THEN e0.v ELSE e0.u END AS t
+  FROM e0 JOIN deg da ON da.node = e0.u JOIN deg db ON db.node = e0.v
+)
+SELECT w1.s AS node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM o w1
+JOIN o w2 ON w2.s = w1.t
+JOIN o w3 ON w3.s = w1.s AND w3.t = w2.t
+GROUP BY w1.s
+""",
+    doc="Distributed triangle counting (Suri & Vassilvitskii MR recipe) "
+    "over the parts-bought-together graph: orient every undirected "
+    "edge from lower to higher (degree, id) — each node's out-degree "
+    "is then O(sqrt(m)), so the wedge self-join that dominates the "
+    "cost is bounded even on power-law graphs where the naive "
+    "neighborhood join explodes on hub nodes. Wedges s->t1, t1->t2 "
+    "close into triangles via one more edge semi-probe; per-node "
+    "counts grouped on the lowest-ordered vertex. All joins are "
+    "key-partitioned shuffles; no broadcast assumed (node count at "
+    "100 TB exceeds broadcast limits, AQE may still pick one).",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e0 = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    und = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e0.join(da, "u")
+        .join(db, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    w1 = o.select(F.col("s").alias("s1"), F.col("t").alias("t1"))
+    w2 = o.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    w3 = o.select(F.col("s").alias("s1"), F.col("t").alias("t2"))
+    return (
+        w1.join(w2, "t1")
+        .join(w3, ["s1", "t2"], "left_semi")
+        .groupBy(F.col("s1").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+@register(
+    "q_fuzzy_match_blocked",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, p_name FROM part WHERE p_partkey < 5000
+),
+blocked AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         a.p_name AS name_a, b.p_name AS name_b
+  FROM p a JOIN p b
+    ON substr(a.p_name, 1, 4) = substr(b.p_name, 1, 4)
+   AND abs(length(a.p_name) - length(b.p_name)) <= 2
+   AND a.p_partkey < b.p_partkey
+  UNION
+  SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
+  FROM p a JOIN p b
+    ON substr(a.p_name, -4) = substr(b.p_name, -4)
+   AND abs(length(a.p_name) - length(b.p_name)) <= 2
+   AND a.p_partkey < b.p_partkey
+)
+SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM blocked
+WHERE name_a <> name_b AND levenshtein(name_a, name_b) <= 2
+""",
+    doc="Fuzzy entity matching with multi-pass blocking: candidate pairs "
+    "come only from shared (prefix-4, ±2 length) or (suffix-4, ±2 "
+    "length) blocks — two equi-join passes unioned, the standard "
+    "record-linkage answer to 'edit distance is not an equi-join key' "
+    "(either block survives an edit at one end; never corpus²) — then "
+    "exact Levenshtein verifies ≤2 on the candidates alone. The edit-"
+    "distance DP is integer-exact, so both engines agree bit-for-bit.",
+)
+def q_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 5000)
+        .select("p_partkey", "p_name")
+    )
+
+    def side(alias_id, alias_name):
+        return p.select(
+            F.col("p_partkey").alias(alias_id),
+            F.col("p_name").alias(alias_name),
+        )
+
+    a, b = side("id_a", "name_a"), side("id_b", "name_b")
+    lena, lenb = F.length("name_a"), F.length("name_b")
+    common = (
+        (F.abs(lena - lenb) <= 2) & (F.col("id_a") < F.col("id_b"))
+    )
+    pre = a.join(
+        b,
+        (F.substring("name_a", 1, 4) == F.substring("name_b", 1, 4)) & common,
+    )
+    suf = a.join(
+        b,
+        (F.expr("substring(name_a, -4, 4)") == F.expr("substring(name_b, -4, 4)"))
+        & common,
+    )
+    blocked = pre.unionByName(suf).distinct()
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        blocked.filter(
+            (F.col("name_a") != F.col("name_b")) & (dist <= 2)
+        )
+        .select("id_a", "id_b", dist.cast("long").alias("dist"))
+    )
