@@ -820,3 +820,67 @@ def q_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b", dist.cast("long").alias("dist"))
     )
+
+
+@register(
+    "q_market_basket_lift",
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM baskets),
+item_n AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM baskets GROUP BY item
+),
+pair_n AS (
+  SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.n_ab,
+       round(CAST(p.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6) AS confidence,
+       round(CAST(p.n_ab AS DOUBLE) * CAST(nb.n AS DOUBLE)
+             / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)), 6) AS lift
+FROM pair_n p
+JOIN item_n ia ON ia.item = p.item_a
+JOIN item_n ib ON ib.item = p.item_b
+CROSS JOIN nb
+WHERE p.n_ab >= 3
+""",
+    doc="Market-basket association rules: co-occurrence counts from a "
+    "per-basket pair explode (bounded by basket size — the a-priori "
+    "candidate-generation shape, never item²), joined against item "
+    "supports for confidence and lift. Min-support 3 prunes the "
+    "long tail before the stats joins. All shuffles keyed on basket "
+    "or item; the single-row basket total is the only broadcast.",
+)
+def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    nb = baskets.agg(F.count_distinct("basket").alias("n"))
+    item_n = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = baskets.select("basket", F.col("item").alias("item_a"))
+    b = baskets.select("basket", F.col("item").alias("item_b"))
+    pair_n = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ia = item_n.select(F.col("item").alias("item_a"), F.col("n_item").alias("na"))
+    ib = item_n.select(F.col("item").alias("item_b"), F.col("n_item").alias("nb_i"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        pair_n.join(ia, "item_a")
+        .join(ib, "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a", "item_b", "n_ab",
+            F.round(d("n_ab") / d("na"), 6).alias("confidence"),
+            F.round(d("n_ab") * d("n") / (d("na") * d("nb_i")), 6).alias("lift"),
+        )
+    )
