@@ -574,3 +574,79 @@ def q_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.select(
         "event_type", "h", "n", F.round(num / den, 6).alias("ewma")
     )
+
+
+_CONV_WINDOW_US = 24 * 3600 * 1_000_000  # 24h per funnel step
+
+
+@register(
+    "q_funnel_conversion_window",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND epoch_us(e.ts) > v.t_view
+    AND epoch_us(e.ts) <= v.t_view + {_CONV_WINDOW_US}
+  GROUP BY e.user_id
+),
+b AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_buy
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) > c.t_click
+    AND epoch_us(e.ts) <= c.t_click + {_CONV_WINDOW_US}
+  GROUP BY e.user_id
+)
+SELECT CAST(count(v.user_id) AS BIGINT) AS n_view,
+       CAST(count(c.user_id) AS BIGINT) AS n_click_24h,
+       CAST(count(b.user_id) AS BIGINT) AS n_buy_24h
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN b ON b.user_id = v.user_id
+""",
+    doc="Funnel with per-step conversion windows (the MATCH_RECOGNIZE-"
+    "shaped ask Spark lacks natively): first view, then first click "
+    "within 24h OF THAT VIEW, then first purchase within 24h OF THAT "
+    "CLICK — each stage anchored to the previous stage's timestamp, "
+    "not merely ordered (q_funnel_stages' first-touch form). Three "
+    "grouped aggregations chained by user-keyed joins; every shuffle "
+    "is on user_id, so the 100 TB form co-partitions once and reuses "
+    "the exchange.",
+)
+def q_funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("t")
+    )
+    W = _CONV_WINDOW_US
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("t") > F.col("t_view")) & (F.col("t") <= F.col("t_view") + W))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("t") > F.col("t_click")) & (F.col("t") <= F.col("t_click") + W))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_buy"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(b, "user_id", "left")
+        .agg(
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_click_24h"),
+            F.count("t_buy").alias("n_buy_24h"),
+        )
+    )
