@@ -199,7 +199,7 @@ def lsh_bucketed_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     threshold: float = 0.45,
 ) -> DataFrame:
     """Approximate near-dup pairs: random-hyperplane LSH buckets, then
@@ -209,7 +209,13 @@ def lsh_bucketed_pairs(
     Each side is L2-normalized once per ROW before the bucket join, so
     the per-pair verify is a single dot product — the norms are paid n
     times, not E[n²/2^planes] times (the round-4 ``sem_dedup`` bench
-    regression was exactly the per-pair ``cosine()`` shape)."""
+    regression was exactly the per-pair ``cosine()`` shape).
+
+    ``n_planes=None`` derives the plane count from a corpus count via
+    :func:`auto_planes` so the default pair budget stays bounded as
+    the corpus grows (same contract as :func:`semdedup`)."""
+    if n_planes is None:
+        n_planes = auto_planes(df.count())
     planes = _planes(n_planes, dim)
     sig = df.select(
         F.col(id_col),

@@ -829,3 +829,18 @@ def test_audio_neardup_pairs_banded_join(spark):
            for r in audio_neardup_pairs(fps, max_hamming=4).collect()}
     assert got[(1, 2)] == 0 and got[(1, 3)] == 1 and got[(2, 3)] == 1
     assert not any(4 in p for p in got)
+
+
+def test_auto_scaling_knobs():
+    """auto_planes follows the '+4 planes per 10x rows' SCALING.md rule
+    from the (500, 5) reference point; auto_cells targets ~1000
+    rows/cell with a floor."""
+    from files_kraken_spark.operators.similarity import auto_cells, auto_planes
+
+    assert auto_planes(100) == 5 and auto_planes(500) == 5
+    assert auto_planes(5_000) == 9      # 10x -> +4
+    assert auto_planes(50_000) == 13    # 100x -> +8
+    assert auto_planes(2_000) == 8      # partial decade rounds up
+    assert auto_cells(100) == 8         # floor
+    assert auto_cells(10_000) == 10
+    assert auto_cells(1_000_001) == 1001  # ceil division
