@@ -54,6 +54,7 @@ ALLOWED_NESTED_LOOP = {
     "q_distribution_windows",  # 1-row count broadcast for pr/cd arithmetic
     "q_range_frame_rolling",  # per-day frame range-joined within 30-day lookback
     "d2_ordered_changes",  # u² distinct-priority grid (u ≈ 5)
+    "q_market_basket_lift",  # 1-row basket-total broadcast for the lift denominator
 }
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
