@@ -646,3 +646,58 @@ def audio_neardup_pairs(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def frame_energies(media: DataFrame, frame_bytes: int = 16) -> DataFrame:
+    """Per-frame integer energy (Σ byte values) over fixed-size frames
+    of the binary payload — the decode-side feature a real video
+    pipeline computes per decoded frame (here over raw frame bytes, so
+    the oracle can replay it exactly). Arrow-batched ``mapInPandas``;
+    numpy reshape+sum per payload, payloads never leave executors."""
+    import numpy as np
+
+    def _energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "energy": []}
+            for mid, raw in zip(pdf["media_id"], pdf["data"]):
+                data = bytes(raw)
+                n = len(data) // frame_bytes
+                if n == 0:
+                    continue
+                arr = np.frombuffer(
+                    data, dtype=np.uint8, count=n * frame_bytes
+                ).astype(np.int64).reshape(n, frame_bytes)
+                es = arr.sum(axis=1)
+                out["media_id"].extend([mid] * n)
+                out["frame_no"].extend(range(n))
+                out["energy"].extend(int(e) for e in es)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_energies, schema=ENERGY_SCHEMA)
+
+
+def scene_cuts(energies: DataFrame, threshold: int = 150) -> DataFrame:
+    """Scene-cut / keyframe detection: a cut is any frame whose energy
+    jumps ≥ ``threshold`` from the previous frame (the integer skeleton
+    of histogram-difference shot detection — the keyframe-extraction
+    step of a video training-data pipeline). One lag window PARTITIONED
+    PER MEDIA ID — no global stage; returns (media_id, frame_no, delta)
+    for cut frames."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_no")
+    delta = F.abs(F.col("energy") - F.lag("energy").over(w))
+    return (
+        energies.withColumn("delta", delta)
+        .filter(F.col("delta") >= threshold)
+        .select("media_id", "frame_no", "delta")
+    )

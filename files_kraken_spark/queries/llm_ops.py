@@ -2029,3 +2029,40 @@ def sim_ivfadc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, q, k=8, m=4, ksub=8, iters=2, dim=64, probes=2,
         shortlist=50, topk=5,
     )
+
+
+@register(
+    "mm_scene_cuts",
+    oracle="""
+WITH e AS (
+  SELECT doc_id AS media_id, u.f AS frame_no,
+         (SELECT CAST(sum(ascii(substr(text, u.f * 16 + t.t + 1, 1))) AS BIGINT)
+          FROM range(0, 16) t(t)) AS energy
+  FROM documents,
+       UNNEST(range(0, octet_length(encode(text)) // 16)) AS u(f)
+)
+SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+       CAST(delta AS BIGINT) AS delta
+FROM (
+  SELECT media_id, frame_no,
+         abs(energy - lag(energy) OVER (PARTITION BY media_id ORDER BY frame_no))
+           AS delta
+  FROM e
+)
+WHERE delta >= 150
+""",
+    doc="Scene-cut / keyframe detection over video-shaped payloads: "
+    "per-frame integer energies (Arrow mapInPandas, numpy reshape+sum "
+    "per payload — payloads never leave executors), then a cut "
+    "wherever the energy jumps >= threshold from the previous frame — "
+    "the integer skeleton of histogram-difference shot detection, the "
+    "keyframe-extraction step of a video training pipeline. One lag "
+    "window PARTITIONED PER MEDIA ID; the oracle replays the frame "
+    "grid and energies byte-for-byte.",
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary, frame_energies, scene_cuts
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary(docs, "doc_id", "text", "video")
+    return scene_cuts(frame_energies(media, frame_bytes=16), threshold=150)

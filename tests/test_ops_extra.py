@@ -844,3 +844,19 @@ def test_auto_scaling_knobs():
     assert auto_cells(100) == 8         # floor
     assert auto_cells(10_000) == 10
     assert auto_cells(1_000_001) == 1001  # ceil division
+
+
+def test_scene_cuts_detects_energy_jumps(spark):
+    from files_kraken_spark.operators.multimodal import (
+        attach_binary,
+        frame_energies,
+        scene_cuts,
+    )
+
+    # frames of 4 bytes: 'aaaa' (388) -> 'aaaa' (388) -> 'zzzz' (488)
+    # -> 'zzzz' (488): exactly one cut at frame 2 with delta 100
+    df = spark.createDataFrame([(1, "aaaa" + "aaaa" + "zzzz" + "zzzz")],
+                               "doc_id long, text string")
+    media = attach_binary(df, "doc_id", "text", "video")
+    cuts = scene_cuts(frame_energies(media, frame_bytes=4), threshold=50).collect()
+    assert [(r["media_id"], r["frame_no"], r["delta"]) for r in cuts] == [(1, 2, 100)]
