@@ -2066,3 +2066,98 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary(docs, "doc_id", "text", "video")
     return scene_cuts(frame_energies(media, frame_bytes=16), threshold=150)
+
+
+@register(
+    "t_quality_terciles",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         least(len({_SQL_TOKENS.format(col='text')}) / 50.0, 1.0) AS len_score,
+         1.0 - least(coalesce(
+             length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))
+               * 1.0 / nullif(length(text), 0), 0.0) * 5.0, 1.0) AS punct_score,
+         CASE WHEN coalesce(list_sum(list_transform({_SQL_TOKENS.format(col='text')},
+                                x -> length(x))) * 1.0
+                    / nullif(len({_SQL_TOKENS.format(col='text')}), 0), 0.0)
+                   BETWEEN 3.0 AND 8.0
+              THEN 1.0 ELSE 0.5 END AS word_score
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang, (len_score + punct_score + word_score) / 3.0 AS quality
+  FROM scored
+)
+SELECT doc_id, lang,
+       CASE ntile(3) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM q
+""",
+    doc="CCNet-style quality buckets: within each language, rank docs by "
+    "the composite quality score and split into head/middle/tail "
+    "terciles — the bucketing used to bias pretraining sampling toward "
+    "higher-quality text. The ntile window is PARTITIONED per language "
+    "(regular scale-safe window; only a GLOBAL ntile needs the "
+    "two-phase rank in operators/ranks.py).",
+)
+def t_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "lang", T.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    t = F.ntile(3).over(w)
+    bucket = (
+        F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail")
+    )
+    return q.select("doc_id", "lang", bucket.alias("bucket"))
+
+
+@register(
+    "t_rare_trigram_ratio",
+    oracle="""
+WITH grams AS (
+  SELECT DISTINCT doc_id, substr(lower(text), u.i, 3) AS g
+  FROM documents, UNNEST(range(1, length(text) - 1)) AS u(i)
+),
+dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM grams GROUP BY g)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       round(sum(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS rare_ratio
+FROM grams g JOIN dfreq d USING (g)
+GROUP BY g.doc_id
+""",
+    doc="Rare-trigram novelty ratio: fraction of a document's DISTINCT "
+    "character trigrams appearing in ≤2 corpus documents — an "
+    "integer-exact stand-in for LM-perplexity quality filtering "
+    "(CCNet-style): high ratios flag gibberish/noise, near-zero "
+    "ratios flag boilerplate. One explode + two grouped shuffles on "
+    "the trigram / doc keys; the trigram df table is the same "
+    "artifact t_char_trigrams trains language-ID from.",
+)
+def t_rare_trigram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    idx = F.when(
+        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        docs.select("doc_id", F.explode(idx).alias("i"), lowered.alias("__t"))
+        .select("doc_id", F.substring(F.col("__t"), F.col("i"), F.lit(3)).alias("g"))
+        .distinct()
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    rare = F.when(F.col("df") <= 2, 1).otherwise(0)
+    return (
+        grams.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(rare).cast("long").alias("n_rare"),
+            F.round(F.sum(rare) / F.count(F.lit(1)), 6).alias("rare_ratio"),
+        )
+    )
