@@ -2161,3 +2161,83 @@ def t_rare_trigram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(rare) / F.count(F.lit(1)), 6).alias("rare_ratio"),
         )
     )
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle=f"""
+WITH kw AS (
+  SELECT doc_id,
+         CAST(len(list_filter({_SQL_TOKENS.format(col='text')},
+              x -> x IN ('spark', 'table', 'window'))) AS BIGINT) AS kscore
+  FROM documents
+),
+krank AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY kscore DESC, doc_id) AS BIGINT) AS kr
+  FROM kw
+),
+u AS (SELECT vec_id, {_SQL_UNIT.format(a='embedding')} AS un FROM embeddings),
+qv AS (SELECT un AS qu FROM u WHERE vec_id = 0),
+vrank AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY
+           {_SQL_DOT.format(a='qv.qu', b='e.un')} DESC, e.vec_id) AS BIGINT) AS vr
+  FROM u e, qv
+  WHERE e.vec_id <> 0
+)
+SELECT doc_id, kr, vr,
+       round(1.0 / (60 + kr) + 1.0 / (60 + vr), 6) AS rrf
+FROM krank JOIN vrank USING (doc_id)
+ORDER BY rrf DESC, doc_id
+LIMIT 20
+""",
+    doc="Hybrid retrieval via reciprocal rank fusion (RRF, k=60): fuse a "
+    "keyword ranking (query-token hits per document) with a dense "
+    "vector ranking (unit-dot cosine vs a query embedding) as "
+    "Σ 1/(60+rank) — the standard hybrid-search combiner, rank-based "
+    "so the two scores need no calibration. Both global rankings use "
+    "the distributed two-phase row number (operators/ranks.py) — no "
+    "single-task window; the final top-20 is a sort-limit (Spark "
+    "TakeOrdered, no full sort).",
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot, unit
+    from ..operators.ranks import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    kscore = F.size(
+        F.filter(toks, lambda x: x.isin("spark", "table", "window"))
+    ).cast("long")
+    kw = docs.select("doc_id", kscore.alias("kscore"))
+    krank = global_row_number(
+        kw, [F.col("kscore").desc(), F.col("doc_id")], "kr"
+    ).select("doc_id", "kr")
+
+    un = emb.select("vec_id", unit(F.col("embedding")).alias("un"))
+    qv = un.filter(F.col("vec_id") == 0).select(F.col("un").alias("qu"))
+    scored = (
+        un.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            dot(F.col("qu"), F.col("un")).alias("vscore"),
+        )
+    )
+    vrank = global_row_number(
+        scored, [F.col("vscore").desc(), F.col("doc_id")], "vr"
+    ).select("doc_id", "vr")
+
+    rrf = F.round(
+        F.lit(1.0) / (F.lit(60) + F.col("kr"))
+        + F.lit(1.0) / (F.lit(60) + F.col("vr")),
+        6,
+    )
+    return (
+        krank.join(vrank, "doc_id")
+        .select("doc_id", "kr", "vr", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(20)
+    )
