@@ -2241,3 +2241,92 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), F.col("doc_id"))
         .limit(20)
     )
+
+
+def _bm25_sql(terms: tuple[str, ...] = ("spark", "table", "window")) -> str:
+    tk = _SQL_TOKENS.format(col="text")
+    tf_cols = ", ".join(
+        f"len(list_filter(tk, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms, 1)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(1, len(terms) + 1)
+    )
+    parts = " + ".join(
+        f"((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf{i} AS DOUBLE) * 2.2 / (CAST(tf{i} AS DOUBLE)"
+        f" + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))"
+        for i in range(1, len(terms) + 1)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id, len(tk) AS dl, {tf_cols}
+  FROM (SELECT doc_id, {tk} AS tk FROM documents)
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl, {df_cols}
+  FROM m
+)
+SELECT doc_id, round({parts}, 6) AS bm25
+FROM m, g
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+@register(
+    "t_bm25_topk",
+    oracle=_bm25_sql(),
+    doc="BM25 document ranking (k1=1.2, b=0.75) for a fixed 3-term "
+    "query, top-10: per-term tf from a token filter (no explode), "
+    "document-length normalization against the corpus average, and a "
+    "LOG-FREE rational idf (N-df+0.5)/(df+0.5) — rank-equivalent to "
+    "the ln form per term and, like t_tfidf_top_terms, keeps every "
+    "score a fixed-order rational expression both engines evaluate "
+    "bit-identically (libm ln is not bit-portable). Per-term "
+    "contributions are explicit columns summed in fixed order — no "
+    "float aggregation-order dependence. Corpus stats are ONE "
+    "broadcast row; the top-10 is a sort-limit.",
+)
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = ("spark", "table", "window")
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    def tf_of(term):
+        # NB: a two-arg lambda would be bound as (element, index) by the
+        # HOF API — the default-arg closure trick silently breaks
+        return F.size(F.filter(toks, lambda x: x == term))
+
+    m = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(terms, 1)],
+    )
+    g = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(1, len(terms) + 1)
+        ],
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    avg_dl = d("sdl") / d("n")
+    score = None
+    for i in range(1, len(terms) + 1):
+        idf = (d("n") - d(f"df{i}") + F.lit(0.5)) / (d(f"df{i}") + F.lit(0.5))
+        sat = (
+            d(f"tf{i}") * F.lit(2.2)
+            / (d(f"tf{i}") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (d("dl") / avg_dl)))
+        )
+        part = idf * sat
+        score = part if score is None else score + part
+    return (
+        m.crossJoin(F.broadcast(g))
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(10)
+    )
