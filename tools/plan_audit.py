@@ -55,6 +55,8 @@ ALLOWED_NESTED_LOOP = {
     "q_range_frame_rolling",  # per-day frame range-joined within 30-day lookback
     "d2_ordered_changes",  # u² distinct-priority grid (u ≈ 5)
     "q_market_basket_lift",  # 1-row basket-total broadcast for the lift denominator
+    "sim_hybrid_rrf",  # 1-row query-embedding broadcast vs corpus scan
+    "t_bm25_topk",  # 1-row corpus-stats broadcast (N, avgdl, dfs)
 }
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
