@@ -50,6 +50,10 @@ EXTRA = [
     "t_global_shuffle",
     "mm_dhash_neardup",
     "mm_audio_neardup",
+    "q_gap_fill_ffill",
+    "mm_scene_cuts",
+    "t_bm25_topk",
+    "sim_hybrid_rrf",
 ]
 
 
