@@ -650,3 +650,74 @@ def q_funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t_buy").alias("n_buy_24h"),
         )
     )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_type, t, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+runs AS (
+  SELECT user_id, event_type, t,
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_no
+  FROM marked
+),
+iv AS (
+  SELECT user_id, event_type AS status, run_no,
+         min(t) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, event_type, run_no
+)
+SELECT user_id, status, valid_from,
+       coalesce(lead(valid_from) OVER (PARTITION BY user_id
+                ORDER BY valid_from) - 1, 253402300799999999) AS valid_to,
+       n_events
+FROM iv
+""",
+    doc="SCD2 history build: compress each user's event stream into "
+    "status validity intervals — a new row only where the status "
+    "CHANGES (lag + running change-count makes the run id, the "
+    "gaps-and-islands pattern), valid_to = next interval's start - 1 "
+    "with the open interval capped at a far-future sentinel. The "
+    "slowly-changing-dimension type-2 build every warehouse needs, "
+    "as per-key windows only — no global stage.",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    runs = ev.select(
+        "user_id", "event_type", "t", chg.alias("chg"), "event_id"
+    ).withColumn(
+        "run_no",
+        F.sum("chg")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("t", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long"),
+    )
+    iv = runs.groupBy(
+        "user_id", F.col("event_type").alias("status"), "run_no"
+    ).agg(F.min("t").alias("valid_from"), F.count(F.lit(1)).alias("n_events"))
+    wl = Window.partitionBy("user_id").orderBy("valid_from")
+    valid_to = F.coalesce(
+        F.lead("valid_from").over(wl) - 1, F.lit(253402300799999999)
+    )
+    return iv.select(
+        "user_id", "status", "valid_from", valid_to.alias("valid_to"), "n_events"
+    )
