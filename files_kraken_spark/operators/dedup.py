@@ -184,6 +184,95 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _signature_bands(
+    sh: DataFrame, id_col: str, num_hashes: int, bands: int, seed: int
+) -> DataFrame:
+    """(id, band_key) rows from a shingle frame: md5→int64 hash
+    materialized as a column FIRST (no CSE across aggregate
+    expressions — inlined it would run num_hashes× per shingle), then
+    the per-permutation min signature, banded into ``bands`` composite
+    keys. Shared by the batch pair join, the incremental probe, and
+    the streaming stateful candidate generator."""
+    rows = num_hashes // bands
+    hashed = sh.select(F.col(id_col), md5_hash64(F.col("shingle")).alias("__h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_perm_constants(num_hashes, seed))
+    ]
+    sig = hashed.groupBy(id_col).agg(*aggs)
+    band_cols = [
+        F.concat_ws(
+            "_", F.lit(bi), *[F.col(f"mh{bi * rows + r}") for r in range(rows)]
+        ).alias(f"band{bi}")
+        for bi in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
+    )
+
+
+def band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Public (id, band_key) rows for LSH candidate generation — feed
+    ``.groupBy("band_key")`` into
+    ``streaming.stateful.streaming_band_candidates`` to maintain the
+    banded index INSIDE a Structured Streaming checkpoint (no external
+    corpus table).
+
+    Computed ROW-WISE (shingle array → per-permutation ``array_min``
+    of affine-transformed hashes): no aggregation at all, so it is
+    legal on an unaggregated STREAMING DataFrame (a ``groupBy(id)``
+    signature would be a streaming aggregation, which append mode
+    rejects without a watermark and cannot chain into
+    ``applyInPandasWithState``). Identical band keys to the batch
+    ``_signature_bands`` (asserted in tests): min over the shingle
+    multiset equals min over the set, and the hash/permutation math is
+    shared. The hash array is materialized as a COLUMN first — 16
+    ``array_min(transform(...))`` consumers referencing an inline
+    subtree would re-run the md5 pass per permutation (the no-CSE
+    trap, SCALING.md round-5 notes)."""
+    rows = num_hashes // bands
+    sh_arr = shingles_from_tokens(tokens(F.col(text_col)), k_shingle)
+    base = (
+        df.select(F.col(id_col), sh_arr.alias("__sh"))
+        .filter(F.size("__sh") > 0)  # docs with < k tokens have no signature
+        .withColumn(
+            "__hs", F.transform(F.col("__sh"), lambda s: md5_hash64(s))
+        )
+    )
+    def perm_min(a, b):
+        # NB: closure factory, not default-arg lambda — extra defaulted
+        # params change the HOF lambda's arity and get bound as the
+        # element INDEX by the API
+        return F.array_min(
+            F.transform(
+                F.col("__hs"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+            )
+        )
+
+    mins = [
+        perm_min(a, b).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_perm_constants(num_hashes, seed))
+    ]
+    sig = base.select(F.col(id_col), *mins)
+    band_cols = [
+        F.concat_ws(
+            "_", F.lit(bi), *[F.col(f"mh{bi * rows + r}") for r in range(rows)]
+        ).alias(f"band{bi}")
+        for bi in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -202,7 +291,6 @@ def minhash_lsh_pairs(
     verified with exact Jaccard so the threshold is exact, not
     probabilistic.
     """
-    rows = num_hashes // bands
     # The shingle set feeds both the signature and the verify pass, and
     # the candidate set feeds three consumers — persist at those reuse
     # boundaries so each shuffle runs once (broadcast subtrees do NOT
@@ -210,27 +298,11 @@ def minhash_lsh_pairs(
     # re-runs per consumer). On a cluster these are the natural
     # persist/checkpoint points as well.
     sh = shingle_sets(df, id_col, text_col, k_shingle).persist()
-    # hash materialized as a column first — no CSE across aggregate
-    # expressions, inlining would run md5 num_hashes× per shingle
-    hashed = sh.select(F.col(id_col), md5_hash64(F.col("shingle")).alias("__h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_perm_constants(num_hashes, seed))
-    ]
-    sig = hashed.groupBy(id_col).agg(*aggs)
-    band_cols = [
-        F.concat_ws(
-            "_", F.lit(bi), *[F.col(f"mh{bi * rows + r}") for r in range(rows)]
-        ).alias(f"band{bi}")
-        for bi in range(bands)
-    ]
     # persist the band table: the candidate self-join reads it as BOTH
     # sides, and without a persist each side re-runs the whole
     # hash + 16-min-agg signature pipeline (the shingle cache only
     # covers the explode) — measured ~2× on the sf0.1 bench
-    exploded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
-    ).persist()
+    exploded = _signature_bands(sh, id_col, num_hashes, bands, seed).persist()
     a = exploded.select(F.col(id_col).alias("id_a"), "band_key")
     b = exploded.select(F.col(id_col).alias("id_b"), "band_key")
     candidates = (
@@ -307,24 +379,13 @@ def minhash_lsh_incremental(
     pure functions of the text — see SCALING.md); here it derives
     inline from the same frame.
     """
-    rows = num_hashes // bands
     flags = df.select(F.col(id_col), F.col(new_col).alias("__new"))
     sh = shingle_sets(df, id_col, text_col, k_shingle).persist()
-    hashed = sh.select(F.col(id_col), md5_hash64(F.col("shingle")).alias("__h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_perm_constants(num_hashes, seed))
-    ]
-    sig = hashed.groupBy(id_col).agg(*aggs)
-    band_cols = [
-        F.concat_ws(
-            "_", F.lit(bi), *[F.col(f"mh{bi * rows + r}") for r in range(rows)]
-        ).alias(f"band{bi}")
-        for bi in range(bands)
-    ]
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
-    ).join(flags, id_col).persist()
+    banded = (
+        _signature_bands(sh, id_col, num_hashes, bands, seed)
+        .join(flags, id_col)
+        .persist()
+    )
     new_banded = banded.filter(F.col("__new"))
     candidates = (
         new_banded.select(F.col(id_col).alias("id_n"), "band_key")

@@ -154,3 +154,56 @@ def session_totals_v2(grouped) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+BAND_CANDIDATES_SCHEMA = "id_a bigint, id_b bigint, band_key string"
+
+
+def _band_candidates(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-band LSH candidate generation: state = the doc ids whose
+    signatures landed in this band so far; each new arrival emits a
+    candidate pair against every stored id, then joins the state."""
+    seen = list(state.get[0]) if state.exists else []
+    new_ids = []
+    for p in pdfs:
+        for v in p["doc_id"]:
+            new_ids.append(int(v))
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for nid in new_ids:
+        for old in seen:
+            if old != nid:
+                out_a.append(min(old, nid))
+                out_b.append(max(old, nid))
+        seen.append(nid)
+    state.update((seen,))
+    yield pd.DataFrame(
+        {"id_a": out_a, "id_b": out_b, "band_key": [key[0]] * len(out_a)}
+    )
+
+
+def streaming_band_candidates(grouped) -> DataFrame:
+    """Streaming MinHash-LSH candidate generation with the banded index
+    IN THE CHECKPOINT: feed `operators.dedup.band_keys(batch_stream)`
+    grouped by band_key; each micro-batch emits candidate pairs of new
+    docs against everything previously seen in the same band — the
+    incremental-LSH cost model (O(batch · bands · bucket occupancy),
+    never corpus²) without any external corpus table, because the
+    banded index IS the streaming state (partitioned by band key, so
+    it scales horizontally and survives restarts via the checkpoint).
+
+    Pairs sharing several bands are emitted once per shared band —
+    downstream `.dropDuplicates(["id_a","id_b"])` (or the exact-Jaccard
+    verify join, which is keyed on the pair) collapses them. At scale,
+    cap pathological bucket occupancy upstream with the same
+    hot-shingle document-frequency cap the batch pipeline uses.
+    """
+    return grouped.applyInPandasWithState(
+        _band_candidates,
+        outputStructType=BAND_CANDIDATES_SCHEMA,
+        stateStructType="seen array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

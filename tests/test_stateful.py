@@ -231,3 +231,81 @@ def test_transform_with_state_v2_or_documented_gate(spark, tmp_path):
     q.awaitTermination(60)
     rows = {r["key"]: r for r in spark.sql("SELECT * FROM v2_totals").collect()}
     assert rows["k0"]["events"] == 3 and rows["k0"]["value_total"] == 0 + 2 + 4
+
+
+def test_streaming_band_candidates_across_batches(spark, tmp_path):
+    """Stateful LSH candidate generation: the banded index lives in the
+    checkpoint; batch 2's near-dup of a batch-1 doc must surface as a
+    cross-batch candidate pair, and unrelated docs must not pair."""
+    import json
+
+    from files_kraken_spark.operators.dedup import band_keys
+    from files_kraken_spark.streaming.stateful import streaming_band_candidates
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": base},
+                {"doc_id": 2, "text": "completely different words about ships"},
+            ]
+        )
+    )
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 3, "text": base + " today"},  # near-dup of 1
+                {"doc_id": 4, "text": "unrelated astronomy content entirely"},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    bands = band_keys(stream, "doc_id", "text")
+    out = streaming_band_candidates(bands.groupBy("band_key"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql("SELECT DISTINCT id_a, id_b FROM bc").collect()
+    }
+    assert (1, 3) in pairs  # cross-batch near-dup found via shared band
+    assert not any(p in pairs for p in [(1, 2), (2, 4), (1, 4), (2, 3), (3, 4)])
+
+
+def test_band_keys_rowwise_matches_batch_signature(spark):
+    """The row-wise (streaming-legal) band_keys must produce the exact
+    band keys of the batch groupBy signature pipeline."""
+    from files_kraken_spark.operators.dedup import (
+        _signature_bands,
+        band_keys,
+        shingle_sets,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "  spaced   out\ttokens here today again  "),
+            (3, "too short"),  # < 3 tokens -> no signature either way
+            (4, "dup dup dup dup dup dup"),  # repeated shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(map(tuple, band_keys(df, "doc_id", "text").collect()))
+    sh = shingle_sets(df, "doc_id", "text", 3)
+    want = sorted(map(tuple, _signature_bands(sh, "doc_id", 16, 4, 42).collect()))
+    assert got == want and len(got) > 0
