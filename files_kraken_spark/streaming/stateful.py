@@ -159,32 +159,49 @@ def session_totals_v2(grouped) -> DataFrame:
 BAND_CANDIDATES_SCHEMA = "id_a bigint, id_b bigint, band_key string"
 
 
-def _band_candidates(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Per-band LSH candidate generation: state = the doc ids whose
-    signatures landed in this band so far; each new arrival emits a
-    candidate pair against every stored id, then joins the state."""
-    seen = list(state.get[0]) if state.exists else []
-    new_ids = []
-    for p in pdfs:
-        for v in p["doc_id"]:
-            new_ids.append(int(v))
-    out_a: list[int] = []
-    out_b: list[int] = []
-    for nid in new_ids:
-        for old in seen:
-            if old != nid:
-                out_a.append(min(old, nid))
-                out_b.append(max(old, nid))
-        seen.append(nid)
-    state.update((seen,))
-    yield pd.DataFrame(
-        {"id_a": out_a, "id_b": out_b, "band_key": [key[0]] * len(out_a)}
-    )
+#: per-band state cap: a band holding this many docs is a HOT bucket —
+#: its signature carries no discriminative signal (every doc pairs with
+#: every doc), and unbounded per-key state is the canonical streaming
+#: failure mode. Over the cap the band stops generating candidates and
+#: stops growing — the same reasoning as the batch pipeline's
+#: hot-shingle document-frequency cap.
+DEFAULT_MAX_BAND_OCCUPANCY = 256
 
 
-def streaming_band_candidates(grouped) -> DataFrame:
+def _make_band_candidates(max_occupancy: int):
+    def _band_candidates(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-band LSH candidate generation: state = the doc ids whose
+        signatures landed in this band so far; each new arrival emits a
+        candidate pair against every stored id, then joins the state.
+        A band at ``max_occupancy`` is frozen (no pairs, no growth)."""
+        seen = list(state.get[0]) if state.exists else []
+        new_ids = []
+        for p in pdfs:
+            for v in p["doc_id"]:
+                new_ids.append(int(v))
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for nid in new_ids:
+            if len(seen) >= max_occupancy:
+                break
+            for old in seen:
+                if old != nid:
+                    out_a.append(min(old, nid))
+                    out_b.append(max(old, nid))
+            seen.append(nid)
+        state.update((seen,))
+        yield pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "band_key": [key[0]] * len(out_a)}
+        )
+
+    return _band_candidates
+
+
+def streaming_band_candidates(
+    grouped, max_band_occupancy: int = DEFAULT_MAX_BAND_OCCUPANCY
+) -> DataFrame:
     """Streaming MinHash-LSH candidate generation with the banded index
     IN THE CHECKPOINT: feed `operators.dedup.band_keys(batch_stream)`
     grouped by band_key; each micro-batch emits candidate pairs of new
@@ -196,12 +213,14 @@ def streaming_band_candidates(grouped) -> DataFrame:
 
     Pairs sharing several bands are emitted once per shared band —
     downstream `.dropDuplicates(["id_a","id_b"])` (or the exact-Jaccard
-    verify join, which is keyed on the pair) collapses them. At scale,
-    cap pathological bucket occupancy upstream with the same
-    hot-shingle document-frequency cap the batch pipeline uses.
+    verify join, which is keyed on the pair) collapses them.
+    ``max_band_occupancy`` bounds per-key state: a band that fills up
+    is frozen — hot buckets generate quadratic candidates with no
+    discriminative signal, and unbounded keyed state is the canonical
+    streaming failure mode.
     """
     return grouped.applyInPandasWithState(
-        _band_candidates,
+        _make_band_candidates(max_band_occupancy),
         outputStructType=BAND_CANDIDATES_SCHEMA,
         stateStructType="seen array<bigint>",
         outputMode="append",

@@ -309,3 +309,34 @@ def test_band_keys_rowwise_matches_batch_signature(spark):
     sh = shingle_sets(df, "doc_id", "text", 3)
     want = sorted(map(tuple, _signature_bands(sh, "doc_id", 16, 4, 42).collect()))
     assert got == want and len(got) > 0
+
+
+def test_streaming_band_candidates_occupancy_cap(spark, tmp_path):
+    """A band at max_band_occupancy freezes: no further pairs, no
+    further state growth — the hot-bucket guard."""
+    import json
+
+    from files_kraken_spark.streaming.stateful import streaming_band_candidates
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # 5 docs all landing in ONE synthetic band; cap = 2
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"doc_id": i, "band_key": "b0"}) for i in range(5))
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, band_key string")
+        .json(str(src))
+    )
+    out = streaming_band_candidates(stream.groupBy("band_key"), max_band_occupancy=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("capped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = {(r["id_a"], r["id_b"]) for r in spark.sql("SELECT * FROM capped").collect()}
+    assert pairs == {(0, 1)}  # docs 2-4 arrived over the cap: frozen
