@@ -310,6 +310,54 @@ def semdedup(
     )
 
 
+def semdedup_incremental(
+    df: DataFrame,
+    new_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int | None = 5,
+    threshold: float = 0.40,
+) -> DataFrame:
+    """Micro-batch SemDeDup: decide kept/dropped for the NEW vectors
+    only (``new_col`` boolean), comparing each new vector against its
+    hyperplane cell-mates — corpus members (already-kept state, any
+    id) and lower-id batch-mates — never corpus×corpus. The embedding
+    twin of `dedup.minhash_lsh_incremental`: per-batch cost is
+    O(batch · cell occupancy) regardless of corpus size, the shape a
+    streaming embedding-ingest pipeline needs. Returns (id, cell,
+    kept) for new rows. Pre-normalized per row; pair work is plain
+    dot products."""
+    if n_planes is None:
+        n_planes = auto_planes(df.count())
+    planes = _planes(n_planes, dim)
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(new_col).alias("__new"),
+        unit(F.col(vec_col)).alias("__un"),
+        hyperplane_sig(F.col(vec_col), planes).alias("cell"),
+    )
+    new = sig.filter(F.col("__new"))
+    e = sig.select(
+        F.col("id").alias("e_id"), F.col("__new").alias("e_new"),
+        F.col("__un").alias("e_un"), "cell",
+    )
+    n = new.select(
+        F.col("id").alias("n_id"), F.col("__un").alias("n_un"), "cell"
+    )
+    dropped = (
+        e.join(n, "cell")
+        .filter(F.col("e_id") != F.col("n_id"))
+        .filter(~F.col("e_new") | (F.col("e_id") < F.col("n_id")))
+        .filter(dot(F.col("e_un"), F.col("n_un")) >= threshold)
+        .select(F.col("n_id").alias("dropped_id"))
+        .distinct()
+    )
+    return new.join(
+        dropped, new["id"] == dropped["dropped_id"], "left"
+    ).select("id", "cell", F.col("dropped_id").isNull().alias("kept"))
+
+
 def kmeans_fit_predict(
     df: DataFrame,
     id_col: str = "vec_id",

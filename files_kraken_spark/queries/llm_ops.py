@@ -2330,3 +2330,57 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id"))
         .limit(10)
     )
+
+
+def _semdedup_incr_oracle_sql(
+    n_planes: int = 5, dim: int = 64, threshold: float = 0.40, new_from: int = 400
+) -> str:
+    from ..operators.similarity import _planes
+
+    planes = _planes(n_planes, dim)
+    bits = []
+    for p in planes:
+        consts = "[" + ", ".join(repr(v) for v in p) + "]"
+        dotp = (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({consts})[i]))"
+        )
+        bits.append(f"(CASE WHEN {dotp} >= 0 THEN '1' ELSE '0' END)")
+    sig = " || ".join(bits)
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, (vec_id >= {new_from}) AS is_new,
+         {_SQL_UNIT.format(a='embedding')} AS un, {sig} AS cell
+  FROM embeddings
+),
+dropped AS (
+  SELECT DISTINCT n.vec_id
+  FROM sigs e JOIN sigs n ON e.cell = n.cell AND n.is_new
+   AND e.vec_id <> n.vec_id
+   AND (NOT e.is_new OR e.vec_id < n.vec_id)
+  WHERE {_SQL_DOT.format(a='e.un', b='n.un')} >= {threshold}
+)
+SELECT vec_id AS id, cell,
+       vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+FROM sigs WHERE is_new
+"""
+
+
+@register(
+    "sem_dedup_incremental",
+    oracle=_semdedup_incr_oracle_sql(5, 64, 0.40, 400),
+    doc="Micro-batch SemDeDup: kept/dropped decided for the NEW vectors "
+    "only (ids ≥ 400 = the batch) against hyperplane cell-mates — "
+    "corpus members at any id plus lower-id batch-mates, never "
+    "corpus². The embedding twin of dedup_incremental: per-batch cost "
+    "O(batch · cell occupancy), the streaming embedding-ingest shape "
+    "(operators/similarity.py semdedup_incremental). Pre-normalized "
+    "rows, plain-dot pair verify.",
+)
+def sem_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "is_new", F.col("vec_id") >= 400
+    )
+    return SIM.semdedup_incremental(
+        emb, "is_new", dim=64, n_planes=5, threshold=0.40
+    )
