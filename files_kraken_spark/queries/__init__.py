@@ -82,7 +82,7 @@ _SAMPLE_PRIORITY = [
     "q_fuzzy_match_blocked", "q_market_basket_lift",
     "q_funnel_conversion_window", "mm_scene_cuts", "t_quality_terciles",
     "t_rare_trigram_ratio", "sim_hybrid_rrf", "t_bm25_topk",
-    "q_scd2_intervals", "sem_dedup_incremental",
+    "q_scd2_intervals", "sem_dedup_incremental", "t_winsorize",
     # -- changed this round (unit-normalized pair joins): re-verify --
     "sim_cosine_topk", "sim_knn_classify", "sim_lsh_bucketed", "sem_dedup",
     "sem_dedup_kmeans", "sim_ivf_trained_topk", "sim_ivf_topk",

@@ -2384,3 +2384,48 @@ def sem_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semdedup_incremental(
         emb, "is_new", dim=64, n_planes=5, threshold=0.40
     )
+
+
+@register(
+    "t_winsorize",
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag AS grp,
+         quantile_cont(l_extendedprice, 0.01) AS lo,
+         quantile_cont(l_extendedprice, 0.99) AS hi
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_orderkey, l.l_linenumber, b.grp,
+       round(CASE WHEN l.l_extendedprice < b.lo THEN b.lo
+                  WHEN l.l_extendedprice > b.hi THEN b.hi
+                  ELSE l.l_extendedprice END, 2) AS price_w,
+       (l.l_extendedprice < b.lo OR l.l_extendedprice > b.hi) AS clipped
+FROM lineitem l JOIN b ON b.grp = l.l_returnflag
+""",
+    doc="Per-group winsorization: clamp values to the group's exact "
+    "[p1, p99] band and flag the clipped rows — the outlier-capping "
+    "step of a feature/curation pipeline. Group quantile bounds are a "
+    "tiny broadcastable frame joined back to the facts; exact "
+    "interpolated percentiles here for the oracle (swap "
+    "approx_percentile in at 100 TB, same plan shape).",
+)
+def t_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("hi"),
+    )
+    j = li.join(
+        F.broadcast(b), li["l_returnflag"] == b["grp"]
+    )
+    p = F.col("l_extendedprice")
+    clamped = (
+        F.when(p < F.col("lo"), F.col("lo"))
+        .when(p > F.col("hi"), F.col("hi"))
+        .otherwise(p)
+    )
+    return j.select(
+        "l_orderkey", "l_linenumber", "grp",
+        F.round(clamped, 2).alias("price_w"),
+        ((p < F.col("lo")) | (p > F.col("hi"))).alias("clipped"),
+    )
