@@ -64,3 +64,34 @@ def test_dense_rank_low_card_matches_window_with_nulls(spark):
         for r in df.withColumn("dr", F.dense_rank().over(w)).collect()
     }
     assert got == want
+
+
+def test_global_row_number_desc_order(spark):
+    df = spark.createDataFrame([(i, i * 7 % 13) for i in range(40)], "id long, v long")
+    from pyspark.sql import functions as F
+
+    got = {
+        r["id"]: r["__rn"]
+        for r in global_row_number(df, [F.col("v").desc(), F.col("id")]).collect()
+    }
+    w = Window.orderBy(F.col("v").desc(), F.col("id"))
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_dense_rank_nulls_last(spark):
+    rows = [(1, 3), (2, None), (3, 1), (4, 3)]
+    df = spark.createDataFrame(rows, "id long, k int")
+    got = {
+        r["id"]: r["dr"]
+        for r in dense_rank_low_card(df, "k", out_col="dr", nulls_first=False).collect()
+    }
+    w = Window.orderBy(F.col("k").asc_nulls_last())
+    want = {
+        r["id"]: r["dr"]
+        for r in df.withColumn("dr", F.dense_rank().over(w)).collect()
+    }
+    assert got == want
