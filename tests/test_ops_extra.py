@@ -860,3 +860,19 @@ def test_scene_cuts_detects_energy_jumps(spark):
     media = attach_binary(df, "doc_id", "text", "video")
     cuts = scene_cuts(frame_energies(media, frame_bytes=4), threshold=50).collect()
     assert [(r["media_id"], r["frame_no"], r["delta"]) for r in cuts] == [(1, 2, 100)]
+
+
+def test_unit_null_element_vectors_zero_out(spark):
+    """A vector containing a NULL element has a NULL norm; unit() must
+    route it to the all-zero branch (dot = 0, below any positive
+    threshold) instead of emitting NULL elements into pair joins."""
+    from pyspark.sql import functions as F
+
+    from files_kraken_spark.functions.vectors import unit
+
+    df = spark.createDataFrame(
+        [([1.0, None, 3.0],), ([2.0, 2.0, 1.0],)], "a array<float>"
+    )
+    rows = df.select(unit(F.col("a")).alias("u")).collect()
+    assert rows[0]["u"] == [0.0, 0.0, 0.0]
+    assert abs(sum(x * x for x in rows[1]["u"]) - 1.0) < 1e-12
