@@ -105,17 +105,40 @@ def main():
     # Warm the JVM/codegen once so timings measure the queries, not startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    # Several timed runs per query (default 3), report the MIN: single-run timings on
-    # this box vary up to ±50% with scheduler/VM noise (r1 verdict item
-    # 9 asked for variance-aware numbers); the min is the reproducible
-    # steady-state cost. Raw per-run timings ship in "raw_runs".
-    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Several timed runs per query (default 5 — the round-5 official
+    # record showed min-of-3 loses to sustained box contention, mis-
+    # reporting 2-5x phantom regressions), report the MIN: single-run
+    # timings on this box vary up to ±50% with scheduler/VM noise; the
+    # min is the reproducible steady-state cost. Raw per-run timings
+    # ship in "raw_runs" on stderr; a per-query SPREAD (max/min ratio)
+    # ships in the JSON so a contention-polluted record self-flags —
+    # spread ≳2 means even the min may be inflated, don't read deltas.
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
+    spread: dict[str, float] = {}
+
+    def _record(name: str, runs: list[float], bucket: dict[str, float]):
+        raw[name] = runs
+        bucket[name] = min(runs)
+        spread[name] = round(max(runs) / max(min(runs), 1e-9), 2)
+        print(f"# {name}: {bucket[name]:.2f}s x{spread[name]} {runs}", file=sys.stderr)
+
+    def _control() -> float:
+        """Load sentinel: one clean-cache run of the cheapest headline
+        query. Timed at start and end — drift between the two reveals a
+        box that got loaded mid-benchmark."""
+        spec = REGISTRY["q1_pricing_summary"]
+        spark.catalog.clearCache()
+        t0 = time.time()
+        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    control_start = _control()
     for name in HEADLINE + EXTRA:
         spec = REGISTRY[name]
-        raw[name] = []
+        runs = []
         for _ in range(runs_per_query):
             # operators that persist internal frames (LSH) must not get
             # a free warm start from the previous run's plan cache
@@ -125,20 +148,21 @@ def main():
             # noop sink: materializes EVERY column/expression (count()
             # would let Catalyst prune projections and under-measure)
             df.write.format("noop").mode("overwrite").save()
-            raw[name].append(round(time.time() - t0, 3))
-        bucket = timings if name in HEADLINE else extra
-        bucket[name] = min(raw[name])
-        print(f"# {name}: {bucket[name]:.2f}s {raw[name]}", file=sys.stderr)
+            runs.append(round(time.time() - t0, 3))
+        _record(name, runs, timings if name in HEADLINE else extra)
 
     # serve path: index built once (untimed), queries timed warm
     for name, run in serve_entries(spark, sf_dir).items():
-        raw[name] = []
+        runs = []
         for _ in range(runs_per_query):
             t0 = time.time()
             run().write.format("noop").mode("overwrite").save()
-            raw[name].append(round(time.time() - t0, 3))
-        extra[name] = min(raw[name])
-        print(f"# {name}: {extra[name]:.2f}s {raw[name]}", file=sys.stderr)
+            runs.append(round(time.time() - t0, 3))
+        _record(name, runs, extra)
+    control_end = _control()
+    # >1 = box got slower while benching; ≳2 means the whole record is
+    # contention-polluted and round-over-round deltas are meaningless
+    load_drift = round(control_end / max(control_start, 1e-9), 2)
 
     total = round(sum(timings.values()), 3)
     # raw per-run timings go to STDERR only: embedding them in the stdout
@@ -158,6 +182,11 @@ def main():
                 "sf": sf,
                 "runs_per_query": runs_per_query,
                 "agg": "min",
+                # noise self-flags (round-5 verdict item #2): per-query
+                # max/min run ratio, plus control-query drift start→end
+                "spread": spread,
+                "control_sec": [control_start, control_end],
+                "load_drift": load_drift,
             }
         )
     )

@@ -155,18 +155,30 @@ class JdbcStateStore:
         """S14 — full scan; empty frame with the blueprint schema when
         the table doesn't exist yet (reference empty-DB tolerance).
 
-        Crash recovery: if the live table is missing but a swap
-        leftover exists, adopt it — ``_STAGE`` (fully materialized
-        before any rename in ``overwrite``) wins over ``_OLD`` (the
-        pre-swap state)."""
+        Crash recovery: if the live table is missing but swap leftovers
+        exist, adopt the newest PROVEN-complete one. ``_STAGE`` is only
+        trustworthy when ``_OLD`` also exists — ``overwrite`` parks the
+        live table as ``_OLD`` strictly after the stage append finished,
+        so _STAGE+_OLD together prove a complete stage interrupted
+        mid-swap (adopt _STAGE). A LONE _STAGE with neither live table
+        nor _OLD is a first-ever write that crashed mid-append — torn,
+        uncommitted data — so it is dropped and the empty frame returned
+        (the rename is the commit point for a first write). A lone
+        ``_OLD`` means the swap crashed after parking but the stage was
+        already promoted or lost; the parked pre-swap state is the best
+        committed state, adopt it."""
         from .store import align_to_schema
 
         table = self._table(bp)
         if not self._table_exists(table):
-            for leftover in (table + "_STAGE", table + "_OLD"):
-                if self._table_exists(leftover):
-                    self._exec(f"RENAME TABLE {leftover} TO {table}")
-                    break
+            stage, old = table + "_STAGE", table + "_OLD"
+            if self._table_exists(stage) and self._table_exists(old):
+                self._exec(f"RENAME TABLE {stage} TO {table}")
+                self._exec(f"DROP TABLE {old}")
+            elif self._table_exists(old):
+                self._exec(f"RENAME TABLE {old} TO {table}")
+            elif self._table_exists(stage):
+                self._exec(f"DROP TABLE {stage}")  # torn first write
         if not self._table_exists(table):
             return spark.createDataFrame([], state_schema(bp))
         raw = spark.read.jdbc(self.url, self._table(bp), properties=self._props)

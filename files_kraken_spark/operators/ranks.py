@@ -8,9 +8,9 @@ the same results with no single-partition stage:
 
 - :func:`global_row_number` — the distributed zipWithIndex pattern:
   range-exchange sort on the order key, per-partition ``row_number``,
-  plus a broadcast of per-partition counts (one small int per
-  partition) to offset into the global position. Exact global ranks,
-  every stage partitioned.
+  and a broadcast join of per-partition offset sums (one small int per
+  partition) into the global position. Exact global ranks, every stage
+  partitioned.
 - :func:`dense_rank_low_card` — ``dense_rank`` over a LOW-CARDINALITY
   key: rank the distinct key values (a tiny self-join, u² pairs for u
   distinct values) and broadcast-join the ranks back. The right shape
@@ -18,44 +18,88 @@ the same results with no single-partition stage:
   codes, buckets) — which is the only time a global dense_rank is
   meaningful at scale anyway.
 
-Caching contract: ``global_row_number`` persists its range-exchanged
-frame so the driver-side count collection and the returned plan see THE
-SAME partition boundaries (range boundaries come from sampling; a
-recompute must not disagree with the collected counts). The cache is
-released by the session's next ``spark.catalog.clearCache()`` (the
-bench/oracle harnesses clear per query) or ``unpersist()`` on the
-returned frame's source.
+Pinning lifecycle (round-5 advice closed): the per-partition counts and
+the returned plan must see THE SAME materialization of the range
+exchange — its boundaries come from order-dependent reservoir sampling,
+so a recompute over any post-shuffle input (whose intra-partition row
+order varies run to run) can disagree with the collected counts and
+silently corrupt every rank. Earlier versions pinned with ``persist``,
+a CacheManager entry that outlived the call and leaked into any session
+that never ran ``clearCache()``. The frame is now pinned by SPILLING it
+once to a scratch parquet directory and reading that back: immutable
+files, so consistency holds by construction; zero CacheManager /
+RDD-storage entries, so nothing for a long-lived session to leak; and
+unlike ``localCheckpoint`` (whose executor-resident blocks py4j keeps
+alive for the whole PySpark session — measured: they never drain even
+after forced JVM GC) the spill survives executor loss and is deleted at
+interpreter exit (local scratch) or by the cluster's scratch-TTL policy
+(remote scratch). At 100 TB a global total-order rank pays a full sort
+anyway; materializing its output once and reading it twice beats
+recomputing the scan+sort per consumer, which is what the no-pin
+alternatives cost (measured here: AQE does NOT stage-reuse the
+identical range exchanges across self-join branches).
+
+Scratch location: ``spark.files_kraken.scratch_dir`` if set (use a
+shared filesystem — HDFS/S3 — on a real cluster); else a driver-local
+tempdir (correct for local mode, where driver and executors share a
+filesystem).
 """
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+import uuid
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+#: driver-local scratch roots created this session, removed at exit
+_LOCAL_SCRATCH_ROOTS: list[str] = []
+
+
+def _scratch_path(spark) -> str:
+    """One fresh scratch subdirectory per pin. Honors
+    ``spark.files_kraken.scratch_dir`` (set it to a shared filesystem on
+    a multi-node cluster); falls back to a driver-local tempdir that is
+    removed at interpreter exit."""
+    root = spark.conf.get("spark.files_kraken.scratch_dir", None)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="fks_ranks_")
+        _LOCAL_SCRATCH_ROOTS.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return f"{root}/pin_{uuid.uuid4().hex}"
 
 
 def global_row_number(
     df: DataFrame, order_cols: list[Column], out_col: str = "__rn"
 ) -> DataFrame:
     """Exact 1-based global row number by ``order_cols`` with no
-    unpartitioned window. ``order_cols`` must define a TOTAL order
-    (include a unique tiebreaker) for the result to be deterministic.
+    unpartitioned window and no cache entry of any kind (the range
+    exchange is pinned via a scratch-parquet spill — see module
+    docstring). ``order_cols`` must define a TOTAL order (include a
+    unique tiebreaker) for the result to be deterministic.
 
     Scale shape: one range exchange (the same shuffle a global sort
-    pays), a map-side per-partition row_number, and a driver collect of
-    O(partitions) counts — never O(rows).
+    pays) materialized exactly once to scratch, a column-pruned count
+    scan (reads only ``__pid``), a map-side per-partition row_number,
+    and a driver collect of O(partitions) counts — never O(rows).
     """
-    keyed = (
+    spark = df.sparkSession
+    path = _scratch_path(spark)
+    (
         df.repartitionByRange(*order_cols)
-        .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
-    ).persist()
+        .write.parquet(path)
+    )
+    keyed = spark.read.parquet(path)
     counts = {
         r["__pid"]: r["n"]
         for r in keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     if not counts:  # empty input: zero-entry create_map would not type-check
-        keyed.unpersist()
         return df.withColumn(out_col, F.lit(None).cast("long"))
     offsets, acc = {}, 0
     for pid in sorted(counts):

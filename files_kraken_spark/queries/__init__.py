@@ -52,43 +52,33 @@ from . import advanced_sql  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 
 # A budget-capped correctness pass walks the registry in order and may
-# only reach a prefix. Front-load the 49 queries that have never had an
-# external driver-verified row (rounds 1-4 covered the other 115 —
-# round 4's 50-query sample was exactly the previous priority prefix),
-# then the pair-join queries whose cosine path changed this round (so
-# the driver re-verifies the pre-normalized form), then the
-# long-verified tail. Names and semantics are byte-stable — only the
-# iteration order changes.
+# only reach a prefix. Front-load the 16 queries that have never had an
+# external driver-verified row (rounds 1-5 covered the other 165 —
+# rounds 4 and 5 each proved the sample is exactly this priority
+# prefix), then the queries that are NEW this round, then queries whose
+# implementation changed this round (so the driver re-verifies them),
+# then the long-verified tail. Names and semantics are byte-stable —
+# only the iteration order changes.
 _SAMPLE_PRIORITY = [
-    # -- never driver-sampled through round 4 (49) --
-    "t_temperature_resample", "t_pack_sequences", "t_stratified_sample",
-    "t_weighted_sample", "t_contamination", "q_dq_expectations",
-    "q_salted_join_revenue", "q_hll_sketch", "q_incremental_rollup",
-    "q_map_ops", "q_pandas_udaf_median", "t_quality_rules",
-    "t_corpus_pipeline", "t_repetition", "emb_quantize_int8",
-    "q_bloom_filter", "q_countmin_sketch", "q_sessionize", "q_percentile_qty",
-    "q_string_funcs", "q_date_parts", "q_scalar_subquery", "q_multi_distinct",
-    "q_ntile_rank_frames", "q_cross_join_dims", "q_join_strategy_hints",
-    "q_approx_distinct_bounds", "q_date_arith", "q_stats_moments",
-    "q_skew_two_phase_agg", "q_correlated_min", "q_not_in_null_semantics",
-    "q_in_subquery", "q_string_agg_ordered", "q_try_cast_safe", "q_hex_encoding",
-    "q_null_funcs", "q_bit_ops", "q_lateral_posexplode",
-    "q_regex_backref_replace", "q_string_pad_pos", "t_top_terms",
-    "q_funnel_stages", "q_retention_cohort", "q_bool_aggregates", "q_min_max_by",
-    "t_length_histogram", "t_char_trigrams", "q_distribution_windows",
-    # -- new this round --
-    "mm_audio_neardup", "q_gap_fill_ffill", "q_linear_interpolate",
-    "q_rolling_zscore", "q_ewma_halflife", "q_triangle_count",
-    "q_fuzzy_match_blocked", "q_market_basket_lift",
-    "q_funnel_conversion_window", "mm_scene_cuts", "t_quality_terciles",
-    "t_rare_trigram_ratio", "sim_hybrid_rrf", "t_bm25_topk",
-    "q_scd2_intervals", "sem_dedup_incremental", "t_winsorize",
-    # -- changed this round (unit-normalized pair joins): re-verify --
-    "sim_cosine_topk", "sim_knn_classify", "sim_lsh_bucketed", "sem_dedup",
-    "sem_dedup_kmeans", "sim_ivf_trained_topk", "sim_ivf_topk",
-    "dedup_embedding_cosine",
+    # -- never driver-sampled through round 5 (16) --
+    "q_gap_fill_ffill", "q_linear_interpolate", "q_rolling_zscore",
+    "q_ewma_halflife", "q_triangle_count", "q_fuzzy_match_blocked",
+    "q_market_basket_lift", "q_funnel_conversion_window", "mm_scene_cuts",
+    "t_quality_terciles", "t_rare_trigram_ratio", "sim_hybrid_rrf",
+    "t_bm25_topk", "q_scd2_intervals", "sem_dedup_incremental", "t_winsorize",
+    # -- new this round (round 6) --
+    "t_pii_scrub", "t_pii_stats", "mm_png_decode_dhash",
+    "t_minhash_containment", "q_sequential_pattern", "t_cross_dup_overlap",
+    "t_robust_scale", "t_doc_prefix_clusters", "q_mutual_info_terms",
+    "t_anchor_text_stats", "q_jaccard_knn_graph", "t_udf_isolation_score",
+    # -- changed this round: re-verify --
+    "q_distribution_windows", "q_pagerank_supply",
+    "q_ntile_rank_frames", "t_global_shuffle", "d2_ordered_changes",
+    "sim_ivf_trained_topk", "sim_ivfpq_topk", "sem_dedup_kmeans",
     # -- previously driver-green, kept next in rough value order --
-    "a11_upsert_cow",
+    "mm_audio_neardup", "a11_upsert_cow",
+    "sim_cosine_topk", "sim_knn_classify", "sim_lsh_bucketed", "sem_dedup",
+    "sim_ivf_topk", "dedup_embedding_cosine",
     "mm_binary_meta", "mm_frame_sample", "mm_resize", "mm_feature_extract",
     "mm_doc_embedding_join", "mm_image_dhash", "mm_dhash_neardup",
     "mm_audio_fingerprint",

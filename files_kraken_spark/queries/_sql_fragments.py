@@ -31,10 +31,20 @@ SQL_COS = (
 #: cost O(d), and x*(1/s) differs from x/s in the last bit), so the
 #: unit vectors match Spark's bit-for-bit. Pair-join oracles compute
 #: this once per row in a CTE and compare SQL_DOT of the unit columns
-#: (never SQL_COS per pair).
+#: (never SQL_COS per pair). Mirrors unit()'s degenerate-input guard
+#: too (round-5 advice): a zero-norm vector OR one containing a NULL
+#: element maps to an all-zero vector — Spark's fold propagates NULL
+#: into n2 and `n2 > 0` fails, while DuckDB's list_sum SKIPS NULLs, so
+#: the NULL-element case needs the explicit list_filter check; without
+#: the norm check a zero vector yields 1/sqrt(0) -> inf/NaN, and NaN
+#: compares greater than any threshold in DuckDB.
 SQL_UNIT = (
-    "list_transform({a}, x -> CAST(x AS DOUBLE) * (1.0 / "
-    "sqrt(list_sum(list_transform({a}, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))))"
+    "(CASE WHEN list_sum(list_transform({a}, "
+    "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0 "
+    "AND len(list_filter({a}, y -> y IS NULL)) = 0 "
+    "THEN list_transform({a}, x -> CAST(x AS DOUBLE) * (1.0 / "
+    "sqrt(list_sum(list_transform({a}, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))) "
+    "ELSE list_transform({a}, x -> 0.0) END)"
 )
 
 #: plain dot product of two double lists in index order — mirrors

@@ -222,9 +222,14 @@ def q_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__p",
     )
     n = pos.agg(F.count(F.lit(1)).alias("__n"))
+    # percent_rank of a single-row frame is DEFINED as 0.0; the
+    # (p-1)/(n-1) form would give 0/0 -> NaN at n==1 (round-5 advice)
+    pr = F.when(
+        F.col("__n") > 1, (F.col("__p") - 1) / (F.col("__n") - 1)
+    ).otherwise(F.lit(0.0))
     return pos.crossJoin(F.broadcast(n)).select(
         "c_custkey",
-        F.round((F.col("__p") - 1) / (F.col("__n") - 1), 6).alias("pr"),
+        F.round(pr, 6).alias("pr"),
         F.round(F.col("__p") / F.col("__n"), 6).alias("cd"),
     )
 

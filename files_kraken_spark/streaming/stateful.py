@@ -175,8 +175,15 @@ def _make_band_candidates(max_occupancy: int):
         """Per-band LSH candidate generation: state = the doc ids whose
         signatures landed in this band so far; each new arrival emits a
         candidate pair against every stored id, then joins the state.
-        A band at ``max_occupancy`` is frozen (no pairs, no growth)."""
+        A band at ``max_occupancy`` is frozen (no pairs, no growth).
+
+        Replay-safe: an id already in state (at-least-once redelivery,
+        duplicate rows in a batch) is skipped entirely — it neither
+        re-emits its candidate pairs nor gets stored twice, so replays
+        cannot inflate state toward the occupancy cap or duplicate
+        candidates (round-5 advice)."""
         seen = list(state.get[0]) if state.exists else []
+        seen_set = set(seen)
         new_ids = []
         for p in pdfs:
             for v in p["doc_id"]:
@@ -184,13 +191,15 @@ def _make_band_candidates(max_occupancy: int):
         out_a: list[int] = []
         out_b: list[int] = []
         for nid in new_ids:
+            if nid in seen_set:
+                continue  # at-least-once replay / in-batch duplicate
             if len(seen) >= max_occupancy:
                 break
             for old in seen:
-                if old != nid:
-                    out_a.append(min(old, nid))
-                    out_b.append(max(old, nid))
+                out_a.append(min(old, nid))
+                out_b.append(max(old, nid))
             seen.append(nid)
+            seen_set.add(nid)
         state.update((seen,))
         yield pd.DataFrame(
             {"id_a": out_a, "id_b": out_b, "band_key": [key[0]] * len(out_a)}

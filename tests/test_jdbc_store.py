@@ -163,3 +163,31 @@ def test_overwrite_swap_is_crash_recoverable(spark, store, bp):
     recovered = {r["id"]: r["fastqs"] for r in store.load(spark, bp).collect()}
     assert recovered == {"9": ["new"]}  # the complete stage wins
     assert store._table_exists(table)
+    assert not store._table_exists(table + "_OLD")  # leftover swept
+
+
+def test_lone_stage_from_torn_first_write_is_not_adopted(spark, store, bp):
+    """Advice regression (round 5): a crash during the very FIRST
+    overwrite — table never existed, stage append half-written — left a
+    lone _STAGE that load() adopted, presenting torn state as
+    committed. A lone _STAGE with no live table and no _OLD is now
+    dropped (the rename is the commit point for a first write)."""
+    table = store._table(bp)
+    # simulate the torn first write: stage exists (possibly partial),
+    # no live table, no _OLD
+    store._recreate_table(table + "_STAGE", bp)
+    store._encode(_state_rows(spark, bp, [("t", ["torn"])]), bp).write.mode(
+        "append"
+    ).jdbc(store.url, table + "_STAGE", properties=store._props)
+    assert not store._table_exists(table)
+
+    recovered = store.load(spark, bp)
+    assert recovered.count() == 0  # torn data NOT presented as committed
+    assert not store._table_exists(table + "_STAGE")  # garbage swept
+
+    # a lone _OLD (swap parked the live table, stage lost) IS adopted
+    store.overwrite(bp, _state_rows(spark, bp, [("1", ["a"])]))
+    store._exec(f"RENAME TABLE {table} TO {table}_OLD")
+    back = {r["id"]: r["fastqs"] for r in store.load(spark, bp).collect()}
+    assert back == {"1": ["a"]}
+    assert store._table_exists(table)

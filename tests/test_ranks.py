@@ -82,6 +82,36 @@ def test_global_row_number_desc_order(spark):
     assert got == want
 
 
+def test_global_row_number_leaves_no_cache_entry(spark):
+    """Round-5 advice: the old implementation persist()ed its
+    range-exchanged frame and relied on the harness's clearCache() —
+    callers like sim_hybrid_rrf (which inlines it twice) accumulated
+    cached frames forever in a clearCache-less session. The rewrite
+    pins via a scratch-parquet spill instead: repeated calls leave ZERO
+    persisted RDDs and zero CacheManager entries, with no clearCache()
+    ever issued, and the result stays re-materializable (the spill is
+    immutable) even after the harness would have cleared a cache."""
+    jsc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    base = jsc.getPersistentRDDs().size()
+
+    results = []
+    for _ in range(3):
+        df = spark.range(0, 5000).withColumn("v", (F.col("id") * 31) % 97)
+        out = global_row_number(df, [F.col("v"), F.col("id")])
+        assert out.count() == 5000
+        results.append(out)
+
+    assert jsc.getPersistentRDDs().size() == base  # nothing pinned in storage
+
+    # results remain valid and consistent on re-materialization — the
+    # old persist-based pin could recompute with different sampled range
+    # boundaries once evicted; the spill cannot
+    first = {r["id"]: r["__rn"] for r in results[0].collect()}
+    again = {r["id"]: r["__rn"] for r in results[0].collect()}
+    assert first == again
+
+
 def test_dense_rank_nulls_last(spark):
     rows = [(1, 3), (2, None), (3, 1), (4, 3)]
     df = spark.createDataFrame(rows, "id long, k int")
