@@ -787,28 +787,104 @@ def test_unit_dot_matches_cosine(spark):
 
 
 def test_png_netpbm_dhash_parity(spark):
-    """PIL-gated (verdict item #6): a PNG and its Netpbm twin must
-    produce identical dHashes — the PIL decode path normalizes to the
-    exact (H, W, C) uint8 layout decode_netpbm emits."""
+    """Unconditional (round-5 verdict item #4 closed the Pillow gate):
+    a PNG and its Netpbm twin must produce identical dHashes — the
+    pure-numpy PNG decoder normalizes to the exact (H, W, C) uint8
+    layout decode_netpbm emits, so no codec library is needed."""
+    import numpy as np
+
+    from files_kraken_spark.operators.multimodal import (
+        encode_netpbm,
+        encode_png,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, encode_netpbm(arr)), (1, encode_png(arr))],
+        "media_id long, data binary",
+    )
+    got = {r["media_id"]: (r["dhash_hi"], r["dhash_lo"])
+           for r in image_dhash(df).collect()}
+    assert got[0] == got[1]
+
+
+def test_png_decode_all_filters_and_color_types():
+    """decode_png must invert every scanline filter (0-4) exactly, for
+    gray and RGB, and normalize palette/RGBA/gray+alpha to the PIL
+    convert('RGB') layout."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from files_kraken_spark.operators.multimodal import (
+        PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for c in (1, 3):
+        arr = rng.integers(0, 256, size=(13, 17, c), dtype=np.uint8)
+        for ftype in range(5):
+            back = decode_png(encode_png(arr, filter_type=ftype))
+            assert back.shape == arr.shape, (c, ftype)
+            assert np.array_equal(back, arr), (c, ftype)
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    def raw_png(w, h, color, channels, raster, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        lines = b"".join(
+            b"\x00" + raster[y * w * channels:(y + 1) * w * channels]
+            for y in range(h)
+        )
+        return (PNG_SIG + chunk(b"IHDR", ihdr) + extra
+                + chunk(b"IDAT", zlib.compress(lines)) + chunk(b"IEND", b""))
+
+    # RGBA (color 6): alpha dropped
+    rgba = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    got = decode_png(raw_png(4, 5, 6, 4, rgba.tobytes()))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+    # gray+alpha (color 4): gray replicated to RGB, alpha dropped
+    ga = rng.integers(0, 256, size=(3, 6, 2), dtype=np.uint8)
+    got = decode_png(raw_png(6, 3, 4, 2, ga.tobytes()))
+    assert np.array_equal(got, np.repeat(ga[:, :, :1], 3, axis=2))
+
+    # palette (color 3): PLTE lookup to RGB
+    lut = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(4, 7, 1), dtype=np.uint8)
+    got = decode_png(
+        raw_png(7, 4, 3, 1, idx.tobytes(), extra=chunk(b"PLTE", lut.tobytes()))
+    )
+    assert np.array_equal(got, lut[idx[:, :, 0]])
+
+
+def test_png_decode_matches_pillow_when_available():
+    """Cross-validation against a real codec (optional: skips without
+    Pillow): PIL-encoded PNGs — whose encoder picks its own per-row
+    filters — decode to identical pixels via decode_png."""
     import pytest
 
     np = pytest.importorskip("numpy")
     PIL_Image = pytest.importorskip("PIL.Image")
     import io
 
-    from files_kraken_spark.operators.multimodal import encode_netpbm, image_dhash
+    from files_kraken_spark.operators.multimodal import decode_png
 
-    rng = np.random.default_rng(7)
-    arr = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    rng = np.random.default_rng(3)
+    # gradient-ish data so PIL's adaptive filtering picks non-zero filters
+    base = np.add.outer(np.arange(40) * 3, np.arange(50) * 2) % 256
+    arr = np.stack([base, base[::-1], (base * 7) % 256], axis=2).astype(np.uint8)
+    arr = (arr + rng.integers(0, 8, arr.shape)).astype(np.uint8)
     buf = io.BytesIO()
     PIL_Image.fromarray(arr).save(buf, format="PNG")
-    df = spark.createDataFrame(
-        [(0, encode_netpbm(arr)), (1, buf.getvalue())],
-        "media_id long, data binary",
-    )
-    got = {r["media_id"]: (r["dhash_hi"], r["dhash_lo"])
-           for r in image_dhash(df).collect()}
-    assert got[0] == got[1]
+    assert np.array_equal(decode_png(buf.getvalue()), arr)
 
 
 def test_audio_neardup_pairs_banded_join(spark):
