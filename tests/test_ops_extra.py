@@ -952,3 +952,42 @@ def test_unit_null_element_vectors_zero_out(spark):
     rows = df.select(unit(F.col("a")).alias("u")).collect()
     assert rows[0]["u"] == [0.0, 0.0, 0.0]
     assert abs(sum(x * x for x in rows[1]["u"]) - 1.0) < 1e-12
+
+
+def test_pii_scrub_and_counts(spark):
+    """pii_scrub must redact every pattern in one pass, leave non-PII
+    text intact, and report per-pattern counts that match the planted
+    occurrences; the scrubbed text must re-scan to zero hits."""
+    from files_kraken_spark.functions.pii import (
+        PII_PATTERNS,
+        pii_count,
+        pii_scrub,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e-f.org, call +1-212-555-0100, "
+                "ssn 123-45-6789, host 192.168.0.1 done"),
+            (2, "no pii here, just words and numbers 12345"),
+        ],
+        "id long, t string",
+    )
+    scrubbed = df.select(
+        "id",
+        pii_scrub(F.col("t")).alias("s"),
+        *[pii_count(F.col("t"), k).alias(f"n_{k}") for k in PII_PATTERNS],
+    )
+    rows = {r["id"]: r for r in scrubbed.collect()}
+    assert rows[1]["n_email"] == 2 and rows[1]["n_phone"] == 1
+    assert rows[1]["n_ssn"] == 1 and rows[1]["n_ipv4"] == 1
+    assert rows[1]["s"] == (
+        "mail [EMAIL] and [EMAIL], call [PHONE], ssn [SSN], host [IP] done"
+    )
+    assert rows[2]["s"] == "no pii here, just words and numbers 12345"
+    assert all(rows[2][f"n_{k}"] == 0 for k in PII_PATTERNS)
+
+    # residual scan of scrubbed text finds nothing
+    resid = df.select(
+        *[pii_count(pii_scrub(F.col("t")), k).alias(k) for k in PII_PATTERNS]
+    ).collect()
+    assert all(v == 0 for r in resid for v in r.asDict().values())
