@@ -358,6 +358,15 @@ def semdedup_incremental(
     ).select("id", "cell", F.col("dropped_id").isNull().alias("kept"))
 
 
+#: seed-rank strategy threshold: up to this k the trainer builds the
+#: id→cell rank map from one O(k) driver collect inlined as a map
+#: literal (measured fastest, SCALING.md seed-rank row); above it, the
+#: fully-distributed k²-pair self-join takes over. 4096 keeps the map
+#: literal well under expression-tree limits while covering every
+#: realistic IVF/PQ codebook size.
+SEED_RANK_COLLECT_MAX = 4096
+
+
 def kmeans_fit_predict(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -389,24 +398,38 @@ def kmeans_fit_predict(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
     seed = emb.orderBy("__id").limit(k)
-    # cell id = rank of __id among the k seeds, via a k²-pair self-join
-    # instead of row_number() over an unpartitioned window — the k-row
-    # frame is tiny, but the global window would still plant a
-    # "No Partition Defined" single-task stage in every plan built on
-    # this trainer (IVF/PQ/semdedup all inline it).
-    cellno = (
-        seed.select(F.col("__id").alias("__ida"))
-        .join(
-            F.broadcast(seed.select(F.col("__id").alias("__idb"))),
-            F.col("__idb") < F.col("__ida"),
-            "left",
+    # cell id = rank of __id among the k seeds. For practical k the
+    # rank map is built from ONE column-pruned O(k) driver collect and
+    # inlined as a map literal — measured faster per trainer call than
+    # the round-5 k²-pair self-join (which added 2 joins + an agg to
+    # every plan inlining the trainer: IVF/PQ/semdedup), and like it
+    # avoids row_number() over an unpartitioned window (a "No Partition
+    # Defined" single-task stage). The self-join remains as the
+    # fully-distributed fallback for k beyond map-literal size (see
+    # SCALING.md seed-rank row).
+    if k <= SEED_RANK_COLLECT_MAX:
+        ids = sorted(r["__id"] for r in seed.select("__id").collect())
+        rank_map = F.create_map(
+            *[F.lit(x) for i, sid in enumerate(ids) for x in (sid, i)]
         )
-        .groupBy("__ida")
-        .agg(F.count("__idb").cast("int").alias("cell"))
-    )
-    cent = seed.join(cellno, seed["__id"] == cellno["__ida"]).select(
-        "cell", F.col("__v").alias("__c")
-    )
+        cent = seed.select(
+            F.element_at(rank_map, F.col("__id")).cast("int").alias("cell"),
+            F.col("__v").alias("__c"),
+        )
+    else:
+        cellno = (
+            seed.select(F.col("__id").alias("__ida"))
+            .join(
+                F.broadcast(seed.select(F.col("__id").alias("__idb"))),
+                F.col("__idb") < F.col("__ida"),
+                "left",
+            )
+            .groupBy("__ida")
+            .agg(F.count("__idb").cast("int").alias("cell"))
+        )
+        cent = seed.join(cellno, seed["__id"] == cellno["__ida"]).select(
+            "cell", F.col("__v").alias("__c")
+        )
     assigned = None
     for _ in range(iters):
         sqdist = F.aggregate(
