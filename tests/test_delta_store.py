@@ -1,0 +1,127 @@
+"""DeltaStateStore parity vs CowStateStore — feature-gated like the
+Pillow codec gate: the parity tests skip cleanly when delta-spark is
+absent (this sandbox) and run in full when present. The import-gate
+tests run EVERYWHERE, so the module's no-delta behavior (importable
+module, clean ImportError on use) is pinned even without the
+dependency installed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from files_kraken_spark.blueprint import Blueprint, FieldType
+from files_kraken_spark.operators.assemble import state_schema
+from files_kraken_spark import delta_store
+
+needs_delta = pytest.mark.skipif(
+    not delta_store.HAS_DELTA,
+    reason="delta-spark not installed — DeltaStateStore parity runs "
+    "only where the optional dependency exists",
+)
+
+
+@pytest.fixture()
+def bp():
+    return Blueprint(
+        name="DeltaSample",
+        required={"sample": (r"sample_([^\.]+?)\.", 1)},
+        optional={"fastqs": (r".+\.fastq\.gz", 0)},
+        types={"fastqs": FieldType.LIST_PATH},
+    )
+
+
+def _state_rows(spark, bp, rows):
+    return spark.createDataFrame(
+        [(bp.name, rid, rid, fq, []) for rid, fq in rows], state_schema(bp)
+    )
+
+
+# ------------------------------------------------- gate (runs anywhere)
+
+
+def test_module_imports_without_delta():
+    """The adapter module must import (and the rest of the engine keep
+    working) whether or not delta-spark exists."""
+    assert hasattr(delta_store, "DeltaStateStore")
+
+
+@pytest.mark.skipif(
+    delta_store.HAS_DELTA, reason="only meaningful without delta-spark"
+)
+def test_clean_error_without_delta(tmp_path):
+    with pytest.raises(ImportError, match="delta-spark is not installed"):
+        delta_store.DeltaStateStore(str(tmp_path))
+    with pytest.raises(ImportError, match="delta-spark is not installed"):
+        delta_store.delta_builder(object())
+
+
+# ------------------------------------------------------ parity (gated)
+
+
+@pytest.fixture()
+def delta_spark():
+    """A session with the Delta extension registered (separate from the
+    shared `spark` fixture — extensions are fixed at construction)."""
+    from pyspark.sql import SparkSession
+
+    s = delta_store.delta_builder(
+        SparkSession.builder.master("local[4]")
+        .appName("delta-parity")
+        .config("spark.sql.shuffle.partitions", "4")
+    ).getOrCreate()
+    yield s
+    s.stop()
+
+
+@needs_delta
+def test_upsert_delete_parity_with_cow(delta_spark, bp, tmp_path):
+    """Same operation sequence against both backends → identical final
+    state and identical change-feed labels."""
+    from files_kraken_spark.cow_store import CowStateStore
+    from files_kraken_spark.delta_store import DeltaStateStore
+
+    spark = delta_spark
+    d = DeltaStateStore(str(tmp_path / "delta"))
+    c = CowStateStore(str(tmp_path / "cow"), n_buckets=4)
+
+    first = _state_rows(spark, bp, [("1", ["a"]), ("2", ["x"])])
+    second = _state_rows(spark, bp, [("2", ["x", "y"]), ("3", ["z"])])
+
+    d.upsert_rows(spark, bp, first)
+    d.upsert_rows(spark, bp, second)
+    c.upsert_rows(spark, bp, first)
+    c.upsert_rows(spark, bp, second)
+
+    def snap(store):
+        return {
+            r["id"]: r["fastqs"] for r in store.load(spark, bp).collect()
+        }
+
+    assert snap(d) == snap(c) == {"1": ["a"], "2": ["x", "y"], "3": ["z"]}
+
+    # change feed parity for the second commit
+    want = {("2", "updated"), ("3", "inserted")}
+    got_d = {(r["id"], r["change"]) for r in d.changes(spark, bp).collect()}
+    got_c = {(r["id"], r["change"]) for r in c.changes(spark, bp).collect()}
+    assert got_d == got_c == want
+
+    # S11 / S13
+    assert d.get(spark, bp, "2").count() == 1
+    d.delete(spark, bp, "2")
+    c.delete(spark, bp, "2")
+    assert snap(d) == snap(c) == {"1": ["a"], "3": ["z"]}
+
+
+@needs_delta
+def test_time_travel_versions(delta_spark, bp, tmp_path):
+    from files_kraken_spark.delta_store import DeltaStateStore
+
+    spark = delta_spark
+    d = DeltaStateStore(str(tmp_path / "delta"))
+    d.upsert_rows(spark, bp, _state_rows(spark, bp, [("1", ["a"])]))
+    d.upsert_rows(spark, bp, _state_rows(spark, bp, [("1", ["a", "b"])]))
+    vs = d.versions(spark, bp)
+    assert len(vs) >= 2
+    old = d.load_version(spark, bp, vs[1]).collect()
+    assert old[0]["fastqs"] == ["a"]
