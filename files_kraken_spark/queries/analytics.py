@@ -726,3 +726,186 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iv.select(
         "user_id", "status", "valid_from", valid_to.alias("valid_to"), "n_events"
     )
+
+
+@register(
+    "q_range_join_binned",
+    oracle="""
+SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_ship
+FROM (SELECT o_orderkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d0
+      FROM orders WHERE o_orderpriority = '1-URGENT') o
+JOIN (SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS pd
+      FROM lineitem) l
+  ON l.pd BETWEEN o.d0 AND o.d0 + 7
+GROUP BY 1
+""",
+    doc="Interval-overlap (range) join, the binned form: count global "
+    "shipments inside each urgent order's 7-day window. A range "
+    "predicate is not an equi-join key, so the naive plan is "
+    "O(intervals x points); binning by a width >= interval length "
+    "turns it into ONE equi-join on the bin id (each interval lands "
+    "in at most 2 bins via a bounded sequence-explode, each point in "
+    "exactly 1) plus an exact residual filter — shuffle is keyed and "
+    "linear in rows, the standard scale answer to range joins "
+    "(Databricks' range-join bin hints implement the same idea).",
+)
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch = F.lit("1970-01-01").cast("date")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.datediff(F.to_date("o_orderdate"), epoch).alias("d0"),
+        )
+        .withColumn("d1", F.col("d0") + F.lit(7))
+    )
+    pts = li.select(F.datediff(F.to_date("l_shipdate"), epoch).alias("pd"))
+    bin_w = 8  # >= interval length + 1 => every interval spans <= 2 bins
+    ivb = iv.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.col("d0") - (F.col("d0") % bin_w),
+                F.col("d1") - (F.col("d1") % bin_w),
+                F.lit(bin_w),
+            )
+        ),
+    )
+    ptb = pts.withColumn("bin", F.col("pd") - F.col("pd") % bin_w)
+    return (
+        ivb.join(ptb, "bin")
+        .filter((F.col("pd") >= F.col("d0")) & (F.col("pd") <= F.col("d1")))
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_ship"))
+    )
+
+
+@register(
+    "q_group_regression",
+    oracle="""
+WITH m AS (
+  SELECT n.n_name,
+         date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS x,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+), mom AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+         sum(y * y) AS syy
+  FROM m GROUP BY 1
+)
+SELECT n_name, n,
+  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+  round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        / CAST(n AS DOUBLE), 6) AS intercept,
+  round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM mom
+""",
+    doc="Group-wise OLS (per-nation revenue-vs-time trend): one "
+    "partial-aggregatable pass collects the five moments "
+    "(n, Sx, Sy, Sxy, Sxx, Syy) — y cast to DECIMAL so every sum is "
+    "EXACT and bit-portable across engines — then slope / intercept / "
+    "r² derive from the moments in identical double-arithmetic shape "
+    "on both sides. The distributed-regression pattern: never iterate, "
+    "never collect; moments are a map-side-combinable agg, so the "
+    "shuffle is one row per group regardless of corpus size.",
+)
+def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch = F.lit("1970-01-01").cast("date")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.datediff(F.to_date("o_orderdate"), epoch)
+            .cast("long")
+            .alias("x"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+        )
+    )
+    mom = m.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    den = d("n") * d("sxx") - d("sx") * d("sx")
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    slope = num / den
+    return mom.select(
+        "n_name",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((d("sy") - slope * d("sx")) / d("n"), 6).alias("intercept"),
+        F.round(
+            (num * num) / (den * (d("n") * d("syy") - d("sy") * d("sy"))), 6
+        ).alias("r2"),
+    )
+
+
+@register(
+    "q_mad_anomaly",
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type, e.value, abs(e.value - m.med) AS dev, m.med
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(dev) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN d.dev > 3.0 * 1.4826 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       round(any_value(d.med), 6) AS median_value, round(any_value(a.mad), 6) AS mad
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY 1
+""",
+    doc="Robust anomaly detection per event type: median + MAD (median "
+    "absolute deviation), flagging |v - med| > 3·1.4826·MAD — the "
+    "scaled-MAD z-score, immune to the outliers it hunts (mean/stddev "
+    "would be dragged by them). Exact interpolated medians on both "
+    "engines; the per-group stats are tiny one-row-per-type frames "
+    "broadcast back against the stream, so the only full-data shuffles "
+    "are the two keyed groupBys.",
+)
+def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    flag = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "is_anom", F.col("dev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    )
+    return (
+        flag.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_anom").cast("long")).alias("n_anomalies"),
+            F.round(F.first("med"), 6).alias("median_value"),
+            F.round(F.first("mad"), 6).alias("mad"),
+        )
+    )
