@@ -158,6 +158,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT |A∩B|/|A| per direction,
+    keeping pairs where either direction clears ``threshold``.
+
+    Jaccard misses the long-doc-swallows-short-doc case (a paragraph
+    pasted into a book scores near-zero Jaccard but containment 1.0
+    from the paragraph's side) — the standard reason curation
+    pipelines run containment alongside Jaccard (Broder's resemblance
+    vs containment distinction). Same inverted-index join as
+    ``ngram_jaccard_pairs``: only docs sharing a shingle meet, shuffle
+    keyed on the shingle then the pair — no cross join at any scale.
+    """
+    sh = shingle_sets(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    cont_a = F.col("inter") / F.col("n_a")
+    cont_b = F.col("inter") / F.col("n_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.greatest(cont_a, cont_b) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cont_a, 6).alias("cont_a"),
+            F.round(cont_b, 6).alias("cont_b"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

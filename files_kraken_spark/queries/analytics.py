@@ -909,3 +909,39 @@ def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.first("mad"), 6).alias("mad"),
         )
     )
+
+
+@register(
+    "q_sequential_pattern",
+    oracle="""
+WITH tr AS (
+  SELECT user_id, event_type AS evt_a,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS evt_b
+  FROM events
+)
+SELECT evt_a, evt_b, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tr WHERE evt_b IS NOT NULL
+GROUP BY 1, 2
+""",
+    doc="Sequential pattern mining, order-2: consecutive event-type "
+    "transitions per user (lead over the per-user time order, "
+    "event_id tiebreak) rolled up to global occurrence and distinct-"
+    "user support — the Markov-transition / next-action matrix. The "
+    "window is partitioned by user, so state never crosses executors; "
+    "the rollup is a keyed agg on the 25 transition pairs.",
+)
+def q_sequential_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+    )
+    return tr.groupBy(
+        F.col("event_type").alias("evt_a"), F.col("nxt").alias("evt_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

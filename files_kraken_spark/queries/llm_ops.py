@@ -2589,3 +2589,66 @@ def t_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("docs_hit"),
         )
     )
+
+
+@register(
+    "t_minhash_containment",
+    oracle=f"""
+WITH {_SQL_SHINGLES}
+SELECT id_a, id_b,
+       round(inter * 1.0 / s1.n, 6) AS cont_a,
+       round(inter * 1.0 / s2.n, 6) AS cont_b
+FROM pairs
+JOIN sizes s1 ON s1.doc_id = id_a
+JOIN sizes s2 ON s2.doc_id = id_b
+WHERE greatest(inter * 1.0 / s1.n, inter * 1.0 / s2.n) >= 0.9
+""",
+    doc="Asymmetric containment near-dup (|A∩B|/|A| per direction, keep "
+    "if either side ≥ 0.9): catches the long-doc-swallows-short-doc "
+    "case Jaccard misses — a paragraph pasted into a book is "
+    "containment 1.0 from the paragraph's side but near-zero Jaccard. "
+    "Same shingle inverted-index join as the Jaccard query (only docs "
+    "sharing a shingle ever meet); at 100 TB the MinHash-LSH banding "
+    "feeds this as its exact-verify stage over candidates only.",
+)
+def t_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.ngram_containment_pairs(docs, "doc_id", "text", k=3, threshold=0.9)
+
+
+@register(
+    "t_robust_scale",
+    oracle="""
+WITH st AS (
+  SELECT lang, median(CAST(n_chars AS DOUBLE)) AS med,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS q1,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS q3
+  FROM documents GROUP BY 1
+)
+SELECT d.doc_id, d.lang,
+       round((CAST(d.n_chars AS DOUBLE) - st.med) / (st.q3 - st.q1), 6) AS scaled
+FROM documents d JOIN st USING (lang)
+""",
+    doc="Per-language robust scaling of document length: "
+    "(x − median) / IQR — outlier-immune standardization (mean/stddev "
+    "scaling is dragged by the heavy tail this feature has). Exact "
+    "interpolated percentiles per group collapse to one tiny frame "
+    "broadcast back against the corpus; swap percentile for "
+    "approx_percentile at 100 TB for a one-pass sketch with the same "
+    "plan shape.",
+)
+def t_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d2 = docs.select("doc_id", "lang", F.col("n_chars").cast("double").alias("v"))
+    st = d2.groupBy("lang").agg(
+        F.expr("percentile(v, 0.5)").alias("med"),
+        F.expr("percentile(v, 0.25)").alias("q1"),
+        F.expr("percentile(v, 0.75)").alias("q3"),
+    )
+    return d2.join(F.broadcast(st), "lang").select(
+        "doc_id",
+        "lang",
+        F.round(
+            (F.col("v") - F.col("med")) / (F.col("q3") - F.col("q1")), 6
+        ).alias("scaled"),
+    )
