@@ -2652,3 +2652,146 @@ def t_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("v") - F.col("med")) / (F.col("q3") - F.col("q1")), 6
         ).alias("scaled"),
     )
+
+
+@register(
+    "t_cross_dup_overlap",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 64)) AS fp
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_dup_pairs,
+       CAST(count(DISTINCT a.fp) AS BIGINT) AS n_texts
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+""",
+    doc="Cross-source duplication overlap matrix: how much of source A "
+    "also appears in source B, via a prefix-64 normalized-text "
+    "fingerprint (the corpus has no full-text exact dups, and shared "
+    "boilerplate openings are exactly what cross-source leakage looks "
+    "like; the fingerprint column is pluggable — full-text md5 or a "
+    "MinHash band key drop in unchanged). Join is keyed on the "
+    "fingerprint so only colliding docs meet; the rollup is one "
+    "source-pair agg — the standard 'which crawls overlap' audit "
+    "before mixing corpora into a training run.",
+)
+def t_cross_dup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.substring(T.normalize_text(F.col("text")), 1, 64)).alias("fp"),
+    )
+    a = fp.select(
+        "fp", F.col("source").alias("source_a"), F.col("doc_id").alias("ida")
+    )
+    b = fp.select(
+        "fp", F.col("source").alias("source_b"), F.col("doc_id").alias("idb")
+    )
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.count_distinct("fp").alias("n_texts"),
+        )
+    )
+
+
+@register(
+    "t_doc_prefix_clusters",
+    oracle="""
+SELECT md5(prefix) AS prefix_fp, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS rep_id
+FROM (SELECT doc_id,
+             substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 64) AS prefix
+      FROM documents)
+GROUP BY prefix HAVING count(*) >= 2
+""",
+    doc="Prefix-duplicate clusters: documents sharing the same first 64 "
+    "normalized chars (template/boilerplate openings — the cheap "
+    "first-pass family grouping before shingle-level near-dup). One "
+    "hash-shuffle on the prefix; min-id representative like "
+    "exact_dedup.",
+)
+def t_doc_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pref = docs.select(
+        "doc_id",
+        F.substring(T.normalize_text(F.col("text")), 1, 64).alias("prefix"),
+    )
+    return (
+        pref.groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_id"))
+        .filter(F.col("n_docs") >= 2)
+        .select(F.md5("prefix").alias("prefix_fp"), "n_docs", "rep_id")
+    )
+
+
+@register(
+    "q_mutual_info_terms",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '')) AS tk
+  FROM documents
+),
+nt AS (SELECT tk, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_t FROM tok GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10),
+ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY 1),
+nts AS (SELECT tk, source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ts FROM tok GROUP BY 1, 2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+SELECT nts.source, nts.tk AS term, nts.n_ts,
+       round(CAST(nts.n_ts AS DOUBLE) * CAST(tot.n_total AS DOUBLE)
+             / (CAST(nt.n_t AS DOUBLE) * CAST(ns.n_s AS DOUBLE)), 6) AS lift
+FROM nts JOIN nt USING (tk) JOIN ns USING (source) CROSS JOIN tot
+WHERE CAST(nts.n_ts AS DOUBLE) * CAST(tot.n_total AS DOUBLE)
+      / (CAST(nt.n_t AS DOUBLE) * CAST(ns.n_s AS DOUBLE)) >= 1.5
+""",
+    doc="Source-characteristic terms via pointwise mutual information, "
+    "kept log-free as the rational lift p(t,s)/(p(t)p(s)) (monotone in "
+    "PMI, bit-portable across engines like the BM25 rational idf): "
+    "document-frequency joins on the exploded distinct-token set, "
+    "per-source totals broadcast, corpus total ONE broadcast row. "
+    "The 'what vocabulary distinguishes this crawl' audit — min "
+    "df 10 prunes the hapax tail before the stats joins.",
+)
+def q_mutual_info_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(T.tokens(T.normalize_text(F.col("text"))))
+        ).alias("tk"),
+    )
+    nt = (
+        tok.groupBy("tk")
+        .agg(F.count_distinct("doc_id").alias("n_t"))
+        .filter(F.col("n_t") >= 10)
+    )
+    ns = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    nts = tok.groupBy("tk", "source").agg(
+        F.count_distinct("doc_id").alias("n_ts")
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    lift = (
+        F.col("n_ts").cast("double")
+        * F.col("n_total").cast("double")
+        / (F.col("n_t").cast("double") * F.col("n_s").cast("double"))
+    )
+    return (
+        nts.join(nt, "tk")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(lift >= 1.5)
+        .select(
+            "source",
+            F.col("tk").alias("term"),
+            "n_ts",
+            F.round(lift, 6).alias("lift"),
+        )
+    )
