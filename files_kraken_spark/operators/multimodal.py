@@ -67,6 +67,52 @@ def attach_binary(df: DataFrame, id_col: str, payload_col: str, modality: str) -
     )
 
 
+def attach_png(
+    df: DataFrame, id_col: str, payload_col: str, w: int = 16, h: int = 8
+) -> DataFrame:
+    """Typed media rows whose bytes are a REAL PNG: the payload's first
+    ``w*h`` utf-8 bytes become an (h, w, 1) gray raster encoded by
+    `encode_png`, scanline filter cycling with ``media_id % 5`` so a
+    corpus-wide query exercises every PNG filter branch (None/Sub/Up/
+    Average/Paeth) through the `decode_png` path. Arrow-batched
+    `mapInPandas`; bytes never leave the executors. Rows shorter than
+    the raster are dropped (same contract as the Netpbm fixtures'
+    ``n_chars >= 128`` filter)."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    need = w * h
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "modality": [],
+                "data": [],
+                "byte_len": [],
+                "sha256": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = str(payload).encode("utf-8")[:need]
+                if len(raw) < need:
+                    continue
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 1)
+                png = encode_png(arr, filter_type=int(mid) % 5)
+                out["media_id"].append(int(mid))
+                out["modality"].append("image")
+                out["data"].append(png)
+                out["byte_len"].append(len(png))
+                out["sha256"].append(_hl.sha256(png).hexdigest())
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(_encode, schema=MEDIA_SCHEMA)
+
+
 def decode_netpbm(data: bytes):
     """REAL image decode for binary Netpbm payloads (P5 grayscale / P6
     RGB, maxval ≤ 255) in pure numpy — no codec library needed. Returns

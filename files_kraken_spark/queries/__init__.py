@@ -70,7 +70,7 @@ _SAMPLE_PRIORITY = [
     "t_pii_scrub", "t_pii_stats", "mm_png_decode_dhash",
     "t_minhash_containment", "q_sequential_pattern", "t_cross_dup_overlap",
     "t_robust_scale", "t_doc_prefix_clusters", "q_mutual_info_terms",
-    "t_anchor_text_stats", "q_jaccard_knn_graph", "t_udf_isolation_score",
+    "t_type_token_ratio", "q_jaccard_knn_graph", "t_udf_isolation_score",
     "q_range_join_binned", "q_group_regression", "q_mad_anomaly",
     # -- changed this round: re-verify --
     "q_distribution_windows", "q_pagerank_supply",

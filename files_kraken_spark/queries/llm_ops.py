@@ -2795,3 +2795,253 @@ def q_mutual_info_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lift, 6).alias("lift"),
         )
     )
+
+
+@register(
+    "mm_png_decode_dhash",
+    oracle="""
+WITH px AS (
+  SELECT doc_id, i, j,
+         ascii(substr(text, i * 16 + (j * 16) // 9 + 1, 1)) AS p,
+         ascii(substr(text, i * 16 + ((j + 1) * 16) // 9 + 1, 1)) AS pn
+  FROM documents, range(0, 8) r1(i), range(0, 8) r2(j)
+  WHERE n_chars >= 128
+)
+SELECT doc_id AS media_id,
+       CAST(sum(CASE WHEN i < 4 AND p > pn
+                     THEN (CAST(1 AS BIGINT) << (i * 8 + j)) ELSE 0 END)
+            AS BIGINT) AS dhash_hi,
+       CAST(sum(CASE WHEN i >= 4 AND p > pn
+                     THEN (CAST(1 AS BIGINT) << ((i - 4) * 8 + j)) ELSE 0 END)
+            AS BIGINT) AS dhash_lo
+FROM px GROUP BY doc_id
+""",
+    doc="Perceptual hash through the REAL PNG codec, full-value "
+    "oracled: each doc's first 128 bytes become an 8x16 gray raster, "
+    "encode_png compresses it with the scanline filter cycling "
+    "doc_id % 5 (so the corpus exercises ALL FIVE decode filter "
+    "branches: None/Sub/Up/Average/Paeth), decode_png (pure "
+    "numpy+zlib, no codec library) reconstructs the pixels, and dHash "
+    "runs on the decoded raster. Deflate+filter round-trip is "
+    "lossless, so the oracle recomputes the hash from the raw bytes — "
+    "any filter-reconstruction bug anywhere in the codec flips hash "
+    "bits and fails the value match. Arrow-batched mapInPandas both "
+    "sides; bytes never leave the executors.",
+)
+def mm_png_decode_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_png, image_dhash
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 128)
+    return image_dhash(attach_png(docs, "doc_id", "text"))
+
+
+@register(
+    "q_jaccard_knn_graph",
+    oracle=f"""
+WITH {_SQL_SHINGLES},
+jp AS (
+  SELECT id_a, id_b, inter * 1.0 / (s1.n + s2.n - inter) AS j
+  FROM pairs JOIN sizes s1 ON s1.doc_id = id_a JOIN sizes s2 ON s2.doc_id = id_b
+  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.2
+),
+und AS (
+  SELECT id_a AS src, id_b AS dst, j FROM jp
+  UNION ALL
+  SELECT id_b, id_a, j FROM jp
+),
+rk AS (
+  SELECT src, dst, j,
+         row_number() OVER (PARTITION BY src ORDER BY j DESC, dst) AS rank
+  FROM und
+)
+SELECT src, dst, CAST(rank AS BIGINT) AS rank, round(j, 6) AS jaccard
+FROM rk WHERE rank <= 3
+""",
+    doc="Document k-NN graph (k=3) by shingle Jaccard: candidate pairs "
+    "from the inverted-index join (docs must share a shingle — never "
+    "corpus²), floor 0.2 prunes before ranking, both directions "
+    "mirrored so each doc ranks all its candidates, then a "
+    "PER-SOURCE-PARTITIONED row_number window (dst tiebreak pins "
+    "order). The similarity-graph input to clustering/label-prop; at "
+    "100 TB the candidate stage swaps to MinHash-LSH bands with the "
+    "same downstream shape.",
+)
+def q_jaccard_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = DD.shingle_sets(docs, "doc_id", "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    pairs = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("j"))
+        .filter(F.col("j") >= 0.2)
+    )
+    und = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "j"
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "j")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("j").desc(), F.col("dst"))
+    return (
+        und.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("src", "dst", "rank", F.round("j", 6).alias("jaccard"))
+    )
+
+
+@register(
+    "t_udf_isolation_score",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS f1,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS DOUBLE) AS f2,
+         CAST(len(list_distinct(list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> ''))) AS DOUBLE)
+         / CAST(len(list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '')) AS DOUBLE) AS f3
+  FROM documents
+),
+med AS (SELECT median(f1) AS m1, median(f2) AS m2, median(f3) AS m3 FROM feats),
+dev AS (SELECT f.*, m1, m2, m3, abs(f1-m1) AS d1, abs(f2-m2) AS d2, abs(f3-m3) AS d3 FROM feats f CROSS JOIN med),
+mad AS (SELECT median(d1) AS a1, median(d2) AS a2, median(d3) AS a3 FROM dev)
+SELECT doc_id,
+       round((abs((f1-m1)/(1.4826*a1)) + abs((f2-m2)/(1.4826*a2)) + abs((f3-m3)/(1.4826*a3)))/3.0, 6) AS iso_score
+FROM dev CROSS JOIN mad
+""",
+    doc="Per-document outlier ('isolation') score — mean scaled-MAD "
+    "|z| over three features (chars, tokens, distinct-token ratio) — "
+    "with the scoring arithmetic in an ARROW-VECTORIZED pandas UDF: "
+    "the demonstration that when Python math is unavoidable, the "
+    "Arrow batch path (ArrowEvalPython, numpy element-wise doubles) "
+    "is bit-identical to the SQL oracle and never row-at-a-time. "
+    "Feature extraction and the median/MAD stats stay in Catalyst; "
+    "the two 1-row stats frames are broadcast back.",
+)
+def t_udf_isolation_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks_raw = T.tokens(F.col("text"))
+    toks_norm = T.tokens(T.normalize_text(F.col("text")))
+    feats = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("f1"),
+        F.size(toks_raw).cast("double").alias("f2"),
+        (
+            F.size(F.array_distinct(toks_norm)).cast("double")
+            / F.size(toks_norm).cast("double")
+        ).alias("f3"),
+    )
+    stats = feats.agg(
+        *[
+            F.expr(f"percentile(f{i}, 0.5)").alias(f"med{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    devs = feats.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "f1",
+        "f2",
+        "f3",
+        "med1",
+        "med2",
+        "med3",
+        *[
+            F.abs(F.col(f"f{i}") - F.col(f"med{i}")).alias(f"d{i}")
+            for i in (1, 2, 3)
+        ],
+    )
+    mads = devs.agg(
+        *[F.expr(f"percentile(d{i}, 0.5)").alias(f"mad{i}") for i in (1, 2, 3)]
+    )
+    joined = devs.crossJoin(F.broadcast(mads))
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's signature inspection rejects — the
+    # explicit returnType + functionType carry the contract instead
+    def _iso_score(f1, m1, a1, f2, m2, a2, f3, m3, a3):
+        import numpy as np
+
+        z1 = np.abs((f1.values - m1.values) / (1.4826 * a1.values))
+        z2 = np.abs((f2.values - m2.values) / (1.4826 * a2.values))
+        z3 = np.abs((f3.values - m3.values) / (1.4826 * a3.values))
+        return pd.Series((z1 + z2 + z3) / 3.0)
+
+    iso_score = pandas_udf(_iso_score, "double")
+
+    return joined.select(
+        "doc_id",
+        F.round(
+            iso_score(
+                "f1", "med1", "mad1",
+                "f2", "med2", "mad2",
+                "f3", "med3", "mad3",
+            ),
+            6,
+        ).alias("iso_score"),
+    )
+
+
+@register(
+    "t_type_token_ratio",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '')) AS tk
+  FROM documents
+),
+per AS (SELECT source, tk, count(*) AS n FROM tok GROUP BY 1, 2)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS ttr
+FROM per GROUP BY 1
+""",
+    doc="Per-source vocabulary health: token volume, distinct terms, "
+    "hapax count, and type-token ratio — the Heaps-law corpus audit "
+    "that catches template spam (low TTR) and OCR noise (hapax "
+    "explosion) before a source enters the mix. Two keyed aggs over "
+    "the exploded token stream; partial aggregation does the heavy "
+    "lifting map-side.",
+)
+def t_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(T.tokens(T.normalize_text(F.col("text")))).alias("tk"),
+    )
+    per = tok.groupBy("source", "tk").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_terms",
+            "n_hapax",
+            F.round(
+                F.col("n_terms").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("ttr"),
+        )
+    )

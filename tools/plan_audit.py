@@ -36,6 +36,7 @@ ALLOWED_NESTED_LOOP = {
     "q11_important_stock",  # 1-row value threshold broadcast
     "t_tfidf_top_terms",  # 1-row corpus-size broadcast
     "q_mutual_info_terms",  # 1-row corpus-total broadcast vs per-(term,source) stats
+    "t_udf_isolation_score",  # two 1-row stats broadcasts (medians, MADs) vs corpus
     "emb_kmeans_cells",  # k-centroid broadcast × corpus argmin: Lloyd's IS a nested loop
     "sem_dedup_kmeans",  # same trainer underneath
     "sim_ivf_trained_topk",  # k-centroid probe broadcast
