@@ -54,6 +54,10 @@ EXTRA = [
     "mm_scene_cuts",
     "t_bm25_topk",
     "sim_hybrid_rrf",
+    "q_range_join_binned",
+    "t_minhash_containment",
+    "q_jaccard_knn_graph",
+    "mm_png_decode_dhash",
 ]
 
 

@@ -3045,3 +3045,114 @@ def t_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ttr"),
         )
     )
+
+
+@register(
+    "emb_standardize",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+),
+mom AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n, sum(v) AS sx, sum(v*v) AS sxx
+  FROM ex GROUP BY 1
+),
+st AS (
+  SELECT dim, sx / n AS mu, sqrt((sxx - sx * sx / n) / (n - 1)) AS sd FROM mom
+)
+SELECT ex.vec_id, ex.dim, round((ex.v - st.mu) / st.sd, 6) AS z
+FROM ex JOIN st USING (dim)
+""",
+    doc="Per-dimension embedding standardization (whitening's diagonal "
+    "form): posexplode → per-dim moment agg (n, Σv, Σv²; mean and "
+    "sample std derived in identical shape on both engines — never "
+    "the engines' own stddev, whose stable accumulation orders "
+    "differ) → d-row stats broadcast back. The preprocessing step "
+    "before cosine/IVF when dimensions have wildly different scales; "
+    "one keyed shuffle regardless of corpus size.",
+)
+def emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("dim", "v")).select(
+        "vec_id", "dim", F.col("v").cast("double").alias("v")
+    )
+    mom = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    st = mom.select("dim", mean.alias("mu"), F.sqrt(var).alias("sd"))
+    return ex.join(F.broadcast(st), "dim").select(
+        "vec_id",
+        "dim",
+        F.round((F.col("v") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+    )
+
+
+@register(
+    "t_dedup_survivorship",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 64) AS prefix,
+         (least(len({_SQL_TOKENS.format(col='text')}) / 50.0, 1.0)
+          + 1.0 - least(coalesce(
+                length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))
+                  * 1.0 / nullif(length(text), 0), 0.0) * 5.0, 1.0)
+          + CASE WHEN coalesce(list_sum(list_transform({_SQL_TOKENS.format(col='text')},
+                                 x -> length(x))) * 1.0
+                      / nullif(len({_SQL_TOKENS.format(col='text')}), 0), 0.0)
+                     BETWEEN 3.0 AND 8.0
+                 THEN 1.0 ELSE 0.5 END) / 3.0 AS quality
+  FROM documents
+),
+fam AS (
+  SELECT prefix, count(*) AS n_members FROM scored GROUP BY 1 HAVING count(*) >= 2
+),
+rk AS (
+  SELECT s.prefix, s.doc_id, s.quality, f.n_members,
+         row_number() OVER (PARTITION BY s.prefix ORDER BY s.quality DESC, s.doc_id) AS rk
+  FROM scored s JOIN fam f USING (prefix)
+)
+SELECT md5(prefix) AS cluster_fp, doc_id AS survivor_id,
+       CAST(n_members AS BIGINT) AS n_members, round(quality, 6) AS best_quality
+FROM rk WHERE rk = 1
+""",
+    doc="Dedup survivorship policy: within each duplicate family "
+    "(prefix-64 clusters here; MinHash/SemDeDup components drop in "
+    "unchanged), KEEP THE BEST copy — highest composite quality "
+    "score, doc_id tiebreak — not the arbitrary min-id the plain "
+    "dedup queries use. The curation decision that turns 'we found "
+    "duplicates' into 'this is the copy that enters the training "
+    "mix'; one per-family-partitioned ranking window.",
+)
+def t_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pref = docs.select(
+        "doc_id",
+        F.substring(T.normalize_text(F.col("text")), 1, 64).alias("prefix"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    wcnt = Window.partitionBy("prefix")
+    wrk = Window.partitionBy("prefix").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        pref.withColumn("n_members", F.count(F.lit(1)).over(wcnt))
+        .filter(F.col("n_members") >= 2)
+        .withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.md5("prefix").alias("cluster_fp"),
+            F.col("doc_id").alias("survivor_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.round("quality", 6).alias("best_quality"),
+        )
+    )
