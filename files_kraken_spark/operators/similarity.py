@@ -1237,3 +1237,81 @@ def ivfadc_topk_rerank(
         .filter(F.col("rn") <= topk)
         .select("q_id", "cand_id")
     )
+
+
+def power_iteration_top_pc(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    scale: int = 10000,
+) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding matrix by
+    distributed power iteration — in FIXED-POINT INTEGER arithmetic so
+    the whole iterative computation is bit-portable across engines
+    (the PageRank micro-unit trick applied to linear algebra).
+
+    Each round computes w = Xᵀ(Xv) as two keyed aggregations: a
+    per-row projection (join on dim against the broadcast d-row
+    vector, groupBy id) and a per-dim accumulation (join the
+    projections back, groupBy dim) — never a matrix in driver memory,
+    shuffles keyed on id/dim only. The vector renormalizes to
+    max-abs = ``scale`` with truncation-toward-zero integer division
+    (`div`), so every engine that does exact int64 arithmetic iterates
+    IDENTICALLY — no float accumulation order anywhere.
+
+    Overflow budget (int64): |x| ≤ 0.6·scale, d=64, projections are
+    rescaled by ``div scale`` before the accumulation, so per-dim sums
+    stay < n·0.6·scale·(0.6·64·scale) ≈ n·2.3e9 — safe past 10⁸ rows
+    at the default scale.
+
+    Returns (dim, vq): the loading vector at fixed-point ``scale``
+    (top right-singular direction up to sign/scale) — the input to
+    spectral hashing / projection pruning. Converges at the usual
+    power-iteration rate; ``iters=3`` matches the registry oracle's
+    unrolled SQL replay.
+    """
+    exq = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(vec_col).alias("dim", "v")
+    ).select(
+        "__id",
+        "dim",
+        F.round(F.col("v").cast("double") * scale, 0).cast("long").alias("xq"),
+    )
+    dims = exq.select("dim").distinct()
+    v = dims.select("dim", F.lit(scale).cast("long").alias("vq"))
+    for _ in range(iters):
+        xv = (
+            exq.join(F.broadcast(v), "dim")
+            .groupBy("__id")
+            .agg(F.sum(F.col("xq") * F.col("vq")).alias("s"))
+        )
+        sp = xv.select(
+            "__id",
+            (
+                F.expr(f"abs(s) div {int(scale)}")
+                * F.when(F.col("s") < 0, -1).otherwise(1)
+            )
+            .cast("long")
+            .alias("sp"),
+        )
+        w = (
+            exq.join(sp, "__id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("sp") * F.col("xq")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .withColumn("anum", F.abs(F.col("w")) * F.lit(scale))
+            .select(
+                "dim",
+                (
+                    F.expr("anum div m")
+                    * F.when(F.col("w") < 0, -1).otherwise(1)
+                )
+                .cast("long")
+                .alias("vq"),
+            )
+        )
+    return v.select("dim", "vq")

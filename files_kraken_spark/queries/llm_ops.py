@@ -3156,3 +3156,63 @@ def t_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("quality", 6).alias("best_quality"),
         )
     )
+
+
+def _power_iteration_sql(iters: int = 3, scale: int = 10000) -> str:
+    """Unrolled-CTE DuckDB replay of `power_iteration_top_pc` — same
+    generator pattern as `_pagerank_oracle_sql`: every iteration is
+    exact int64 arithmetic with truncation-toward-zero division, so
+    the replay is bit-identical."""
+    s = f"""
+WITH exq AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * {scale}, 0) AS BIGINT) AS xq
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+),
+v0 AS (SELECT DISTINCT dim, CAST({scale} AS BIGINT) AS vq FROM exq)
+"""
+    prev = "v0"
+    for k in range(1, iters + 1):
+        s += f""",
+xv{k} AS (
+  SELECT e.vec_id, sum(e.xq * v.vq) AS s
+  FROM exq e JOIN {prev} v USING (dim) GROUP BY 1
+),
+sp{k} AS (
+  SELECT vec_id,
+         CAST((abs(s) // {scale}) * (CASE WHEN s < 0 THEN -1 ELSE 1 END) AS BIGINT) AS sp
+  FROM xv{k}
+),
+w{k} AS (
+  SELECT e.dim, sum(p.sp * e.xq) AS w
+  FROM exq e JOIN sp{k} p USING (vec_id) GROUP BY 1
+),
+m{k} AS (SELECT max(abs(w)) AS m FROM w{k}),
+v{k} AS (
+  SELECT dim,
+         CAST(((abs(w) * {scale}) // m) * (CASE WHEN w < 0 THEN -1 ELSE 1 END) AS BIGINT) AS vq
+  FROM w{k} CROSS JOIN m{k}
+)"""
+        prev = f"v{k}"
+    s += f"\nSELECT dim, vq FROM {prev}"
+    return s
+
+
+@register(
+    "emb_top_pc_power",
+    oracle=_power_iteration_sql(3, 10000),
+    doc="Top principal direction of the embedding matrix by distributed "
+    "power iteration — w = Xᵀ(Xv) as two keyed aggregations per round "
+    "(projection groupBy id, accumulation groupBy dim; the matrix "
+    "never exists anywhere), renormalized each round in FIXED-POINT "
+    "INT64 with truncation division, so three full iterations of "
+    "iterative linear algebra replay bit-identically in the oracle "
+    "(the PageRank micro-unit trick applied to PCA). Input to "
+    "spectral hashing / projection pruning; shuffles keyed on id/dim "
+    "only, d-row vector broadcast each round.",
+)
+def emb_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.power_iteration_top_pc(
+        emb, id_col="vec_id", vec_col="embedding", iters=3, scale=10000
+    )

@@ -102,3 +102,38 @@ def test_seed_rank_fast_path_matches_distributed_fallback(spark):
     finally:
         SIM.SEED_RANK_COLLECT_MAX = orig
     assert fast == slow
+
+
+def test_power_iteration_matches_numpy_eigvector(spark):
+    """The integer power iteration must point (anti)parallel to the
+    dominant eigenvector of X'X computed by numpy at float precision —
+    quantization at scale 1e4 costs < 1e-3 in cosine."""
+    import numpy as np
+
+    # strong rank-1 component (coef * base) + small lattice noise — a
+    # clear eigengap so 8 iterations converge well past the tolerance
+    base = [1.0, -0.5, 0.25, 0.8, -0.3, 0.6, -0.7, 0.4]
+    rng_rows = [
+        (
+            i,
+            [
+                (((i % 7) - 3) / 3.0) * base[d]
+                + float(((i * 13 + d * 7) % 23) - 11) / 110.0
+                for d in range(8)
+            ],
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rng_rows, ["vec_id", "embedding"])
+    out = SIM.power_iteration_top_pc(
+        df, id_col="vec_id", vec_col="embedding", iters=5, scale=10000
+    ).collect()
+    v = np.zeros(8)
+    for r in out:
+        v[r["dim"]] = r["vq"]
+    v = v / np.linalg.norm(v)
+
+    X = np.array([row[1] for row in rng_rows])
+    eigval, eigvec = np.linalg.eigh(X.T @ X)
+    top = eigvec[:, -1]
+    assert abs(abs(float(v @ top)) - 1.0) < 1e-3

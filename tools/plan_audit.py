@@ -37,6 +37,7 @@ ALLOWED_NESTED_LOOP = {
     "t_tfidf_top_terms",  # 1-row corpus-size broadcast
     "q_mutual_info_terms",  # 1-row corpus-total broadcast vs per-(term,source) stats
     "t_udf_isolation_score",  # two 1-row stats broadcasts (medians, MADs) vs corpus
+    "emb_top_pc_power",  # 1-row max-abs renorm scalar broadcast per iteration
     "emb_kmeans_cells",  # k-centroid broadcast × corpus argmin: Lloyd's IS a nested loop
     "sem_dedup_kmeans",  # same trainer underneath
     "sim_ivf_trained_topk",  # k-centroid probe broadcast
