@@ -72,7 +72,7 @@ _SAMPLE_PRIORITY = [
     "t_robust_scale", "t_doc_prefix_clusters", "q_mutual_info_terms",
     "t_type_token_ratio", "q_jaccard_knn_graph", "t_udf_isolation_score",
     "q_range_join_binned", "q_group_regression", "q_mad_anomaly",
-    "emb_standardize", "t_dedup_survivorship", "emb_top_pc_power",
+    "emb_standardize", "t_dedup_survivorship", "emb_top_pc_power", "t_oov_rate",
     # -- changed this round: re-verify --
     "q_distribution_windows", "q_pagerank_supply",
     "q_ntile_rank_frames", "t_global_shuffle", "d2_ordered_changes",

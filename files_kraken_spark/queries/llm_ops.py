@@ -3216,3 +3216,64 @@ def emb_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.power_iteration_top_pc(
         emb, id_col="vec_id", vec_col="embedding", iters=3, scale=10000
     )
+
+
+@register(
+    "t_oov_rate",
+    oracle="""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '')) AS tk
+  FROM documents
+),
+freq AS (SELECT tk, count(*) AS n FROM tok GROUP BY 1),
+ranked AS (SELECT tk, row_number() OVER (ORDER BY n DESC, tk) AS rk FROM freq),
+vocab AS (SELECT tk FROM ranked WHERE rk <= 40)
+SELECT t.source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
+FROM tok t LEFT JOIN vocab v USING (tk)
+GROUP BY 1
+""",
+    doc="Tokenizer-coverage audit: per-source out-of-vocabulary rate "
+    "against the corpus top-40 vocabulary (the synthetic corpus has a "
+    "tiny vocabulary; production uses the tokenizer's real vocab "
+    "table). The top-k vocab is built with the DISTRIBUTED "
+    "global_row_number (freq desc, token tiebreak) — no unpartitioned "
+    "window — then broadcast against the token stream: one left join, "
+    "one keyed agg. High OOV flags a source the tokenizer will "
+    "shred into bytes — checked before it enters the mix.",
+)
+def t_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(T.tokens(T.normalize_text(F.col("text")))).alias("tk"),
+    )
+    freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_row_number(
+        freq, [F.col("n").desc(), F.col("tk")], out_col="rk"
+    )
+    vocab = ranked.filter(F.col("rk") <= 40).select("tk")
+    return (
+        tok.join(F.broadcast(vocab.withColumn("__in", F.lit(1))), "tk", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
