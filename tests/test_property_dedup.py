@@ -138,3 +138,50 @@ def test_shingle_sets_preserves_string_ids(spark):
     expr = {(r["doc_id"], r["shingle"]) for r in shingle_sets(df, "doc_id", "text", 3, impl="expr").collect()}
     assert arrow == expr
     assert ("/a/x.txt", "one two three") in arrow
+
+
+def _naive_containment(corpus, k=2, threshold=0.0):
+    """Brute-force shingle containment for every id_a < id_b pair."""
+    sets = {}
+    for doc_id, words in enumerate(corpus):
+        sets[doc_id] = {
+            " ".join(words[i : i + k]) for i in range(max(len(words) - k + 1, 1))
+        }
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            ca, cb = inter / len(sets[a]), inter / len(sets[b])
+            if max(ca, cb) >= threshold:
+                out[(a, b)] = (round(ca, 6), round(cb, 6))
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=CORPUS)
+def test_containment_matches_naive(spark, corpus):
+    """ngram_containment_pairs == brute force on arbitrary small corpora
+    (threshold 0 keeps every sharing pair, so the property covers the
+    full score surface, not just the >= 0.9 tail)."""
+    from files_kraken_spark.operators.dedup import ngram_containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(corpus)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["cont_a"], r["cont_b"])
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", k=2, threshold=0.0
+        ).collect()
+    }
+    want = _naive_containment(corpus, k=2, threshold=0.0)
+    assert got == want
