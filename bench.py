@@ -58,6 +58,10 @@ EXTRA = [
     "t_minhash_containment",
     "q_jaccard_knn_graph",
     "mm_png_decode_dhash",
+    "t_entropy_score",
+    "q_skyline_orders",
+    "t_ngram_novelty",
+    "emb_pc_outliers",
 ]
 
 
@@ -169,31 +173,38 @@ def main():
     load_drift = round(control_end / max(control_start, 1e-9), 2)
 
     total = round(sum(timings.values()), 3)
-    # raw per-run timings go to STDERR only: embedding them in the stdout
-    # metric line grew it past the driver's tail capture in round 4
-    # (BENCH_r04 "parsed": null). The machine-readable record must be a
-    # COMPACT single JSON line and it must be the LAST thing on stdout.
-    print(json.dumps({"raw_runs": raw}), file=sys.stderr)
-    sys.stderr.flush()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extra_queries": extra,
-                "sf": sf,
-                "runs_per_query": runs_per_query,
-                "agg": "min",
-                # noise self-flags (round-5 verdict item #2): per-query
-                # max/min run ratio, plus control-query drift start→end
-                "spread": spread,
-                "control_sec": [control_start, control_end],
-                "load_drift": load_drift,
-            }
-        )
+    record = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extra_queries": extra,
+        "sf": sf,
+        "runs_per_query": runs_per_query,
+        "agg": "min",
+        # noise self-flags (round-5 verdict item #2): per-query
+        # max/min run ratio, plus control-query drift start→end
+        "spread": spread,
+        "control_sec": [control_start, control_end],
+        "load_drift": load_drift,
+        "raw_runs": raw,
+    }
+    # CANONICAL record: a file, immune to any stdout capture window
+    # (rounds 4 and 6 both lost the stdout line to tail truncation).
+    record_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
     )
+    with open(record_path, "w") as fh:
+        json.dump(record, fh, indent=1)
+    print(f"# full record -> {record_path}", file=sys.stderr)
+    # The stdout metric line stays COMPACT (the driver's tail capture
+    # truncated a ~3 KB line mid-record in round 6): per-query spread
+    # and raw runs live only in the file; stdout keeps one summary
+    # noise flag. The line must be the LAST thing on stdout.
+    compact = {k: v for k, v in record.items() if k not in ("spread", "raw_runs")}
+    compact["spread_max"] = max(spread.values()) if spread else 0.0
+    compact["record_file"] = "BENCH_local.json"
+    print(json.dumps(compact))
     sys.stdout.flush()
 
 

@@ -84,8 +84,15 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
-def shingles_from_tokens(t: Column, k: int = 3) -> Column:
+def shingles_from_tokens(t: Column, k: int = 3, pad_short: bool = False) -> Column:
     """k-word shingles from an already-materialized token array column.
+
+    ``pad_short``: docs with 1 ≤ tokens < k contribute their WHOLE text
+    as a single shingle instead of none. This is the containment-path
+    contract (a 2-word doc pasted into a book is the canonical
+    short-in-long case containment exists to catch — with no shingle it
+    would be invisible). Jaccard/MinHash callers keep the default
+    (sub-k docs have no signature), matching their SQL oracles.
 
     Callers should project ``tokens(text)`` into a real column first —
     inlining the tokenizer here makes Spark re-evaluate the split for
@@ -95,7 +102,11 @@ def shingles_from_tokens(t: Column, k: int = 3) -> Column:
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+    full = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+    if not pad_short:
+        return full
+    whole = F.array(F.concat_ws(" ", t))
+    return F.when(n >= k, full).when(n >= 1, whole).otherwise(full)
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:

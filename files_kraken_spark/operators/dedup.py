@@ -58,10 +58,20 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, impl: str = "arrow"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    impl: str = "arrow",
+    pad_short: bool = False,
 ) -> DataFrame:
     """Distinct (id, shingle) pairs — the exploded set representation
     shared by Jaccard verify and MinHash signature computation.
+
+    ``pad_short``: docs with 1 ≤ tokens < k contribute their whole text
+    as ONE shingle (the containment-path contract; see
+    ``functions.text.shingles_from_tokens``). Default off: sub-k docs
+    have no shingles, matching the Jaccard/MinHash oracles.
 
     Two implementations with identical output:
 
@@ -76,7 +86,9 @@ def shingle_sets(
         toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
         return toks.select(
             F.col(id_col),
-            F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("shingle"),
+            F.explode(
+                shingles_from_tokens(F.col("__toks"), k, pad_short=pad_short)
+            ).alias("shingle"),
         ).distinct()
 
     import re as _re
@@ -90,6 +102,10 @@ def shingle_sets(
                 stripped = t.strip() if isinstance(t, str) else ""
                 toks = _re.split(r"\s+", stripped) if stripped else []
                 seen = set()
+                if pad_short and 0 < len(toks) < k:
+                    ids.append(i)
+                    shs.append(" ".join(toks))
+                    continue
                 for j in range(len(toks) - k + 1):
                     s = " ".join(toks[j : j + k])
                     if s not in seen:
@@ -107,26 +123,28 @@ def shingle_sets(
     )
 
 
-def ngram_jaccard_pairs(
+def _shingle_pair_stats(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    k: int = 3,
-    threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    k: int,
+    max_shingle_df: int | None,
+    pad_short: bool = False,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard ≥ threshold via shingle inverted index.
+    """(id_a, id_b, inter, n_a, n_b) for every id_a < id_b pair sharing
+    a shingle — the common backbone of the Jaccard / containment /
+    overlap-coefficient measures (they differ only in the final score
+    formula). Inverted-index join: only docs sharing a shingle meet,
+    shuffles keyed on shingle then pair — never a cross join.
 
-    Scale path: the join is on the shingle value, so only documents
-    sharing a shingle ever meet — no cross join. ``max_shingle_df``
-    drops shingles appearing in more than that many documents from the
-    CANDIDATE join (stop-phrase skew: a shingle shared by 1% of a
-    100 TB corpus contributes n²/10⁴ pairs and zero discrimination).
-    With the cap active, intersections exclude the hot shingles while
-    set sizes keep them, so reported Jaccard is an UNDERestimate —
-    conservative precision, bounded recall loss. Default off = exact.
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    documents from the CANDIDATE join only (stop-phrase skew: a shingle
+    shared by 1% of a 100 TB corpus contributes n²/10⁴ pairs and zero
+    discrimination). Set sizes keep the hot shingles, so every derived
+    score is an UNDERestimate with the cap on — conservative precision,
+    bounded recall loss. Default off = exact.
     """
-    sh = shingle_sets(df, id_col, text_col, k)
+    sh = shingle_sets(df, id_col, text_col, k, pad_short=pad_short)
     if max_shingle_df is not None:
         sh = sh.persist()
         rare = (
@@ -149,13 +167,49 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via shingle inverted index.
+
+    Scale path and the ``max_shingle_df`` hot-shingle cap: see
+    :func:`_shingle_pair_stats` (the shared backbone — Jaccard is the
+    symmetric |A∩B|/|A∪B| member of the family; containment and
+    overlap-coefficient are the other two).
+    """
+    stats = _shingle_pair_stats(df, id_col, text_col, k, max_shingle_df)
     jac = (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jaccard")
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac)
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return stats.select("id_a", "id_b", jac).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All-pairs overlap coefficient |A∩B|/min(|A|,|B|) ≥ threshold —
+    the symmetric-but-subset-sensitive third member of the Broder
+    family: 1.0 whenever either document's shingles are a subset of
+    the other's, regardless of the size ratio. Sits between Jaccard
+    (penalizes size mismatch) and directed containment (asymmetric):
+    use it to catch template instantiations where the shared core is
+    one side's entirety. Same inverted-index backbone and
+    ``max_shingle_df`` cap as the siblings (:func:`_shingle_pair_stats`).
+    """
+    stats = _shingle_pair_stats(df, id_col, text_col, k, max_shingle_df)
+    ov = (F.col("inter") / F.least(F.col("n_a"), F.col("n_b"))).alias("overlap")
+    return stats.select("id_a", "id_b", ov).filter(F.col("overlap") >= threshold)
 
 
 def ngram_containment_pairs(
@@ -164,6 +218,7 @@ def ngram_containment_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.9,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup: shingle CONTAINMENT |A∩B|/|A| per direction,
     keeping pairs where either direction clears ``threshold``.
@@ -175,31 +230,69 @@ def ngram_containment_pairs(
     vs containment distinction). Same inverted-index join as
     ``ngram_jaccard_pairs``: only docs sharing a shingle meet, shuffle
     keyed on the shingle then the pair — no cross join at any scale.
+
+    Short-doc contract: docs with 1 ≤ tokens < k contribute their whole
+    text as ONE shingle (``pad_short``) — a sub-k-token doc pasted into
+    a longer one is precisely the short-in-long case containment exists
+    for, and with zero shingles it would be undetectable. (Jaccard /
+    MinHash keep the no-shingle convention; their oracles match.)
+
+    ``max_shingle_df`` mirrors :func:`ngram_jaccard_pairs`'s knob —
+    see :func:`_shingle_pair_stats` for the cap semantics (reported
+    containment becomes an underestimate; conservative precision).
     """
-    sh = shingle_sets(df, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    stats = _shingle_pair_stats(
+        df, id_col, text_col, k, max_shingle_df, pad_short=True
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     cont_a = F.col("inter") / F.col("n_a")
     cont_b = F.col("inter") / F.col("n_b")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(F.greatest(cont_a, cont_b) >= threshold)
+        stats.filter(F.greatest(cont_a, cont_b) >= threshold)
         .select(
             "id_a",
             "id_b",
             F.round(cont_a, 6).alias("cont_a"),
             F.round(cont_b, 6).alias("cont_b"),
         )
+    )
+
+
+def jaccard_knn_graph(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    knn: int = 3,
+    floor: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Document k-NN graph by shingle Jaccard: (src, dst, rank, jaccard)
+    keeping each doc's top-``knn`` neighbors above ``floor``.
+
+    Candidate generation delegates to :func:`ngram_jaccard_pairs`, so it
+    inherits the inverted-index join (only docs sharing a shingle meet —
+    never corpus²) AND the ``max_shingle_df`` hot-shingle cap: a
+    boilerplate shingle shared corpus-wide would otherwise detonate the
+    candidate pair count quadratically at 100 TB. Ranking is a
+    PER-SOURCE-PARTITIONED row_number (dst tiebreak pins order) — no
+    global window. At 100 TB swap candidates to MinHash-LSH bands with
+    the same downstream shape.
+    """
+    from pyspark.sql.window import Window
+
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, k=k, threshold=floor, max_shingle_df=max_shingle_df
+    ).select("id_a", "id_b", F.col("jaccard").alias("j"))
+    und = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "j"
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "j")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("j").desc(), F.col("dst"))
+    return (
+        und.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= knn)
+        .select("src", "dst", "rank", F.round("j", 6).alias("jaccard"))
     )
 
 

@@ -43,6 +43,19 @@ Scratch location: ``spark.files_kraken.scratch_dir`` if set (use a
 shared filesystem — HDFS/S3 — on a real cluster); else a driver-local
 tempdir (correct for local mode, where driver and executors share a
 filesystem).
+
+Pin lifecycle (round-6 advice closed): every pin directory is TRACKED.
+A long-lived session is bounded two ways:
+
+- **Rotation cap** — creating a pin beyond
+  ``spark.files_kraken.scratch_max_pins`` (default 64) deletes the
+  OLDEST tracked pin first. The cap must exceed the number of pinned
+  frames still lazily referenced by un-collected results (each query
+  here pins at most 2; 64 is ~30 concurrently in-flight queries).
+- **Manual release hook** — :func:`release_pins` deletes every tracked
+  pin immediately; call it at job boundaries once results are
+  materialized. This is the hook for the shared-filesystem case, where
+  the library otherwise can only rely on the cluster's scratch-TTL.
 """
 
 from __future__ import annotations
@@ -58,19 +71,57 @@ from pyspark.sql.window import Window
 
 #: driver-local scratch roots created this session, removed at exit
 _LOCAL_SCRATCH_ROOTS: list[str] = []
+#: every pin directory created this session, oldest first
+_PIN_DIRS: list[str] = []
+
+_DEFAULT_MAX_PINS = 64
 
 
 def _scratch_path(spark) -> str:
     """One fresh scratch subdirectory per pin. Honors
     ``spark.files_kraken.scratch_dir`` (set it to a shared filesystem on
     a multi-node cluster); falls back to a driver-local tempdir that is
-    removed at interpreter exit."""
+    removed at interpreter exit. Tracks the pin and rotates out the
+    oldest beyond ``spark.files_kraken.scratch_max_pins``."""
     root = spark.conf.get("spark.files_kraken.scratch_dir", None)
     if root is None:
         root = tempfile.mkdtemp(prefix="fks_ranks_")
         _LOCAL_SCRATCH_ROOTS.append(root)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-    return f"{root}/pin_{uuid.uuid4().hex}"
+    cap = int(spark.conf.get("spark.files_kraken.scratch_max_pins",
+                             str(_DEFAULT_MAX_PINS)))
+    while len(_PIN_DIRS) >= max(cap, 1):
+        shutil.rmtree(_PIN_DIRS.pop(0), ignore_errors=True)
+    path = f"{root}/pin_{uuid.uuid4().hex}"
+    _PIN_DIRS.append(path)
+    return path
+
+
+def release_pins() -> int:
+    """Delete every scratch pin created so far and return how many were
+    removed. Call at job boundaries AFTER materializing results — a pin
+    still lazily referenced by an un-collected DataFrame would recompute
+    as file-not-found. This is the manual lifecycle hook for shared
+    scratch filesystems (``spark.files_kraken.scratch_dir``) where the
+    library never removes the root itself."""
+    n = len(_PIN_DIRS)
+    while _PIN_DIRS:
+        shutil.rmtree(_PIN_DIRS.pop(0), ignore_errors=True)
+    return n
+
+
+def pin_frame(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` exactly once to a scratch-parquet directory
+    and return a frame reading it back. The zero-cache-entry way to
+    reuse an expensive subtree across self-joins or iterative rounds
+    (Catalyst recomputes unpersisted subtrees per consumer; ``persist``
+    leaks CacheManager entries into long-lived sessions; see module
+    docstring for why not ``localCheckpoint``). Subject to the pin
+    lifecycle above."""
+    spark = df.sparkSession
+    path = _scratch_path(spark)
+    df.write.parquet(path)
+    return spark.read.parquet(path)
 
 
 def global_row_number(
@@ -168,3 +219,68 @@ def ntile_from_position(pos: Column, n: Column, buckets: int) -> Column:
     return F.when(
         pos <= big, ((pos - 1) / (base + 1)).cast("long") + 1
     ).otherwise(rem + ((pos - big - 1) / base).cast("long") + 1).cast("int")
+
+
+def global_prefix_min(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "__pmin",
+) -> DataFrame:
+    """EXCLUSIVE global running minimum of ``value_col`` (a BIGINT
+    column) over the total order given by ``order_cols``: each row gets
+    min(value) over all STRICTLY PRECEDING rows, NULL for the global
+    first row — with no unpartitioned window.
+
+    Same two-phase shape as :func:`global_row_number`: range-exchange
+    on the order key (pinned once to scratch so the per-partition mins
+    and the final plan see the same materialization), a per-partition
+    exclusive prefix min (regular partitioned window), and a driver
+    collect of O(partitions) per-partition minima combined into an
+    exclusive cross-partition prefix broadcast back as a literal map.
+    The driver never sees O(rows). This is the building block for
+    sort-based skyline/Pareto-frontier operators, monotone envelope
+    checks, and record-so-far scans.
+
+    ``order_cols`` must define a total order (unique key) for a
+    deterministic result.
+    """
+    spark = df.sparkSession
+    path = _scratch_path(spark)
+    (
+        df.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .write.parquet(path)
+    )
+    keyed = spark.read.parquet(path)
+    pm = {
+        r["__pid"]: r["m"]
+        for r in keyed.groupBy("__pid").agg(F.min(value_col).alias("m")).collect()
+    }
+    if not pm:
+        return df.withColumn(out_col, F.lit(None).cast("bigint"))
+    prefix, cur = {}, None
+    for pid in sorted(pm):
+        if cur is not None:
+            prefix[pid] = cur
+        v = pm[pid]
+        if v is not None:
+            cur = v if cur is None else min(cur, v)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.min(value_col).over(w)
+    if prefix:
+        carried = F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in sorted(prefix.items()) for x in kv]
+            ),
+            F.col("__pid"),
+        ).cast("bigint")
+    else:
+        carried = F.lit(None).cast("bigint")
+    # least() skips NULLs (returns the smallest non-null operand), which
+    # is exactly the exclusive-prefix semantics at partition heads
+    return keyed.withColumn(out_col, F.least(local, carried)).drop("__pid")

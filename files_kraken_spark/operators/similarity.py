@@ -1263,7 +1263,20 @@ def power_iteration_top_pc(
     Overflow budget (int64): |x| ≤ 0.6·scale, d=64, projections are
     rescaled by ``div scale`` before the accumulation, so per-dim sums
     stay < n·0.6·scale·(0.6·64·scale) ≈ n·2.3e9 — safe past 10⁸ rows
-    at the default scale.
+    at the default scale. The RENORM step divides BEFORE multiplying
+    (``abs(w) div (m div scale)``, with the divisor floored at 1 for
+    degenerate sub-scale inputs): the earlier ``abs(w)·scale div m``
+    form overflowed int64 once |w| ≈ n·2.3e9 crossed 2⁶³/scale — i.e.
+    at n ≈ 4e5 rows, where Spark wraps silently while DuckDB raises.
+    Divide-first keeps every intermediate ≤ max(|w|, scale·(1+ε)), so
+    the n·2.3e9 budget above is the only binding constraint.
+
+    Scale note: the exploded fixed-point matrix feeds two joins per
+    iteration; unpersisted, Catalyst would re-run the posexplode
+    2·iters times (the dominant cost at 100 TB — the "self-joins
+    recompute unpersisted subtrees" trap, SCALING.md). It is pinned
+    once via a scratch-parquet spill (zero cache entries, survives
+    executor loss; ``operators.ranks.pin_frame``).
 
     Returns (dim, vq): the loading vector at fixed-point ``scale``
     (top right-singular direction up to sign/scale) — the input to
@@ -1271,6 +1284,8 @@ def power_iteration_top_pc(
     power-iteration rate; ``iters=3`` matches the registry oracle's
     unrolled SQL replay.
     """
+    from .ranks import pin_frame
+
     exq = df.select(
         F.col(id_col).alias("__id"), F.posexplode(vec_col).alias("dim", "v")
     ).select(
@@ -1278,6 +1293,7 @@ def power_iteration_top_pc(
         "dim",
         F.round(F.col("v").cast("double") * scale, 0).cast("long").alias("xq"),
     )
+    exq = pin_frame(exq)
     dims = exq.select("dim").distinct()
     v = dims.select("dim", F.lit(scale).cast("long").alias("vq"))
     for _ in range(iters):
@@ -1301,13 +1317,15 @@ def power_iteration_top_pc(
             .agg(F.sum(F.col("sp") * F.col("xq")).alias("w"))
         )
         m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        # divide-first renorm: abs(w) div (m div scale) never exceeds
+        # ~scale, where abs(w)*scale would wrap int64 at n ≈ 4e5 rows;
+        # greatest(..., 1) guards the degenerate m < scale corpus
         v = (
             w.crossJoin(F.broadcast(m))
-            .withColumn("anum", F.abs(F.col("w")) * F.lit(scale))
             .select(
                 "dim",
                 (
-                    F.expr("anum div m")
+                    F.expr(f"abs(w) div greatest(m div {int(scale)}, 1)")
                     * F.when(F.col("w") < 0, -1).otherwise(1)
                 )
                 .cast("long")

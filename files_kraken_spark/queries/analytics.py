@@ -884,7 +884,11 @@ GROUP BY 1
     "would be dragged by them). Exact interpolated medians on both "
     "engines; the per-group stats are tiny one-row-per-type frames "
     "broadcast back against the stream, so the only full-data shuffles "
-    "are the two keyed groupBys.",
+    "are the two keyed groupBys. Scale knob: exact percentile() buffers "
+    "each group's values — kept for bit-exact oracle replay; at 100 TB "
+    "swap both medians for approx_percentile(col, 0.5, 10000) — a "
+    "one-pass fixed-memory sketch, identical plan shape (see "
+    "SCALING.md, 'Exact vs approximate percentiles').",
 )
 def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
@@ -944,4 +948,203 @@ def q_sequential_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "q_decay_topk",
+    oracle="""
+WITH days AS (
+  SELECT event_type, epoch_ns(ts) // 86400000000000 AS d FROM events
+),
+anchor AS (SELECT max(d) AS d_max FROM days),
+weighted AS (
+  SELECT event_type,
+         CASE WHEN a.d_max - d <= 40
+              THEN (CAST(1 AS BIGINT) << CAST(40 - (a.d_max - d) AS INTEGER))
+              ELSE 0 END AS w_fp
+  FROM days CROSS JOIN anchor a
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       round(CAST(sum(w_fp) AS DOUBLE) / 1099511627776.0, 6) AS decayed_count
+FROM weighted
+GROUP BY 1
+ORDER BY decayed_count DESC, event_type
+LIMIT 5
+""",
+    doc="Time-decayed popularity:每 event gets weight 2^(−age_days) — a "
+    "one-day half-life — and types rank by decayed count, the standard "
+    "trending-items measure that forgets stale volume. Weights are "
+    "FIXED-POINT POWERS OF TWO (1 << (40 − age), int64): the decayed "
+    "sum is an exact integer reduction, so float summation order can "
+    "never change a rank; ages > 40 days underflow to exactly 0 on "
+    "both engines (2^-40 ≈ 1e-12 of a fresh event — sub-rounding "
+    "noise). Plan: one keyed agg + a 1-row max-day broadcast; top-k "
+    "is TakeOrderedAndProject, never a global sort.",
+)
+def q_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "event_type", F.expr("ts div 86400000000000").alias("d")
+    )
+    anchor = days.agg(F.max("d").alias("d_max"))
+    weighted = days.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.when(
+            F.col("d_max") - F.col("d") <= 40,
+            # SQL shiftleft accepts a column shift amount (the Python
+            # F.shiftleft wrapper takes only a literal int)
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(40 - (d_max - d) AS INT))"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("w_fp"),
+    )
+    agg = weighted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.round(F.sum("w_fp").cast("double") / F.lit(float(1 << 40)), 6).alias(
+            "decayed_count"
+        ),
+    )
+    return agg.orderBy(F.col("decayed_count").desc(), "event_type").limit(5)
+
+
+@register(
+    "q_skyline_orders",
+    oracle="""
+WITH pts AS (
+  SELECT o_totalprice AS price, min(epoch_us(o_orderdate)) AS d
+  FROM orders GROUP BY 1
+),
+run AS (
+  SELECT price, d,
+         min(d) OVER (ORDER BY price
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM pts
+)
+SELECT round(price, 2) AS price, CAST(d AS BIGINT) AS first_epoch_us
+FROM run WHERE pm IS NULL OR pm > d
+""",
+    doc="2-D skyline (Pareto frontier): orders minimizing BOTH total "
+    "price and order date — no other point is cheaper-or-equal AND "
+    "earlier-or-equal with one strict. Sort-based algorithm: collapse "
+    "to per-price earliest date (one keyed agg), then a point survives "
+    "iff the EXCLUSIVE running minimum of date over all strictly "
+    "cheaper points is later than its own date. The running min is "
+    "operators/ranks.global_prefix_min — range exchange + partitioned "
+    "prefix window + O(partitions) driver combine — so the oracle's "
+    "unpartitioned window never appears in the Spark plan: the same "
+    "result with every stage partitioned (the scale difference at "
+    "100 TB is a single-task sort vs an ordinary range shuffle).",
+)
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_prefix_min
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = (
+        orders.select(
+            F.col("o_totalprice").alias("price"),
+            # o_orderdate reads as TIMESTAMP_NTZ; the session pins UTC,
+            # so the cast treats the naive value as UTC — matching
+            # DuckDB's epoch_us over the same naive column
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("dd"),
+        )
+        .groupBy("price")
+        .agg(F.min("dd").alias("d"))
+    )
+    run = global_prefix_min(pts, [F.col("price")], "d", out_col="pm")
+    return run.filter(F.col("pm").isNull() | (F.col("pm") > F.col("d"))).select(
+        F.round("price", 2).alias("price"),
+        F.col("d").cast("long").alias("first_epoch_us"),
+    )
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled k-core peeling replay: each round recomputes degrees on
+    the surviving subgraph and drops nodes below k — the same
+    fixed-round contract as the PageRank / power-iteration oracles
+    (both engines run EXACTLY ``rounds`` rounds; the graph here
+    converges in far fewer)."""
+    # AS MATERIALIZED: each round references its predecessor three
+    # times (two degree legs + the edge filter); DuckDB's default CTE
+    # inlining would blow the plan up 3^rounds-fold (observed as a
+    # too-many-open-files parquet-scan storm)
+    s = """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        s += f""",
+s{r} AS (SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev}),
+d{r} AS (SELECT n, count(*) AS deg FROM s{r} GROUP BY 1),
+k{r} AS (SELECT n FROM d{r} WHERE deg >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN k{r} a ON e.u = a.n JOIN k{r} b ON e.v = b.n
+)"""
+        prev = f"e{r}"
+    s += f""",
+sf AS (SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev}),
+df AS (SELECT n, count(*) AS deg FROM sf GROUP BY 1)
+SELECT n AS part_id, CAST(deg AS BIGINT) AS core_degree
+FROM df WHERE deg >= {k}"""
+    return s
+
+
+@register(
+    "q_kcore_parts",
+    oracle=_kcore_oracle_sql(3, 8),
+    doc="k-core decomposition (k=3) of the parts co-purchase graph "
+    "(parts sharing an order are adjacent): iteratively peel nodes "
+    "with degree < k until the dense core remains — the standard way "
+    "to separate structurally-embedded items from one-off pairings "
+    "before community detection. Spark runs the peeling loop with "
+    "localCheckpoint lineage cuts (each round: one degree groupBy + "
+    "one semi-join edge filter, all keyed shuffles); the oracle "
+    "replays the SAME fixed 8 rounds as unrolled CTEs (the PageRank "
+    "fixed-round contract — the graph converges in fewer). Round "
+    "count is O(peeling depth), not O(diameter); at 100 TB the edge "
+    "set shrinks monotonically so later rounds are nearly free.",
+)
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, ROUNDS = 3, 8
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(ROUNDS):
+        nodes = edges.select(F.col("u").alias("n")).unionByName(
+            edges.select(F.col("v").alias("n"))
+        )
+        keep = (
+            nodes.groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= K)
+            .select("n")
+        )
+        edges = (
+            edges.join(keep.select(F.col("n").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    nodes = edges.select(F.col("u").alias("n")).unionByName(
+        edges.select(F.col("v").alias("n"))
+    )
+    return (
+        nodes.groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= K)
+        .select(F.col("n").alias("part_id"), F.col("deg").cast("long").alias("core_degree"))
     )

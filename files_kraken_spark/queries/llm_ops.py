@@ -174,6 +174,31 @@ jac AS (
 )
 """
 
+# Containment-path variant: docs with 1 <= tokens < k contribute their
+# WHOLE text as one shingle (pad_short contract — a sub-k doc pasted
+# into a book is the short-in-long case containment exists to catch).
+# Jaccard/MinHash keep the sub-k-docs-have-no-shingles convention above.
+_SQL_SHINGLES_PAD = f"""
+toks AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+    FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    UNION ALL
+    SELECT doc_id, array_to_string(t, ' ') AS shingle
+    FROM toks WHERE len(t) >= 1 AND len(t) < 3
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
 
 @register(
     "dedup_ngram_jaccard",
@@ -2594,7 +2619,7 @@ def t_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t_minhash_containment",
     oracle=f"""
-WITH {_SQL_SHINGLES}
+WITH {_SQL_SHINGLES_PAD}
 SELECT id_a, id_b,
        round(inter * 1.0 / s1.n, 6) AS cont_a,
        round(inter * 1.0 / s2.n, 6) AS cont_b
@@ -2607,9 +2632,12 @@ WHERE greatest(inter * 1.0 / s1.n, inter * 1.0 / s2.n) >= 0.9
     "if either side ≥ 0.9): catches the long-doc-swallows-short-doc "
     "case Jaccard misses — a paragraph pasted into a book is "
     "containment 1.0 from the paragraph's side but near-zero Jaccard. "
-    "Same shingle inverted-index join as the Jaccard query (only docs "
-    "sharing a shingle ever meet); at 100 TB the MinHash-LSH banding "
-    "feeds this as its exact-verify stage over candidates only.",
+    "Sub-k-token docs contribute their whole text as one shingle "
+    "(pad_short contract — without it the short side of short-in-long "
+    "is invisible). Same shingle inverted-index join as the Jaccard "
+    "query (only docs sharing a shingle ever meet); at 100 TB the "
+    "MinHash-LSH banding feeds this as its exact-verify stage over "
+    "candidates only, with max_shingle_df capping hot-shingle skew.",
 )
 def t_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -2867,38 +2895,11 @@ FROM rk WHERE rank <= 3
     "same downstream shape.",
 )
 def q_jaccard_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    sh = DD.shingle_sets(docs, "doc_id", "text", 3)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    pairs = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("j"))
-        .filter(F.col("j") >= 0.2)
-    )
-    und = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "j"
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "j")
-    )
-    w = Window.partitionBy("src").orderBy(F.col("j").desc(), F.col("dst"))
-    return (
-        und.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("src", "dst", "rank", F.round("j", 6).alias("jaccard"))
+    # max_shingle_df=None here so the oracle replay stays exact; the
+    # operator's knob is the production path for skewed corpora
+    return DD.jaccard_knn_graph(
+        docs, "doc_id", "text", k=3, knn=3, floor=0.2, max_shingle_df=None
     )
 
 
@@ -2926,7 +2927,12 @@ FROM dev CROSS JOIN mad
     "Arrow batch path (ArrowEvalPython, numpy element-wise doubles) "
     "is bit-identical to the SQL oracle and never row-at-a-time. "
     "Feature extraction and the median/MAD stats stay in Catalyst; "
-    "the two 1-row stats frames are broadcast back.",
+    "the two 1-row stats frames are broadcast back. Scale knob: the "
+    "six exact percentile() aggregates buffer values per group — kept "
+    "for bit-exact oracle replay; at 100 TB swap each for "
+    "approx_percentile(col, 0.5, 10000), a one-pass fixed-memory "
+    "sketch with the same plan shape (SCALING.md, 'Exact vs "
+    "approximate percentiles').",
 )
 def t_udf_isolation_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -3190,12 +3196,27 @@ w{k} AS (
 m{k} AS (SELECT max(abs(w)) AS m FROM w{k}),
 v{k} AS (
   SELECT dim,
-         CAST(((abs(w) * {scale}) // m) * (CASE WHEN w < 0 THEN -1 ELSE 1 END) AS BIGINT) AS vq
+         CAST((abs(w) // greatest(m // {scale}, 1)) * (CASE WHEN w < 0 THEN -1 ELSE 1 END) AS BIGINT) AS vq
   FROM w{k} CROSS JOIN m{k}
 )"""
         prev = f"v{k}"
     s += f"\nSELECT dim, vq FROM {prev}"
     return s
+
+
+def _pc_projection_sql(iters: int = 3, scale: int = 10000, topk: int = 20) -> str:
+    """Unrolled replay of the power iteration PLUS the per-vector
+    projection onto the final component — all int64, ending in a
+    deterministic top-k by |projection| (vec_id tiebreak)."""
+    base = _power_iteration_sql(iters, scale)
+    base = base[: base.rindex("\nSELECT dim, vq FROM")]
+    return base + f""",
+proj AS (
+  SELECT e.vec_id, sum(e.xq * v.vq) AS proj_fp
+  FROM exq e JOIN v{iters} v USING (dim) GROUP BY 1
+)
+SELECT vec_id, CAST(proj_fp AS BIGINT) AS proj_fp
+FROM proj ORDER BY abs(proj_fp) DESC, vec_id LIMIT {topk}"""
 
 
 @register(
@@ -3238,25 +3259,25 @@ GROUP BY 1
     doc="Tokenizer-coverage audit: per-source out-of-vocabulary rate "
     "against the corpus top-40 vocabulary (the synthetic corpus has a "
     "tiny vocabulary; production uses the tokenizer's real vocab "
-    "table). The top-k vocab is built with the DISTRIBUTED "
-    "global_row_number (freq desc, token tiebreak) — no unpartitioned "
-    "window — then broadcast against the token stream: one left join, "
-    "one keyed agg. High OOV flags a source the tokenizer will "
-    "shred into bytes — checked before it enters the mix.",
+    "table). The top-k vocab is orderBy(freq desc, token).limit(k) — "
+    "TakeOrderedAndProject: per-partition heaps and a metadata-sized "
+    "reduction, no range exchange, no scratch spill; deterministic "
+    "given the token tiebreak. Then broadcast against the token "
+    "stream: one left join, one keyed agg. At a real 10⁸-term "
+    "vocabulary the difference vs a global rank is a full "
+    "shuffle+sort vs a heap merge. High OOV flags a source the "
+    "tokenizer will shred into bytes — checked before it enters the mix.",
 )
 def t_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ranks import global_row_number
-
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "source",
         F.explode(T.tokens(T.normalize_text(F.col("text")))).alias("tk"),
     )
     freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("n"))
-    ranked = global_row_number(
-        freq, [F.col("n").desc(), F.col("tk")], out_col="rk"
+    vocab = (
+        freq.orderBy(F.col("n").desc(), F.col("tk")).limit(40).select("tk")
     )
-    vocab = ranked.filter(F.col("rk") <= 40).select("tk")
     return (
         tok.join(F.broadcast(vocab.withColumn("__in", F.lit(1))), "tk", "left")
         .groupBy("source")
@@ -3275,5 +3296,589 @@ def t_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_tokens").cast("double"),
                 6,
             ).alias("oov_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions: corpus-curation audits and sampling ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_score_calibrate",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         (least(len({_SQL_TOKENS.format(col='text')}) / 50.0, 1.0)
+          + (1.0 - least(coalesce(
+               length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))
+                 * 1.0 / nullif(length(text), 0), 0.0) * 5.0, 1.0))
+          + (CASE WHEN coalesce(list_sum(list_transform({_SQL_TOKENS.format(col='text')},
+                                 x -> length(x))) * 1.0
+                       / nullif(len({_SQL_TOKENS.format(col='text')}), 0), 0.0)
+                      BETWEEN 3.0 AND 8.0
+               THEN 1.0 ELSE 0.5 END)) / 3.0 AS q
+  FROM documents
+),
+st AS (SELECT source, min(q) AS lo, max(q) AS hi FROM scored GROUP BY 1)
+SELECT s.doc_id, s.source,
+       round(CASE WHEN st.hi > st.lo THEN (s.q - st.lo) / (st.hi - st.lo)
+                  ELSE 0.5 END, 6) AS calibrated
+FROM scored s JOIN st USING (source)
+""",
+    doc="Per-source min-max score calibration: quality scores are only "
+    "comparable WITHIN a source (different boilerplate/length profiles "
+    "shift the raw distribution), so cross-source sampling weights need "
+    "each source mapped onto a common [0,1] scale first. min/max are "
+    "ORDER-INDEPENDENT aggregates (unlike sums, no float accumulation "
+    "ambiguity), so the per-source stats frame is bit-exact on both "
+    "engines; it is tiny (one row per source) and broadcast back. "
+    "Degenerate single-valued sources pin to 0.5.",
+)
+def t_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", T.quality_score(F.col("text")).alias("q")
+    )
+    st = scored.groupBy("source").agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    )
+    return scored.join(F.broadcast(st), "source").select(
+        "doc_id",
+        "source",
+        F.round(
+            F.when(
+                F.col("hi") > F.col("lo"),
+                (F.col("q") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+            ).otherwise(F.lit(0.5)),
+            6,
+        ).alias("calibrated"),
+    )
+
+
+@register(
+    "t_stratified_sample",
+    oracle="""
+WITH rated AS (
+  SELECT source,
+         0.05 + 0.90 * ((CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 1000) / 1000.0) AS rate
+  FROM (SELECT DISTINCT source FROM documents)
+),
+hashed AS (
+  SELECT d.doc_id, d.source, r.rate,
+         (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || d.source), 1, 8)) AS BIGINT)
+          / 4294967296.0) AS u
+  FROM documents d JOIN rated r USING (source)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(any_value(rate), 6) AS rate
+FROM hashed
+GROUP BY 1
+""",
+    doc="Deterministic stratified sampling: each source gets a sampling "
+    "rate (here derived from a hash of the source name; production "
+    "passes a curated rate table) and each doc an md5-uniform u in "
+    "[0,1) from its (id, source) key — keep iff u < rate. Hash-based "
+    "Bernoulli is reproducible across runs/engines/partitionings "
+    "(rand() is none of those) and needs no shuffle at all: the rate "
+    "table is a broadcast dim, the decision is a per-row projection. "
+    "The audit output is per-source totals; the keep decision itself "
+    "is the same predicate inlined in a sampling pipeline.",
+)
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rated = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                F.lit(0.05)
+                + F.lit(0.90)
+                * ((DD.md5_hash64(F.col("source")) % 1000) / F.lit(1000.0))
+            ).alias("rate"),
+        )
+    )
+    hashed = docs.join(F.broadcast(rated), "source").select(
+        "source",
+        "rate",
+        (
+            DD.md5_hash64(
+                F.concat_ws("|", F.col("doc_id").cast("string"), F.col("source"))
+            )
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    return hashed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("u") < F.col("rate"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.round(F.first("rate"), 6).alias("rate"),
+    )
+
+
+@register(
+    "t_ngram_novelty",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+spread AS (
+  SELECT shingle, count(*) AS n_src FROM sh GROUP BY 1
+)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN p.n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN p.n_src = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty
+FROM sh s JOIN spread p USING (shingle)
+GROUP BY 1
+""",
+    doc="Per-source n-gram novelty: the fraction of a source's distinct "
+    "3-word shingles that appear in NO other source — near 0 flags a "
+    "source that is a re-crawl/mirror of ones already in the mix "
+    "(adding volume, not diversity); near 1 flags genuinely new text. "
+    "Shape: distinct (source, shingle) explode, one groupBy on the "
+    "shingle (n_src is a partial-aggregated count), one groupBy back "
+    "on source — the same inverted-index backbone as the dedup "
+    "family, aggregated at source rather than document granularity.",
+)
+def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", T.tokens(F.col("text")).alias("__toks"))
+    sh = toks.select(
+        "source",
+        F.explode(T.shingles_from_tokens(F.col("__toks"), 3)).alias("shingle"),
+    ).distinct()
+    spread = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_src"))
+    return (
+        sh.join(spread, "shingle")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("n_src") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "t_context_pack",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, len({_SQL_TOKENS.format(col='text')}) AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM toks
+),
+packed AS (
+  SELECT source, CAST((cum_tok - 1) // 512 AS BIGINT) AS pack_id, n_tok
+  FROM cum WHERE n_tok > 0
+)
+SELECT source, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM packed GROUP BY 1, 2
+""",
+    doc="Context-window packing: assign documents (in stable doc_id "
+    "order, per source) to fixed token-budget packs of 512 — the "
+    "sequence-assembly step of a pretraining pipeline, where docs are "
+    "concatenated into training windows without splitting documents. "
+    "pack_id = floor((inclusive running token total − 1)/budget): a "
+    "pure window cumsum PARTITIONED by source (scale-safe — no global "
+    "window; sources are the natural parallel unit and packing order "
+    "only needs to be stable within one). Integer arithmetic end to "
+    "end. Boundary docs straddle packs by design (greedy first-fit "
+    "is a sequential fold — this cumsum shard is the distributed "
+    "standard; at 100 TB each source partition packs independently).",
+)
+def t_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", T.token_count(F.col("text")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+    packed = cum.filter(F.col("n_tok") > 0).select(
+        "source",
+        # integer div on BOTH engines — float-divide-then-cast differs
+        # (DuckDB CAST rounds, Spark cast truncates)
+        F.expr("(cum_tok - 1) div 512").cast("long").alias("pack_id"),
+        "n_tok",
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "t_entropy_score",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+                                       i -> substr(text, i, 1))) AS ch
+  FROM documents WHERE length(text) > 0
+),
+counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+terms AS (
+  SELECT doc_id,
+         CAST(round(c * ln(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS term_fp,
+         c
+  FROM counts
+)
+SELECT doc_id,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - (CAST(sum(term_fp) AS DOUBLE) / 1000000.0) / CAST(sum(c) AS DOUBLE),
+             6) AS entropy
+FROM terms GROUP BY 1
+""",
+    doc="Character-distribution Shannon entropy per document (nats): "
+    "low entropy flags repetitive junk (progress bars, base64 walls, "
+    "keyboard mash) that length/punct heuristics miss. Identity used: "
+    "H = ln(n) − (Σ c·ln c)/n, with the per-char term FIXED-POINT "
+    "integerized (round(c·ln c·1e6) as int64) so the Σ across a "
+    "document's characters is an EXACT integer sum — float summation "
+    "order across engines/partitions can never change the result "
+    "(each term is per-row IEEE math, bit-equal on both engines; only "
+    "the reduction needed protection). One explode + two keyed "
+    "groupBys, all partial-aggregated.",
+)
+def t_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text")),
+                lambda i: F.col("text").substr(i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    terms = counts.select(
+        "doc_id",
+        "c",
+        F.round(F.col("c") * F.log(F.col("c").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("term_fp"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - (F.sum("term_fp").cast("double") / F.lit(1e6))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("entropy")
+    )
+
+
+@register(
+    "dedup_overlap_coeff",
+    oracle=f"""
+WITH {_SQL_SHINGLES}
+SELECT id_a, id_b, round(inter * 1.0 / least(s1.n, s2.n), 6) AS overlap
+FROM pairs
+JOIN sizes s1 ON s1.doc_id = id_a
+JOIN sizes s2 ON s2.doc_id = id_b
+WHERE inter * 1.0 / least(s1.n, s2.n) >= 0.7
+""",
+    doc="Overlap-coefficient near-dup pairs |A∩B|/min(|A|,|B|) ≥ 0.7 — "
+    "the third Broder-family measure: 1.0 whenever either side's "
+    "shingles are a subset of the other's regardless of size ratio "
+    "(catches template instantiations Jaccard dilutes), symmetric "
+    "unlike directed containment. Shares the inverted-index backbone "
+    "and max_shingle_df hot-shingle cap with the Jaccard/containment "
+    "siblings (operators/dedup._shingle_pair_stats).",
+)
+def dedup_overlap_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_overlap_pairs(docs, "doc_id", "text", k=3, threshold=0.7)
+    return pairs.select("id_a", "id_b", F.round("overlap", 6).alias("overlap"))
+
+
+_EST_TERMS = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+
+
+@register(
+    "t_minhash_est_vs_exact",
+    oracle=f"""
+WITH {_SQL_SHINGLES},
+{_minhash_sql(16, 42).strip().lstrip()},
+cand AS (SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5),
+est AS (
+  SELECT c.id_a, c.id_b, c.jaccard,
+         ({_EST_TERMS}) / 16.0 AS est_j
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+       round(jaccard, 6) AS exact_j,
+       est_j,
+       round(abs(est_j - jaccard), 6) AS abs_err
+FROM est
+""",
+    doc="Sketch-accuracy audit: MinHash-estimated Jaccard (fraction of "
+    "agreeing components across the 16-permutation signature) against "
+    "exact shingle Jaccard for every pair ≥ 0.5 — the measurement "
+    "that justifies banding parameters before a 100 TB run (E[est] = "
+    "J, σ = sqrt(J(1−J)/k); k=16 ⇒ σ ≈ 0.12 at J=0.8, so bands must "
+    "over-generate and the exact verify stage is not optional). "
+    "Signatures and exact pairs both derive from one shingle explode; "
+    "est is an exact multiple of 1/16 (no float ambiguity).",
+)
+def t_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    sig = DD.minhash_signatures(docs, "doc_id", "text", k_shingle=3, num_hashes=16)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)]
+    )
+    matches = None
+    for i in range(16):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("exact_j"),
+            (matches / F.lit(16.0)).alias("est_j"),
+            F.round(F.abs(matches / F.lit(16.0) - F.col("jaccard")), 6).alias(
+                "abs_err"
+            ),
+        )
+    )
+
+
+@register(
+    "t_dup_cluster_sizes",
+    oracle=f"""
+WITH RECURSIVE {_SQL_SHINGLES.strip().rstrip()},
+jpairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+          UNION ALL SELECT id_b, id_a FROM jpairs),
+reach(n, m) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n
+),
+comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+csizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM csizes GROUP BY 1
+""",
+    doc="Near-dup cluster size distribution: connected components over "
+    "the Jaccard≥0.8 graph, then a histogram of component sizes — the "
+    "curator-facing shape report (a heavy tail of giant clusters "
+    "means boilerplate/mirroring; mostly pairs means true near-dups). "
+    "Spark runs iterative min-label propagation with an O(log n) "
+    "large/small-star fallback; the oracle replays it as a recursive-"
+    "CTE transitive closure. Dedup volume impact reads directly off "
+    "this table: Σ (size−1)·n_clusters docs would be dropped.",
+)
+def t_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    comp = DD.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    ).select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters")
+
+
+@register(
+    "emb_pc_outliers",
+    oracle=_pc_projection_sql(3, 10000, 20),
+    doc="Spectral outliers: each embedding's projection onto the "
+    "power-iteration top principal direction (exact int64 dot product "
+    "of the fixed-point matrix row with the fixed-point component), "
+    "top-20 by |projection| — vectors dominating the top PC are "
+    "cluster-collapsing outliers / duplicated boilerplate embeddings "
+    "that curation inspects first. The d-row component broadcasts; "
+    "the projection is one keyed agg; top-k is TakeOrderedAndProject "
+    "(per-partition heaps, no global sort).",
+)
+def emb_pc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = SIM.power_iteration_top_pc(
+        emb, id_col="vec_id", vec_col="embedding", iters=3, scale=10000
+    )
+    exq = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("x").cast("double") * 10000, 0).cast("long").alias("xq"),
+    )
+    proj = (
+        exq.join(F.broadcast(v), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("xq") * F.col("vq")).alias("proj_fp"))
+    )
+    return (
+        proj.orderBy(F.abs(F.col("proj_fp")).desc(), "vec_id")
+        .limit(20)
+        .select("vec_id", F.col("proj_fp").cast("long").alias("proj_fp"))
+    )
+
+
+@register(
+    "t_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '')) AS tk
+  FROM documents
+),
+freq AS (SELECT tk, count(*) AS n FROM tok GROUP BY 1),
+total AS (SELECT count(*) AS big_n FROM tok),
+terms AS (
+  SELECT t.doc_id,
+         CAST(round(ln(f.n * 1.0 / s.big_n) * 1000000.0, 0) AS BIGINT) AS lp_fp
+  FROM tok t JOIN freq f USING (tk) CROSS JOIN total s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(-(CAST(sum(lp_fp) AS DOUBLE) / 1000000.0) / count(*), 6) AS avg_nll
+FROM terms GROUP BY 1
+""",
+    doc="Unigram language-model scoring: corpus MLE token probabilities, "
+    "per-document average negative log-likelihood — the cheapest "
+    "perplexity proxy; docs whose own corpus scores them as improbable "
+    "are gibberish/OCR junk, docs scoring extremely probable are "
+    "boilerplate (both tails get reviewed). Per-token log-prob terms "
+    "are FIXED-POINT integerized (round(ln p·1e6) as int64), so the "
+    "per-doc Σ is an exact integer reduction — summation order across "
+    "partitions cannot move the score. Every doc token is in-vocab by "
+    "construction (the LM is the corpus itself) — no smoothing term. "
+    "Plan: token explode, one freq groupBy, a 1-row total broadcast, "
+    "one join back keyed on token (shuffle join at 100 TB vocab; "
+    "Catalyst/AQE broadcasts while the dictionary fits), one doc agg.",
+)
+def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(T.tokens(T.normalize_text(F.col("text")))).alias("tk"),
+    )
+    freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("n"))
+    total = tok.agg(F.count(F.lit(1)).alias("big_n"))
+    terms = (
+        tok.join(freq, "tk")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("n") * F.lit(1.0) / F.col("big_n")) * 1e6, 0
+            )
+            .cast("long")
+            .alias("lp_fp"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            -(F.sum("lp_fp").cast("double") / F.lit(1e6))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_nll"),
+    )
+
+
+@register(
+    "emb_dim_fidelity",
+    oracle=f"""
+WITH u AS (
+  SELECT vec_id,
+         {_SQL_UNIT.format(a='embedding')} AS un,
+         {_SQL_UNIT.format(a='embedding[1:16]')} AS un16
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, un AS qu, un16 AS qu16 FROM u WHERE vec_id < 5),
+full_scored AS (
+  SELECT q_id, c.vec_id AS cand_id,
+         {_SQL_DOT.format(a='qu', b='c.un')} AS cos
+  FROM u c, q WHERE c.vec_id <> q_id
+),
+full_rk AS (
+  SELECT q_id, cand_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+  FROM full_scored
+),
+full_top AS (SELECT q_id, cand_id FROM full_rk WHERE rn <= 10),
+tr_scored AS (
+  SELECT q_id, c.vec_id AS cand_id,
+         {_SQL_DOT.format(a='qu16', b='c.un16')} AS cos
+  FROM u c, q WHERE c.vec_id <> q_id
+),
+tr_rk AS (
+  SELECT q_id, cand_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+  FROM tr_scored
+),
+tr_top AS (SELECT q_id, cand_id FROM tr_rk WHERE rn <= 10)
+SELECT f.q_id, CAST(count(t.cand_id) AS BIGINT) AS n_overlap
+FROM full_top f LEFT JOIN tr_top t USING (q_id, cand_id)
+GROUP BY 1
+""",
+    doc="Dimension-truncation fidelity (the Matryoshka-embedding "
+    "question): for each query, how many of the exact top-10 cosine "
+    "neighbors survive when vectors are truncated to their first 16 "
+    "dims and renormalized? Answers whether a cheap low-dim prefilter "
+    "can front an exact reranker — overlap ≈ 10 means the 4× cheaper "
+    "scan loses nothing; low overlap means these embeddings don't "
+    "front-load information and IVF/PQ is the right compression "
+    "instead. Both rankings share one normalization pass; the overlap "
+    "join is on (query, candidate) keys only.",
+)
+def emb_dim_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    tr = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    full_top = SIM.cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+    tr_top = SIM.cosine_topk(tr.filter(F.col("vec_id") < 5), tr, k=10)
+    return (
+        full_top.join(tr_top, ["q_id", "cand_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .join(full_top.select("q_id").distinct(), "q_id", "right")
+        .select(
+            "q_id", F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_overlap")
         )
     )

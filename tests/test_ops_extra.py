@@ -77,6 +77,76 @@ def test_ngram_df_cap_conservative(spark):
     assert capped <= exact  # cap never invents pairs
 
 
+def test_containment_df_cap_conservative(spark):
+    from files_kraken_spark.operators.dedup import ngram_containment_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "unrelated text entirely here now")],
+        ["doc_id", "text"],
+    )
+    exact = {(r["id_a"], r["id_b"]) for r in
+             ngram_containment_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in
+              ngram_containment_pairs(docs, "doc_id", "text", threshold=0.5,
+                                      max_shingle_df=10).collect()}
+    assert exact == {(1, 2)}
+    assert capped <= exact  # cap never invents pairs
+
+
+def test_containment_short_doc_pad(spark):
+    """Round-7 contract: docs with < k tokens contribute their whole
+    text as ONE shingle in the containment path, so the short side of
+    short-in-long is detectable (a 2-word doc inside a book must score
+    containment 1.0 from its side)."""
+    from files_kraken_spark.operators.dedup import ngram_containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa"),  # sub-k doc (k=2 below would be 1 token)
+            (2, "aa"),  # identical sub-k doc -> containment (1.0, 1.0)
+            (3, "big book text aa bb cc dd"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["cont_a"], r["cont_b"])
+        for r in ngram_containment_pairs(
+            docs, "doc_id", "text", k=2, threshold=0.0
+        ).collect()
+    }
+    assert got[(1, 2)] == (1.0, 1.0)
+    # jaccard path keeps the no-shingle convention: sub-k docs never pair
+    from files_kraken_spark.operators.dedup import ngram_jaccard_pairs
+
+    jac = {(r["id_a"], r["id_b"]) for r in
+           ngram_jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.0).collect()}
+    assert (1, 2) not in jac
+
+
+def test_jaccard_knn_graph_cap_and_shape(spark):
+    from files_kraken_spark.operators.dedup import jaccard_knn_graph
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, base + " other"), (4, "nothing shared here at all")],
+        ["doc_id", "text"],
+    )
+    rows = jaccard_knn_graph(docs, "doc_id", "text", knn=2, floor=0.1).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    assert set(by_src) == {1, 2, 3}
+    for members in by_src.values():
+        assert sorted(m["rank"] for m in members) == list(range(1, len(members) + 1))
+        assert len(members) <= 2
+    capped = jaccard_knn_graph(
+        docs, "doc_id", "text", knn=2, floor=0.1, max_shingle_df=1
+    ).collect()
+    # every shingle here is shared by >=2 docs -> cap removes all candidates
+    assert {(r["src"], r["dst"]) for r in capped} <= {(r["src"], r["dst"]) for r in rows}
+
+
 def test_shingle_impls_agree(spark):
     from files_kraken_spark.operators.dedup import shingle_sets
 
@@ -95,6 +165,16 @@ def test_shingle_impls_agree(spark):
     assert a == b
     assert (1, "a b c") in a and (5, "dup dup dup") in a
     assert not [t for t in a if t[0] in (3, 4)]
+    # pad_short: both impls give sub-k docs their whole text as one
+    # shingle; empty docs still get nothing
+    ap = sorted(map(tuple, shingle_sets(
+        df, "doc_id", "text", 3, impl="expr", pad_short=True).collect()))
+    bp = sorted(map(tuple, shingle_sets(
+        df, "doc_id", "text", 3, impl="arrow", pad_short=True).collect()))
+    assert ap == bp
+    assert (3, "short one") in ap
+    assert not [t for t in ap if t[0] == 4]
+    assert set(ap) - set(a) == {(3, "short one")}
 
 
 def test_multimodal_resize_and_decode_gate(spark):
@@ -991,3 +1071,38 @@ def test_pii_scrub_and_counts(spark):
         *[pii_count(pii_scrub(F.col("t")), k).alias(k) for k in PII_PATTERNS]
     ).collect()
     assert all(v == 0 for r in resid for v in r.asDict().values())
+
+
+def test_overlap_pairs_subset_scores_one(spark):
+    """Overlap coefficient must hit exactly 1.0 when one doc's shingle
+    set is a subset of the other's — the case Jaccard dilutes."""
+    from files_kraken_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_overlap_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "unrelated words entirely different here"),
+        ],
+        ["doc_id", "text"],
+    )
+    ov = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in ngram_overlap_pairs(docs, "doc_id", "text", k=3, threshold=0.0).collect()
+    }
+    assert ov[(1, 2)] == 1.0
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.5  # same pair, diluted by the size ratio
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_overlap_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.0, max_shingle_df=1
+        ).collect()
+    }
+    assert capped <= set(ov)  # cap never invents pairs

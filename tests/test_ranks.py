@@ -131,3 +131,75 @@ def test_dense_rank_nulls_last(spark):
         for r in df.withColumn("dr", F.dense_rank().over(w)).collect()
     }
     assert got == want
+
+
+def test_pin_lifecycle_rotation_and_release(spark):
+    """Round-6 advice: pin directories are tracked, rotated beyond the
+    cap, and releasable via the manual hook — a long-lived session's
+    scratch disk is bounded instead of growing per call."""
+    import os
+
+    from files_kraken_spark.operators import ranks as R
+
+    R.release_pins()  # isolate from earlier tests in the session
+    assert R._PIN_DIRS == []
+
+    spark.conf.set("spark.files_kraken.scratch_max_pins", "3")
+    try:
+        frames = []
+        for i in range(5):
+            df = spark.range(0, 100 + i)
+            frames.append(R.pin_frame(df))
+        # rotation kept only the newest 3 pin dirs on disk
+        assert len(R._PIN_DIRS) == 3
+        for p in R._PIN_DIRS:
+            assert os.path.isdir(p)
+        # the newest pins are still readable
+        assert frames[-1].count() == 104
+        # manual release removes everything and reports the count
+        n = R.release_pins()
+        assert n == 3
+        assert R._PIN_DIRS == []
+    finally:
+        spark.conf.unset("spark.files_kraken.scratch_max_pins")
+
+
+def test_pin_frame_roundtrip(spark):
+    from files_kraken_spark.operators import ranks as R
+
+    df = spark.range(0, 50).withColumn("v", (F.col("id") * 7) % 13)
+    pinned = R.pin_frame(df)
+    assert sorted(map(tuple, pinned.collect())) == sorted(map(tuple, df.collect()))
+    R.release_pins()
+
+
+def test_global_prefix_min_matches_window(spark):
+    from files_kraken_spark.operators.ranks import global_prefix_min
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") * 37 % 1009).alias("k"),
+        ((F.col("id") * 91) % 500 - 250).cast("long").alias("v"),
+        "id",
+    ).groupBy("k").agg(F.min("v").alias("v"))  # unique order key
+    got = {
+        r["k"]: r["pm"]
+        for r in global_prefix_min(df, [F.col("k")], "v", out_col="pm").collect()
+    }
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["k"]: r["pm"]
+        for r in df.withColumn("pm", F.min("v").over(w)).collect()
+    }
+    assert got == want
+    from files_kraken_spark.operators import ranks as R
+
+    R.release_pins()
+
+
+def test_global_prefix_min_empty(spark):
+    from files_kraken_spark.operators.ranks import global_prefix_min
+
+    df = spark.range(0, 0).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    assert global_prefix_min(df, [F.col("k")], "v").count() == 0

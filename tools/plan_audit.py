@@ -49,6 +49,10 @@ ALLOWED_NESTED_LOOP = {
     "t_temperature_resample",  # 1-row weight-total broadcast vs per-source counts
     "t_bpe_tokenize_trained",  # 1-row merge-winner / merge-list broadcasts
     "q_bloom_filter",  # 1-row bitmap broadcast vs probe side
+    "q_decay_topk",  # 1-row max-day anchor broadcast vs event stream
+    "emb_pc_outliers",  # inherits emb_top_pc_power's 1-row renorm broadcast
+    "t_unigram_logprob",  # 1-row corpus-token-total broadcast
+    "emb_dim_fidelity",  # broadcast query set vs corpus, both rankings (cosine_topk shape)
     # round-5 departitioned global windows: the BNLJ sides are a 1-row
     # total count (ntile / percent_rank arithmetic) or a tiny
     # distinct-value / per-day frame (dense_rank grid, 30-day range
