@@ -1148,3 +1148,92 @@ def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("deg") >= K)
         .select(F.col("n").alias("part_id"), F.col("deg").cast("long").alias("core_degree"))
     )
+
+
+@register(
+    "q_gap_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events
+),
+tagged AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island, count(*) AS run_len
+  FROM tagged GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(max(run_len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY 1
+""",
+    doc="Gaps-and-islands: per user, maximal runs of consecutive active "
+    "days (day − per-user row_number is constant within a run — the "
+    "classic islands identity), reporting streak count and longest "
+    "streak. The engagement/retention primitive behind 'N-day streak' "
+    "features. All windows are PARTITIONED by user (the natural "
+    "parallel unit); integer day buckets from the nanos timestamps.",
+)
+def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr("ts div 86400000000000").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    tagged = days.withColumn("island", F.col("d") - F.row_number().over(w))
+    runs = tagged.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_len").cast("long").alias("longest_streak"),
+    )
+
+
+@register(
+    "q_mode_per_group",
+    oracle="""
+WITH cnt AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT c_mktsegment, o_orderpriority, n,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY n DESC, o_orderpriority) AS rn
+  FROM cnt
+)
+SELECT c_mktsegment, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+FROM rk WHERE rn = 1
+""",
+    doc="Deterministic mode aggregate: the most frequent order priority "
+    "per market segment, ties broken lexicographically (engines' "
+    "native mode()/any_value tie behavior is unspecified — the "
+    "count-then-rank formulation pins it). Two keyed aggs + a window "
+    "PARTITIONED by segment over a tiny (segments × priorities) "
+    "frame; the orders-customer join broadcasts the dimension side.",
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cnt = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

@@ -3882,3 +3882,101 @@ def emb_dim_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_overlap")
         )
     )
+
+
+def _band_case_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    whens = "\n           ".join(
+        "WHEN {b} THEN concat_ws('_', {b}, {cols})".format(
+            b=bi, cols=", ".join(f"mh{bi * rows + r}" for r in range(rows))
+        )
+        for bi in range(bands)
+    )
+    return f"CASE u.b\n           {whens}\n         END"
+
+
+@register(
+    "t_lsh_recall_audit",
+    oracle=f"""
+WITH {_SQL_SHINGLES},
+{_minhash_sql(16, 42).strip().lstrip()},
+bands AS (
+  SELECT doc_id,
+         {_band_case_sql(16, 4)} AS band_key
+  FROM sig, UNNEST([0, 1, 2, 3]) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+ex AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8)
+SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM ex e JOIN cand c USING (id_a, id_b)) AS BIGINT) AS n_recalled,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates
+""",
+    doc="LSH banding recall audit: of the exact Jaccard≥0.8 pairs, how "
+    "many does the 16-hash/4-band candidate stage actually produce — "
+    "and at what candidate volume? The companion to the "
+    "estimate-accuracy audit: together they justify (num_hashes, "
+    "bands) before a 100 TB run, where a recall miss is silent data "
+    "corruption (dups survive) and candidate volume is the job cost. "
+    "Band keys are identical to the production _signature_bands "
+    "composite (asserted by the shared constants); the three counts "
+    "collapse to 1-row aggregates joined scalar-wise.",
+)
+def t_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = DD.shingle_sets(docs, "doc_id", "text", 3).persist()
+    banded = DD._signature_bands(sh, "doc_id", 16, 4, 42)
+    a = banded.select(F.col("doc_id").alias("id_a"), "band_key")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band_key")
+    cand = (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .persist()
+    )
+    exact = DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8).persist()
+    recalled = exact.join(cand, ["id_a", "id_b"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(recalled.agg(F.count(F.lit(1)).alias("n_recalled")))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+    )
+
+
+@register(
+    "t_shard_skew_audit",
+    oracle="""
+WITH sharded AS (
+  SELECT (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32) AS shard_id,
+         n_chars
+  FROM documents
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_bytes
+FROM sharded GROUP BY 1
+""",
+    doc="Export-shard skew audit: hash documents into 32 shards with the "
+    "portable md5 hash (the same function a sharded writer uses) and "
+    "report per-shard doc and byte volume — run BEFORE a 100 TB "
+    "export to confirm the shard key spreads bytes, not just rows "
+    "(a few giant docs can skew bytes 10x on uniform row counts, and "
+    "the slowest shard is the job's wall clock). One keyed agg; "
+    "reading max/mean off 32 rows is the caller's division.",
+)
+def t_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            (DD.md5_hash64(F.col("doc_id").cast("string")) % 32).alias("shard_id"),
+            "n_chars",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_bytes"),
+        )
+    )

@@ -53,6 +53,7 @@ ALLOWED_NESTED_LOOP = {
     "emb_pc_outliers",  # inherits emb_top_pc_power's 1-row renorm broadcast
     "t_unigram_logprob",  # 1-row corpus-token-total broadcast
     "emb_dim_fidelity",  # broadcast query set vs corpus, both rankings (cosine_topk shape)
+    "t_lsh_recall_audit",  # three 1-row count aggregates joined scalar-wise
     # round-5 departitioned global windows: the BNLJ sides are a 1-row
     # total count (ntile / percent_rank arithmetic) or a tiny
     # distinct-value / per-day frame (dense_rank grid, 30-day range
