@@ -32,6 +32,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn):
+        # a duplicate name would silently REPLACE the earlier query
+        # (round-7 near-miss: a second t_stratified_sample clobbered
+        # the pipeline.py original) — fail loudly at import instead
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc)
         return fn
 
@@ -69,10 +74,11 @@ _SAMPLE_PRIORITY = [
     # -- new this round (round 7) --
     "t_ngram_novelty", "t_minhash_est_vs_exact", "t_entropy_score",
     "t_context_pack", "q_decay_topk", "t_score_calibrate",
-    "dedup_overlap_coeff", "t_stratified_sample", "q_skyline_orders",
+    "dedup_overlap_coeff", "t_stratified_sample_hash", "q_skyline_orders",
     "t_dup_cluster_sizes", "emb_pc_outliers", "t_unigram_logprob",
     "emb_dim_fidelity", "q_kcore_parts", "t_lsh_recall_audit",
     "t_shard_skew_audit", "q_gap_islands", "q_mode_per_group",
+    "q_cdc_compact", "q_last_touch_attribution",
     # -- driver-green tail, rough value order --
     "q_gap_fill_ffill", "q_linear_interpolate", "q_rolling_zscore",
     "q_ewma_halflife", "q_triangle_count", "q_fuzzy_match_blocked",

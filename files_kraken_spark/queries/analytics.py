@@ -1237,3 +1237,98 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+@register(
+    "q_cdc_compact",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, value, epoch_ns(ts) AS tns, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       event_type AS last_event,
+       round(value, 6) AS last_value,
+       CAST(tns AS BIGINT) AS last_ts_ns
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+""",
+    doc="CDC log compaction: collapse a keyed change stream to the "
+    "latest surviving row per key — newest (ts, event_id) wins, "
+    "'error' tombstones drop the key. The batch form of what a "
+    "MERGE-applying state store does per micro-batch (store.py's "
+    "upsert path); run it before bulk-loading a snapshot so the store "
+    "applies one row per key instead of the full history. Per-key "
+    "window (partitioned — keys are the parallel unit); the "
+    "(ts, event_id) composite makes ordering total, so compaction is "
+    "deterministic even with same-timestamp changes.",
+)
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event"),
+            F.round("value", 6).alias("last_value"),
+            F.col("ts").cast("long").alias("last_ts_ns"),
+        )
+    )
+
+
+@register(
+    "q_last_touch_attribution",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS tns, event_id,
+         CASE WHEN event_type IN ('view', 'click', 'signup')
+              THEN event_type END AS touch
+  FROM events WHERE event_type <> 'error'
+),
+carried AS (
+  SELECT user_id, event_type, tns, event_id,
+         last_value(touch IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY tns, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+  FROM tagged
+)
+SELECT coalesce(last_touch, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM carried
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+    doc="Last-touch attribution: each purchase is credited to the most "
+    "recent PRECEDING touch event (view/click/signup) of the same "
+    "user, 'direct' if none — the standard marketing-attribution "
+    "rollup. The carry-forward is last_value(IGNORE NULLS) over an "
+    "exclusive preceding frame, PARTITIONED per user (same shape as "
+    "the gap-fill family — no global window, no self-join against the "
+    "touch history). (ts, event_id) makes the order total.",
+)
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") != "error")
+    touch = F.when(
+        F.col("event_type").isin("view", "click", "signup"), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = ev.select(
+        "user_id",
+        "event_type",
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("last_touch", F.lit("direct")).alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )

@@ -3358,7 +3358,7 @@ def t_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "t_stratified_sample",
+    "t_stratified_sample_hash",
     oracle="""
 WITH rated AS (
   SELECT source,
@@ -3388,7 +3388,7 @@ GROUP BY 1
     "The audit output is per-source totals; the keep decision itself "
     "is the same predicate inlined in a sampling pipeline.",
 )
-def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t_stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     rated = (
         docs.select("source")
