@@ -1332,3 +1332,40 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("last_touch", F.lit("direct")).alias("channel"))
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
+
+
+@register(
+    "q_moving_quantile",
+    oracle="""
+SELECT event_id, event_type,
+       round(median(value) OVER (PARTITION BY event_type
+                                 ORDER BY epoch_ns(ts), event_id
+                                 ROWS BETWEEN 50 PRECEDING AND CURRENT ROW), 6)
+         AS rolling_median
+FROM events
+WHERE event_type IN ('view', 'purchase')
+""",
+    doc="Rolling median over the last 51 events per type — the "
+    "outlier-immune moving baseline (a rolling MEAN chases the spikes "
+    "an anomaly monitor wants to catch). Exact interpolated median "
+    "over a bounded ROWS frame, window PARTITIONED by event type with "
+    "a total (ts, event_id) order; the frame bound caps per-row state "
+    "at 51 values regardless of stream length. Same percentile/median "
+    "cross-engine equivalence contract as the t_winsorize family.",
+)
+def q_moving_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias(
+            "rolling_median"
+        ),
+    )

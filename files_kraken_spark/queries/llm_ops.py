@@ -3980,3 +3980,85 @@ def t_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_bytes"),
         )
     )
+
+
+@register(
+    "t_zipf_fit",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '')) AS tk
+  FROM documents
+),
+freq AS (SELECT tk, count(*) AS n FROM tok GROUP BY 1),
+topk AS (SELECT tk, n FROM freq ORDER BY n DESC, tk LIMIT 1000),
+rk AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tk) AS rank FROM topk
+),
+fp AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS y
+  FROM rk
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM fp
+)
+SELECT m AS n_terms,
+  round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+FROM mom
+""",
+    doc="Zipf-law fit: OLS slope of ln(freq) vs ln(rank) over the "
+    "top-1000 vocabulary — natural text sits near −1; a flat slope "
+    "flags templated/synthetic text, a cliff flags deduplication "
+    "residue. Ranks come from the distributed global_row_number over "
+    "the orderBy+limit top-k (TakeOrderedAndProject — the vocab side "
+    "is 1000 rows regardless of corpus size); the log coordinates are "
+    "FIXED-POINT integerized (round(ln·1e6) as int64, products "
+    "≤ 4e17) so the OLS moments are exact integer sums — the "
+    "q_group_regression moment pattern with the float-sum ambiguity "
+    "removed entirely. Slope derives from moments in identical double "
+    "shape on both engines; the 1e6 scaling cancels in cov/var.",
+)
+def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(T.tokens(T.normalize_text(F.col("text")))).alias("tk")
+    )
+    freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("n"))
+    topk = freq.orderBy(F.col("n").desc(), F.col("tk")).limit(1000)
+    rk = global_row_number(
+        topk, [F.col("n").desc(), F.col("tk")], out_col="rank"
+    )
+    fp = rk.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("y"),
+    )
+    mom = fp.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    md, sxd, syd, sxyd, sxxd = (
+        F.col("m").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+    )
+    return mom.select(
+        F.col("m").alias("n_terms"),
+        F.round(
+            (md * sxyd - sxd * syd) / (md * sxxd - sxd * sxd), 6
+        ).alias("zipf_slope"),
+    )
