@@ -79,7 +79,7 @@ _SAMPLE_PRIORITY = [
     "emb_dim_fidelity", "q_kcore_parts", "t_lsh_recall_audit",
     "t_shard_skew_audit", "q_gap_islands", "q_mode_per_group",
     "q_cdc_compact", "q_last_touch_attribution", "q_moving_quantile",
-    "t_zipf_fit",
+    "t_zipf_fit", "t_bigram_surprisal", "t_dataset_card",
     # -- driver-green tail, rough value order --
     "q_gap_fill_ffill", "q_linear_interpolate", "q_rolling_zscore",
     "q_ewma_halflife", "q_triangle_count", "q_fuzzy_match_blocked",

@@ -4062,3 +4062,140 @@ def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (md * sxyd - sxd * syd) / (md * sxxd - sxd * sxd), 6
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "t_bigram_surprisal",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+  WHERE len(t) >= 2
+),
+bfreq AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY 1, 2),
+lfreq AS (SELECT w1, count(*) AS nl FROM bg GROUP BY 1),
+terms AS (
+  SELECT g.doc_id,
+         CAST(round(ln(b.nb * 1.0 / l.nl) * 1000000.0, 0) AS BIGINT) AS lp_fp
+  FROM bg g JOIN bfreq b USING (w1, w2) JOIN lfreq l USING (w1)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-(CAST(sum(lp_fp) AS DOUBLE) / 1000000.0) / count(*), 6) AS avg_surprisal
+FROM terms GROUP BY 1
+""",
+    doc="Bigram conditional surprisal: per document, the average "
+    "-ln p(w2|w1) under corpus MLE bigram statistics (p = bigram "
+    "count / left-context count) — the next step up from the unigram "
+    "LM score: repeated boilerplate scores near zero (its bigrams "
+    "dominate their contexts), scrambled/OCR text scores high. No "
+    "smoothing needed: every doc bigram is in-corpus by construction. "
+    "Fixed-point per-bigram terms (round(ln p * 1e6) as int64) make "
+    "the per-doc reduction an exact integer sum. Plan: one bigram "
+    "explode, two freq groupBys, two keyed joins back (token-keyed "
+    "shuffles at 100 TB vocab), one doc agg — all partial-aggregated.",
+)
+def t_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", T.tokens(T.normalize_text(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bfreq = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
+    lfreq = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("nl"))
+    terms = (
+        bg.join(bfreq, ["w1", "w2"]).join(lfreq, "w1")
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("nb") * F.lit(1.0) / F.col("nl")) * 1e6, 0)
+            .cast("long")
+            .alias("lp_fp"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            -(F.sum("lp_fp").cast("double") / F.lit(1e6)) / F.count(F.lit(1)), 6
+        ).alias("avg_surprisal"),
+    )
+
+
+@register(
+    "t_dataset_card",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source, lang, n_chars,
+         (least(len({_SQL_TOKENS.format(col='text')}) / 50.0, 1.0)
+          + (1.0 - least(coalesce(
+               length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))
+                 * 1.0 / nullif(length(text), 0), 0.0) * 5.0, 1.0))
+          + (CASE WHEN coalesce(list_sum(list_transform({_SQL_TOKENS.format(col='text')},
+                                 x -> length(x))) * 1.0
+                       / nullif(len({_SQL_TOKENS.format(col='text')}), 0), 0.0)
+                      BETWEEN 3.0 AND 8.0
+               THEN 1.0 ELSE 0.5 END)) / 3.0 AS q,
+         len({_SQL_TOKENS.format(col='text')}) AS n_tok,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+dups AS (SELECT fp, count(*) AS nfp FROM scored GROUP BY 1)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s.n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(s.n_chars) AS BIGINT) AS n_chars,
+       round(CAST(sum(CAST(round(s.q * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / count(*), 6) AS mean_quality,
+       CAST(sum(CASE WHEN s.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(sum(CASE WHEN d.nfp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
+FROM scored s JOIN dups d USING (fp)
+GROUP BY 1
+""",
+    doc="Dataset-card rollup: the one-table per-source summary a corpus "
+    "release ships — doc/token/char volume, mean quality score, "
+    "English share, and exact-duplicate involvement. Mean quality "
+    "integerizes each per-row score (round(q*1e6) as int64) so the "
+    "cross-partition sum is exact — the recurring fixed-point-sum "
+    "trick; every other column is integer counting. One fingerprint "
+    "groupBy + one source groupBy, both partial-aggregated.",
+)
+def t_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        T.quality_score(F.col("text")).alias("q"),
+        T.token_count(F.col("text")).alias("n_tok"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    dups = scored.groupBy("fp").agg(F.count(F.lit(1)).alias("nfp"))
+    return (
+        scored.join(dups, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.round(
+                F.sum(F.round(F.col("q") * 1e6, 0).cast("long")).cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_quality"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("n_en"),
+            F.sum(F.when(F.col("nfp") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact_dup"),
+        )
+    )
