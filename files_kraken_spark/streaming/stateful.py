@@ -235,3 +235,64 @@ def streaming_band_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+GAP_SESSIONS_SCHEMA = (
+    "key string, session_start_ns bigint, session_end_ns bigint, n_events bigint"
+)
+
+
+def _make_gap_sessions(gap_ns: int):
+    def _gap_sessions(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Event-time gap sessionization across micro-batches: the open
+        session (start, last, n) lives in state; a new event further
+        than gap_ns from the session's last event CLOSES it (emitted)
+        and opens a new one. Emits closed sessions only — append-mode
+        safe; the still-open session survives in the checkpoint until
+        a later batch (or a timer, in the production variant) closes
+        it."""
+        ts: list[int] = []
+        for p in pdfs:
+            ts.extend(int(x) for x in p["ts"])
+        ts.sort()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple] = []
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last <= gap_ns:
+                last, n = t, n + 1
+            else:
+                closed.append((key[0], start, last, n))
+                start, last, n = t, t, 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["key", "session_start_ns", "session_end_ns", "n_events"],
+            )
+
+    return _gap_sessions
+
+
+def gap_sessions(grouped, gap_ns: int = 1_000_000_000) -> DataFrame:
+    """Streaming gap-based session windows via applyInPandasWithState:
+    per-key sessions close after ``gap_ns`` of event-time inactivity
+    and are emitted as (start, end, n_events) rows; the open session is
+    checkpointed state, so sessions MERGE across micro-batches (the
+    property a stateless per-batch sessionizer gets wrong). Batch twin:
+    the lag()-based `q_sessionize` registry query — same session
+    boundaries, computed with a window function when the data is at
+    rest. Production note: close idle sessions with an event-time
+    timer + watermark (EventTimeTimeout) so the last session of a key
+    eventually flushes; this variant keeps NoTimeout so the semantics
+    are exactly replayable in tests."""
+    return grouped.applyInPandasWithState(
+        _make_gap_sessions(gap_ns),
+        outputStructType=GAP_SESSIONS_SCHEMA,
+        stateStructType="start bigint, last bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -340,3 +340,42 @@ def test_streaming_band_candidates_occupancy_cap(spark, tmp_path):
     q.awaitTermination(120)
     pairs = {(r["id_a"], r["id_b"]) for r in spark.sql("SELECT * FROM capped").collect()}
     assert pairs == {(0, 1)}  # docs 2-4 arrived over the cap: frozen
+
+
+def test_gap_sessions_merge_across_batches(spark, tmp_path):
+    """A session spanning two micro-batches must MERGE via state: the
+    second batch's first event continues the open session from batch 1
+    instead of starting a new one."""
+    from files_kraken_spark.streaming.stateful import gap_sessions
+
+    src = tmp_path / "src_sess"
+    src.mkdir()
+    b1 = [{"key": "a", "ts": 0}, {"key": "a", "ts": 10}, {"key": "a", "ts": 100}]
+    b2 = [{"key": "a", "ts": 110}, {"key": "a", "ts": 500}, {"key": "b", "ts": 7}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    time.sleep(0.05)
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+
+    stream = (
+        spark.readStream.schema("key string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = gap_sessions(stream.groupBy("key"), gap_ns=20)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["key"], r["session_start_ns"], r["session_end_ns"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    # batch 1: {0,10} closes when 100 arrives. batch 2: 110 CONTINUES
+    # the open {100} session (state crossed the batch boundary), then
+    # 500 closes {100,110}. Open sessions (a@500, b@7) are not emitted.
+    assert rows == {("a", 0, 10, 2), ("a", 100, 110, 2)}
