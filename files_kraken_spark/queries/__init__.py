@@ -80,6 +80,7 @@ _SAMPLE_PRIORITY = [
     "t_shard_skew_audit", "q_gap_islands", "q_mode_per_group",
     "q_cdc_compact", "q_last_touch_attribution", "q_moving_quantile",
     "t_zipf_fit", "t_bigram_surprisal", "t_dataset_card",
+    "q_label_prop_communities", "t_weighted_reservoir",
     # -- driver-green tail, rough value order --
     "q_gap_fill_ffill", "q_linear_interpolate", "q_rolling_zscore",
     "q_ewma_halflife", "q_triangle_count", "q_fuzzy_match_blocked",

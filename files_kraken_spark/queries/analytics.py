@@ -1369,3 +1369,83 @@ def q_moving_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_median"
         ),
     )
+
+
+def _label_prop_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled synchronous label propagation: per round every node
+    adopts the most frequent label among its neighbors (count desc,
+    then MIN label — the tie rule that makes propagation
+    deterministic). Same fixed-round + AS MATERIALIZED conventions as
+    the k-core oracle."""
+    s = """
+WITH eraw AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS n, u AS lab FROM eraw)"""
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        s += f""",
+c{r} AS (
+  SELECT e.u AS n, l.lab, count(*) AS c
+  FROM eraw e JOIN {prev} l ON l.n = e.v
+  GROUP BY 1, 2
+),
+p{r} AS (
+  SELECT n, lab, row_number() OVER (PARTITION BY n ORDER BY c DESC, lab) AS rn
+  FROM c{r}
+),
+l{r} AS MATERIALIZED (SELECT n, lab FROM p{r} WHERE rn = 1)"""
+        prev = f"l{r}"
+    s += f"""
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
+FROM {prev} GROUP BY 1"""
+    return s
+
+
+@register(
+    "q_label_prop_communities",
+    oracle=_label_prop_oracle_sql(4),
+    doc="Community detection by synchronous label propagation over the "
+    "parts co-purchase graph: 4 fixed rounds, each node adopting its "
+    "neighbors' most frequent label with a (count desc, min label) "
+    "tie rule — the determinism fix for LPA's usually-random tie "
+    "breaking, which makes the iteration bit-replayable as unrolled "
+    "SQL (the PageRank fixed-round contract). Per round: one "
+    "edge-label join + one (node, label) count + one per-node "
+    "PARTITIONED rank — keyed shuffles only, no global window; "
+    "localCheckpoint cuts lineage per round. Output is the community "
+    "size histogram.",
+)
+def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ROUNDS = 4
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("u").alias("n")).distinct().withColumn(
+        "lab", F.col("n")
+    )
+    w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("lab"))
+    for _ in range(ROUNDS):
+        cnt = (
+            edges.join(labels.withColumnRenamed("n", "v"), "v")
+            .groupBy(F.col("u").alias("n"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("n", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

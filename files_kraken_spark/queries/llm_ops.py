@@ -4199,3 +4199,40 @@ def t_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_exact_dup"),
         )
     )
+
+
+@register(
+    "t_weighted_reservoir",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+             / 4294967297.0) / n_chars AS k
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, round(k, 6) AS sample_key
+FROM keyed ORDER BY k, doc_id LIMIT 50
+""",
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "A-ES): each doc draws key -ln(u)/w with u md5-uniform and "
+    "w = n_chars; the 50 smallest keys are an exact weight-"
+    "proportional sample — the length-weighted variant of the "
+    "hash-stratified sampler, and the standard one-pass distributed "
+    "algorithm (no sequential reservoir state: the key is a pure "
+    "per-row function, selection is a top-k). Hash-derived u makes "
+    "the sample reproducible across runs/engines/partitionings; "
+    "top-k is TakeOrderedAndProject (per-partition heaps). The +1 / "
+    "2^32+1 shift keeps u strictly inside (0,1).",
+)
+def t_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (DD.md5_hash64(F.col("doc_id").cast("string")) + F.lit(1.0)) / F.lit(
+        4294967297.0
+    )
+    k = -F.log(u) / F.col("n_chars")
+    keyed = docs.select("doc_id", k.alias("k"))
+    return (
+        keyed.orderBy("k", "doc_id")
+        .limit(50)
+        .select("doc_id", F.round("k", 6).alias("sample_key"))
+    )
