@@ -81,6 +81,9 @@ _SAMPLE_PRIORITY = [
     "q_cdc_compact", "q_last_touch_attribution", "q_moving_quantile",
     "t_zipf_fit", "t_bigram_surprisal", "t_dataset_card",
     "q_label_prop_communities", "t_weighted_reservoir",
+    "t_kn_bigram_logprob", "q_bfs_hops", "t_dp_count_release",
+    "t_curriculum_interleave", "sim_mips_norm_trick", "t_doc_pair_rouge2",
+    "t_quality_logistic", "q_watermark_lateness_audit",
     # -- driver-green tail, rough value order --
     "q_gap_fill_ffill", "q_linear_interpolate", "q_rolling_zscore",
     "q_ewma_halflife", "q_triangle_count", "q_fuzzy_match_blocked",

@@ -1449,3 +1449,161 @@ def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lab").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+def _bfs_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled multi-source BFS: sources at distance 0, each round
+    relaxes dist(v) = min(dist(v), min over in-neighbors dist(u)+1).
+    Same fixed-round + AS MATERIALIZED conventions as the k-core and
+    label-propagation oracles."""
+    s = """
+WITH eraw AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT u AS n, 0 AS d FROM eraw WHERE u % 97 = 0
+)"""
+    prev = "d0"
+    for r in range(1, rounds + 1):
+        s += f""",
+d{r} AS MATERIALIZED (
+  SELECT n, MIN(d) AS d FROM (
+    SELECT n, d FROM {prev}
+    UNION ALL
+    SELECT e.v AS n, p.d + 1 AS d FROM eraw e JOIN {prev} p ON p.n = e.u
+  ) GROUP BY 1
+)"""
+        prev = f"d{r}"
+    s += f"""
+SELECT CAST(d AS INTEGER) AS hops, CAST(count(*) AS BIGINT) AS n_nodes
+FROM {prev} GROUP BY 1"""
+    return s
+
+
+@register(
+    "q_bfs_hops",
+    oracle=_bfs_oracle_sql(3),
+    doc="Multi-source BFS hop distance over the parts co-purchase "
+    "graph: ~1% of parts seed at distance 0; 3 fixed relaxation "
+    "rounds, each taking dist(v) = min(previous dist, neighbor dist "
+    "+ 1) — the frontier primitive under reachability, influence "
+    "radius, and link-distance-from-seed-set features; output is the "
+    "hop histogram of reached nodes. Min-relaxation is idempotent "
+    "and monotone, so the fixed-round unrolled oracle (the PageRank "
+    "contract) replays it exactly. Per round: one edge join + one "
+    "min groupBy — keyed shuffles only; localCheckpoint cuts lineage "
+    "per round. At 100 TB the proper frontier optimization (join "
+    "only NEWLY settled nodes) halves traffic per round; full "
+    "relaxation is kept here because it is replayable as pure SQL "
+    "and the edge join dominates either way.",
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ROUNDS = 3
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        edges.select(F.col("u").alias("n"))
+        .distinct()
+        .filter(F.col("n") % 97 == 0)
+        .withColumn("d", F.lit(0))
+    )
+    for _ in range(ROUNDS):
+        relaxed = edges.join(
+            dist.select(F.col("n").alias("u"), "d"), "u"
+        ).select(F.col("v").alias("n"), (F.col("d") + F.lit(1)).alias("d"))
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("n")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.groupBy(F.col("d").cast("int").alias("hops")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+@register(
+    "q_watermark_lateness_audit",
+    oracle="""
+WITH a AS (
+  SELECT event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) + CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 60000000 AS arr_us
+  FROM events
+),
+l AS (
+  SELECT greatest(coalesce(max(ts_us) OVER (
+             ORDER BY arr_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) - ts_us, 0), 0) AS late_us
+  FROM a
+),
+b AS (
+  SELECT CASE WHEN late_us = 0 THEN '0_in_order'
+              WHEN late_us <= 15000000 THEN '1_le_15s'
+              WHEN late_us <= 45000000 THEN '2_le_45s'
+              ELSE '3_gt_45s' END AS bucket,
+         late_us
+  FROM l
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(late_us) AS BIGINT) AS max_late_us
+FROM b GROUP BY 1
+""",
+    doc="Watermark-delay audit for streaming ingestion: per event, how "
+    "far its event-time lags the running max event-time already SEEN "
+    "in arrival order — exactly the quantity Structured Streaming's "
+    "watermark trades against state retention; the smallest bucket "
+    "boundary covering ~all events is the `withWatermark` delay to "
+    "configure. The synthetic corpus is generated fully in-order, so "
+    "arrival is simulated with a deterministic md5-jitter (0-60s per "
+    "event, replayable on both engines) — on real ingest, arrival "
+    "order is the log offset and the jitter term drops out. The "
+    "global running max uses NO unpartitioned window: it is the "
+    "distributed global_prefix_min primitive on the negated "
+    "event-time (range exchange + per-partition exclusive prefix + "
+    "O(partitions) driver combine), then a 4-group agg where map-side "
+    "partials do the work. Micro resolution matches DuckDB's "
+    "nano-truncating reader.",
+)
+def q_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as _DD
+    from ..operators.ranks import global_prefix_min
+
+    events = load_table(spark, sf_dir, "events")  # ts = long nanos
+    a = events.select(
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        (
+            F.expr("ts div 1000")
+            + _DD.md5_hash64(F.col("event_id").cast("string")) % 60_000_000
+        ).alias("arr_us"),
+    ).withColumn("neg_ts", -F.col("ts_us"))
+    pm = global_prefix_min(
+        a, [F.col("arr_us"), F.col("event_id")], "neg_ts", "__pmin"
+    )
+    late = F.greatest(
+        F.coalesce(-F.col("__pmin") - F.col("ts_us"), F.lit(0)), F.lit(0)
+    )
+    b = pm.select(
+        F.when(late == 0, "0_in_order")
+        .when(late <= 15_000_000, "1_le_15s")
+        .when(late <= 45_000_000, "2_le_45s")
+        .otherwise("3_gt_45s")
+        .alias("bucket"),
+        late.alias("late_us"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("late_us").cast("long").alias("max_late_us"),
+    )

@@ -4236,3 +4236,451 @@ def t_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", F.round("k", 6).alias("sample_key"))
     )
+
+
+@register(
+    "t_kn_bigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> [t[i], t[i + 1]])) AS p
+  FROM tok WHERE len(t) >= 2
+),
+bge AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg),
+c2 AS (SELECT w1, w2, count(*) AS c FROM bge GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx, count(*) AS n1f FROM c2 GROUP BY 1),
+cb AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY 1),
+bt AS (SELECT count(*) AS bt FROM c2),
+terms AS (
+  SELECT g.doc_id,
+         CAST(round(ln(
+           (CAST(c.c AS DOUBLE) - CAST(0.75 AS DOUBLE)) / CAST(u.ctx AS DOUBLE)
+           + (CAST(0.75 AS DOUBLE) * CAST(u.n1f AS DOUBLE) / CAST(u.ctx AS DOUBLE))
+             * (CAST(b.n1b AS DOUBLE) / CAST(s.bt AS DOUBLE))
+         ) * 1000000.0, 0) AS BIGINT) AS lp_fp
+  FROM bge g
+  JOIN c2 c ON c.w1 = g.w1 AND c.w2 = g.w2
+  JOIN c1 u ON u.w1 = g.w1
+  JOIN cb b ON b.w2 = g.w2
+  CROSS JOIN bt s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-(CAST(sum(lp_fp) AS DOUBLE) / 1000000.0) / count(*), 6) AS avg_nll
+FROM terms GROUP BY 1
+""",
+    doc="Interpolated Kneser-Ney bigram language-model scoring "
+    "(absolute discount D=0.75): per-document average negative "
+    "log-likelihood under P_KN(w2|w1) = (c(w1,w2)-D)/c(w1.) + "
+    "D*N1+(w1,.)/c(w1.) * N1+(.,w2)/|bigram types| — the classic "
+    "smoothing that scores by CONTINUATION diversity, separating "
+    "'frequent because versatile' from 'frequent because one template "
+    "repeats it'; a materially better perplexity proxy than the "
+    "unigram LM for boilerplate detection. Every bigram is in-corpus "
+    "so the discounted term stays positive; per-token ln terms are "
+    "FIXED-POINT integerized (round(ln p*1e6) as int64) so the "
+    "per-doc sum is an exact integer reduction regardless of "
+    "partitioning. Plan: bigram explode (transform over the token "
+    "array, no self-join), ONE bigram groupBy that derives all three "
+    "count tables (context totals and forward continuation counts "
+    "re-aggregate the bigram-type table, not the corpus), a 1-row "
+    "type-total broadcast, three keyed joins back (AQE broadcasts "
+    "while the dictionaries fit), one doc agg.",
+)
+def t_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", T.tokens(T.normalize_text(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 2)
+    bge = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c2 = bge.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("ctx"), F.count(F.lit(1)).alias("n1f")
+    )
+    cb = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    bt = c2.agg(F.count(F.lit(1)).alias("bt"))
+    p_kn = (
+        (F.col("c").cast("double") - F.lit(0.75)) / F.col("ctx").cast("double")
+        + (F.lit(0.75) * F.col("n1f").cast("double") / F.col("ctx").cast("double"))
+        * (F.col("n1b").cast("double") / F.col("bt").cast("double"))
+    )
+    terms = (
+        bge.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "doc_id",
+            F.round(F.log(p_kn) * 1e6, 0).cast("long").alias("lp_fp"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            -(F.sum("lp_fp").cast("double") / F.lit(1e6)) / F.count(F.lit(1)), 6
+        ).alias("avg_nll"),
+    )
+
+
+@register(
+    "t_dp_count_release",
+    oracle="""
+WITH g AS (
+  SELECT source, count(*) AS n,
+         (CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) + 1.0)
+           / 4294967297.0 AS u
+  FROM documents GROUP BY 1
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       round(CAST(n AS DOUBLE)
+             + (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+               * (-ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS dp_count
+FROM g
+""",
+    doc="Differentially-private count release (eps=1 Laplace mechanism) "
+    "for per-source document counts, with the noise draw DERIVED from "
+    "an md5-uniform of the group key via the Laplace inverse CDF — "
+    "the deterministic-seed variant that makes a privacy-preserving "
+    "dataset card reproducible across runs, engines, and "
+    "partitionings (true counts retained here only for the oracle "
+    "audit; a real release drops them). One keyed agg plus pure "
+    "per-row math — no extra shuffle, no RNG state, trivially "
+    "scale-free. The +1 / 2^32+1 shift keeps u strictly inside (0,1) "
+    "so ln never sees 0.",
+)
+def t_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    u = (DD.md5_hash64(F.col("source")) + F.lit(1.0)) / F.lit(4294967297.0)
+    sgn = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    mag = -F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    return g.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(F.col("n").cast("double") + sgn * mag, 6).alias("dp_count"),
+    )
+
+
+@register(
+    "t_curriculum_interleave",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN n_chars < 150 THEN 0
+              WHEN n_chars < 350 THEN 1
+              ELSE 2 END AS bucket
+  FROM documents
+),
+r AS (
+  SELECT doc_id, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY n_chars, doc_id) AS rk
+  FROM b
+)
+SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+       CAST(rk AS BIGINT) AS rank_in_bucket
+FROM r ORDER BY rk, bucket LIMIT 100
+""",
+    doc="Deterministic curriculum ordering: docs binned into three "
+    "difficulty buckets (by length), ranked within bucket "
+    "easiest-first, then interleaved round-robin across buckets — "
+    "the standard mixed-difficulty training order that avoids both "
+    "all-easy warmup collapse and hard-example front-loading; first "
+    "100 positions emitted. The within-bucket rank does NOT use a "
+    "3-partition window (3 giant tasks at 100 TB): it is the "
+    "distributed global_row_number over (bucket, n_chars, doc_id) "
+    "minus a per-bucket offset — one range exchange, a 3-row offset "
+    "broadcast join, and the final interleave order is orderBy+limit "
+    "(TakeOrderedAndProject). Oracle replays it as the equivalent "
+    "partitioned row_number.",
+)
+def t_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("n_chars") < 150, 0)
+        .when(F.col("n_chars") < 350, 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("bucket"),
+    )
+    pos = global_row_number(
+        docs, [F.col("bucket"), F.col("n_chars"), F.col("doc_id")], "__rn"
+    )
+    offsets = pos.groupBy(F.col("bucket").alias("__b")).agg(
+        F.min("__rn").alias("__off")
+    )
+    return (
+        pos.join(F.broadcast(offsets), pos["bucket"] == offsets["__b"])
+        .select(
+            "doc_id",
+            "bucket",
+            (F.col("__rn") - F.col("__off") + F.lit(1)).alias("rank_in_bucket"),
+        )
+        .orderBy("rank_in_bucket", "bucket")
+        .limit(100)
+    )
+
+
+@register(
+    "sim_mips_norm_trick",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS n2
+  FROM embeddings
+),
+m AS (SELECT max(n2) AS m2 FROM n),
+c AS (
+  SELECT vec_id,
+         list_append(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                     sqrt(greatest(m.m2 - n2, 0.0))) AS aug
+  FROM n, m
+),
+cu AS (SELECT vec_id, {_SQL_UNIT.format(a='aug')} AS un FROM c),
+q AS (
+  SELECT vec_id,
+         list_append(list_transform(embedding, x -> CAST(x AS DOUBLE)), 0.0) AS aug
+  FROM n WHERE vec_id < 5
+),
+qu AS (SELECT vec_id AS q_id, {_SQL_UNIT.format(a='aug')} AS qu FROM q),
+scored AS (
+  SELECT q_id, c.vec_id AS cand_id,
+         {_SQL_DOT.format(a='qu', b='c.un')} AS s
+  FROM cu c, qu WHERE c.vec_id <> q_id
+),
+ranked AS (
+  SELECT q_id, cand_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, cand_id) AS rn
+  FROM scored
+)
+SELECT q_id, cand_id FROM ranked WHERE rn <= 10
+""",
+    doc="Maximum-inner-product search via the norm-augmentation "
+    "reduction (Bachrach et al. / Shrivastava-Li asymmetric "
+    "transform): corpus vectors gain a tail sqrt(M^2-|x|^2) "
+    "(M = corpus max norm), queries gain a 0 tail, and MIPS becomes "
+    "cosine top-k over the augmented space — the trick that lets "
+    "un-normalized recommender / reward-model scores reuse the whole "
+    "cosine ANN stack (LSH buckets, IVF cells) unchanged. M^2 is "
+    "computed as max of the squared norms directly (never "
+    "sqrt-then-square, which can round the max row's slack negative); "
+    "greatest(...,0) guards the argmax row's tail at 0. Plan: one "
+    "corpus scan for norms, a 1-row max broadcast, per-ROW unit "
+    "normalization (never per-pair), broadcast 5-query scan, "
+    "per-query window top-k. Exact at any scale; the ANN reuse is "
+    "the point at 100 TB.",
+)
+def sim_mips_norm_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    base = emb.select("vec_id", "embedding", n2.alias("n2"))
+    m2 = base.agg(F.max("n2").alias("m2"))
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    corpus = (
+        base.crossJoin(F.broadcast(m2))
+        .select(
+            "vec_id",
+            V.unit(
+                F.concat(
+                    dbl,
+                    F.array(F.sqrt(F.greatest(F.col("m2") - F.col("n2"), F.lit(0.0)))),
+                )
+            ).alias("un"),
+        )
+    )
+    qs = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        V.unit(F.concat(dbl, F.array(F.lit(0.0)))).alias("qu"),
+    )
+    scored = corpus.join(
+        F.broadcast(qs), corpus["vec_id"] != qs["q_id"]
+    ).select("q_id", F.col("vec_id").alias("cand_id"), V.dot(F.col("qu"), F.col("un")).alias("s"))
+    w = Window.partitionBy("q_id").orderBy(F.col("s").desc(), "cand_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "cand_id")
+    )
+
+
+@register(
+    "t_doc_pair_rouge2",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> [t[i], t[i + 1]])) AS p
+    FROM tok WHERE len(t) >= 2
+  )
+),
+refcnt AS (SELECT doc_id, count(*) AS nref FROM bg GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS cand_id, b.doc_id AS ref_id
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 2 = 0
+),
+inter AS (
+  SELECT c.doc_id AS cand_id, count(*) AS novl
+  FROM bg c JOIN bg r ON r.doc_id = c.doc_id + 1 AND r.w1 = c.w1 AND r.w2 = c.w2
+  WHERE c.doc_id % 2 = 0 GROUP BY 1
+)
+SELECT p.cand_id, p.ref_id,
+       CAST(coalesce(i.novl, 0) AS BIGINT) AS n_overlap,
+       round(CAST(coalesce(i.novl, 0) AS DOUBLE) / CAST(rc.nref AS DOUBLE), 6) AS rouge2_recall
+FROM pairs p JOIN refcnt rc ON rc.doc_id = p.ref_id
+LEFT JOIN inter i ON i.cand_id = p.cand_id
+""",
+    doc="ROUGE-2 recall over (candidate, reference) document pairs "
+    "(each even doc scored against its successor — the stand-in for "
+    "a summary/source or draft/gold pairing): |distinct shared "
+    "bigrams| / |distinct reference bigrams| — the n-gram-recall eval "
+    "metric, run as a distributed op so model-output evaluation "
+    "scales like any other corpus join instead of a driver loop. "
+    "Plan: bigram explode + per-doc DISTINCT (one keyed shuffle), "
+    "intersection as an equi-join on (pair, bigram) — never a "
+    "per-pair set UDF — then a left join to keep zero-overlap pairs. "
+    "All joins keyed; at 100 TB the bigram join partitions by "
+    "(w1, w2) hash like the jaccard family.",
+)
+def t_doc_pair_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", T.tokens(T.normalize_text(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .distinct()
+    )
+    refcnt = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nref"))
+    d_ids = docs.select("doc_id")
+    pairs = (
+        d_ids.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").alias("cand_id"))
+        .join(
+            d_ids.select((F.col("doc_id") - 1).alias("cand_id"), F.col("doc_id").alias("ref_id")),
+            "cand_id",
+        )
+    )
+    c = bg.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("cand_id"), "w1", "w2"
+    )
+    r = bg.select((F.col("doc_id") - 1).alias("cand_id"), "w1", "w2")
+    inter = c.join(r, ["cand_id", "w1", "w2"]).groupBy("cand_id").agg(
+        F.count(F.lit(1)).alias("novl")
+    )
+    return (
+        pairs.join(refcnt.withColumnRenamed("doc_id", "ref_id"), "ref_id")
+        .join(inter, "cand_id", "left")
+        .select(
+            "cand_id",
+            "ref_id",
+            F.coalesce(F.col("novl"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("novl"), F.lit(0)).cast("double")
+                / F.col("nref").cast("double"),
+                6,
+            ).alias("rouge2_recall"),
+        )
+    )
+
+
+@register(
+    "t_quality_logistic",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '')) AS tk
+  FROM documents
+),
+tf AS (SELECT doc_id, tk, count(*) AS n FROM tok GROUP BY 1, 2),
+feat AS (
+  SELECT doc_id,
+         CAST(sum(n) AS DOUBLE) AS n_tok,
+         CAST(count(*) AS DOUBLE) AS n_types,
+         CAST(sum(len(tk) * n) AS DOUBLE) AS sum_len
+  FROM tf GROUP BY 1
+),
+z AS (
+  SELECT doc_id,
+         CAST(-6.0 AS DOUBLE)
+           + CAST(0.9 AS DOUBLE) * ln(CAST(1.0 AS DOUBLE) + n_tok)
+           + CAST(2.5 AS DOUBLE) * (n_types / n_tok)
+           + CAST(0.4 AS DOUBLE) * (sum_len / n_tok) AS z
+  FROM feat
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-z)), 6) AS quality_prob,
+       (1.0 / (1.0 + exp(-z))) >= 0.5 AS keep
+FROM z
+""",
+    doc="Model-based quality filtering: a fixed-weight logistic "
+    "classifier (the fastText-quality-classifier stand-in) over three "
+    "cheap per-doc features — log token count, type-token ratio, mean "
+    "token length — scored with sigmoid(w.x+b) and thresholded at "
+    "0.5. The point is the PLUMBING: classifier inference as pure "
+    "Catalyst column math (no UDF, no model server round-trip) — at "
+    "100 TB swap the weights for trained ones and the plan is "
+    "unchanged. Features come from one (doc, token) count table "
+    "re-aggregated per doc — type count and token count in a single "
+    "pass with NO distinct-agg Expand (the SCALING.md trap). z and "
+    "sigmoid are identical double shapes on both engines.",
+)
+def t_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(T.tokens(T.normalize_text(F.col("text")))).alias("tk"),
+    )
+    tf = tok.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("n"))
+    feat = tf.groupBy("doc_id").agg(
+        F.sum("n").cast("double").alias("n_tok"),
+        F.count(F.lit(1)).cast("double").alias("n_types"),
+        F.sum(F.length("tk") * F.col("n")).cast("double").alias("sum_len"),
+    )
+    z = (
+        F.lit(-6.0)
+        + F.lit(0.9) * F.log(F.lit(1.0) + F.col("n_tok"))
+        + F.lit(2.5) * (F.col("n_types") / F.col("n_tok"))
+        + F.lit(0.4) * (F.col("sum_len") / F.col("n_tok"))
+    )
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feat.select(
+        "doc_id",
+        F.round(sig, 6).alias("quality_prob"),
+        (sig >= F.lit(0.5)).alias("keep"),
+    )
