@@ -62,6 +62,11 @@ EXTRA = [
     "q_skyline_orders",
     "t_ngram_novelty",
     "emb_pc_outliers",
+    "t_kn_bigram_logprob",
+    "q_bfs_hops",
+    "q_label_prop_communities",
+    "sim_mips_norm_trick",
+    "t_boilerplate_ngrams",
 ]
 
 

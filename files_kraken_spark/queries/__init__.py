@@ -84,6 +84,10 @@ _SAMPLE_PRIORITY = [
     "t_kn_bigram_logprob", "q_bfs_hops", "t_dp_count_release",
     "t_curriculum_interleave", "sim_mips_norm_trick", "t_doc_pair_rouge2",
     "t_quality_logistic", "q_watermark_lateness_audit",
+    "q_markov_transitions", "t_boilerplate_ngrams", "t_perplexity_buckets",
+    "q_new_vs_returning", "t_filter_agreement_kappa",
+    "q_gini_revenue", "q_holt_linear",
+    "q_table_checksum", "q_partition_planner", "t_dedup_bytes_saved",
     # -- driver-green tail, rough value order --
     "q_gap_fill_ffill", "q_linear_interpolate", "q_rolling_zscore",
     "q_ewma_halflife", "q_triangle_count", "q_fuzzy_match_blocked",

@@ -1607,3 +1607,358 @@ def q_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.max("late_us").cast("long").alias("max_late_us"),
     )
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+t AS (SELECT cur, nxt, count(*) AS n FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tot FROM t GROUP BY 1)
+SELECT t.cur AS cur_type, t.nxt AS next_type,
+       CAST(t.n AS BIGINT) AS n_trans,
+       round(CAST(t.n AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6) AS p_trans
+FROM t JOIN tot USING (cur)
+""",
+    doc="First-order Markov transition matrix over user event journeys: "
+    "per-user consecutive event pairs (lead over the per-user "
+    "PARTITIONED window), MLE transition probabilities P(next|cur) — "
+    "the user-journey model under next-action prediction, funnel "
+    "drop-off simulation, and anomalous-session scoring. Row "
+    "normalization joins the per-cur totals back (a |event types|-row "
+    "broadcast) instead of a second window pass. Scale: one keyed "
+    "window + two tiny aggs; the pair stream never materializes "
+    "beyond the events scan.",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")  # ts = long nanos
+    ts_us = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy(ts_us, "event_id")
+    s = events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    t = s.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("cur").agg(F.sum("n").cast("long").alias("tot"))
+    return t.join(F.broadcast(tot), "cur").select(
+        F.col("cur").alias("cur_type"),
+        F.col("nxt").alias("next_type"),
+        F.col("n").cast("long").alias("n_trans"),
+        F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "p_trans"
+        ),
+    )
+
+
+@register(
+    "q_new_vs_returning",
+    oracle="""
+WITH f AS (SELECT user_id, min(epoch_us(ts)) AS first_us FROM events GROUP BY 1),
+a AS (SELECT epoch_us(ts) // 86400000000 AS day_id, user_id FROM events GROUP BY 1, 2),
+n AS (SELECT first_us // 86400000000 AS day_id, count(*) AS n_new FROM f GROUP BY 1),
+act AS (SELECT day_id, count(*) AS n_active FROM a GROUP BY 1)
+SELECT act.day_id,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+       CAST(n_active - coalesce(n_new, 0) AS BIGINT) AS n_returning
+FROM act LEFT JOIN n USING (day_id)
+""",
+    doc="Daily active users decomposed into NEW (first-ever event that "
+    "day) vs RETURNING — the growth-accounting split behind every "
+    "activation dashboard, and the complement of the cohort retention "
+    "matrix. Day ids are exact integer division of epoch "
+    "microseconds (no calendar/timezone functions — bit-portable and "
+    "cheap). Plan: one per-user min agg for first-seen, one "
+    "(day, user) dedup agg, two small per-day rollups, one join — "
+    "all keyed shuffles with map-side partials; the first-seen table "
+    "is |users| rows once, not per-day.",
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")  # ts = long nanos
+    us = F.expr("ts div 1000")
+    day = F.expr("(ts div 1000) div 86400000000")
+    f = events.groupBy("user_id").agg(F.min(us).alias("first_us"))
+    a = events.select(day.alias("day_id"), "user_id").distinct()
+    n = f.select(
+        F.expr("first_us div 86400000000").alias("day_id")
+    ).groupBy("day_id").agg(F.count(F.lit(1)).alias("n_new"))
+    act = a.groupBy("day_id").agg(F.count(F.lit(1)).alias("n_active"))
+    return act.join(n, "day_id", "left").select(
+        "day_id",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        (F.col("n_active") - F.coalesce(F.col("n_new"), F.lit(0)))
+        .cast("long")
+        .alias("n_returning"),
+    )
+
+
+@register(
+    "q_gini_revenue",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         CAST(coalesce(sum(CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT)), 0) AS BIGINT) AS cents
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT c_nationkey, cents,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY cents, c_custkey) AS rk
+  FROM rev
+),
+g AS (
+  SELECT c_nationkey,
+         CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(sum(cents) AS BIGINT) AS tot,
+         CAST(sum(rk * cents) AS BIGINT) AS wsum
+  FROM r GROUP BY 1
+)
+SELECT n.n_name AS nation, n_cust,
+       round((2.0 * CAST(wsum AS DOUBLE) - (CAST(n_cust AS DOUBLE) + 1.0) * CAST(tot AS DOUBLE))
+             / (CAST(n_cust AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini
+FROM g JOIN nation n ON n.n_nationkey = g.c_nationkey
+WHERE tot > 0
+""",
+    doc="Gini coefficient of customer revenue concentration per nation "
+    "(zero-order customers included at 0) — the inequality audit "
+    "behind key-account risk and whale-dependence dashboards, via the "
+    "rank-based identity G = (2*sum(i*x_i) - (n+1)*sum(x)) / "
+    "(n*sum(x)) on ascending ranks. Revenue is integerized to CENTS "
+    "per order row BEFORE any aggregation, so every sum (including "
+    "the rank-weighted one) is an exact int64 reduction — summation "
+    "order cannot move the coefficient; int64 headroom: rank * cents "
+    "< 2^53 even at 10^7 customers/nation. Plan: one customer-orders "
+    "outer-join agg, a per-nation PARTITIONED rank (25 bounded "
+    "groups; each partition sorts |customers|/25 — the same "
+    "per-group-window shape as the tercile family), one 25-group "
+    "agg, broadcast nation-name join.",
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("cents"),
+    )
+    rev = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    r = rev.withColumn("rk", F.row_number().over(w))
+    g = r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("cents").cast("long").alias("tot"),
+        F.sum(F.col("rk") * F.col("cents")).cast("long").alias("wsum"),
+    ).filter(F.col("tot") > 0)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    gini = (
+        F.lit(2.0) * F.col("wsum").cast("double")
+        - (F.col("n_cust").cast("double") + F.lit(1.0)) * F.col("tot").cast("double")
+    ) / (F.col("n_cust").cast("double") * F.col("tot").cast("double"))
+    return g.join(
+        F.broadcast(nation), g["c_nationkey"] == nation["n_nationkey"]
+    ).select(
+        F.col("n_name").alias("nation"),
+        "n_cust",
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+def _holt_oracle_sql(steps: int = 12) -> str:
+    """Unrolled Holt linear (double-exponential) recurrence: the last
+    `steps` hourly counts per series pivot to columns, then each step's
+    level/trend derive from the previous step's in two chained CTEs —
+    the same fixed-step determinism contract as the graph oracles,
+    applied to a per-series scalar recurrence."""
+    xs = ",\n         ".join(
+        f"CAST(coalesce(max(CASE WHEN k = {i} THEN cnt END), 0) AS DOUBLE) AS x{i}"
+        for i in range(1, steps + 1)
+    )
+    s = f"""
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT max(hr) AS hmax FROM h),
+k AS (
+  SELECT event_type, CAST(hr - (m.hmax - {steps - 1}) + 1 AS INTEGER) AS k, cnt
+  FROM h, m WHERE hr >= m.hmax - {steps - 1}
+),
+p AS (
+  SELECT event_type,
+         {xs}
+  FROM k GROUP BY 1
+),
+s1 AS (SELECT *, x1 AS l1, x2 - x1 AS b1 FROM p)"""
+    for t in range(2, steps + 1):
+        s += f""",
+sl{t} AS (
+  SELECT *, CAST(0.5 AS DOUBLE) * x{t} + CAST(0.5 AS DOUBLE) * (l{t - 1} + b{t - 1}) AS l{t}
+  FROM {"s1" if t == 2 else f"sb{t - 1}"}
+),
+sb{t} AS (
+  SELECT *, CAST(0.3 AS DOUBLE) * (l{t} - l{t - 1}) + CAST(0.7 AS DOUBLE) * b{t - 1} AS b{t}
+  FROM sl{t}
+)"""
+    s += f"""
+SELECT event_type, round(l{steps}, 6) AS level,
+       round(b{steps}, 6) AS trend,
+       round(l{steps} + b{steps}, 6) AS forecast_next
+FROM sb{steps}"""
+    return s
+
+
+@register(
+    "q_holt_linear",
+    oracle=_holt_oracle_sql(12),
+    doc="Holt linear (double-exponential) smoothing over the last 12 "
+    "hourly counts per event type: level+trend state (alpha=0.5, "
+    "gamma=0.3, init l1=x1, b1=x2-x1) and the one-step-ahead forecast "
+    "— the trend-aware upgrade of the EWMA family for capacity "
+    "planning and anomaly baselines. The recurrence is SEQUENTIAL by "
+    "nature, so it runs over a FIXED window pivoted to columns: the "
+    "per-series state chain is 12 scalar column steps (identical "
+    "double shape on both engines — the graph oracles' fixed-round "
+    "contract applied to a recurrence), NOT a driver loop and NOT a "
+    "UDF fold whose float order an engine could re-associate. Plan: "
+    "one (type, hour) agg, a 1-row max-hour broadcast, a 12-wide "
+    "pivot agg, then pure per-row column math — at 100 TB the hourly "
+    "agg dominates and everything downstream is |series| rows.",
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    STEPS = 12
+    events = load_table(spark, sf_dir, "events")  # ts = long nanos
+    h = events.groupBy(
+        "event_type", F.expr("(ts div 1000) div 3600000000").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    m = h.agg(F.max("hr").alias("hmax"))
+    k = (
+        h.crossJoin(F.broadcast(m))
+        .filter(F.col("hr") >= F.col("hmax") - (STEPS - 1))
+        .select(
+            "event_type",
+            (F.col("hr") - (F.col("hmax") - (STEPS - 1)) + 1).cast("int").alias("k"),
+            "cnt",
+        )
+    )
+    p = k.groupBy("event_type").agg(
+        *[
+            F.coalesce(F.max(F.when(F.col("k") == i, F.col("cnt"))), F.lit(0))
+            .cast("double")
+            .alias(f"x{i}")
+            for i in range(1, STEPS + 1)
+        ]
+    )
+    df = p.withColumn("l1", F.col("x1")).withColumn("b1", F.col("x2") - F.col("x1"))
+    for t in range(2, STEPS + 1):
+        df = df.withColumn(
+            f"l{t}",
+            F.lit(0.5) * F.col(f"x{t}")
+            + F.lit(0.5) * (F.col(f"l{t - 1}") + F.col(f"b{t - 1}")),
+        ).withColumn(
+            f"b{t}",
+            F.lit(0.3) * (F.col(f"l{t}") - F.col(f"l{t - 1}"))
+            + F.lit(0.7) * F.col(f"b{t - 1}"),
+        )
+    return df.select(
+        "event_type",
+        F.round(F.col(f"l{STEPS}"), 6).alias("level"),
+        F.round(F.col(f"b{STEPS}"), 6).alias("trend"),
+        F.round(F.col(f"l{STEPS}") + F.col(f"b{STEPS}"), 6).alias("forecast_next"),
+    )
+
+
+@register(
+    "q_table_checksum",
+    oracle="""
+WITH h AS (
+  SELECT o_orderstatus,
+         CAST(('0x' || substr(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+           o_orderstatus || '|' ||
+           CAST(CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS VARCHAR) || '|' ||
+           strftime(o_orderdate, '%Y-%m-%d')
+         ), 1, 8)) AS BIGINT) AS hv
+  FROM orders
+)
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(hv) AS BIGINT) AS xor_sig
+FROM h GROUP BY 1
+""",
+    doc="Order-insensitive cross-engine table checksum: each row "
+    "renders to a canonical string (ints as decimal, money as exact "
+    "cents, dates as ISO — never raw float repr, which differs per "
+    "engine), hashes through the portable md5-prefix hash, and "
+    "per-group signatures combine with BIT_XOR — commutative, "
+    "overflow-free, and partition-order-independent, unlike a SUM "
+    "which wraps int64 around 10^12 rows. THE validation primitive "
+    "for a 100 TB migration or replica check: compare (n_rows, "
+    "xor_sig) per status on both sides and any single-row divergence "
+    "flips the signature. One scan + one tiny agg; map-side partials "
+    "carry the xor.",
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_hash64
+
+    orders = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    return (
+        orders.select("o_orderstatus", md5_hash64(canon).alias("hv"))
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("hv").cast("long").alias("xor_sig"),
+        )
+    )
+
+
+@register(
+    "q_partition_planner",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
+       CAST((sum(n_chars) + 16777215) // 16777216 AS BIGINT) AS parts_16mb,
+       CAST(count(*) // ((sum(n_chars) + 16777215) // 16777216) AS BIGINT) AS docs_per_part
+FROM documents
+""",
+    doc="Shuffle-partition sizing calculator: corpus volume, median and "
+    "p99 document size, the partition count a 16 MiB-per-partition "
+    "budget implies (exact integer ceiling division — no float "
+    "boundary drift), and expected docs per partition — the numbers "
+    "that set spark.sql.shuffle.partitions and files.maxPartitionBytes "
+    "before launching a 100 TB job, computed BY the engine instead of "
+    "guessed. The p99/p50 ratio is the skew early-warning: a p99 "
+    "1000x the median means size-based repartitioning before any "
+    "wide doc-level join. Exact percentiles here (one tiny agg at "
+    "audit time); swap approx_percentile at extreme scale per the "
+    "SCALING.md percentile note.",
+)
+def q_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    parts = F.expr("(sum(n_chars) + 16777215) div 16777216")
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99_chars"),
+        parts.cast("long").alias("parts_16mb"),
+        F.expr("count(*) div ((sum(n_chars) + 16777215) div 16777216)")
+        .cast("long")
+        .alias("docs_per_part"),
+    )

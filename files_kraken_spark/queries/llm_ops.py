@@ -4684,3 +4684,326 @@ def t_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sig, 6).alias("quality_prob"),
         (sig >= F.lit(0.5)).alias("keep"),
     )
+
+
+@register(
+    "t_boilerplate_ngrams",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS g
+    FROM tok WHERE len(t) >= 5
+  )
+)
+SELECT g AS ngram, CAST(count(*) AS BIGINT) AS doc_freq
+FROM ng GROUP BY 1
+ORDER BY doc_freq DESC, ngram LIMIT 20
+""",
+    doc="Cross-document boilerplate mining: the 20 token 5-grams "
+    "appearing in the most DISTINCT documents — headers, footers, "
+    "license blurbs, and template chrome surface here long before "
+    "any pairwise dedup fires; the mined list feeds a removal filter "
+    "(the C4/RefinedWeb boilerplate step). Within-doc repeats are "
+    "collapsed by the per-doc DISTINCT before counting, so a single "
+    "spammy doc cannot promote its own n-gram. Plan: shingle "
+    "explode, one dedup shuffle on (doc, gram), one doc-frequency "
+    "agg (map-side partials), then orderBy+limit — "
+    "TakeOrderedAndProject per-partition heaps, never a global sort.",
+)
+def t_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", T.tokens(T.normalize_text(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 5)
+    ng = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 4),"
+                    " i -> concat_ws(' ', slice(t, i, 5)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    return (
+        ng.groupBy(F.col("g").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "ngram")
+        .limit(20)
+    )
+
+
+@register(
+    "t_perplexity_buckets",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '')) AS tk
+  FROM documents
+),
+freq AS (SELECT tk, count(*) AS n FROM tok GROUP BY 1),
+total AS (SELECT count(*) AS big_n FROM tok),
+terms AS (
+  SELECT t.doc_id,
+         CAST(round(ln(f.n * 1.0 / s.big_n) * 1000000.0, 0) AS BIGINT) AS lp_fp
+  FROM tok t JOIN freq f USING (tk) CROSS JOIN total s
+),
+per_doc AS (
+  SELECT doc_id,
+         -(CAST(sum(lp_fp) AS DOUBLE) / 1000000.0) / count(*) AS avg_nll
+  FROM terms GROUP BY 1
+),
+b AS (
+  SELECT d.source, p.doc_id,
+         CAST(round(p.avg_nll * 1000000.0, 0) AS BIGINT) AS nll_fp,
+         CASE ntile(3) OVER (PARTITION BY d.source ORDER BY p.avg_nll, p.doc_id)
+           WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+  FROM per_doc p JOIN documents d USING (doc_id)
+)
+SELECT source, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round((CAST(sum(nll_fp) AS DOUBLE) / 1000000.0) / count(*), 6) AS mean_nll
+FROM b GROUP BY 1, 2
+""",
+    doc="CCNet-style perplexity bucketing: per source, docs are ranked "
+    "by their unigram-LM average negative log-likelihood and split "
+    "into head/middle/tail terciles (head = most probable = cleanest) "
+    "— the bucketing CCNet used to keep head+middle and drop tail, "
+    "and the standard knob for biasing pretraining sampling by "
+    "quality. Ranking uses the per-doc nll (exact fixed-point integer "
+    "sum divided once — identical across engines), ntile is "
+    "PARTITIONED per source, and the per-bucket mean re-integerizes "
+    "the per-doc scores so the bucket aggregate is an exact integer "
+    "sum too. Plan: the unigram-LM pipeline (explode, freq agg, "
+    "1-row total broadcast, token join, doc agg) + one source join + "
+    "a partitioned ntile + one 3x|sources|-group agg.",
+)
+def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(T.tokens(T.normalize_text(F.col("text")))).alias("tk"),
+    )
+    freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("n"))
+    total = tok.agg(F.count(F.lit(1)).alias("big_n"))
+    terms = (
+        tok.join(freq, "tk")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("n") * F.lit(1.0) / F.col("big_n")) * 1e6, 0)
+            .cast("long")
+            .alias("lp_fp"),
+        )
+    )
+    per_doc = terms.groupBy("doc_id").agg(
+        (
+            -(F.sum("lp_fp").cast("double") / F.lit(1e6)) / F.count(F.lit(1))
+        ).alias("avg_nll")
+    )
+    w = Window.partitionBy("source").orderBy("avg_nll", "doc_id")
+    t = F.ntile(3).over(w)
+    b = per_doc.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source",
+        F.round(F.col("avg_nll") * 1e6, 0).cast("long").alias("nll_fp"),
+        F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail").alias("bucket"),
+    )
+    return b.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            (F.sum("nll_fp").cast("double") / F.lit(1e6)) / F.count(F.lit(1)), 6
+        ).alias("mean_nll"),
+    )
+
+
+@register(
+    "t_filter_agreement_kappa",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         (least(len({_SQL_TOKENS.format(col='text')}) / 50.0, 1.0)
+          + (1.0 - least(coalesce(
+               length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))
+                 * 1.0 / nullif(length(text), 0), 0.0) * 5.0, 1.0))
+          + CASE WHEN coalesce(list_sum(list_transform({_SQL_TOKENS.format(col='text')},
+                                  x -> length(x))) * 1.0
+                      / nullif(len({_SQL_TOKENS.format(col='text')}), 0), 0.0)
+                     BETWEEN 3.0 AND 8.0
+                THEN 1.0 ELSE 0.5 END) / 3.0 AS quality
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '')) AS tk
+  FROM documents
+),
+tf AS (SELECT doc_id, tk, count(*) AS n FROM tok GROUP BY 1, 2),
+feat AS (
+  SELECT doc_id,
+         CAST(sum(n) AS DOUBLE) AS n_tok,
+         CAST(count(*) AS DOUBLE) AS n_types,
+         CAST(sum(len(tk) * n) AS DOUBLE) AS sum_len
+  FROM tf GROUP BY 1
+),
+zt AS (
+  SELECT doc_id,
+         CAST(-6.0 AS DOUBLE)
+           + CAST(0.9 AS DOUBLE) * ln(CAST(1.0 AS DOUBLE) + n_tok)
+           + CAST(2.5 AS DOUBLE) * (n_types / n_tok)
+           + CAST(0.4 AS DOUBLE) * (sum_len / n_tok) AS z
+  FROM feat
+),
+flags AS (
+  SELECT h.quality >= 0.8 AS ka, coalesce(zt.z >= 0.0, false) AS kb
+  FROM h LEFT JOIN zt USING (doc_id)
+),
+c AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS DOUBLE) AS n11,
+         CAST(sum(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END) AS DOUBLE) AS n00,
+         CAST(sum(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS DOUBLE) AS n10,
+         CAST(sum(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS DOUBLE) AS n01
+  FROM flags
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(n11 AS BIGINT) AS n_both_keep,
+       CAST(n00 AS BIGINT) AS n_both_drop,
+       CAST(n10 AS BIGINT) AS n_only_heuristic,
+       CAST(n01 AS BIGINT) AS n_only_logistic,
+       round(((n11 + n00) / n
+              - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n))
+             / (1.0 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)),
+             6) AS kappa
+FROM c
+""",
+    doc="Cohen's kappa agreement between two quality filters — the "
+    "heuristic composite score (thresholded at 0.8) vs the logistic "
+    "classifier (sigmoid>=0.5, i.e. z>=0) — chance-corrected from the "
+    "2x2 contingency table. THE audit before swapping or ensembling "
+    "filters in a curation pipeline: high kappa means the cheap "
+    "heuristic can gate for the model; low kappa means they disagree "
+    "on real mass and stacking them changes the corpus. One pass "
+    "computes both flags per doc (left join keeps token-less docs as "
+    "classifier-drops), then a single 1-row agg — counts are exact "
+    "ints, kappa derives from them in identical double shape. "
+    "Trivially scale-free: the only shuffle is the per-doc feature "
+    "agg the filters already pay.",
+)
+def t_filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(T.tokens(T.normalize_text(F.col("text")))).alias("tk"),
+    )
+    tf = tok.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("n"))
+    feat = tf.groupBy("doc_id").agg(
+        F.sum("n").cast("double").alias("n_tok"),
+        F.count(F.lit(1)).cast("double").alias("n_types"),
+        F.sum(F.length("tk") * F.col("n")).cast("double").alias("sum_len"),
+    )
+    z = feat.select(
+        "doc_id",
+        (
+            F.lit(-6.0)
+            + F.lit(0.9) * F.log(F.lit(1.0) + F.col("n_tok"))
+            + F.lit(2.5) * (F.col("n_types") / F.col("n_tok"))
+            + F.lit(0.4) * (F.col("sum_len") / F.col("n_tok"))
+        ).alias("z"),
+    )
+    flags = h.join(z, "doc_id", "left").select(
+        (F.col("quality") >= F.lit(0.8)).alias("ka"),
+        F.coalesce(F.col("z") >= F.lit(0.0), F.lit(False)).alias("kb"),
+    )
+    c = flags.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("ka") & F.col("kb"), 1).otherwise(0))
+        .cast("double")
+        .alias("n11"),
+        F.sum(F.when(~F.col("ka") & ~F.col("kb"), 1).otherwise(0))
+        .cast("double")
+        .alias("n00"),
+        F.sum(F.when(F.col("ka") & ~F.col("kb"), 1).otherwise(0))
+        .cast("double")
+        .alias("n10"),
+        F.sum(F.when(~F.col("ka") & F.col("kb"), 1).otherwise(0))
+        .cast("double")
+        .alias("n01"),
+    )
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (F.col("n") * F.col("n"))
+    po = (F.col("n11") + F.col("n00")) / F.col("n")
+    return c.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n11").cast("long").alias("n_both_keep"),
+        F.col("n00").cast("long").alias("n_both_drop"),
+        F.col("n10").cast("long").alias("n_only_heuristic"),
+        F.col("n01").cast("long").alias("n_only_logistic"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+@register(
+    "t_dedup_bytes_saved",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, source, n_chars,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+rep AS (SELECT fp, min(doc_id) AS rep_id FROM fp GROUP BY 1)
+SELECT f.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN f.doc_id <> r.rep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(sum(CASE WHEN f.doc_id <> r.rep_id THEN f.n_chars ELSE 0 END) AS BIGINT) AS chars_saved
+FROM fp f JOIN rep r USING (fp)
+GROUP BY 1
+""",
+    doc="Dedup ROI report: per source, how many documents are exact "
+    "duplicates (non-min-id copies of a normalized-text fingerprint) "
+    "and how many characters deleting them saves — the number that "
+    "decides whether a source earns the full near-dup pipeline or "
+    "just the cheap exact pass, and the before/after line on every "
+    "dataset card. Same fingerprint as dedup_exact (md5 of "
+    "whitespace-normalized lowercased text), so the report and the "
+    "dedup operator can never disagree. Plan: one fingerprint "
+    "groupBy for representatives, one join back keyed on the hash, "
+    "one per-source agg — the join is the only wide stage and "
+    "shares dedup_exact's shuffle key.",
+)
+def t_dedup_bytes_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(DD.normalize_text(F.col("text"))).alias("fp"),
+    )
+    rep = fp.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    dup = F.when(F.col("doc_id") != F.col("rep_id"), 1).otherwise(0)
+    return (
+        fp.join(rep, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dup).cast("long").alias("n_dup_docs"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("rep_id"), F.col("n_chars")).otherwise(0)
+            )
+            .cast("long")
+            .alias("chars_saved"),
+        )
+    )

@@ -54,6 +54,8 @@ ALLOWED_NESTED_LOOP = {
     "t_unigram_logprob",  # 1-row corpus-token-total broadcast
     "t_kn_bigram_logprob",  # 1-row bigram-type-total broadcast
     "sim_mips_norm_trick",  # 1-row max-norm broadcast + broadcast query set (cosine_topk shape)
+    "t_perplexity_buckets",  # 1-row corpus-token-total broadcast (unigram-LM stage)
+    "q_holt_linear",  # 1-row max-hour anchor broadcast (decay_topk shape)
     "emb_dim_fidelity",  # broadcast query set vs corpus, both rankings (cosine_topk shape)
     "t_lsh_recall_audit",  # three 1-row count aggregates joined scalar-wise
     # round-5 departitioned global windows: the BNLJ sides are a 1-row
