@@ -1962,3 +1962,78 @@ def q_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("docs_per_part"),
     )
+
+
+@register(
+    "q_degree_assortativity",
+    oracle="""
+WITH eraw AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM eraw GROUP BY 1),
+ed AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM eraw e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy
+  FROM ed
+)
+SELECT m AS n_edges,
+       round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS assortativity
+FROM mom
+""",
+    doc="Degree assortativity of the parts co-purchase graph: Pearson "
+    "correlation of endpoint degrees over the (symmetric) edge list — "
+    "positive means hubs buy with hubs (rich-club), negative means "
+    "hub-and-spoke; the one-number structure summary that decides "
+    "whether degree-based partitioning or hub-salting is needed "
+    "before heavier graph work. Moments are EXACT int64 sums over "
+    "edges (the q_group_regression fixed-point contract — no float "
+    "accumulation), correlation derives in identical double shape. "
+    "Int64 headroom: deg^2 * edges < 2^63 up to ~1e6-degree hubs on "
+    "1e9 edges; past that promote the moment sums to DECIMAL(38,0), "
+    "same plan. Plan: one degree agg + two keyed joins back + one "
+    "1-row moment agg — the degree table broadcasts while it fits.",
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = a.join(b, "ok").filter(F.col("u") != F.col("v")).select("u", "v").distinct()
+    deg = edges.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ed = (
+        edges.join(deg.select(F.col("n").alias("u"), F.col("d").alias("dx")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dy")), "v")
+        .select("dx", "dy")
+    )
+    mom = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    md, sxd, syd, sxyd, sxxd, syyd = [
+        F.col(c).cast("double") for c in ["m", "sx", "sy", "sxy", "sxx", "syy"]
+    ]
+    return mom.select(
+        F.col("m").alias("n_edges"),
+        F.round(
+            (md * sxyd - sxd * syd)
+            / (F.sqrt(md * sxxd - sxd * sxd) * F.sqrt(md * syyd - syd * syd)),
+            6,
+        ).alias("assortativity"),
+    )

@@ -5007,3 +5007,367 @@ def t_dedup_bytes_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_saved"),
         )
     )
+
+
+_SQL_SIGN_PACK = (
+    "CAST(list_sum(list_transform(range(1, 33), "
+    "i -> CASE WHEN embedding[i + {off}] >= 0 THEN (1::BIGINT << (i - 1)) "
+    "ELSE 0::BIGINT END)) AS BIGINT)"
+)
+
+
+@register(
+    "emb_sign_hamming_topk",
+    oracle=f"""
+WITH sig AS (
+  SELECT vec_id,
+         {_SQL_SIGN_PACK.format(off=0)} AS lo,
+         {_SQL_SIGN_PACK.format(off=32)} AS hi
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM sig WHERE vec_id < 5),
+scored AS (
+  SELECT q_id, c.vec_id AS cand_id,
+         bit_count(xor(qlo, c.lo)) + bit_count(xor(qhi, c.hi)) AS hamming
+  FROM sig c, q WHERE c.vec_id <> q_id
+),
+ranked AS (
+  SELECT q_id, cand_id, hamming,
+         row_number() OVER (PARTITION BY q_id ORDER BY hamming, cand_id) AS rn
+  FROM scored
+)
+SELECT q_id, cand_id, CAST(hamming AS INTEGER) AS hamming
+FROM ranked WHERE rn <= 10
+""",
+    doc="1-bit binary embedding search: each 64-d vector compresses to "
+    "its SIGN BITS packed into two int64 words (256x smaller than "
+    "float32), candidates rank by Hamming distance — two XORs + two "
+    "POPCNTs per comparison, the cheapest possible ANN scan and the "
+    "standard first stage before float rerank (sign-of-random-"
+    "projection theory says Hamming approximates angular distance; "
+    "here the raw dims are the projections). Packing is a per-row "
+    "integer fold (exact on both engines — no float accumulation at "
+    "all in the scan), distances are pure int ops inside codegen. "
+    "Plan: one corpus scan packs signatures, broadcast 5-query scan, "
+    "per-query window top-k. At 100 TB the signature table is the "
+    "only thing scanned — 16 bytes/vector.",
+)
+def emb_sign_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def pack(off: int):
+        return F.expr(
+            "aggregate(sequence(1, 32), 0L, (acc, i) -> acc + "
+            f"CASE WHEN element_at(embedding, i + {off}) >= 0 "
+            "THEN shiftleft(1L, i - 1) ELSE 0L END)"
+        )
+
+    sig = emb.select("vec_id", pack(0).alias("lo"), pack(32).alias("hi"))
+    q = sig.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    scored = sig.join(F.broadcast(q), sig["vec_id"] != q["q_id"]).select(
+        "q_id",
+        F.col("vec_id").alias("cand_id"),
+        (
+            F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+            + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+        ).alias("hamming"),
+    )
+    w = Window.partitionBy("q_id").orderBy("hamming", "cand_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "cand_id", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+@register(
+    "t_vocab_coverage_curve",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '')) AS tk
+  FROM documents
+),
+freq AS (SELECT tk, count(*) AS n FROM tok GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_vocab
+  FROM freq
+),
+topk AS (SELECT tk, n FROM freq ORDER BY n DESC, tk LIMIT 20),
+rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, tk) AS rank FROM topk),
+s AS (
+  SELECT CAST(sum(CASE WHEN rank <= 5 THEN n ELSE 0 END) AS BIGINT) AS s5,
+         CAST(sum(CASE WHEN rank <= 10 THEN n ELSE 0 END) AS BIGINT) AS s10,
+         CAST(sum(n) AS BIGINT) AS s20
+  FROM rk
+)
+SELECT total_tokens, n_vocab,
+       round(CAST(s5 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS cov_top5,
+       round(CAST(s10 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS cov_top10,
+       round(CAST(s20 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS cov_top20
+FROM s, tot
+""",
+    doc="Vocabulary coverage curve: the fraction of all token "
+    "OCCURRENCES covered by the top-N vocabulary at three cutoffs — "
+    "the design curve for tokenizer vocab size and UNK-rate budgets "
+    "(pick N where the curve elbows; cutoffs 5/10/20 here fit the "
+    "fixture's 31-word vocab — 100/1k/10k at real scale, same plan). "
+    "The top-N side is orderBy+limit (TakeOrderedAndProject, vocab "
+    "side is constant-size) ranked by the distributed "
+    "global_row_number — no unpartitioned window — and every "
+    "coverage numerator is an exact int64 sum; only the three final "
+    "ratios are floats. Plan: one freq agg over the exploded stream "
+    "(map-side combine), one tiny top-k, a 1-row totals broadcast.",
+)
+def t_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(T.tokens(T.normalize_text(F.col("text")))).alias("tk")
+    )
+    freq = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )
+    topk = freq.orderBy(F.col("n").desc(), F.col("tk")).limit(20)
+    rk = global_row_number(topk, [F.col("n").desc(), F.col("tk")], out_col="rank")
+    s = rk.agg(
+        F.sum(F.when(F.col("rank") <= 5, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("s5"),
+        F.sum(F.when(F.col("rank") <= 10, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("s10"),
+        F.sum("n").cast("long").alias("s20"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "total_tokens",
+        "n_vocab",
+        F.round(F.col("s5").cast("double") / F.col("total_tokens").cast("double"), 6).alias("cov_top5"),
+        F.round(F.col("s10").cast("double") / F.col("total_tokens").cast("double"), 6).alias("cov_top10"),
+        F.round(F.col("s20").cast("double") / F.col("total_tokens").cast("double"), 6).alias("cov_top20"),
+    )
+
+
+@register(
+    "t_spearman_filters",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         (least(len({_SQL_TOKENS.format(col='text')}) / 50.0, 1.0)
+          + (1.0 - least(coalesce(
+               length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))
+                 * 1.0 / nullif(length(text), 0), 0.0) * 5.0, 1.0))
+          + CASE WHEN coalesce(list_sum(list_transform({_SQL_TOKENS.format(col='text')},
+                                  x -> length(x))) * 1.0
+                      / nullif(len({_SQL_TOKENS.format(col='text')}), 0), 0.0)
+                     BETWEEN 3.0 AND 8.0
+                THEN 1.0 ELSE 0.5 END) / 3.0 AS q1
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '')) AS tk
+  FROM documents
+),
+tf AS (SELECT doc_id, tk, count(*) AS n FROM tok GROUP BY 1, 2),
+feat AS (
+  SELECT doc_id,
+         CAST(sum(n) AS DOUBLE) AS n_tok,
+         CAST(count(*) AS DOUBLE) AS n_types,
+         CAST(sum(len(tk) * n) AS DOUBLE) AS sum_len
+  FROM tf GROUP BY 1
+),
+zt AS (
+  SELECT doc_id,
+         CAST(-6.0 AS DOUBLE)
+           + CAST(0.9 AS DOUBLE) * ln(CAST(1.0 AS DOUBLE) + n_tok)
+           + CAST(2.5 AS DOUBLE) * (n_types / n_tok)
+           + CAST(0.4 AS DOUBLE) * (sum_len / n_tok) AS q2
+  FROM feat
+),
+j AS (
+  SELECT d.source, d.doc_id, h.q1, zt.q2
+  FROM documents d JOIN h USING (doc_id) JOIN zt USING (doc_id)
+),
+r AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source ORDER BY q1, doc_id) AS r1,
+         row_number() OVER (PARTITION BY source ORDER BY q2, doc_id) AS r2
+  FROM j
+),
+g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sd2
+  FROM r GROUP BY 1
+)
+SELECT source, n_docs,
+       round(1.0 - (6.0 * CAST(sd2 AS DOUBLE))
+             / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - 1.0)),
+             6) AS spearman_rho
+FROM g WHERE n_docs > 1
+""",
+    doc="Per-source Spearman rank correlation between the heuristic "
+    "quality score and the logistic classifier score — the "
+    "rank-level complement of the kappa agreement audit: kappa asks "
+    "'do the filters keep the same docs', Spearman asks 'do they "
+    "ORDER docs the same way', which is what matters when the "
+    "downstream consumer is quality-weighted sampling rather than a "
+    "hard cut. Ranks are per-source PARTITIONED row_numbers with "
+    "doc_id tiebreaks (deterministic on both engines), rho = "
+    "1 - 6*sum(d^2)/(n(n^2-1)) from an exact int64 rank-difference "
+    "sum — float enters only in the final identity. Plan: the two "
+    "score pipelines' aggs, two partitioned windows over the same "
+    "exchange, one per-source agg.",
+)
+def t_spearman_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", T.quality_score(F.col("text")).alias("q1"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(T.tokens(T.normalize_text(F.col("text")))).alias("tk"),
+    )
+    tf = tok.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("n"))
+    feat = tf.groupBy("doc_id").agg(
+        F.sum("n").cast("double").alias("n_tok"),
+        F.count(F.lit(1)).cast("double").alias("n_types"),
+        F.sum(F.length("tk") * F.col("n")).cast("double").alias("sum_len"),
+    )
+    z = feat.select(
+        "doc_id",
+        (
+            F.lit(-6.0)
+            + F.lit(0.9) * F.log(F.lit(1.0) + F.col("n_tok"))
+            + F.lit(2.5) * (F.col("n_types") / F.col("n_tok"))
+            + F.lit(0.4) * (F.col("sum_len") / F.col("n_tok"))
+        ).alias("q2"),
+    )
+    j = docs.select("doc_id", "source").join(h, "doc_id").join(z, "doc_id")
+    w1 = Window.partitionBy("source").orderBy("q1", "doc_id")
+    w2 = Window.partitionBy("source").orderBy("q2", "doc_id")
+    r = j.select(
+        "source",
+        F.row_number().over(w1).alias("r1"),
+        F.row_number().over(w2).alias("r2"),
+    )
+    g = r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2")))
+        .cast("long")
+        .alias("sd2"),
+    ).filter(F.col("n_docs") > 1)
+    nd = F.col("n_docs").cast("double")
+    return g.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.lit(1.0) - (F.lit(6.0) * F.col("sd2").cast("double")) / (nd * (nd * nd - F.lit(1.0))),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "t_js_divergence",
+    oracle="""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '')) AS tk
+  FROM documents
+),
+st AS (SELECT source, tk, CAST(count(*) AS BIGINT) AS nst FROM tok GROUP BY 1, 2),
+ns AS (SELECT source, CAST(sum(nst) AS BIGINT) AS n_s FROM st GROUP BY 1),
+ct AS (SELECT tk, CAST(sum(nst) AS BIGINT) AS nt FROM st GROUP BY 1),
+nn AS (SELECT CAST(sum(nt) AS BIGINT) AS n FROM ct),
+terms AS (
+  SELECT st.source,
+         CAST(round((
+           (CAST(nst AS DOUBLE) / CAST(n_s AS DOUBLE))
+             * ln(2.0 * (CAST(nst AS DOUBLE) / CAST(n_s AS DOUBLE))
+                  / ((CAST(nst AS DOUBLE) / CAST(n_s AS DOUBLE)) + (CAST(nt AS DOUBLE) / CAST(n AS DOUBLE))))
+           + (CAST(nt AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(2.0 * (CAST(nt AS DOUBLE) / CAST(n AS DOUBLE))
+                  / ((CAST(nst AS DOUBLE) / CAST(n_s AS DOUBLE)) + (CAST(nt AS DOUBLE) / CAST(n AS DOUBLE))))
+         ) * 1000000000.0, 0) AS BIGINT) AS u_fp,
+         nt
+  FROM st JOIN ns USING (source) JOIN ct USING (tk) CROSS JOIN nn
+),
+g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_shared_terms,
+         CAST(sum(u_fp) AS BIGINT) AS sfp,
+         CAST(sum(nt) AS BIGINT) AS snt
+  FROM terms GROUP BY 1
+)
+SELECT g.source, n_shared_terms,
+       round(0.5 * (CAST(sfp AS DOUBLE) / 1000000000.0)
+             + 0.5 * 0.6931471805599453 * (1.0 - CAST(snt AS DOUBLE) / CAST(nn.n AS DOUBLE)),
+             6) AS jsd
+FROM g CROSS JOIN nn
+""",
+    doc="Jensen-Shannon divergence between each source's token "
+    "distribution and the corpus mix — the bounded, symmetric drift "
+    "score (0 = indistinguishable, ln2 = disjoint) used to rank "
+    "sources by distinctiveness before setting mixture weights, and "
+    "to alarm on a source whose crawl changed character between "
+    "snapshots. The out-of-support mass needs NO join against the "
+    "full vocabulary: for tokens absent from a source the summand "
+    "collapses to q*ln2, so it enters in closed form via the EXACT "
+    "integer coverage sum (1 - sum(nt)/N) — only in-source tokens are "
+    "scanned. In-support per-token summands are fixed-point "
+    "integerized (1e-9 grain) so the per-source reduction is an exact "
+    "int sum; ln2 is a hardcoded double literal, never each engine's "
+    "own ln(2). Plan: one (source, token) agg feeding both marginal "
+    "dicts, keyed joins back, a 1-row total broadcast, one per-source "
+    "agg.",
+)
+def t_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(T.tokens(T.normalize_text(F.col("text")))).alias("tk"),
+    )
+    st = tok.groupBy("source", "tk").agg(F.count(F.lit(1)).cast("long").alias("nst"))
+    ns = st.groupBy("source").agg(F.sum("nst").cast("long").alias("n_s"))
+    ct = st.groupBy("tk").agg(F.sum("nst").cast("long").alias("nt"))
+    nn = ct.agg(F.sum("nt").cast("long").alias("n"))
+    p = F.col("nst").cast("double") / F.col("n_s").cast("double")
+    q = F.col("nt").cast("double") / F.col("n").cast("double")
+    u = p * F.log(F.lit(2.0) * p / (p + q)) + q * F.log(F.lit(2.0) * q / (p + q))
+    terms = (
+        st.join(ns, "source")
+        .join(ct, "tk")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            F.round(u * F.lit(1e9), 0).cast("long").alias("u_fp"),
+            "nt",
+        )
+    )
+    g = terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+        F.sum("u_fp").cast("long").alias("sfp"),
+        F.sum("nt").cast("long").alias("snt"),
+    )
+    return g.crossJoin(F.broadcast(nn)).select(
+        "source",
+        "n_shared_terms",
+        F.round(
+            F.lit(0.5) * (F.col("sfp").cast("double") / F.lit(1e9))
+            + F.lit(0.5)
+            * F.lit(0.6931471805599453)
+            * (F.lit(1.0) - F.col("snt").cast("double") / F.col("n").cast("double")),
+            6,
+        ).alias("jsd"),
+    )

@@ -56,6 +56,9 @@ ALLOWED_NESTED_LOOP = {
     "sim_mips_norm_trick",  # 1-row max-norm broadcast + broadcast query set (cosine_topk shape)
     "t_perplexity_buckets",  # 1-row corpus-token-total broadcast (unigram-LM stage)
     "q_holt_linear",  # 1-row max-hour anchor broadcast (decay_topk shape)
+    "emb_sign_hamming_topk",  # broadcast query signatures vs corpus (cosine_topk shape)
+    "t_vocab_coverage_curve",  # 1-row totals broadcast vs 1-row coverage sums
+    "t_js_divergence",  # 1-row corpus-token-total broadcast (unigram-LM shape)
     "emb_dim_fidelity",  # broadcast query set vs corpus, both rankings (cosine_topk shape)
     "t_lsh_recall_audit",  # three 1-row count aggregates joined scalar-wise
     # round-5 departitioned global windows: the BNLJ sides are a 1-row
