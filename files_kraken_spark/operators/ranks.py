@@ -284,3 +284,81 @@ def global_prefix_min(
     # least() skips NULLs (returns the smallest non-null operand), which
     # is exactly the exclusive-prefix semantics at partition heads
     return keyed.withColumn(out_col, F.least(local, carried)).drop("__pid")
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_cols: list[Column],
+    values: dict[str, str],
+) -> DataFrame:
+    """INCLUSIVE global running sums of one or more BIGINT columns over
+    the total order given by ``order_cols`` — each row gets, per entry
+    ``{value_col: out_col}`` in ``values``, sum(value_col) over itself
+    plus all strictly preceding rows — with no unpartitioned window.
+
+    Same two-phase shape as :func:`global_row_number`: one range
+    exchange on the order key pinned once to scratch, one O(partitions)
+    driver collect of per-partition totals (never O(rows)) turned into
+    exclusive cross-partition offsets broadcast back as literal maps,
+    and per-partition inclusive window sums that share a single window
+    spec — asking for k running sums costs ONE extra column per sum,
+    not k passes. NULL values count as 0 (sum skips them; the offset
+    arithmetic coalesces). This is the building block for
+    cumulative-share operators: Pareto/ABC classification, Lorenz
+    curves, CUSUM changepoint scans, quota fills.
+
+    ``order_cols`` must define a total order (unique key) for a
+    deterministic result. Values must already be integerized — the
+    exactness contract (and the int64 overflow budget) is the
+    caller's.
+    """
+    spark = df.sparkSession
+    path = _scratch_path(spark)
+    (
+        df.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .write.parquet(path)
+    )
+    keyed = spark.read.parquet(path)
+    totals = keyed.groupBy("__pid").agg(
+        *[F.sum(vc).cast("long").alias(vc) for vc in values]
+    ).collect()
+    if not totals:
+        out = df
+        for oc in values.values():
+            out = out.withColumn(oc, F.lit(None).cast("bigint"))
+        return out
+    per_pid = {r["__pid"]: r for r in totals}
+    offsets: dict[str, dict[int, int]] = {vc: {} for vc in values}
+    acc = {vc: 0 for vc in values}
+    for pid in sorted(per_pid):
+        for vc in values:
+            offsets[vc][pid] = acc[vc]
+            acc[vc] += per_pid[pid][vc] or 0
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = keyed
+    for vc, oc in values.items():
+        off = F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in sorted(offsets[vc].items()) for x in kv]
+            ),
+            F.col("__pid"),
+        ).cast("bigint")
+        out = out.withColumn(
+            oc, (F.coalesce(F.sum(vc).over(w), F.lit(0)) + off).cast("long")
+        )
+    return out.drop("__pid")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "__psum",
+) -> DataFrame:
+    """Single-column convenience wrapper over :func:`global_prefix_sums`."""
+    return global_prefix_sums(df, order_cols, {value_col: out_col})

@@ -90,6 +90,8 @@ _SAMPLE_PRIORITY = [
     "q_table_checksum", "q_partition_planner", "t_dedup_bytes_saved",
     "emb_sign_hamming_topk", "t_vocab_coverage_curve",
     "q_degree_assortativity", "t_spearman_filters", "t_js_divergence",
+    "q_benford_first_digit", "q_rfm_segmentation", "q_abc_analysis",
+    "q_cusum_changepoint", "q_clustering_coefficient",
     # -- driver-green tail, rough value order --
     "q_gap_fill_ffill", "q_linear_interpolate", "q_rolling_zscore",
     "q_ewma_halflife", "q_triangle_count", "q_fuzzy_match_blocked",

@@ -203,3 +203,47 @@ def test_global_prefix_min_empty(spark):
 
     df = spark.range(0, 0).select(F.col("id").alias("k"), F.col("id").alias("v"))
     assert global_prefix_min(df, [F.col("k")], "v").count() == 0
+
+
+def test_global_prefix_sums_matches_window(spark):
+    from files_kraken_spark.operators.ranks import global_prefix_sums
+
+    rng = random.Random(23)
+    rows = [(i, rng.randrange(-20, 50), rng.randrange(5)) for i in range(311)]
+    df = spark.createDataFrame(rows, "id long, v long, u long")
+    got = {
+        r["id"]: (r["sv"], r["su"])
+        for r in global_prefix_sums(
+            df, [F.col("v"), F.col("id")], {"v": "sv", "u": "su"}
+        ).collect()
+    }
+    w = (
+        Window.orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["id"]: (r["sv"], r["su"])
+        for r in df.withColumn("sv", F.sum("v").over(w))
+        .withColumn("su", F.sum("u").over(w))
+        .collect()
+    }
+    assert got == want
+
+
+def test_global_prefix_sums_desc_nulls_and_empty(spark):
+    from files_kraken_spark.operators.ranks import global_prefix_sums
+
+    rows = [(1, 10), (2, None), (3, 5), (4, None), (5, 1)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["s"]
+        for r in global_prefix_sums(
+            df, [F.col("id").desc()], {"v": "s"}
+        ).collect()
+    }
+    # inclusive running sum walking id 5,4,3,2,1; NULLs contribute 0
+    assert got == {5: 1, 4: 1, 3: 6, 2: 6, 1: 16}
+
+    empty = spark.createDataFrame([], "id long, v long")
+    out = global_prefix_sums(empty, [F.col("id")], {"v": "s"})
+    assert out.count() == 0 and "s" in out.columns

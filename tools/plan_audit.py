@@ -72,6 +72,11 @@ ALLOWED_NESTED_LOOP = {
     "q_market_basket_lift",  # 1-row basket-total broadcast for the lift denominator
     "sim_hybrid_rrf",  # 1-row query-embedding broadcast vs corpus scan
     "t_bm25_topk",  # 1-row corpus-stats broadcast (N, avgdl, dfs)
+    "q_benford_first_digit",  # 1-row total-count broadcast vs 9-digit groups
+    "q_rfm_segmentation",  # 1-row anchor-date + 1-row quartile-threshold broadcasts
+    "q_abc_analysis",  # 1-row revenue-total broadcast vs ranked parts
+    "q_cusum_changepoint",  # 1-row (total, n-hours) broadcast vs hourly series
+    "q_clustering_coefficient",  # three 1-row aggregates joined scalar-wise
 }
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
