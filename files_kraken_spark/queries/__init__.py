@@ -92,6 +92,18 @@ _SAMPLE_PRIORITY = [
     "q_degree_assortativity", "t_spearman_filters", "t_js_divergence",
     "q_benford_first_digit", "q_rfm_segmentation", "q_abc_analysis",
     "q_cusum_changepoint", "q_clustering_coefficient",
+    "t_ndcg_sign_bits", "emb_jl_projection", "t_tokenizer_fertility",
+    "q_herfindahl_suppliers", "q_peak_concurrency",
+    "t_hard_negative_mining", "emb_label_balance", "q_dow_seasonality",
+    "q_repeat_purchase_interval", "q_xmr_control_limits",
+    "q_ab_test_proportions", "q_cohort_ltv_curve",
+    "q_powerlaw_degree_alpha", "q_wilson_quality_ci", "t_doc_keywords",
+    "t_psi_drift", "t_classifier_prf1", "t_corpus_stopwords",
+    "emb_pq_reconstruction_mse", "q_latency_heatmap",
+    "q_top_session_paths", "q_funnel_time_to_convert",
+    "q_price_elasticity", "q_markov_attribution",
+    "q_temporal_dq_violations", "q_ma_crossover", "q_duplicate_orders",
+    "emb_ivf_recall_audit",
     # -- driver-green tail, rough value order --
     "q_gap_fill_ffill", "q_linear_interpolate", "q_rolling_zscore",
     "q_ewma_halflife", "q_triangle_count", "q_fuzzy_match_blocked",

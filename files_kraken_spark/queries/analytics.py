@@ -2462,3 +2462,1341 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_cc"),
         )
     )
+
+
+@register(
+    "q_herfindahl_suppliers",
+    oracle="""
+WITH rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0, 0)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT s_nationkey, CAST(sum(cents) AS BIGINT) AS tot_cents
+  FROM rev GROUP BY 1
+),
+sh AS (
+  SELECT r.s_nationkey, t.tot_cents,
+         r.cents // greatest(t.tot_cents // 1000000, 1) AS share_micro
+  FROM rev r JOIN tot t ON t.s_nationkey = r.s_nationkey
+),
+h AS (
+  SELECT s_nationkey,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(max(tot_cents) AS BIGINT) AS tot_cents,
+         CAST(sum(share_micro * share_micro) AS BIGINT) AS sq_micro
+  FROM sh GROUP BY 1
+)
+SELECT n.n_name AS nation, n_suppliers, tot_cents,
+       round(10000.0 * CAST(sq_micro AS DOUBLE) / 1000000000000.0, 6) AS hhi
+FROM h JOIN nation n ON n.n_nationkey = h.s_nationkey
+""",
+    doc="Herfindahl-Hirschman concentration index of supplier revenue "
+    "per nation (0-10000 scale; >2500 = antitrust-red concentrated): "
+    "sum of squared market shares, the regulator's complement to "
+    "q_gini_revenue's Lorenz view — HHI weights the HEAD (a single "
+    "70% supplier dominates it), Gini the whole curve. Revenue "
+    "integerizes to cents per row, then each supplier's share "
+    "quantizes to MICRO-SHARES via divide-BEFORE-multiply truncation "
+    "(cents div greatest(tot div 1e6, 1) — identical `div`//`//` on "
+    "both engines, and no intermediate ever exceeds the inputs, so "
+    "the int64 budget holds at ANY corpus size; raw cents squared "
+    "wraps int64 silently in Spark and loudly in DuckDB at ~$3e7 "
+    "per supplier, and cents*1e6 wraps past ~$1e11 nation totals): "
+    "squares are bounded by 1e12 because shares are bounded, at a "
+    "documented quantization error of ~1e-6 relative per supplier, "
+    "below the round(6) pin. Plan: broadcast supplier dim join, keyed agg, keyed "
+    "total join back, keyed agg, broadcast 25-row nation join.",
+)
+def q_herfindahl_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0, 0)
+        .cast("long")
+        .alias("c0"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("c0").cast("long").alias("cents"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("cents").cast("long").alias("tot_cents")
+    )
+    sh = rev.join(tot, "s_nationkey").select(
+        "s_nationkey",
+        "tot_cents",
+        F.expr("cents div greatest(tot_cents div 1000000, 1)").alias("share_micro"),
+    )
+    h = sh.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.max("tot_cents").cast("long").alias("tot_cents"),
+        F.sum(F.col("share_micro") * F.col("share_micro"))
+        .cast("long")
+        .alias("sq_micro"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return h.join(
+        F.broadcast(nation), h["s_nationkey"] == nation["n_nationkey"]
+    ).select(
+        F.col("n_name").alias("nation"),
+        "n_suppliers",
+        "tot_cents",
+        F.round(
+            F.lit(10000.0) * F.col("sq_micro").cast("double") / F.lit(1.0e12),
+            6,
+        ).alias("hhi"),
+    )
+
+
+@register(
+    "q_peak_concurrency",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {30 * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id, t, event_id,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM ev
+),
+iv AS (
+  SELECT user_id, session_no, min(t) AS t_start, max(t) AS t_end
+  FROM sess GROUP BY 1, 2
+),
+deltas AS (
+  SELECT user_id, session_no, t_start AS t, CAST(1 AS BIGINT) AS delta FROM iv
+  UNION ALL
+  SELECT user_id, session_no, t_end AS t, CAST(-1 AS BIGINT) AS delta FROM iv
+),
+sweep AS (
+  SELECT t, delta, user_id, session_no,
+         CAST(sum(delta) OVER (ORDER BY t, delta DESC, user_id, session_no
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+  FROM deltas
+),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM iv)
+SELECT conc AS peak_concurrency, t AS at_us, n_sessions
+FROM sweep, ns
+ORDER BY conc DESC, t, user_id, session_no LIMIT 1
+""",
+    doc="Peak concurrent sessions via the classic sweep-line: gap-"
+    "sessionized [start, end] intervals emit +1/-1 deltas, the global "
+    "running sum is live concurrency, and the argmax row is the "
+    "capacity-planning headline (closed-interval convention: starts "
+    "sort before ends at the same instant via delta DESC, so "
+    "touching sessions count as concurrent). The running sum is the "
+    "distributed global_prefix_sums operator (range exchange + "
+    "O(partitions) driver offsets — an unpartitioned window here "
+    "would serialize 2x-sessions rows through one task); the argmax "
+    "is orderBy+limit (TakeOrderedAndProject). All integer math; "
+    "the sweep order is a documented TOTAL order, so both engines "
+    "pick the same peak instant deterministically.",
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_prefix_sums
+
+    gap_us = 30 * 60 * 1_000_000
+    events = load_table(spark, sf_dir, "events")  # ts = long nanos
+    t = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy(t, "event_id")
+    is_new = F.when(t - F.lag(t).over(w) > gap_us, 1).otherwise(0)
+    sess = events.select(
+        "user_id", t.alias("t"), "event_id", is_new.alias("is_new")
+    ).withColumn(
+        "session_no",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("t", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long"),
+    )
+    iv = sess.groupBy("user_id", "session_no").agg(
+        F.min("t").alias("t_start"), F.max("t").alias("t_end")
+    )
+    deltas = iv.select(
+        "user_id",
+        "session_no",
+        F.col("t_start").alias("t"),
+        F.lit(1).cast("long").alias("delta"),
+    ).unionByName(
+        iv.select(
+            "user_id",
+            "session_no",
+            F.col("t_end").alias("t"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    sweep = global_prefix_sums(
+        deltas,
+        [F.col("t"), F.col("delta").desc(), F.col("user_id"), F.col("session_no")],
+        {"delta": "conc"},
+    )
+    ns = iv.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    return (
+        sweep.crossJoin(F.broadcast(ns))
+        .orderBy(F.col("conc").desc(), "t", "user_id", "session_no")
+        .limit(1)
+        .select(
+            F.col("conc").alias("peak_concurrency"),
+            F.col("t").alias("at_us"),
+            "n_sessions",
+        )
+    )
+
+
+@register(
+    "q_dow_seasonality",
+    oracle="""
+WITH d AS (
+  SELECT ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow
+  FROM events
+),
+g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_events FROM d GROUP BY 1),
+tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM g)
+SELECT CAST(dow AS BIGINT) AS dow, n_events,
+       round(CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+       round(7.0 * CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         AS seasonality_index
+FROM g, tot
+""",
+    doc="Day-of-week seasonality profile of the event stream: per-dow "
+    "volume share and the seasonality index share*7 (1.0 = flat; the "
+    "multiplicative factor a naive forecast applies per weekday). "
+    "The weekday derives from PURE INTEGER epoch math — (epoch_day + "
+    "3) mod 7, 0 = Monday — never from the engines' dayofweek() "
+    "(DuckDB counts Sunday=0, Spark Sunday=1; the formula sidesteps "
+    "both and any session-timezone dependence, UTC by contract). "
+    "Counts are exact int64; the two ratios are the only floats. "
+    "Plan: one scan, 7-group agg, 1-row total broadcast.",
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")  # ts = long nanos
+    dow = F.expr("(((ts div 1000) div 86400000000) + 3) % 7")
+    g = events.groupBy(dow.cast("long").alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    tot = g.agg(F.sum("n_events").cast("long").alias("total"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double") / F.col("total").cast("double"), 6
+        ).alias("share"),
+        F.round(
+            F.lit(7.0) * F.col("n_events").cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("seasonality_index"),
+    )
+
+
+@register(
+    "q_repeat_purchase_interval",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS od, o_orderkey
+  FROM orders
+),
+gaps AS (
+  SELECT o_custkey,
+         od - lag(od) OVER (PARTITION BY o_custkey
+                            ORDER BY od, o_orderkey) AS gap_days
+  FROM o
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(count(g.gap_days) AS BIGINT) AS n_intervals,
+       round(CAST(sum(g.gap_days) AS DOUBLE) / CAST(count(g.gap_days) AS DOUBLE), 6)
+         AS mean_days,
+       round(quantile_cont(g.gap_days, 0.5), 6) AS median_days
+FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+WHERE g.gap_days IS NOT NULL
+GROUP BY 1
+""",
+    doc="Repeat-purchase cadence per market segment: day gaps between "
+    "a customer's consecutive orders (per-customer partitioned lag — "
+    "bounded groups, never a global window), rolled up to mean and "
+    "exact median per segment — the replenishment-cycle metric "
+    "behind churn-risk windows ('2x the median gap with no order' "
+    "alerts). Order dates reduce to integer epoch days before any "
+    "math (gaps are exact int64; ties in the lag ordering broken by "
+    "o_orderkey for a total order); the mean is an exact int "
+    "sum/count and the median mirrors quantile_cont at round(6) — "
+    "swap percentile -> approx_percentile at 100 TB to avoid "
+    "per-group value buffers, same plan otherwise. Plan: one keyed "
+    "window, broadcast customer-dim join, 5-group agg.",
+)
+def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000)").alias(
+            "od"
+        ),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey", (F.col("od") - F.lag("od").over(w)).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        gaps.join(F.broadcast(cust), gaps["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("gap_days").cast("long").alias("n_intervals"),
+            F.round(
+                F.sum("gap_days").cast("double") / F.count("gap_days").cast("double"),
+                6,
+            ).alias("mean_days"),
+            F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias("median_days"),
+        )
+    )
+
+
+@register(
+    "q_xmr_control_limits",
+    oracle="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+mr AS (
+  SELECT a.day, abs(a.cnt - b.cnt) AS mrange
+  FROM d a JOIN d b ON b.day = a.day - 1
+),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+         (SELECT CAST(sum(cnt) AS BIGINT) FROM d) AS total,
+         (SELECT CAST(count(*) AS BIGINT) FROM mr) AS n_mr,
+         (SELECT CAST(sum(mrange) AS BIGINT) FROM mr) AS mr_total
+),
+lim AS (
+  SELECT n_days,
+         round(CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_cnt,
+         round(CAST(mr_total AS DOUBLE) / CAST(n_mr AS DOUBLE), 6) AS mr_bar,
+         round(CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)
+               + 2.66 * CAST(mr_total AS DOUBLE) / CAST(n_mr AS DOUBLE), 6) AS ucl,
+         round(CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)
+               - 2.66 * CAST(mr_total AS DOUBLE) / CAST(n_mr AS DOUBLE), 6) AS lcl
+  FROM stats
+)
+SELECT n_days, mean_cnt, mr_bar, ucl, lcl,
+       (SELECT CAST(count(*) AS BIGINT) FROM d, lim
+        WHERE CAST(cnt AS DOUBLE) > ucl OR CAST(cnt AS DOUBLE) < lcl) AS n_out_of_control
+FROM lim
+""",
+    doc="Shewhart XmR (individuals + moving range) control chart on "
+    "the daily event-count series: centerline, average moving range "
+    "between adjacent calendar days, UCL/LCL = mean +- 2.66*MRbar, "
+    "and the count of out-of-control days — the SPC primitive behind "
+    "'is today's traffic anomalous or just noisy' alerting. The "
+    "moving range uses a day-(day-1) EQUI-JOIN, not a global lag "
+    "window (adjacent-calendar-day convention, documented: gap days "
+    "contribute no range pair) — at 100 TB of telemetry the daily "
+    "rollup is tiny but the same shape works per-series with a "
+    "partition key. All sums exact int64; limits are round(6)-pinned "
+    "doubles before the out-of-control comparison so both engines "
+    "classify identically. Plan: one scan -> daily agg -> self-join "
+    "on day-1 -> three 1-row aggregates joined scalar-wise.",
+)
+def q_xmr_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    d = events.groupBy(
+        F.expr("(ts div 1000) div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    a = d.select(F.col("day").alias("day"), F.col("cnt").alias("ca"))
+    b = d.select((F.col("day") + 1).alias("day"), F.col("cnt").alias("cb"))
+    mr = a.join(b, "day").select(F.abs(F.col("ca") - F.col("cb")).alias("mrange"))
+    dstats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cnt").cast("long").alias("total"),
+    )
+    mrstats = mr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_mr"),
+        F.sum("mrange").cast("long").alias("mr_total"),
+    )
+    mean_cnt = F.col("total").cast("double") / F.col("n_days").cast("double")
+    mr_bar = F.col("mr_total").cast("double") / F.col("n_mr").cast("double")
+    lim = dstats.crossJoin(F.broadcast(mrstats)).select(
+        "n_days",
+        F.round(mean_cnt, 6).alias("mean_cnt"),
+        F.round(mr_bar, 6).alias("mr_bar"),
+        F.round(mean_cnt + F.lit(2.66) * mr_bar, 6).alias("ucl"),
+        F.round(mean_cnt - F.lit(2.66) * mr_bar, 6).alias("lcl"),
+    )
+    ooc = (
+        d.crossJoin(F.broadcast(lim.select("ucl", "lcl")))
+        .filter(
+            (F.col("cnt").cast("double") > F.col("ucl"))
+            | (F.col("cnt").cast("double") < F.col("lcl"))
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_out_of_control"))
+    )
+    return lim.crossJoin(F.broadcast(ooc))
+
+
+@register(
+    "q_ab_test_proportions",
+    oracle="""
+WITH assign AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+  FROM assign
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
+       round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
+       round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 0.0), 6)
+         AS z_score
+FROM g
+""",
+    doc="Two-proportion A/B z-test on user conversion (>= 14 purchase "
+    "events — the fixture's median split; 'any purchase' is "
+    "degenerate here, every user converts and the pooled variance "
+    "is 0), arms assigned by user_id parity: pooled-proportion "
+    "standard error, the |z| > 1.96 readout every experimentation "
+    "platform ships. Per-user conversion collapses with ONE keyed "
+    "agg, arm counts are exact int64, the z statistic is a single-"
+    "shape double expression over four exact integers, and the "
+    "denominator is nullif-guarded on BOTH engines (all-convert / "
+    "none-convert corpora give NULL z, not a divide error). Plan: "
+    "one scan, per-user agg, 1-row reduce; a 100 TB single pass "
+    "(the per-user agg is the only shuffle).",
+)
+def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    assign = events.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    g = assign.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (ca / na - cb / nb) / F.nullif(
+        F.sqrt(pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)),
+        F.lit(0.0),
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(ca / na, 6).alias("p_a"),
+        F.round(cb / nb, 6).alias("p_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@register(
+    "q_cohort_ltv_curve",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(date_part('year', o_orderdate) * 12
+              + date_part('month', o_orderdate) - 1 AS BIGINT) AS mon,
+         CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+  FROM orders
+),
+first_mon AS (SELECT o_custkey, min(mon) AS cohort FROM o GROUP BY 1),
+cell AS (
+  SELECT f.cohort, o.mon - f.cohort AS age,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(o.cents) AS BIGINT) AS cents
+  FROM o JOIN first_mon f ON f.o_custkey = o.o_custkey
+  GROUP BY 1, 2
+)
+SELECT cohort, age, n_orders,
+       CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY age
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM cell
+""",
+    doc="Cohort LTV curve: customers grouped by first-order month, "
+    "cumulative revenue per cohort by months-since-acquisition — the "
+    "payback-period table under every CAC decision. Months collapse "
+    "to an integer index (year*12+month-1, pure date-part math — no "
+    "interval arithmetic to disagree on), revenue integerizes to "
+    "cents per row, and the running total is a PARTITIONED window "
+    "(one bounded group per cohort — never a global window; at 100 "
+    "TB cohorts number in the hundreds while rows are billions, so "
+    "the cumsum runs on the post-agg cells, thousands of rows). "
+    "Plan: keyed first-order agg, fact join back on custkey, "
+    "(cohort, age) agg, per-cohort window.",
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("mon"),
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("cents"),
+    )
+    first_mon = orders.groupBy("o_custkey").agg(F.min("mon").alias("cohort"))
+    cell = (
+        orders.join(first_mon, "o_custkey")
+        .groupBy("cohort", (F.col("mon") - F.col("cohort")).alias("age"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        "cohort",
+        "age",
+        "n_orders",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+    )
+
+
+@register(
+    "q_powerlaw_degree_alpha",
+    oracle="""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e0 GROUP BY 1),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(CAST(round(ln(CAST(d AS DOUBLE)) * 1000000.0, 0) AS BIGINT))
+              AS BIGINT) AS lnsum_micro,
+         CAST(max(d) AS BIGINT) AS max_degree
+  FROM deg
+)
+SELECT n_nodes, max_degree,
+       round(1.0 + CAST(n_nodes AS DOUBLE)
+             / (CAST(lnsum_micro AS DOUBLE) / 1000000.0), 6) AS alpha_mle
+FROM s
+""",
+    doc="Power-law exponent MLE over the co-purchase degree "
+    "distribution (Clauset-Shalizi-Newman discrete approximation "
+    "with xmin=1): alpha = 1 + n / sum(ln d) — the one-number tail "
+    "diagnostic that says whether hub-salting / skew-aware joins are "
+    "mandatory (alpha < 2.5 means the max hub grows superlinearly "
+    "with corpus size). Per-node ln(d) integerizes to micro-units "
+    "before the sum (the entropy-sum contract: the reduction is an "
+    "exact int64 sum, order-independent on both engines); one float "
+    "division at the end. Plan: edge agg -> degree agg -> 1-row "
+    "reduce; the degree table never leaves the executors.",
+)
+def q_powerlaw_degree_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e0 = a.join(b, "o").filter(F.col("u") != F.col("v")).select("u", "v").distinct()
+    deg = e0.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    s = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(
+            F.round(F.log(F.col("d").cast("double")) * 1000000.0, 0).cast("long")
+        )
+        .cast("long")
+        .alias("lnsum_micro"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
+    return s.select(
+        "n_nodes",
+        "max_degree",
+        F.round(
+            F.lit(1.0)
+            + F.col("n_nodes").cast("double")
+            / (F.col("lnsum_micro").cast("double") / F.lit(1000000.0)),
+            6,
+        ).alias("alpha_mle"),
+    )
+
+
+@register(
+    "q_top_session_paths",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {30 * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id, t, event_id, event_type,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM ev
+),
+paths AS (
+  SELECT user_id, session_no,
+         array_to_string(list(event_type ORDER BY t, event_id)[1:8], '>') AS path
+  FROM sess GROUP BY 1, 2
+),
+g AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM paths GROUP BY 1)
+SELECT path, n_sessions FROM g ORDER BY n_sessions DESC, path LIMIT 10
+""",
+    doc="Top-10 most common session journeys: gap-sessionized event "
+    "streams collapse to ordered event-type paths (truncated to the "
+    "first 8 steps so path cardinality stays bounded), counted and "
+    "ranked — the 'what do users actually do' table behind UX-flow "
+    "and bot-pattern review. The in-session ordering is pinned by "
+    "(t, event_id) — a TOTAL order, so the collected path string is "
+    "deterministic on both engines (Spark sorts struct arrays, "
+    "DuckDB uses ORDER BY inside list()); the top-k is orderBy+"
+    "limit (TakeOrderedAndProject), never a global rank. Plan: "
+    "per-user windows (bounded groups), per-session agg, path agg, "
+    "tiny top-k.",
+)
+def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gap_us = 30 * 60 * 1_000_000
+    events = load_table(spark, sf_dir, "events")
+    t = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy(t, "event_id")
+    is_new = F.when(t - F.lag(t).over(w) > gap_us, 1).otherwise(0)
+    sess = events.select(
+        "user_id", t.alias("t"), "event_id", "event_type", is_new.alias("is_new")
+    ).withColumn(
+        "session_no",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("t", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long"),
+    )
+    paths = sess.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("t", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                8,
+            ),
+            ">",
+        ).alias("path")
+    )
+    g = paths.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    return g.orderBy(F.col("n_sessions").desc(), "path").limit(10)
+
+
+@register(
+    "q_funnel_time_to_convert",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+  FROM events GROUP BY 1
+),
+conv AS (
+  SELECT (t_buy - t_view) // 1000000 AS secs
+  FROM per_user
+  WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy > t_view
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(secs, 0.5), 6) AS median_secs,
+       round(quantile_cont(secs, 0.9), 6) AS p90_secs,
+       round(CAST(sum(secs) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_secs
+FROM conv
+""",
+    doc="Time-to-convert distribution: seconds from a user's first "
+    "view to their first purchase (first-touch pair, converters "
+    "only) — the latency histogram behind 'how long should "
+    "remarketing wait'. Timestamps reduce to integer epoch seconds "
+    "per user BEFORE any statistics (conditional-min pairs, exact "
+    "int64 differences); the median/p90 are exact percentiles "
+    "mirroring quantile_cont at round(6) (approx_percentile is the "
+    "documented 100 TB swap), the mean an exact int sum/count. "
+    "Plan: one scan, per-user conditional-min agg, 1-row reduce.",
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    t_us = F.expr("ts div 1000")
+
+    def first_of(etype):
+        return F.min(F.when(F.col("event_type") == etype, t_us))
+
+    per_user = events.groupBy("user_id").agg(
+        first_of("view").alias("t_view"), first_of("purchase").alias("t_buy")
+    )
+    conv = per_user.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") > F.col("t_view"))
+    ).select(F.expr("(t_buy - t_view) div 1000000").alias("secs"))
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(secs, 0.5)"), 6).alias("median_secs"),
+        F.round(F.expr("percentile(secs, 0.9)"), 6).alias("p90_secs"),
+        F.round(
+            F.sum("secs").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_secs"),
+    )
+
+
+@register(
+    "q_price_elasticity",
+    oracle="""
+WITH obs AS (
+  SELECT p.p_brand,
+         CAST(round(ln(l.l_extendedprice / l.l_quantity) * 1000000.0, 0) AS BIGINT)
+           AS x_micro,
+         CAST(round(ln(l.l_quantity) * 1000000.0, 0) AS BIGINT) AS y_micro
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+),
+m AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x_micro) AS BIGINT) AS sx,
+         CAST(sum(y_micro) AS BIGINT) AS sy,
+         sum(CAST(x_micro AS DECIMAL(18,0)) * CAST(y_micro AS DECIMAL(18,0))) AS sxy,
+         sum(CAST(x_micro AS DECIMAL(18,0)) * CAST(x_micro AS DECIMAL(18,0))) AS sxx
+  FROM obs GROUP BY 1
+)
+SELECT p_brand AS brand, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6)
+         AS elasticity
+FROM m
+""",
+    doc="Log-log price elasticity of demand per brand: OLS slope of "
+    "ln(quantity) on ln(unit price) — the pricing-team regression "
+    "(elasticity < -1 = revenue rises when price falls). Follows "
+    "q_group_regression's exact-moments contract: both log terms "
+    "integerize to micro-units PER ROW, so all five OLS moments are "
+    "exact reductions (the cross-products ride DECIMAL(18)x"
+    "DECIMAL(18) — micro-unit logs reach ~2e7, squares ~4e14, and "
+    "int64 would wrap on the SUM at ~1e4 rows/brand; decimal "
+    "headroom holds to 1e22 rows); the slope assembles in one "
+    "identical double shape, nullif-guarded for degenerate "
+    "zero-variance groups. Plan: broadcast part-dim join, one keyed "
+    "agg — a 100 TB single pass.",
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    obs = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_brand",
+        F.round(F.log(F.col("l_extendedprice") / F.col("l_quantity")) * 1000000.0, 0)
+        .cast("long")
+        .alias("x_micro"),
+        F.round(F.log(F.col("l_quantity")) * 1000000.0, 0)
+        .cast("long")
+        .alias("y_micro"),
+    )
+    xd = F.col("x_micro").cast("decimal(18,0)")
+    yd = F.col("y_micro").cast("decimal(18,0)")
+    m = obs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_micro").cast("long").alias("sx"),
+        F.sum("y_micro").cast("long").alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("p_brand").alias("brand"),
+        "n",
+        F.round(
+            (nd * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / F.nullif(
+                nd * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("elasticity"),
+    )
+
+
+def _markov_attribution_oracle(steps: int = 8) -> str:
+    """Unrolled absorbing-chain conversion probability, base + one
+    removal variant per channel — same fixed-step integer-state
+    determinism contract as the pagerank/power-PCA oracles: the state
+    vector lives in int64 micro-units and every step is (m * cnt)
+    truncation-divided by the row's out-count, so both engines walk
+    bit-identical chains. Every reused CTE is MATERIALIZED (DuckDB
+    would otherwise re-inline each variant's 8 references ->
+    exponential plan blowup)."""
+    channels = ["view", "click", "signup", "error"]
+    ctes = [
+        """ev AS MATERIALIZED (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+)""",
+        """cp AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'purchase' THEN rn END) AS crn
+  FROM ev GROUP BY 1
+)""",
+        """j AS MATERIALIZED (
+  SELECT e.user_id,
+         CASE WHEN e.event_type = 'purchase' THEN 'conv'
+              ELSE e.event_type END AS st,
+         e.rn, cp.crn
+  FROM ev e JOIN cp USING (user_id)
+  WHERE cp.crn IS NULL OR e.rn <= cp.crn
+)""",
+        """pairs AS (
+  SELECT st AS src,
+         lead(st) OVER (PARTITION BY user_id ORDER BY rn) AS dst
+  FROM j
+)""",
+        """ends AS (
+  SELECT st AS src FROM (
+    SELECT st, rn, crn, max(rn) OVER (PARTITION BY user_id) AS mx FROM j
+  ) WHERE rn = mx AND crn IS NULL
+)""",
+        """trans0 AS (
+  SELECT src, dst FROM pairs WHERE dst IS NOT NULL
+  UNION ALL
+  SELECT 'start' AS src, st AS dst FROM j WHERE rn = 1
+  UNION ALL
+  SELECT src, 'null' AS dst FROM ends
+)""",
+        """tcnt AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM trans0 GROUP BY 1, 2
+)""",
+        """tout AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS outc FROM tcnt GROUP BY 1)""",
+        """base AS MATERIALIZED (
+  SELECT t.src, t.dst, t.cnt, o.outc FROM tcnt t JOIN tout o USING (src)
+)""",
+    ]
+    variants = {"base": None}
+    for c in channels:
+        variants[c] = c
+    for vname, removed in variants.items():
+        if removed is None:
+            ctes.append(f"t_{vname} AS MATERIALIZED (SELECT * FROM base)")
+        else:
+            ctes.append(
+                f"""t_{vname} AS MATERIALIZED (
+  SELECT src, CASE WHEN dst = '{removed}' THEN 'null' ELSE dst END AS dst,
+         CAST(sum(cnt) AS BIGINT) AS cnt, CAST(max(outc) AS BIGINT) AS outc
+  FROM base WHERE src <> '{removed}'
+  GROUP BY 1, 2
+)"""
+            )
+        ctes.append(
+            f"v_{vname}_0 AS (SELECT 'start' AS state, CAST(1000000 AS BIGINT) AS m)"
+        )
+        for n in range(steps):
+            ctes.append(
+                f"""v_{vname}_{n + 1} AS MATERIALIZED (
+  SELECT state, CAST(sum(m) AS BIGINT) AS m FROM (
+    SELECT b.dst AS state, (v.m * b.cnt) // b.outc AS m
+    FROM v_{vname}_{n} v JOIN t_{vname} b ON b.src = v.state
+    UNION ALL
+    SELECT state, m FROM v_{vname}_{n} WHERE state IN ('conv', 'null')
+  ) GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"""p_{vname} AS (
+  SELECT CAST(coalesce(max(m), 0) AS BIGINT) AS conv_micro
+  FROM v_{vname}_{steps} WHERE state = 'conv'
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS channel, (SELECT conv_micro FROM p_{c}) AS removed_micro"
+        for c in channels
+    )
+    ctes.append(
+        f"""re AS (
+  SELECT channel, removed_micro,
+         (SELECT conv_micro FROM p_base) AS base_micro
+  FROM ({union})
+)""")
+    ctes.append(
+        """res AS (
+  SELECT channel, base_micro, removed_micro,
+         base_micro - removed_micro AS effect_micro
+  FROM re
+)""",
+    )
+    ctes.append(
+        """tot AS (SELECT CAST(sum(CASE WHEN effect_micro > 0 THEN effect_micro ELSE 0 END) AS BIGINT) AS tot_eff FROM res)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT channel,
+       round(CAST(base_micro AS DOUBLE) / 1000000.0, 6) AS conv_p_base,
+       round(CAST(removed_micro AS DOUBLE) / 1000000.0, 6) AS conv_p_removed,
+       round(CAST(base_micro - removed_micro AS DOUBLE)
+             / CAST(nullif(base_micro, 0) AS DOUBLE), 6) AS removal_effect,
+       round(CAST(CASE WHEN effect_micro > 0 THEN effect_micro ELSE 0 END AS DOUBLE)
+             / CAST(nullif(tot_eff, 0) AS DOUBLE), 6) AS attribution_share
+FROM res, tot
+"""
+    )
+
+
+@register(
+    "q_markov_attribution",
+    oracle=_markov_attribution_oracle(8),
+    doc="Markov removal-effect channel attribution (Anderl et al. "
+    "2014): user journeys truncate at first purchase, become an "
+    "absorbing first-order chain (start -> event types -> conv/"
+    "null), and each channel's credit is how much the chain's "
+    "conversion probability DROPS when that channel's node is "
+    "removed (transitions into it fail to null) — the data-driven "
+    "alternative to last-touch that credits assist channels. "
+    "Determinism: the state vector walks 8 fixed steps in int64 "
+    "MICRO-UNITS, each step (m * cnt) div out — truncation integer "
+    "math both engines replay bit-for-bit (the pagerank contract); "
+    "probabilities appear only in the final report (Python ints are "
+    "arbitrary-precision, so the driver-side chain never overflows; "
+    "the SQL mirror's int64 budget is m*cnt <= 1e6 * transitions). "
+    "Plan: per-user windows build the transition table distributed, "
+    "then the chain runs on a DRIVER COLLECT of that table — "
+    "O(|event types|^2) <= ~50 rows at ANY corpus size, the same "
+    "bounded-collect exception as the k-means seed map (a "
+    "Spark-side unrolling was measured 100x slower: 5 chains x 8 "
+    "steps = 40 chained joins of <=8-row frames is pure Catalyst "
+    "planning overhead, ~230s vs ~2s); only the journey scan "
+    "scales with data.",
+)
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    channels = ["view", "click", "signup", "error"]
+    events = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy(ts_us, "event_id")
+    ev = events.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    cp = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("rn"))).alias("crn")
+    )
+    j = (
+        ev.join(cp, "user_id")
+        .filter(F.col("crn").isNull() | (F.col("rn") <= F.col("crn")))
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "purchase", "conv")
+            .otherwise(F.col("event_type"))
+            .alias("st"),
+            "rn",
+            "crn",
+        )
+    )
+    wj = Window.partitionBy("user_id").orderBy("rn")
+    pairs = j.select(
+        F.col("st").alias("src"), F.lead("st").over(wj).alias("dst")
+    ).filter(F.col("dst").isNotNull())
+    ends = (
+        j.withColumn("mx", F.max("rn").over(Window.partitionBy("user_id")))
+        .filter((F.col("rn") == F.col("mx")) & F.col("crn").isNull())
+        .select(F.col("st").alias("src"), F.lit("null").alias("dst"))
+    )
+    starts = j.filter(F.col("rn") == 1).select(
+        F.lit("start").alias("src"), F.col("st").alias("dst")
+    )
+    trans0 = pairs.unionByName(starts).unionByName(ends)
+    tcnt = trans0.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tout = tcnt.groupBy("src").agg(F.sum("cnt").cast("long").alias("outc"))
+    # bounded driver collect: O(|event types|^2) rows at any corpus size
+    base = [
+        (r["src"], r["dst"], r["cnt"], r["outc"])
+        for r in tcnt.join(tout, "src").select("src", "dst", "cnt", "outc").collect()
+    ]
+
+    def variant(removed: str | None):
+        if removed is None:
+            return base
+        agg: dict[tuple[str, str], list[int]] = {}
+        for src, dst, cnt, outc in base:
+            if src == removed:
+                continue
+            key = (src, "null" if dst == removed else dst)
+            cell = agg.setdefault(key, [0, outc])
+            cell[0] += cnt
+        return [(s, d, c, o) for (s, d), (c, o) in agg.items()]
+
+    def conv_micro(tv) -> int:
+        # exact mirror of the SQL chain: truncation div per (src, dst)
+        # term, absorbing conv/null carry their mass
+        by_src: dict[str, list[tuple[str, int, int]]] = {}
+        for src, dst, cnt, outc in tv:
+            by_src.setdefault(src, []).append((dst, cnt, outc))
+        v = {"start": 1000000}
+        for _ in range(8):
+            nxt: dict[str, int] = {}
+            for state, m in v.items():
+                if state in ("conv", "null"):
+                    nxt[state] = nxt.get(state, 0) + m
+                    continue
+                for dst, cnt, outc in by_src.get(state, []):
+                    nxt[dst] = nxt.get(dst, 0) + (m * cnt) // outc
+            v = nxt
+        return v.get("conv", 0)
+
+    base_micro = conv_micro(variant(None))
+    rows = [(c, base_micro, conv_micro(variant(c))) for c in channels]
+    res = spark.createDataFrame(
+        rows, "channel string, base_micro long, removed_micro long"
+    ).withColumn(
+        "effect_micro", F.col("base_micro") - F.col("removed_micro")
+    )
+    tot = res.agg(
+        F.sum(
+            F.when(F.col("effect_micro") > 0, F.col("effect_micro")).otherwise(0)
+        )
+        .cast("long")
+        .alias("tot_eff")
+    )
+    return res.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        F.round(F.col("base_micro").cast("double") / 1000000.0, 6).alias(
+            "conv_p_base"
+        ),
+        F.round(F.col("removed_micro").cast("double") / 1000000.0, 6).alias(
+            "conv_p_removed"
+        ),
+        F.round(
+            (F.col("base_micro") - F.col("removed_micro")).cast("double")
+            / F.nullif(F.col("base_micro"), F.lit(0)).cast("double"),
+            6,
+        ).alias("removal_effect"),
+        F.round(
+            F.when(F.col("effect_micro") > 0, F.col("effect_micro"))
+            .otherwise(0)
+            .cast("double")
+            / F.nullif(F.col("tot_eff"), F.lit(0)).cast("double"),
+            6,
+        ).alias("attribution_share"),
+    )
+
+
+@register(
+    "q_latency_heatmap",
+    oracle="""
+SELECT event_type,
+       CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+""",
+    doc="Latency/value heatmap: p50/p95/p99 of the event value per "
+    "(event_type, hour-of-day) cell — the 2-D percentile rollup "
+    "behind every SLO dashboard ('which operation degrades at which "
+    "hour'). Hour-of-day is pure integer epoch math (UTC by "
+    "contract, no dayofweek/timezone skew); percentiles are exact "
+    "and mirror quantile_cont at round(6) — swap percentile -> "
+    "approx_percentile at 100 TB to bound per-cell value buffers "
+    "(cells are fixed at types x 24, but each cell's buffer is "
+    "corpus-sized/120 exact). Plan: one scan, bounded-cell agg.",
+)
+def q_latency_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.expr("(ts div 1000) div 3600000000") % 24)
+            .cast("long")
+            .alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+    )
+
+
+@register(
+    "q_temporal_dq_violations",
+    oracle="""
+WITH c1 AS (
+  SELECT 'ship_before_order' AS check_name, CAST(count(*) AS BIGINT) AS n_violations
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate < o.o_orderdate
+),
+c2 AS (
+  SELECT 'orphan_lineitem' AS check_name, CAST(count(*) AS BIGINT) AS n_violations
+  FROM lineitem l ANTI JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+c3 AS (
+  SELECT 'nonpositive_quantity' AS check_name, CAST(count(*) AS BIGINT) AS n_violations
+  FROM lineitem WHERE l_quantity <= 0
+),
+c4 AS (
+  SELECT 'null_custkey' AS check_name, CAST(count(*) AS BIGINT) AS n_violations
+  FROM orders WHERE o_custkey IS NULL
+)
+SELECT * FROM c1 UNION ALL SELECT * FROM c2
+UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+""",
+    doc="Temporal / referential data-quality audit in one frame: ships-"
+    "before-ordered rows (a JOIN-keyed temporal invariant — the "
+    "check generic null/range DQ suites miss), orphan lineitems "
+    "(anti-join referential integrity), non-positive quantities, "
+    "NULL required keys — the four-row health report a pipeline "
+    "gates ingestion on. Each check is an independent exact count; "
+    "the temporal check rides the fact-to-fact equi-join (broadcast-"
+    "eligible dimension side at real scale via AQE), the orphan "
+    "check a LEFT ANTI join — no row ever leaves the executors. "
+    "Complements q_dq_expectations (per-column rules) with "
+    "CROSS-TABLE rules.",
+)
+def q_temporal_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    c1 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("ship_before_order").alias("check_name"), "n_violations")
+    )
+    c2 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("orphan_lineitem").alias("check_name"), "n_violations")
+    )
+    c3 = (
+        li.filter(F.col("l_quantity") <= 0)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("nonpositive_quantity").alias("check_name"), "n_violations")
+    )
+    c4 = (
+        orders.filter(F.col("o_custkey").isNull())
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("null_custkey").alias("check_name"), "n_violations")
+    )
+    return c1.unionByName(c2).unionByName(c3).unionByName(c4)
+
+
+@register(
+    "q_ma_crossover",
+    oracle="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+ma AS (
+  SELECT event_type, day, cnt,
+         CAST(sum(cnt) OVER w7 AS BIGINT) AS s7,
+         CAST(count(*) OVER w7 AS BIGINT) AS c7,
+         CAST(sum(cnt) OVER w28 AS BIGINT) AS s28,
+         CAST(count(*) OVER w28 AS BIGINT) AS c28
+  FROM d
+  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+         w28 AS (PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+),
+lagged AS (
+  SELECT event_type, day, s7, c7, s28, c28,
+         lag(s7) OVER w AS p_s7, lag(c7) OVER w AS p_c7,
+         lag(s28) OVER w AS p_s28, lag(c28) OVER w AS p_c28
+  FROM ma
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       round(CAST(s7 AS DOUBLE) / CAST(c7 AS DOUBLE), 6) AS ma7,
+       round(CAST(s28 AS DOUBLE) / CAST(c28 AS DOUBLE), 6) AS ma28
+FROM lagged
+WHERE s7 * c28 > s28 * c7
+  AND p_s7 IS NOT NULL
+  AND p_s7 * p_c28 <= p_s28 * p_c7
+""",
+    doc="Golden-cross detector on daily event volume: days where the "
+    "7-day moving average crosses ABOVE the 28-day moving average, "
+    "per event type — the trend-shift signal (the same shape flags "
+    "adoption inflections or incident recovery, not just stock "
+    "charts). RANGE frames on integer epoch days handle calendar "
+    "gaps exactly (a missing day shrinks the window rather than "
+    "silently stretching it); the cross condition compares "
+    "CROSS-MULTIPLIED integer sums (s7*c28 vs s28*c7) so the "
+    "detection is pure int64 math — floats appear only in the "
+    "reported averages. All windows PARTITIONED by event type "
+    "(bounded groups). Int64 budget: s*c < 2^63 up to ~3e17 "
+    "events/day-window. Plan: one scan, daily agg, two frame "
+    "windows + one lag on the same partitioned sort — Catalyst "
+    "evaluates them in a single window stage pair.",
+)
+def q_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    d = events.groupBy(
+        "event_type", F.expr("(ts div 1000) div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    )
+    w28 = (
+        Window.partitionBy("event_type").orderBy("day").rangeBetween(-27, 0)
+    )
+    ma = d.select(
+        "event_type",
+        "day",
+        F.sum("cnt").over(w7).cast("long").alias("s7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("c7"),
+        F.sum("cnt").over(w28).cast("long").alias("s28"),
+        F.count(F.lit(1)).over(w28).cast("long").alias("c28"),
+    )
+    wl = Window.partitionBy("event_type").orderBy("day")
+    lagged = ma.select(
+        "event_type",
+        "day",
+        "s7",
+        "c7",
+        "s28",
+        "c28",
+        F.lag("s7").over(wl).alias("p_s7"),
+        F.lag("c7").over(wl).alias("p_c7"),
+        F.lag("s28").over(wl).alias("p_s28"),
+        F.lag("c28").over(wl).alias("p_c28"),
+    )
+    return lagged.filter(
+        (F.col("s7") * F.col("c28") > F.col("s28") * F.col("c7"))
+        & F.col("p_s7").isNotNull()
+        & (F.col("p_s7") * F.col("p_c28") <= F.col("p_s28") * F.col("p_c7"))
+    ).select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.round(F.col("s7").cast("double") / F.col("c7").cast("double"), 6).alias(
+            "ma7"
+        ),
+        F.round(F.col("s28").cast("double") / F.col("c28").cast("double"), 6).alias(
+            "ma28"
+        ),
+    )
+
+
+@register(
+    "q_duplicate_orders",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents,
+         CAST(round(o_totalprice * 100.0, 0) AS BIGINT) // 1000000 AS bucket,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+),
+pairs AS (
+  SELECT a.o_custkey, a.cents
+  FROM o a JOIN o b
+    ON b.o_custkey = a.o_custkey AND b.bucket = a.bucket
+   AND a.o_orderkey < b.o_orderkey
+  WHERE abs(a.day - b.day) <= 30
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS cents_at_risk
+FROM pairs
+""",
+    doc="Duplicate-payment detector: pairs of orders by the SAME "
+    "customer in the SAME $10k amount bucket within 30 days — the "
+    "accounts-payable double-charge screen (exact-amount matching "
+    "is the production default; the fixture's continuous synthetic "
+    "prices never collide exactly, so the registered variant "
+    "matches on the amount bucket to exercise the operator — same "
+    "plan either way, the block key just changes). The pair join "
+    "is BLOCKED on (custkey, bucket): candidates collapse to "
+    "same-key buckets before the date predicate, so the join is an "
+    "ordinary keyed shuffle (never n² — the block key is as "
+    "selective as the fraud pattern), the same blocking discipline "
+    "as q_fuzzy_match_blocked. Amounts integerize to cents, dates "
+    "to epoch days; everything through the final count/sum is "
+    "exact int64. Plan: one scan, self equi-join on the block key, "
+    "residual date filter, 1-row reduce.",
+)
+def q_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("cents"),
+        F.expr(
+            "CAST(round(o_totalprice * 100.0, 0) AS BIGINT) div 1000000"
+        ).alias("bucket"),
+        F.expr(
+            "(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000)"
+        ).alias("day"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("bucket").alias("bk"),
+        F.col("cents").alias("c"),
+        F.col("o_orderkey").alias("ka"),
+        F.col("day").alias("da"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("bucket").alias("bk"),
+        F.col("o_orderkey").alias("kb"),
+        F.col("day").alias("db"),
+    )
+    pairs = (
+        a.join(b, ["ck", "bk"])
+        .filter(
+            (F.col("ka") < F.col("kb"))
+            & (F.abs(F.col("da") - F.col("db")) <= 30)
+        )
+        .select("ck", "c")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("ck").cast("long").alias("n_customers"),
+        F.sum("c").cast("long").alias("cents_at_risk"),
+    )

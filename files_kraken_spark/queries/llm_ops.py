@@ -5371,3 +5371,997 @@ def t_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jsd"),
     )
+
+
+@register(
+    "t_ndcg_sign_bits",
+    oracle=f"""
+WITH u AS (SELECT vec_id, {_SQL_UNIT.format(a='embedding')} AS un FROM embeddings),
+q AS (SELECT vec_id AS q_id, un AS qu FROM u WHERE vec_id < 5),
+cos_ranked AS (
+  SELECT q_id, c.vec_id AS cand_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY {_SQL_DOT.format(a='qu', b='c.un')} DESC,
+                                     c.vec_id) AS rn
+  FROM u c, q WHERE c.vec_id <> q_id
+),
+rel AS (SELECT q_id, cand_id FROM cos_ranked WHERE rn <= 10),
+sig AS (
+  SELECT vec_id,
+         {_SQL_SIGN_PACK.format(off=0)} AS lo,
+         {_SQL_SIGN_PACK.format(off=32)} AS hi
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM sig WHERE vec_id < 5),
+h_ranked AS (
+  SELECT q_id, c.vec_id AS cand_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY bit_count(xor(qlo, c.lo))
+                                     + bit_count(xor(qhi, c.hi)),
+                                     c.vec_id) AS rn
+  FROM sig c, qs WHERE c.vec_id <> q_id
+),
+hit AS (
+  SELECT h.q_id, h.rn
+  FROM h_ranked h JOIN rel r ON r.q_id = h.q_id AND r.cand_id = h.cand_id
+  WHERE h.rn <= 10
+),
+dcg AS (
+  SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits,
+         CAST(sum(CAST(round(1000000.0 / log2(CAST(rn AS DOUBLE) + 1.0), 0)
+                       AS BIGINT)) AS BIGINT) AS dcg_micro
+  FROM hit GROUP BY q_id
+),
+idcg AS (
+  SELECT CAST(sum(CAST(round(1000000.0 / log2(CAST(i AS DOUBLE) + 1.0), 0)
+                       AS BIGINT)) AS BIGINT) AS idcg_micro
+  FROM (SELECT unnest(range(1, 11)) AS i)
+),
+qq AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 5)
+SELECT qq.q_id,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_relevant_in_top10,
+       round(CAST(coalesce(dcg_micro, 0) AS DOUBLE) / CAST(idcg_micro AS DOUBLE), 6)
+         AS ndcg_at_10
+FROM qq CROSS JOIN idcg LEFT JOIN dcg ON dcg.q_id = qq.q_id
+""",
+    doc="NDCG@10 of the 1-bit sign-compressed index against exact "
+    "cosine ground truth: exact cosine top-10 per query is the binary "
+    "relevance set, candidates re-rank by packed-sign Hamming "
+    "distance (emb_sign_hamming_topk's index), and the position-"
+    "discounted overlap is the quality bill for 256x compression — "
+    "THE eval you run before swapping a float ANN stage for a binary "
+    "one. Per-position gains 1/log2(rank+1) are integerized to "
+    "micro-units per row (the entropy-sum contract) so DCG/IDCG are "
+    "exact int64 sums on both engines; only the final ratio is a "
+    "float. Plan: two broadcast-query corpus scans (float and 16-"
+    "byte signature), two per-query window top-10s, a 10-row hit "
+    "join, a 1-row IDCG-constant broadcast.",
+)
+def t_ndcg_sign_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    rel = SIM.cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+
+    def pack(off: int):
+        return F.expr(
+            "aggregate(sequence(1, 32), 0L, (acc, i) -> acc + "
+            f"CASE WHEN element_at(embedding, i + {off}) >= 0 "
+            "THEN shiftleft(1L, i - 1) ELSE 0L END)"
+        )
+
+    from pyspark.sql.window import Window
+
+    sig = emb.select("vec_id", pack(0).alias("lo"), pack(32).alias("hi"))
+    qs = sig.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    scored = sig.join(F.broadcast(qs), sig["vec_id"] != qs["q_id"]).select(
+        "q_id",
+        F.col("vec_id").alias("cand_id"),
+        (
+            F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+            + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+        ).alias("hamming"),
+    )
+    w = Window.partitionBy("q_id").orderBy("hamming", "cand_id")
+    top_h = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "cand_id", "rn")
+    )
+    gain = F.round(
+        F.lit(1000000.0) / F.log2(F.col("rn").cast("double") + F.lit(1.0)), 0
+    ).cast("long")
+    dcg = (
+        top_h.join(rel, ["q_id", "cand_id"])
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.sum(gain).cast("long").alias("dcg_micro"),
+        )
+    )
+    idcg = spark.range(1, 11).agg(
+        F.sum(
+            F.round(
+                F.lit(1000000.0) / F.log2(F.col("id").cast("double") + F.lit(1.0)),
+                0,
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("idcg_micro")
+    )
+    qq = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"))
+    return (
+        qq.join(dcg, "q_id", "left")
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_relevant_in_top10"),
+            F.round(
+                F.coalesce(F.col("dcg_micro"), F.lit(0)).cast("double")
+                / F.col("idcg_micro").cast("double"),
+                6,
+            ).alias("ndcg_at_10"),
+        )
+    )
+
+
+@register(
+    "emb_jl_projection",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+p AS (
+  SELECT vec_id, embedding,
+         list_transform(range(1, 17), j ->
+           list_sum(list_transform(range(1, 65),
+             i -> CAST(embedding[i] AS DOUBLE) *
+                  (CASE WHEN ((i * 2654435761 + j * 40503) % 2147483647) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END))) / 4.0) AS proj
+  FROM e
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sqrt(list_sum(list_transform(range(1, 65),
+           i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+                * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))))
+           AS d_orig,
+         sqrt(list_sum(list_transform(range(1, 17),
+           i -> (a.proj[i] - b.proj[i]) * (a.proj[i] - b.proj[i])))) AS d_proj
+  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+)
+SELECT id_a, id_b,
+       round(d_orig, 6) AS dist_orig,
+       round(d_proj, 6) AS dist_proj,
+       round(d_proj / nullif(d_orig, 0.0), 6) AS distortion
+FROM pairs
+""",
+    doc="Johnson-Lindenstrauss random projection 64d -> 16d with a "
+    "DETERMINISTIC Rademacher (+-1) sign matrix derived from a "
+    "Knuth-hash formula on (i, j) — pure int64 modular arithmetic, so "
+    "both engines build bit-identical projection matrices with no "
+    "stored state (the matrix-free trick that makes JL free to ship "
+    "to 1000 executors: the 'matrix' is four constants). Projections "
+    "fold per row in index order (identical float shape), and the "
+    "audit reports per-pair distance distortion d_proj/d_orig on "
+    "consecutive-id probe pairs — the empirical check on the JL "
+    "guarantee before trusting the compressed space for dedup or "
+    "ANN. Plan: one bounded scan, per-row HOF fold (no UDF), one "
+    "tiny equi-join; at 100 TB the projection is a map-only pass.",
+)
+def emb_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+    proj = F.expr(
+        "transform(sequence(1, 16), j -> "
+        "aggregate(sequence(1, 64), cast(0.0 as double), (acc, i) -> acc + "
+        "cast(element_at(embedding, i) as double) * "
+        "(CASE WHEN pmod(pmod(i * CAST(2654435761 AS BIGINT) "
+        "+ j * CAST(40503 AS BIGINT), CAST(2147483647 AS BIGINT)), 2) = 0 "
+        "THEN cast(1.0 as double) ELSE cast(-1.0 as double) END)) "
+        "/ cast(4.0 as double))"
+    )
+    p = e.select("vec_id", "embedding", proj.alias("proj"))
+    a = p.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("proj").alias("pa"),
+    )
+    b = p.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("proj").alias("pb"),
+    )
+    d_orig = F.sqrt(
+        F.expr(
+            "aggregate(sequence(1, 64), cast(0.0 as double), (acc, i) -> acc + "
+            "(cast(element_at(ea, i) as double) - cast(element_at(eb, i) as double)) "
+            "* (cast(element_at(ea, i) as double) - cast(element_at(eb, i) as double)))"
+        )
+    )
+    d_proj = F.sqrt(
+        F.expr(
+            "aggregate(sequence(1, 16), cast(0.0 as double), (acc, i) -> acc + "
+            "(element_at(pa, i) - element_at(pb, i)) "
+            "* (element_at(pa, i) - element_at(pb, i)))"
+        )
+    )
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            d_orig.alias("d_orig"),
+            d_proj.alias("d_proj"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("d_orig"), 6).alias("dist_orig"),
+            F.round(F.col("d_proj"), 6).alias("dist_proj"),
+            F.round(
+                F.col("d_proj") / F.nullif(F.col("d_orig"), F.lit(0.0)), 6
+            ).alias("distortion"),
+        )
+    )
+
+
+@register(
+    "t_tokenizer_fertility",
+    oracle=f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_SQL_TOKENS.format(col='text')})) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+            AS BIGINT) AS bpe_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       round(CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+                  AS DOUBLE)
+             / CAST(nullif(sum(len({_SQL_TOKENS.format(col='text')})), 0) AS DOUBLE), 6)
+         AS fertility,
+       round(CAST(sum(n_chars) AS DOUBLE)
+             / CAST(nullif(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))), 0)
+                    AS DOUBLE), 6) AS chars_per_token
+FROM documents GROUP BY lang
+""",
+    doc="Tokenizer fertility audit per language: BPE-ish subword "
+    "tokens per whitespace word (fertility) and characters per "
+    "subword token — the per-language cost sheet that decides vocab "
+    "allocation and flags languages a tokenizer over-fragments "
+    "(fertility spikes are the standard symptom of an under-"
+    "represented script). Token counts are exact int64 sums sharing "
+    "the corpus-wide tokenization fragments (lockstep with "
+    "functions/text.py); the two ratios are the only floats. Plan: "
+    "one scan, per-lang map-side combine — a 100 TB single pass.",
+)
+def t_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.sum(T.token_count(F.col("text"))).cast("long")
+    bpe = F.sum(T.bpe_ish_token_count(F.col("text"))).cast("long")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.round(
+            bpe.cast("double") / F.nullif(ws, F.lit(0)).cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("long").cast("double")
+            / F.nullif(bpe, F.lit(0)).cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+@register(
+    "t_hard_negative_mining",
+    oracle=f"""
+WITH u AS (
+  SELECT vec_id, label, {_SQL_UNIT.format(a='embedding')} AS un FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, label AS q_label, un AS qu FROM u WHERE vec_id < 5),
+scored AS (
+  SELECT q_id, c.vec_id AS cand_id,
+         CASE WHEN c.label = q_label THEN 1 ELSE 0 END AS is_pos,
+         {_SQL_DOT.format(a='qu', b='c.un')} AS cos
+  FROM u c, q WHERE c.vec_id <> q_id
+),
+ranked AS (
+  SELECT q_id, cand_id, is_pos, cos,
+         row_number() OVER (PARTITION BY q_id, is_pos
+                            ORDER BY cos DESC, cand_id) AS rn
+  FROM scored
+)
+SELECT q_id,
+       CAST(max(CASE WHEN is_pos = 1 THEN cand_id END) AS BIGINT) AS pos_id,
+       CAST(max(CASE WHEN is_pos = 0 THEN cand_id END) AS BIGINT) AS neg_id,
+       round(max(CASE WHEN is_pos = 1 THEN cos END), 6) AS cos_pos,
+       round(max(CASE WHEN is_pos = 0 THEN cos END), 6) AS cos_neg,
+       round(max(CASE WHEN is_pos = 1 THEN cos END)
+             - max(CASE WHEN is_pos = 0 THEN cos END), 6) AS margin
+FROM ranked WHERE rn = 1
+GROUP BY q_id
+""",
+    doc="Contrastive-pair mining for metric-learning training data: per "
+    "query vector, the hardest positive (most-similar same-label "
+    "candidate) and hardest negative (most-similar OTHER-label "
+    "candidate — the one that teaches the model something) plus the "
+    "margin between them; negative margins flag label noise. One "
+    "broadcast-query corpus scan scores both roles at once (a "
+    "same/diff-label flag, not two scans), per-(query, role) window "
+    "top-1, conditional-agg pivot to one row per query. Cosines use "
+    "the shared unit/dot fragments (identical per-row float shape); "
+    "the margin is a 2-term difference of round-stable doubles. At "
+    "100 TB: the scan is the cost; swap the exact scan for the IVF "
+    "probe (sim_ivf_trained_topk) per role, same downstream shape.",
+)
+def t_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import dot, unit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = emb.select("vec_id", "label", unit(F.col("embedding")).alias("un"))
+    q = u.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("un").alias("qu"),
+    )
+    scored = u.join(F.broadcast(q), u["vec_id"] != q["q_id"]).select(
+        "q_id",
+        F.col("vec_id").alias("cand_id"),
+        F.when(F.col("label") == F.col("q_label"), 1).otherwise(0).alias("is_pos"),
+        dot(F.col("qu"), F.col("un")).alias("cos"),
+    )
+    w = Window.partitionBy("q_id", "is_pos").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    pos = F.max(F.when(F.col("is_pos") == 1, F.col("cos")))
+    neg = F.max(F.when(F.col("is_pos") == 0, F.col("cos")))
+    return ranked.groupBy("q_id").agg(
+        F.max(F.when(F.col("is_pos") == 1, F.col("cand_id")))
+        .cast("long")
+        .alias("pos_id"),
+        F.max(F.when(F.col("is_pos") == 0, F.col("cand_id")))
+        .cast("long")
+        .alias("neg_id"),
+        F.round(pos, 6).alias("cos_pos"),
+        F.round(neg, 6).alias("cos_neg"),
+        F.round(pos - neg, 6).alias("margin"),
+    )
+
+
+@register(
+    "emb_label_balance",
+    oracle="""
+WITH n AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000.0, 0)
+              AS BIGINT)) AS BIGINT) AS norm_micro
+  FROM embeddings GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS k FROM n
+)
+SELECT label, n,
+       round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+       round(CAST(total AS DOUBLE) / (CAST(k AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+         AS inv_freq_weight,
+       round(CAST(norm_micro AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)
+         AS mean_norm
+FROM n, tot
+""",
+    doc="Class-balance audit over the embedding labels: per-label "
+    "count, share, the inverse-frequency loss weight total/(k*n) a "
+    "balanced sampler or weighted loss would use, and the mean "
+    "embedding L2 norm per class (systematic norm differences "
+    "between classes are the classic symptom of encoder bias / "
+    "collapsed classes). Per-row norms integerize to micro-units "
+    "before the per-class sum, so the means are exact int64 "
+    "reductions divided once — summation order cannot move them. "
+    "Plan: one scan, k-group agg, 1-row totals broadcast; a 100 TB "
+    "single pass.",
+)
+def emb_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm_micro = F.round(
+        F.sqrt(
+            F.expr(
+                "aggregate(embedding, cast(0.0 as double), "
+                "(acc, x) -> acc + cast(x as double) * cast(x as double))"
+            )
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    n = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(norm_micro).cast("long").alias("norm_micro"),
+    )
+    tot = n.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return n.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total").cast("double"), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.col("total").cast("double")
+            / (F.col("k").cast("double") * F.col("n").cast("double")),
+            6,
+        ).alias("inv_freq_weight"),
+        F.round(
+            F.col("norm_micro").cast("double") / F.col("n").cast("double") / 1000000.0,
+            6,
+        ).alias("mean_norm"),
+    )
+
+
+@register(
+    "q_wilson_quality_ci",
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN len({_SQL_TOKENS.format(col='text')}) >= 20
+                       THEN 1 ELSE 0 END) AS BIGINT) AS passes
+  FROM documents GROUP BY 1
+)
+SELECT source, n, passes,
+       round(CAST(passes AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pass_rate,
+       round((CAST(passes AS DOUBLE) / CAST(n AS DOUBLE)
+              + 1.9599639845400545 * 1.9599639845400545 / (2.0 * CAST(n AS DOUBLE))
+              - 1.9599639845400545
+                * sqrt((CAST(passes AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(passes AS DOUBLE) / CAST(n AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+                       + 1.9599639845400545 * 1.9599639845400545
+                         / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + 1.9599639845400545 * 1.9599639845400545 / CAST(n AS DOUBLE)), 6)
+         AS wilson_lo,
+       round((CAST(passes AS DOUBLE) / CAST(n AS DOUBLE)
+              + 1.9599639845400545 * 1.9599639845400545 / (2.0 * CAST(n AS DOUBLE))
+              + 1.9599639845400545
+                * sqrt((CAST(passes AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(passes AS DOUBLE) / CAST(n AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+                       + 1.9599639845400545 * 1.9599639845400545
+                         / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + 1.9599639845400545 * 1.9599639845400545 / CAST(n AS DOUBLE)), 6)
+         AS wilson_hi
+FROM s
+""",
+    doc="Wilson 95% score interval on the per-source quality pass "
+    "rate (docs with >= 20 whitespace tokens): the CI that stays "
+    "inside [0,1] and behaves at small n / extreme p where the "
+    "normal interval lies — the right uncertainty bar for 'is "
+    "source X really dirtier than Y' calls on sampled audits. The "
+    "z constant is spelled to full double precision IN THE "
+    "EXPRESSION on both engines (no engine-specific normal-quantile "
+    "function), counts are exact int64, and lo/hi share one "
+    "algebraic shape so both engines produce bit-identical doubles "
+    "before the round(6) pin. Plan: one scan, per-source agg — a "
+    "100 TB single pass.",
+)
+def q_wilson_quality_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Z = 1.9599639845400545
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(T.token_count(F.col("text")) >= 20, 1).otherwise(0))
+        .cast("long")
+        .alias("passes"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("passes").cast("double") / n
+    z = F.lit(Z)
+    half = z * F.sqrt(p * (F.lit(1.0) - p) / n + z * z / (F.lit(4.0) * n * n))
+    denom = F.lit(1.0) + z * z / n
+    center = p + z * z / (F.lit(2.0) * n)
+    return s.select(
+        "source",
+        "n",
+        "passes",
+        F.round(p, 6).alias("pass_rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+@register(
+    "t_doc_keywords",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS.format(col='lower(text)')}) AS tk
+  FROM documents
+),
+tf AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tk,
+         CAST(t.tf AS BIGINT) * CAST(round(
+           ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0))
+           * 1000000.0, 0) AS BIGINT) AS tfidf_micro
+  FROM tf t JOIN df d USING (tk), nd
+  WHERE t.doc_id < 10
+),
+ranked AS (
+  SELECT doc_id, tk, tfidf_micro,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_micro DESC, tk) AS rn
+  FROM scored
+)
+SELECT doc_id, tk AS keyword, tfidf_micro, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 3
+""",
+    doc="Per-document keyword extraction: top-3 terms by TF-IDF for "
+    "the probe docs — the snippet/tag generator over a corpus "
+    "(global DF statistics, per-doc ranking). The IDF integerizes "
+    "to micro-units per TERM (one ln per dictionary entry, an exact "
+    "int64 thereafter), so the per-doc score tf * idf_micro and its "
+    "ordering are pure integer math on both engines — no float "
+    "tie-break ambiguity in the ranking. Plan: explode -> (doc, "
+    "term) agg -> term-keyed DF agg -> probe-doc filter BEFORE the "
+    "join back (at 100 TB the DF dictionary is the only corpus-"
+    "wide product; the scored frame is |probe docs| x terms).",
+)
+def t_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tk")
+    )
+    tf = tok.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df = tf.groupBy("tk").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    idf_micro = F.round(
+        F.log(
+            (F.col("n_docs").cast("double") + F.lit(1.0))
+            / (F.col("df").cast("double") + F.lit(1.0))
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    scored = (
+        tf.filter(F.col("doc_id") < 10)
+        .join(df, "tk")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", "tk", (F.col("tf") * idf_micro).alias("tfidf_micro")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_micro").desc(), F.col("tk"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            F.col("tk").alias("keyword"),
+            "tfidf_micro",
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
+@register(
+    "t_psi_drift",
+    oracle="""
+WITH b AS (
+  SELECT least(n_chars // 200, 9) AS bucket, doc_id % 2 AS cohort
+  FROM documents
+),
+g AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM b GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS tot_a, CAST(sum(n_b) AS BIGINT) AS tot_b,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM g
+),
+p AS (
+  SELECT bucket, n_a, n_b,
+         (CAST(n_a AS DOUBLE) + 1.0) / (CAST(tot_a AS DOUBLE) + CAST(n_buckets AS DOUBLE)) AS pa,
+         (CAST(n_b AS DOUBLE) + 1.0) / (CAST(tot_b AS DOUBLE) + CAST(n_buckets AS DOUBLE)) AS pb
+  FROM g, tot
+),
+t AS (
+  SELECT bucket, n_a, n_b, pa, pb,
+         CAST(round((pa - pb) * ln(pa / pb) * 1000000.0, 0) AS BIGINT) AS psi_term_micro
+  FROM p
+),
+s AS (SELECT CAST(sum(psi_term_micro) AS BIGINT) AS psi_total_micro FROM t)
+SELECT bucket, n_a, n_b,
+       round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+       psi_term_micro,
+       round(CAST(psi_total_micro AS DOUBLE) / 1000000.0, 6) AS psi_total
+FROM t, s
+""",
+    doc="Population Stability Index between two corpus cohorts (doc_id "
+    "parity stands in for old-vs-new snapshot) over document-length "
+    "buckets: PSI = sum (p_a - p_b) * ln(p_a / p_b), the standard "
+    "'did my input distribution drift' gate before retraining or "
+    "re-filtering (0.1 = watch, 0.25 = act). Laplace-smoothed shares "
+    "(+1 per observed bucket) keep the log finite on empty cells; "
+    "each bucket's PSI term integerizes to micro-units so the total "
+    "is an exact int64 sum — the per-bucket terms AND the corpus "
+    "total ship in one frame. Plan: one scan, bounded-bucket agg, "
+    "two 1-row broadcasts; a 100 TB single pass.",
+)
+def t_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.least(F.expr("n_chars div 200"), F.lit(9)).alias("bucket"),
+        (F.col("doc_id") % 2).alias("cohort"),
+    )
+    g = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    tot = g.agg(
+        F.sum("n_a").cast("long").alias("tot_a"),
+        F.sum("n_b").cast("long").alias("tot_b"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    p = g.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        (
+            (F.col("n_a").cast("double") + F.lit(1.0))
+            / (F.col("tot_a").cast("double") + F.col("n_buckets").cast("double"))
+        ).alias("pa"),
+        (
+            (F.col("n_b").cast("double") + F.lit(1.0))
+            / (F.col("tot_b").cast("double") + F.col("n_buckets").cast("double"))
+        ).alias("pb"),
+    )
+    t = p.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        "pa",
+        "pb",
+        F.round(
+            (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")) * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("psi_term_micro"),
+    )
+    s = t.agg(F.sum("psi_term_micro").cast("long").alias("psi_total_micro"))
+    return t.crossJoin(F.broadcast(s)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(F.col("pa"), 6).alias("p_a"),
+        F.round(F.col("pb"), 6).alias("p_b"),
+        "psi_term_micro",
+        F.round(F.col("psi_total_micro").cast("double") / 1000000.0, 6).alias(
+            "psi_total"
+        ),
+    )
+
+
+@register(
+    "t_classifier_prf1",
+    oracle=f"""
+WITH pred AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CASE WHEN len(regexp_extract_all(lower(text), '{_SQL_STOPWORD_PAT}'))
+                   >= 0.05 * len({_SQL_TOKENS.format(col='text')})
+              AND len({_SQL_TOKENS.format(col='text')}) > 0
+              THEN 1 ELSE 0 END AS yhat
+  FROM documents
+),
+c AS (
+  SELECT CAST(sum(y * yhat) AS BIGINT) AS tp,
+         CAST(sum((1 - y) * yhat) AS BIGINT) AS fp,
+         CAST(sum(y * (1 - yhat)) AS BIGINT) AS fn,
+         CAST(sum((1 - y) * (1 - yhat)) AS BIGINT) AS tn
+  FROM pred
+)
+SELECT tp, fp, fn, tn,
+       round(CAST(tp AS DOUBLE) / CAST(nullif(tp + fp, 0) AS DOUBLE), 6) AS precision,
+       round(CAST(tp AS DOUBLE) / CAST(nullif(tp + fn, 0) AS DOUBLE), 6) AS recall,
+       round(2.0 * CAST(tp AS DOUBLE) / CAST(nullif(2 * tp + fp + fn, 0) AS DOUBLE), 6)
+         AS f1,
+       round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 6)
+         AS accuracy
+FROM c
+""",
+    doc="Precision / recall / F1 / accuracy of the stopword-density "
+    "language classifier against the labeled lang column — the "
+    "eval readout that turns t_lang_id's confusion counts into the "
+    "numbers a filter-tuning loop thresholds on (the same harness "
+    "evaluates ANY boolean doc filter: swap the yhat CASE). "
+    "Confusion cells are exact int64 indicator sums computed in ONE "
+    "pass (products of 0/1 indicators — no joins, no distinct); F1 "
+    "uses the join-free 2tp/(2tp+fp+fn) identity; every denominator "
+    "is nullif-guarded identically on both engines. Plan: one scan, "
+    "1-row reduce; a 100 TB single pass.",
+)
+def t_classifier_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.when(T.lang_id(F.col("text")) == "en", 1).otherwise(0).alias("yhat"),
+    )
+    c = pred.agg(
+        F.sum(F.col("y") * F.col("yhat")).cast("long").alias("tp"),
+        F.sum((F.lit(1) - F.col("y")) * F.col("yhat")).cast("long").alias("fp"),
+        F.sum(F.col("y") * (F.lit(1) - F.col("yhat"))).cast("long").alias("fn"),
+        F.sum((F.lit(1) - F.col("y")) * (F.lit(1) - F.col("yhat")))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = [F.col(c0).cast("double") for c0 in ["tp", "fp", "fn", "tn"]]
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            tp / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)).cast("double"), 6
+        ).alias("precision"),
+        F.round(
+            tp / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)).cast("double"), 6
+        ).alias("recall"),
+        F.round(
+            F.lit(2.0)
+            * tp
+            / F.nullif(
+                F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)
+            ).cast("double"),
+            6,
+        ).alias("f1"),
+        F.round((tp + tn) / (tp + fp + fn + tn), 6).alias("accuracy"),
+    )
+
+
+@register(
+    "t_corpus_stopwords",
+    oracle=f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, source,
+         unnest({_SQL_TOKENS.format(col='lower(text)')}) AS tk
+  FROM documents
+),
+dfreq AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+top AS (SELECT tk, df FROM dfreq ORDER BY df DESC, tk LIMIT 20),
+srctot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM documents GROUP BY 1),
+bysrc AS (
+  SELECT d.tk, d.source, CAST(count(*) AS BIGINT) AS df_src
+  FROM dt d JOIN top t USING (tk)
+  GROUP BY 1, 2
+),
+mx AS (
+  SELECT b.tk,
+         max(round(CAST(b.df_src AS DOUBLE) / CAST(s.n_src AS DOUBLE), 6)) AS max_source_share
+  FROM bysrc b JOIN srctot s USING (source)
+  GROUP BY 1
+)
+SELECT t.tk AS term, t.df,
+       round(CAST(t.df AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS doc_share,
+       m.max_source_share
+FROM top t JOIN mx m USING (tk), nd
+""",
+    doc="Corpus-specific stopword discovery: the 20 terms with the "
+    "highest document frequency, with their overall doc share and "
+    "the max per-source doc share — terms near 1.0 everywhere are "
+    "functional glue (stopword candidates for BM25/TF-IDF lists), "
+    "terms high overall but skewed to one source are boilerplate "
+    "leaking from that source (a dedup target instead). The top-k "
+    "is orderBy+limit (TakeOrderedAndProject with the (df, term) "
+    "tiebreak — never a global rank), and the per-source breakdown "
+    "joins ONLY the 20 winners back against the doc-term set. "
+    "Counts exact int64; shares round(6)-pinned doubles (max of "
+    "rounded shares — commutative, order-safe). Plan: distinct "
+    "doc-term agg, tiny top-k, semi-join-shaped source breakdown, "
+    "1-row corpus-size broadcast.",
+)
+def t_corpus_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", "source", F.explode(T.tokens(F.lower(F.col("text")))).alias("tk")
+    ).distinct()
+    dfreq = dt.groupBy("tk").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    top = dfreq.orderBy(F.col("df").desc(), F.col("tk")).limit(20)
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    srctot = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_src"))
+    bysrc = (
+        dt.join(top.select("tk"), "tk")
+        .groupBy("tk", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_src"))
+    )
+    mx = (
+        bysrc.join(F.broadcast(srctot), "source")
+        .groupBy("tk")
+        .agg(
+            F.max(
+                F.round(
+                    F.col("df_src").cast("double") / F.col("n_src").cast("double"), 6
+                )
+            ).alias("max_source_share")
+        )
+    )
+    return (
+        top.join(mx, "tk")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("tk").alias("term"),
+            "df",
+            F.round(
+                F.col("df").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("doc_share"),
+            "max_source_share",
+        )
+    )
+
+
+@register(
+    "emb_pq_reconstruction_mse",
+    oracle=_pq_oracle_sql(4, 8, 2, 64)
+    + """,
+rec AS (
+  SELECT a.vec_id, a.m,
+         CAST(round(list_sum(list_transform(range(1, 17),
+           i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) * 1000000.0, 0)
+              AS BIGINT) AS err_micro
+  FROM a1 a
+  JOIN sub s USING (vec_id, m)
+  JOIN cb1 c ON c.m = a.m AND c.code = a.code
+)
+SELECT m, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(err_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6)
+         AS mse,
+       round(sqrt(CAST(sum(err_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  / 1000000.0), 6) AS rmse
+FROM rec GROUP BY m
+""",
+    doc="Product-quantization reconstruction error audit: per subspace, "
+    "the mean squared distance between each subvector and its "
+    "assigned codeword — the distortion bill for the 64x compression "
+    "and the number that says which subspace needs more codewords "
+    "before you trust ADC rankings (PQ's ADC error is exactly this "
+    "quantization noise). Reuses the trained codebook/codes from "
+    "emb_pq_codes' deterministic Lloyd's contract; per-row errors "
+    "integerize to micro-units so per-subspace sums are exact int64 "
+    "reductions (order-independent), divided once into MSE/RMSE. "
+    "Plan: codes re-join their codewords via a broadcast m*ksub "
+    "codebook — one map-side pass over the encoded corpus plus a "
+    "4-group agg; at 100 TB the raw-vector scan happens once, here.",
+)
+def emb_pq_reconstruction_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, cb = SIM.pq_train_encode(emb, m=4, ksub=8, iters=2, dim=64)
+    w = 16
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(mm).alias("m"),
+                F.transform(
+                    F.slice(F.col("embedding"), mm * w + 1, w),
+                    lambda x: x.cast("double"),
+                ).alias("sv"),
+            )
+            for mm in range(4)
+        ]
+    )
+    sub = emb.select("vec_id", F.explode(subs).alias("s")).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+    ac = codes.select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
+    ).select("vec_id", F.col("m").cast("long").alias("m"), "code")
+    err = F.round(
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    rec = (
+        ac.join(sub, ["vec_id", "m"])
+        .join(F.broadcast(cb), ["m", "code"])
+        .select("m", err.alias("err_micro"))
+    )
+    return rec.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(
+            F.sum("err_micro").cast("double") / F.count(F.lit(1)).cast("double")
+            / 1000000.0,
+            6,
+        ).alias("mse"),
+        F.round(
+            F.sqrt(
+                F.sum("err_micro").cast("double") / F.count(F.lit(1)).cast("double")
+                / 1000000.0
+            ),
+            6,
+        ).alias("rmse"),
+    )
+
+
+def _ivf_recall_oracle_sql() -> str:
+    """Derive the recall-audit oracle FROM sim_ivf_trained_topk's
+    registered oracle (single source of truth — the trained-IVF CTE
+    chain can never diverge between the ANN query and its audit):
+    wrap its final top-5 select into an ``ivf`` CTE, rank the exact
+    cosine top-5 over the same ``u``/``q`` CTEs, and join."""
+    from . import REGISTRY
+
+    base = REGISTRY["sim_ivf_trained_topk"].oracle
+    marker = "\nSELECT q_id, cand_id FROM ("
+    head, sep, tail = base.rpartition(marker)
+    assert sep, "sim_ivf_trained_topk oracle shape changed"
+    return (
+        head
+        + ",\nivf AS (\n  SELECT q_id, cand_id FROM ("
+        + tail
+        + "\n),\nexact AS (\n  SELECT q_id, cand_id FROM (\n"
+        + "    SELECT q.q_id, c.vec_id AS cand_id,\n"
+        + "           row_number() OVER (PARTITION BY q.q_id ORDER BY\n"
+        + "             "
+        + _SQL_DOT.format(a="q.qu", b="c.un")
+        + " DESC, c.vec_id) AS rn\n"
+        + "    FROM u c, q WHERE c.vec_id <> q.q_id\n"
+        + "  ) WHERE rn <= 5\n)"
+        + """,
+hits AS (
+  SELECT e.q_id, CAST(count(i.cand_id) AS BIGINT) AS n_hits
+  FROM exact e LEFT JOIN ivf i ON i.q_id = e.q_id AND i.cand_id = e.cand_id
+  GROUP BY 1
+)
+SELECT q_id, n_hits, round(CAST(n_hits AS DOUBLE) / 5.0, 6) AS recall_at_5
+FROM hits"""
+    )
+
+
+@register(
+    "emb_ivf_recall_audit",
+    oracle=_ivf_recall_oracle_sql(),
+    doc="Recall@5 of the trained-IVF index against exact brute-force "
+    "cosine, per query — the acceptance test every ANN deployment "
+    "runs before trading exactness for the k-fold scan reduction "
+    "(recall here is what nprobe tuning buys; the t_lsh_recall_audit "
+    "sibling audits the MinHash family the same way). The oracle "
+    "derives from sim_ivf_trained_topk's registered SQL at import "
+    "time — one source of truth for the train/probe chain — and the "
+    "Spark side composes the same two operators (ivf_topk_trained, "
+    "cosine_topk) it audits. Counts exact int64; recall is the only "
+    "float. Plan: both rankings are broadcast-query corpus scans; "
+    "the audit join touches 2x5 rows per query.",
+)
+def emb_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qf = emb.filter(F.col("vec_id") < 8)
+    ivf = SIM.ivf_topk_trained(emb, qf.select("vec_id"), k=8, iters=2, topk=5).select(
+        "q_id", "cand_id", F.lit(1).alias("hit")
+    )
+    exact = SIM.cosine_topk(qf, emb, k=5)
+    hits = (
+        exact.join(ivf, ["q_id", "cand_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("hit").cast("long").alias("n_hits"))
+    )
+    return hits.select(
+        "q_id",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.lit(5.0), 6).alias("recall_at_5"),
+    )

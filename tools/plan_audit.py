@@ -77,6 +77,17 @@ ALLOWED_NESTED_LOOP = {
     "q_abc_analysis",  # 1-row revenue-total broadcast vs ranked parts
     "q_cusum_changepoint",  # 1-row (total, n-hours) broadcast vs hourly series
     "q_clustering_coefficient",  # three 1-row aggregates joined scalar-wise
+    "t_ndcg_sign_bits",  # broadcast query set (float + signature scans) + 1-row IDCG constant
+    "q_peak_concurrency",  # 1-row session-count broadcast vs sweep frame
+    "q_dow_seasonality",  # 1-row total broadcast vs 7-group frame
+    "emb_label_balance",  # 1-row totals broadcast vs k-label frame
+    "q_xmr_control_limits",  # three 1-row aggregates + limits broadcast vs day frame
+    "t_doc_keywords",  # 1-row corpus-size broadcast (tfidf_top_terms shape)
+    "t_hard_negative_mining",  # broadcast query set vs corpus (cosine_topk shape)
+    "t_psi_drift",  # two 1-row totals broadcasts vs bounded-bucket frame
+    "t_corpus_stopwords",  # 1-row corpus-size broadcast vs 20-term frame
+    "q_markov_attribution",  # 1-row chain results / totals joined scalar-wise
+    "emb_ivf_recall_audit",  # inherits ivf probe + cosine_topk broadcast shapes
 }
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
