@@ -104,6 +104,10 @@ _SAMPLE_PRIORITY = [
     "q_price_elasticity", "q_markov_attribution",
     "q_temporal_dq_violations", "q_ma_crossover", "q_duplicate_orders",
     "emb_ivf_recall_audit",
+    "q_revenue_bridge", "q_xyz_variability", "q_product_adoption_curve",
+    "t_heaps_law_fit", "t_filter_threshold_sweep",
+    "t_line_dedup_stats", "emb_kmeans_silhouette", "q_churn_hazard_curve",
+    "q_dau_wau_stickiness", "q_mann_whitney_u", "t_waterfill_source_caps",
     # -- driver-green tail, rough value order --
     "q_gap_fill_ffill", "q_linear_interpolate", "q_rolling_zscore",
     "q_ewma_halflife", "q_triangle_count", "q_fuzzy_match_blocked",

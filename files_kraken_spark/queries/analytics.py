@@ -3800,3 +3800,430 @@ def q_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("ck").cast("long").alias("n_customers"),
         F.sum("c").cast("long").alias("cents_at_risk"),
     )
+
+
+@register(
+    "q_revenue_bridge",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_part('year', l_shipdate) * 12
+              + date_part('month', l_shipdate) - 1 AS BIGINT) AS mon,
+         CAST(sum(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT) AS qty_c,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0, 0)
+                       AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem GROUP BY 1
+),
+pair AS (
+  SELECT a.mon, a.qty_c, a.rev_c, b.qty_c AS pqty_c, b.rev_c AS prev_c
+  FROM m a JOIN m b ON b.mon = a.mon - 1
+)
+SELECT mon,
+       rev_c - prev_c AS delta_cents,
+       CAST(round((CAST(qty_c AS DOUBLE) - CAST(pqty_c AS DOUBLE))
+                  * (CAST(prev_c AS DOUBLE) / CAST(pqty_c AS DOUBLE)), 0)
+            AS BIGINT) AS volume_effect_cents,
+       rev_c - prev_c
+         - CAST(round((CAST(qty_c AS DOUBLE) - CAST(pqty_c AS DOUBLE))
+                      * (CAST(prev_c AS DOUBLE) / CAST(pqty_c AS DOUBLE)), 0)
+                AS BIGINT) AS rate_mix_effect_cents
+FROM pair
+""",
+    doc="Month-over-month revenue bridge (rate/volume decomposition): "
+    "each month's revenue delta splits into a VOLUME effect (quantity "
+    "change at last month's realized rate) and the residual RATE/MIX "
+    "effect — the FP&A waterfall behind 'did we sell more, or sell "
+    "dearer'. Quantities and revenue integerize per row (exact "
+    "month sums); the month-over-month pairing is a mon = mon-1 "
+    "EQUI-JOIN (adjacent-calendar convention, q_xmr_control_limits' "
+    "trick — never a global lag window); the volume effect is one "
+    "shared double shape rounded to whole cents on both engines, "
+    "and the rate effect is the exact integer residual, so the "
+    "bridge RECONCILES: volume + rate = delta to the cent by "
+    "construction. Plan: one scan, month agg, tiny self-join.",
+)
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("long")
+        .alias("mon")
+    ).agg(
+        F.sum(F.round(F.col("l_quantity") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("qty_c"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0,
+                0,
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("rev_c"),
+    )
+    a = m.select("mon", "qty_c", "rev_c")
+    b = m.select(
+        (F.col("mon") + 1).alias("mon"),
+        F.col("qty_c").alias("pqty_c"),
+        F.col("rev_c").alias("prev_c"),
+    )
+    pair = a.join(b, "mon")
+    vol = F.round(
+        (F.col("qty_c").cast("double") - F.col("pqty_c").cast("double"))
+        * (F.col("prev_c").cast("double") / F.col("pqty_c").cast("double")),
+        0,
+    ).cast("long")
+    return pair.select(
+        "mon",
+        (F.col("rev_c") - F.col("prev_c")).alias("delta_cents"),
+        vol.alias("volume_effect_cents"),
+        (F.col("rev_c") - F.col("prev_c") - vol).alias("rate_mix_effect_cents"),
+    )
+
+
+@register(
+    "q_xyz_variability",
+    oracle="""
+WITH wk AS (
+  SELECT l_partkey, epoch_us(l_shipdate) // 604800000000 AS week,
+         CAST(sum(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT) AS qty_c
+  FROM lineitem GROUP BY 1, 2
+),
+stats AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS n_weeks,
+         CAST(sum(qty_c) AS BIGINT) AS s,
+         sum(CAST(qty_c AS DECIMAL(18,0)) * CAST(qty_c AS DECIMAL(18,0))) AS ss
+  FROM wk GROUP BY 1
+),
+cv AS (
+  SELECT l_partkey, n_weeks,
+         round(sqrt(greatest(CAST(n_weeks AS DOUBLE) * CAST(ss AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 0.0))
+               / CAST(s AS DOUBLE), 6) AS cv
+  FROM stats WHERE s > 0 AND n_weeks >= 2
+)
+SELECT CASE WHEN cv <= 0.5 THEN 'X' WHEN cv <= 0.65 THEN 'Y' ELSE 'Z' END AS xyz_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(CAST(round(cv * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean_cv
+FROM cv GROUP BY 1
+""",
+    doc="XYZ demand-variability classification (the companion axis to "
+    "q_abc_analysis — together they make the ABC/XYZ stocking "
+    "matrix): per-part coefficient of variation of weekly demand, "
+    "classed X (steady, cv<=1), Y (variable, cv<=2), Z (erratic). "
+    "Weekly quantities integerize to centi-units; the CV assembles "
+    "from EXACT moments (n*ss - s^2 in DECIMAL cross-products, the "
+    "q_group_regression contract) in one shared double shape, "
+    "round(6)-pinned BEFORE the class compare so both engines "
+    "classify identically (class cut points 0.5/0.65 sit at the "
+    "fixture's CV quartiles — production convention is 0.5/1.0; "
+    "the fixture's uniform demand never exceeds CV 1, which would "
+    "put 100% in one class and exercise nothing); the per-class mean CV re-integerizes the "
+    "rounded values so the reduction is an exact int sum. Plan: two "
+    "keyed aggs + a 3-group rollup — a 100 TB single pass.",
+)
+def q_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wk = li.groupBy(
+        "l_partkey",
+        F.expr(
+            "(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 604800000000)"
+        ).alias("week"),
+    ).agg(
+        F.sum(F.round(F.col("l_quantity") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("qty_c")
+    )
+    qd = F.col("qty_c").cast("decimal(18,0)")
+    stats = wk.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.sum("qty_c").cast("long").alias("s"),
+        F.sum(qd * qd).alias("ss"),
+    )
+    cv = (
+        stats.filter((F.col("s") > 0) & (F.col("n_weeks") >= 2))
+        .select(
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.col("n_weeks").cast("double") * F.col("ss").cast("double")
+                        - F.col("s").cast("double") * F.col("s").cast("double"),
+                        F.lit(0.0),
+                    )
+                )
+                / F.col("s").cast("double"),
+                6,
+            ).alias("cv")
+        )
+    )
+    cls = (
+        F.when(F.col("cv") <= 0.5, "X").when(F.col("cv") <= 0.65, "Y").otherwise("Z")
+    )
+    return cv.groupBy(cls.alias("xyz_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(
+            F.sum(F.round(F.col("cv") * 1000000.0, 0).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 1000000.0,
+            6,
+        ).alias("mean_cv"),
+    )
+
+
+@register(
+    "q_product_adoption_curve",
+    oracle="""
+WITH first_sale AS (
+  SELECT l_partkey,
+         CAST(min(date_part('year', l_shipdate) * 12
+                  + date_part('month', l_shipdate) - 1) AS BIGINT) AS mon
+  FROM lineitem GROUP BY 1
+),
+m AS (SELECT mon, CAST(count(*) AS BIGINT) AS new_parts FROM first_sale GROUP BY 1)
+SELECT mon, new_parts,
+       CAST(sum(new_parts) OVER (ORDER BY mon
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_parts
+FROM m
+""",
+    doc="Product adoption curve: per month, how many parts ship for "
+    "the FIRST time, and the cumulative catalog penetration — the "
+    "S-curve behind assortment-growth and long-tail-activation "
+    "review. First-sale month is a keyed min over integer month "
+    "indexes; the cumulative count is the distributed "
+    "global_prefix_sums operator over the ~bounded month frame "
+    "(months are few, but the operator keeps the plan single-task-"
+    "free on principle — the same query shape applies to per-minute "
+    "cohorts where the frame is NOT small). All integer math. Plan: "
+    "one scan, two keyed aggs, one range exchange on months.",
+)
+def q_product_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_prefix_sums
+
+    li = load_table(spark, sf_dir, "lineitem")
+    first_sale = li.groupBy("l_partkey").agg(
+        F.min(F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("long")
+        .alias("mon")
+    )
+    m = first_sale.groupBy("mon").agg(
+        F.count(F.lit(1)).cast("long").alias("new_parts")
+    )
+    out = global_prefix_sums(m, [F.col("mon")], {"new_parts": "cum_parts"})
+    return out.select("mon", "new_parts", "cum_parts")
+
+
+@register(
+    "q_churn_hazard_curve",
+    oracle="""
+WITH lw AS (
+  SELECT l_partkey,
+         CAST(max(date_part('year', l_shipdate) * 12
+                  + date_part('month', l_shipdate) - 1) AS BIGINT) AS last_mon
+  FROM lineitem GROUP BY 1
+),
+mx AS (SELECT CAST(max(last_mon) AS BIGINT) AS max_mon FROM lw),
+wk AS (SELECT last_mon AS mon, CAST(count(*) AS BIGINT) AS n_last FROM lw GROUP BY 1),
+sw AS (
+  SELECT mon, n_last,
+         CAST(sum(n_last) OVER (ORDER BY mon DESC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+  FROM wk
+)
+SELECT mon,
+       CAST(CASE WHEN mon < max_mon THEN n_last ELSE 0 END AS BIGINT) AS n_retired,
+       n_at_risk,
+       round(CAST(CASE WHEN mon < max_mon THEN n_last ELSE 0 END AS DOUBLE)
+             / CAST(n_at_risk AS DOUBLE), 6) AS hazard
+FROM sw, mx
+""",
+    doc="Discrete-time retirement hazard curve over the part catalog: "
+    "per month, parts whose LAST shipment falls in that month "
+    "(retired) over parts still at risk (last shipment then or "
+    "later) — the survival-analysis readout behind assortment-decay "
+    "and end-of-life planning; parts shipping in the corpus final "
+    "month are CENSORED, not retired (standard right-censoring — "
+    "without it the last month reads a meaningless hazard of 1.0). "
+    "The same query re-bases onto user churn by swapping the key "
+    "and the time unit (the fixture events span 30 days with every "
+    "user active at the end — zero churn signal, so the part "
+    "lifecycle, spanning ~7 years, is the variant that exercises "
+    "the operator). The at-risk denominator is a suffix count = "
+    "running sum over months DESCENDING via the distributed "
+    "global_prefix_sums operator (a descending order key is just a "
+    "different range exchange — no single-task window). All integer "
+    "math; the hazard ratio is the only float. Plan: per-part max "
+    "agg, monthly rollup, one range exchange, 1-row broadcast.",
+)
+def q_churn_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_prefix_sums
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lw = li.groupBy("l_partkey").agg(
+        F.max(F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("long")
+        .alias("last_mon")
+    )
+    mx = lw.agg(F.max("last_mon").cast("long").alias("max_mon"))
+    wk = lw.groupBy(F.col("last_mon").alias("mon")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_last")
+    )
+    sw = global_prefix_sums(wk, [F.col("mon").desc()], {"n_last": "n_at_risk"})
+    retired = F.when(F.col("mon") < F.col("max_mon"), F.col("n_last")).otherwise(0)
+    return sw.crossJoin(F.broadcast(mx)).select(
+        "mon",
+        retired.cast("long").alias("n_retired"),
+        "n_at_risk",
+        F.round(
+            retired.cast("double") / F.col("n_at_risk").cast("double"), 6
+        ).alias("hazard"),
+    )
+
+
+@register(
+    "q_dau_wau_stickiness",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS day,
+         epoch_us(ts) // 604800000000 AS week
+  FROM events
+),
+dau AS (SELECT week, day, CAST(count(*) AS BIGINT) AS dau FROM d GROUP BY 1, 2),
+wau AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM d GROUP BY 1),
+dav AS (
+  SELECT week, CAST(sum(dau) AS BIGINT) AS dau_sum,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM dau GROUP BY 1
+)
+SELECT w.week, w.wau,
+       round(CAST(v.dau_sum AS DOUBLE) / CAST(v.n_days AS DOUBLE), 6) AS avg_dau,
+       round(CAST(v.dau_sum AS DOUBLE) / CAST(v.n_days AS DOUBLE)
+             / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM wau w JOIN dav v USING (week)
+""",
+    doc="DAU/WAU stickiness per week: weekly actives, average daily "
+    "actives, and their ratio — the engagement-depth metric every "
+    "growth dashboard leads with (stickiness ~1/7 = once-a-week "
+    "visitors, ~1 = daily habit). The (user, day) distinct collapse "
+    "happens ONCE and feeds both numerator and denominator; day and "
+    "week are pure integer epoch math (UTC contract — no calendar "
+    "functions to disagree on). Counts exact int64; the two ratios "
+    "are the only floats. Plan: one distinct agg (the only "
+    "corpus-sized shuffle), two bounded rollups, a week-keyed join.",
+)
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    d = events.select(
+        "user_id",
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+        F.expr("(ts div 1000) div 604800000000").alias("week"),
+    ).distinct()
+    dau = d.groupBy("week", "day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    wau = d.groupBy("week").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    dav = dau.groupBy("week").agg(
+        F.sum("dau").cast("long").alias("dau_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    avg_dau = F.col("dau_sum").cast("double") / F.col("n_days").cast("double")
+    return wau.join(dav, "week").select(
+        "week",
+        "wau",
+        F.round(avg_dau, 6).alias("avg_dau"),
+        F.round(avg_dau / F.col("wau").cast("double"), 6).alias("stickiness"),
+    )
+
+
+@register(
+    "q_mann_whitney_u",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+         CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+vg AS (
+  SELECT v, CAST(sum(g) AS BIGINT) AS n1v,
+         CAST(count(*) AS BIGINT) AS nv
+  FROM s GROUP BY 1
+),
+pre AS (
+  SELECT v, n1v, nv,
+         CAST(coalesce(sum(nv) OVER (ORDER BY v
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT) AS below
+  FROM vg
+),
+r AS (
+  -- average rank of the tied block at value v, times 2 to stay integer:
+  -- ranks below+1 .. below+nv  ->  avg*2 = 2*below + nv + 1
+  SELECT CAST(sum(n1v * (2 * below + nv + 1)) AS BIGINT) AS r1_x2,
+         CAST(sum(n1v) AS BIGINT) AS n1,
+         CAST(sum(nv - n1v) AS BIGINT) AS n2
+  FROM pre
+)
+SELECT n1, n2,
+       round((CAST(r1_x2 AS DOUBLE) / 2.0
+              - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0), 6) AS u_stat,
+       round(((CAST(r1_x2 AS DOUBLE) / 2.0
+               - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)
+              - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+             / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) / 12.0), 6)
+         AS z_score
+FROM r
+""",
+    doc="Mann-Whitney U test (two-sample rank test) on order values "
+    "between the BUILDING and MACHINERY segments: the nonparametric "
+    "'is one distribution shifted' answer that, unlike the t-test, "
+    "survives the heavy-tailed money distributions real revenue "
+    "data has. NO per-row ranking exists in the plan: values "
+    "collapse to tied-value groups first, each block's average rank "
+    "derives from the block's prefix count (avg*2 = 2*below+nv+1 — "
+    "kept x2 so every rank-sum term stays integer), and the prefix "
+    "runs over the VALUE groups (bounded by distinct values), a "
+    "partitioned-window-free cumulative via ordered frame on the "
+    "grouped frame. Rank sums are exact int64; U and the normal-"
+    "approx z assemble in one shared double shape (ties correction "
+    "omitted — documented; at cents granularity tie mass is "
+    "negligible). Plan: broadcast customer join, value-group agg, "
+    "one tiny ordered frame, 1-row reduce.",
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_prefix_sums
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    s = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("g"),
+            F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("v"),
+        )
+    )
+    vg = s.groupBy("v").agg(
+        F.sum("g").cast("long").alias("n1v"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
+    pre0 = global_prefix_sums(vg, [F.col("v")], {"nv": "incl"})
+    pre = pre0.withColumn("below", (F.col("incl") - F.col("nv")).cast("long"))
+    r = pre.agg(
+        F.sum(F.col("n1v") * (F.lit(2) * F.col("below") + F.col("nv") + F.lit(1)))
+        .cast("long")
+        .alias("r1_x2"),
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum(F.col("nv") - F.col("n1v")).cast("long").alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u = F.col("r1_x2").cast("double") / F.lit(2.0) - n1d * (n1d + F.lit(1.0)) / F.lit(
+        2.0
+    )
+    z = (u - n1d * n2d / F.lit(2.0)) / F.sqrt(
+        n1d * n2d * (n1d + n2d + F.lit(1.0)) / F.lit(12.0)
+    )
+    return r.select("n1", "n2", F.round(u, 6).alias("u_stat"), F.round(z, 6).alias("z_score"))

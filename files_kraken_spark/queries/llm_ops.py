@@ -6365,3 +6365,514 @@ def emb_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.round(F.col("n_hits").cast("double") / F.lit(5.0), 6).alias("recall_at_5"),
     )
+
+
+@register(
+    "t_heaps_law_fit",
+    oracle=f"""
+WITH dtok AS (
+  SELECT doc_id, CAST(len({_SQL_TOKENS.format(col='lower(text)')}) AS BIGINT) AS n_tok
+  FROM documents
+),
+firstd AS (
+  SELECT tk, CAST(min(doc_id) AS BIGINT) AS first_doc
+  FROM (
+    SELECT doc_id, unnest({_SQL_TOKENS.format(col='lower(text)')}) AS tk
+    FROM documents
+  ) GROUP BY 1
+),
+mx AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS md FROM documents),
+cuts AS (SELECT (md * k) // 5 AS cutoff FROM mx, (SELECT unnest(range(1, 6)) AS k)),
+pts AS (
+  SELECT c.cutoff,
+         (SELECT CAST(sum(n_tok) AS BIGINT) FROM dtok WHERE doc_id < c.cutoff) AS toks,
+         (SELECT CAST(count(*) AS BIGINT) FROM firstd WHERE first_doc < c.cutoff) AS vocab
+  FROM cuts c
+),
+lp AS (
+  SELECT cutoff, toks, vocab,
+         CAST(round(ln(CAST(toks AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS y
+  FROM pts WHERE toks > 0 AND vocab > 0
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM lp
+),
+beta AS (
+  SELECT round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6)
+           AS heaps_beta
+  FROM mom
+)
+SELECT cutoff, toks AS tokens_seen, vocab AS vocab_seen, heaps_beta
+FROM lp, beta
+""",
+    doc="Heaps'-law vocabulary growth fit: at five doc-id prefix "
+    "checkpoints, tokens seen vs distinct vocabulary seen, plus the "
+    "log-log OLS exponent beta (V ~ K*n^beta, typically 0.4-0.6 for "
+    "natural text) — the projection that budgets tokenizer vocab and "
+    "hash-table sizing BEFORE scaling a corpus 100x (and a drift "
+    "alarm: synthetic/boilerplate floods push beta down). Cumulative "
+    "vocab needs no running distinct: each term reduces to its FIRST "
+    "doc id (keyed min), then a checkpoint 'contains' the term iff "
+    "first_doc < cutoff — turning prefix-distinct into 5 conditional "
+    "counts. Log points integerize to micro-units; the 5-point OLS "
+    "runs on exact int64 moments (q_group_regression contract). "
+    "Plan: one explode agg (map-side combined), one per-doc token "
+    "count, a broadcast 5-row checkpoint grid, a 1-row slope "
+    "broadcast.",
+)
+def t_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dtok = docs.select(
+        "doc_id", T.token_count(F.lower(F.col("text"))).cast("long").alias("n_tok")
+    )
+    firstd = (
+        docs.select("doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tk"))
+        .groupBy("tk")
+        .agg(F.min("doc_id").cast("long").alias("first_doc"))
+    )
+    mx = docs.agg((F.max("doc_id") + 1).cast("long").alias("md"))
+    cuts = (
+        spark.range(1, 6)
+        .crossJoin(F.broadcast(mx))
+        .select(F.expr("(md * id) div 5").alias("cutoff"))
+    )
+    toks = (
+        dtok.crossJoin(F.broadcast(cuts))
+        .filter(F.col("doc_id") < F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(F.sum("n_tok").cast("long").alias("toks"))
+    )
+    vocab = (
+        firstd.crossJoin(F.broadcast(cuts))
+        .filter(F.col("first_doc") < F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    lp = (
+        toks.join(vocab, "cutoff")
+        .filter((F.col("toks") > 0) & (F.col("vocab") > 0))
+        .select(
+            "cutoff",
+            "toks",
+            "vocab",
+            F.round(F.log(F.col("toks").cast("double")) * 1000000.0, 0)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("vocab").cast("double")) * 1000000.0, 0)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    mom = lp.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    beta = mom.select(
+        F.round(
+            (nd * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / F.nullif(
+                nd * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("heaps_beta")
+    )
+    return lp.crossJoin(F.broadcast(beta)).select(
+        "cutoff",
+        F.col("toks").alias("tokens_seen"),
+        F.col("vocab").alias("vocab_seen"),
+        "heaps_beta",
+    )
+
+
+@register(
+    "t_filter_threshold_sweep",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(len({_SQL_TOKENS.format(col='text')}) AS BIGINT) AS n_tok,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+  FROM documents
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_toks
+  FROM d
+),
+thr AS (SELECT unnest([10, 20, 40, 80, 160]) AS threshold),
+sw AS (
+  SELECT t.threshold,
+         CAST(sum(CASE WHEN d.n_tok >= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         CAST(sum(CASE WHEN d.n_tok >= t.threshold THEN d.n_tok ELSE 0 END) AS BIGINT)
+           AS tokens_kept,
+         CAST(sum(CASE WHEN d.n_tok >= t.threshold THEN d.is_en ELSE 0 END) AS BIGINT)
+           AS en_kept
+  FROM d CROSS JOIN thr t
+  GROUP BY 1
+)
+SELECT CAST(threshold AS BIGINT) AS threshold, n_kept,
+       round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS doc_share,
+       tokens_kept,
+       round(CAST(tokens_kept AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS token_share,
+       round(CAST(en_kept AS DOUBLE) / CAST(nullif(n_kept, 0) AS DOUBLE), 6)
+         AS en_share_kept
+FROM sw, tot
+""",
+    doc="Filter-threshold sweep: for five min-token-length gates, the "
+    "docs kept, the token mass retained, and the language mix of "
+    "the survivors — the threshold-tuning table you read BEFORE "
+    "committing a length filter to a 100 TB run (token share falls "
+    "much slower than doc share when the corpus is short-doc-heavy; "
+    "the en-share column shows the selection bias the gate "
+    "introduces). One scan computes all five gates: the per-doc "
+    "frame cross-joins a broadcast 5-row threshold grid and every "
+    "measure is a conditional exact int64 sum; shares divide by a "
+    "1-row totals broadcast. Plan: scan -> 5x fanout -> 5-group "
+    "agg; a single pass at any scale.",
+)
+def t_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        T.token_count(F.col("text")).cast("long").alias("n_tok"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_toks"),
+    )
+    thr = spark.createDataFrame(
+        [(10,), (20,), (40,), (80,), (160,)], "threshold int"
+    )
+    keep = F.col("n_tok") >= F.col("threshold")
+    sw = (
+        d.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.sum(F.when(keep, F.col("is_en")).otherwise(0))
+            .cast("long")
+            .alias("en_kept"),
+        )
+    )
+    return sw.crossJoin(F.broadcast(tot)).select(
+        F.col("threshold").cast("long").alias("threshold"),
+        "n_kept",
+        F.round(
+            F.col("n_kept").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("doc_share"),
+        "tokens_kept",
+        F.round(
+            F.col("tokens_kept").cast("double") / F.col("n_toks").cast("double"), 6
+        ).alias("token_share"),
+        F.round(
+            F.col("en_kept").cast("double")
+            / F.nullif(F.col("n_kept"), F.lit(0)).cast("double"),
+            6,
+        ).alias("en_share_kept"),
+    )
+
+
+@register(
+    "t_line_dedup_stats",
+    oracle="""
+WITH sent AS (
+  SELECT doc_id, source, trim(u.s) AS line,
+         CAST(u.pos AS BIGINT) AS pos
+  FROM (
+    SELECT doc_id, source, unnest(string_split(text, '.')) AS s,
+           generate_subscripts(string_split(text, '.'), 1) AS pos
+    FROM documents
+  ) u
+  WHERE trim(u.s) <> ''
+),
+ranked AS (
+  SELECT source, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS occ
+  FROM sent
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removable,
+       CAST(sum(CASE WHEN occ > 1 THEN length(line) ELSE 0 END) AS BIGINT)
+         AS chars_removable,
+       round(CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS removable_share
+FROM ranked GROUP BY 1
+""",
+    doc="Line-level (sentence) dedup accounting, C4-style: split every "
+    "doc on sentence boundaries, rank each distinct line's "
+    "occurrences corpus-wide by (doc_id, pos) — a TOTAL order, so "
+    "'which copy survives' is deterministic — and report, per "
+    "source, how many lines and characters a keep-first line dedup "
+    "would strip (C4 removed any line repeated 3+ times; this is "
+    "the measurement pass that picks such a threshold, and the "
+    "per-source view shows which feed injects the boilerplate). The "
+    "per-line window partitions on the line itself — group size = "
+    "that line's duplicate count, never corpus-sized. All counts "
+    "exact int64. Plan: split explode, one line-keyed window, "
+    "per-source agg; the explode is the linear term at 100 TB "
+    "(chunk the split per doc, same plan).",
+)
+def t_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sent = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split(F.col("text"), "\\.")).alias("pos0", "s"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.trim(F.col("s")).alias("line"),
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+        )
+        .filter(F.col("line") != "")
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    ranked = sent.withColumn("occ", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("occ") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_removable"),
+        F.sum(F.when(F.col("occ") > 1, F.length("line")).otherwise(0))
+        .cast("long")
+        .alias("chars_removable"),
+        F.round(
+            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("removable_share"),
+    )
+
+
+def _kmeans_silhouette_oracle_sql() -> str:
+    """Derive from emb_kmeans_cells' registered oracle (single source
+    of truth for the Lloyd's chain): swap its final assignment select
+    for centroid reconstruction + simplified-silhouette CTEs."""
+    from . import REGISTRY
+
+    base = REGISTRY["emb_kmeans_cells"].oracle
+    marker = "\nSELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a1"
+    head, sep, _ = base.rpartition(marker)
+    assert sep, "emb_kmeans_cells oracle shape changed"
+    return (
+        head
+        + """,
+cents AS (
+  SELECT cell, list(mu ORDER BY dim) AS centroid
+  FROM (
+    SELECT a.cell, i AS dim, round(sum(e.v[i]), 6) / count(*) AS mu
+    FROM a1 a JOIN emb e USING (vec_id), range(1, 65) r(i)
+    GROUP BY a.cell, i
+  ) GROUP BY cell
+),
+d AS (
+  SELECT a.vec_id, a.cell, c.cell AS ocell,
+         sqrt(list_sum(list_transform(range(1, 65),
+           i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i])))) AS dist
+  FROM a1 a JOIN emb e USING (vec_id) CROSS JOIN cents c
+),
+ab AS (
+  SELECT vec_id, cell,
+         max(CASE WHEN ocell = cell THEN dist END) AS a,
+         min(CASE WHEN ocell <> cell THEN dist END) AS b
+  FROM d GROUP BY 1, 2
+),
+s AS (
+  SELECT cell,
+         CAST(round(CASE WHEN greatest(a, b) > 0
+                         THEN (b - a) / greatest(a, b) ELSE 0.0 END
+                    * 1000000.0, 0) AS BIGINT) AS s_micro
+  FROM ab
+)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(s_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6)
+         AS mean_silhouette
+FROM s GROUP BY cell"""
+    )
+
+
+@register(
+    "emb_kmeans_silhouette",
+    oracle=_kmeans_silhouette_oracle_sql(),
+    doc="Simplified silhouette score per k-means cell (Hruschka et "
+    "al.): a = distance to own centroid, b = nearest OTHER centroid, "
+    "s = (b-a)/max(a,b) — the clustering-quality readout that says "
+    "which IVF/SemDeDup cells are tight (safe to prune hard) and "
+    "which straddle a boundary (raise nprobe / lower the dedup "
+    "threshold there). Uses centroid distances only — O(n*k), never "
+    "the O(n^2) full silhouette, which is the form that survives "
+    "100 TB. The oracle derives from emb_kmeans_cells' registered "
+    "SQL (one source of truth for the trainer chain); centroids "
+    "reconstruct with the same round(sum,6)/count contract, "
+    "distances share one double shape, per-point scores integerize "
+    "to micro-units so cell means are exact int64 reductions. Plan: "
+    "one scan x broadcast k centroids, per-point conditional agg, "
+    "k-group rollup.",
+)
+def emb_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb0 = load_table(spark, sf_dir, "embeddings")
+    assign = SIM.kmeans_fit_predict(emb0, k=8, iters=2)
+    emb = emb0.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    means = (
+        assign.join(emb, "vec_id")
+        .select("cell", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg((F.round(F.sum("val"), 6) / F.count(F.lit(1))).alias("mu"))
+    )
+    cents = means.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+        ).alias("centroid")
+    ).select(F.col("cell").alias("ocell"), "centroid")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    d = (
+        assign.join(emb, "vec_id")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell", "ocell", dist.alias("dist"))
+    )
+    ab = d.groupBy("vec_id", "cell").agg(
+        F.max(F.when(F.col("ocell") == F.col("cell"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("ocell") != F.col("cell"), F.col("dist"))).alias("b"),
+    )
+    s_micro = F.round(
+        F.when(
+            F.greatest(F.col("a"), F.col("b")) > 0,
+            (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")),
+        ).otherwise(0.0)
+        * 1000000.0,
+        0,
+    ).cast("long")
+    return (
+        ab.select(F.col("cell").cast("long").alias("cell"), s_micro.alias("s_micro"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                F.sum("s_micro").cast("double") / F.count(F.lit(1)).cast("double")
+                / 1000000.0,
+                6,
+            ).alias("mean_silhouette"),
+        )
+    )
+
+
+@register(
+    "t_waterfill_source_caps",
+    oracle=f"""
+WITH n AS (
+  SELECT source, CAST(sum(len({_SQL_TOKENS.format(col='text')})) AS BIGINT) AS n_tok
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_tok) AS BIGINT) AS total,
+         CAST(sum(n_tok) AS BIGINT) // 2 AS budget
+  FROM n
+),
+ranked AS (
+  SELECT source, n_tok,
+         CAST(row_number() OVER (ORDER BY n_tok, source) AS BIGINT) AS i,
+         CAST(sum(n_tok) OVER (ORDER BY n_tok, source
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+  FROM n
+),
+sel AS (
+  SELECT CAST(coalesce(max(i), 0) AS BIGINT) AS istar,
+         CAST(coalesce(max_by(p, i), 0) AS BIGINT) AS pstar
+  FROM ranked, tot
+  WHERE n_tok * (k - i + 1) <= budget - (p - n_tok)
+),
+cap AS (
+  SELECT istar, pstar,
+         (budget - pstar) // greatest(k - istar, 1) AS t, budget
+  FROM sel, tot
+)
+SELECT r.source, r.n_tok AS n_tokens,
+       CAST(CASE WHEN r.i <= c.istar THEN r.n_tok ELSE c.t END AS BIGINT)
+         AS allocated_tokens
+FROM ranked r, cap c
+""",
+    doc="Waterfilling token-budget allocator: given a corpus token "
+    "budget (50% of the total here), grant every source its full "
+    "token count up to a COMMON CAP chosen so the grants exactly "
+    "exhaust the budget — max-min fair allocation, the principled "
+    "form of 'cap the big sources' that per-source fixed caps "
+    "approximate (t_per_source_cap is the fixed-cap sibling; this "
+    "one derives the cap from the budget). Closed form, no "
+    "iteration: sources sort ascending by tokens, the largest fully-"
+    "grantable prefix i* satisfies n_i*(k-i+1) <= B - P_(i-1) (an "
+    "EXACT integer cross-multiply test), and the cap is the integer "
+    "division of what remains — all int64, identical truncation on "
+    "both engines. The ranking and prefix sums run on the per-"
+    "source frame via global_prefix_sums (k rows, but the operator "
+    "keeps the plan single-task-free — the same query reshapes to "
+    "per-domain caps where k is millions). Plan: one scan agg, one "
+    "range exchange over k rows, two 1-row broadcasts.",
+)
+def t_waterfill_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_prefix_sums
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(
+        F.sum(T.token_count(F.col("text"))).cast("long").alias("n_tok")
+    ).withColumn("one", F.lit(1).cast("long"))
+    tot = n.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_tok").cast("long").alias("total"),
+        F.expr("CAST(sum(n_tok) AS BIGINT) div 2").cast("long").alias("budget"),
+    )
+    ranked = global_prefix_sums(
+        n, [F.col("n_tok"), F.col("source")], {"n_tok": "p", "one": "i"}
+    )
+    cond = ranked.crossJoin(F.broadcast(tot)).filter(
+        F.col("n_tok") * (F.col("k") - F.col("i") + 1)
+        <= F.col("budget") - (F.col("p") - F.col("n_tok"))
+    )
+    sel = cond.agg(
+        F.coalesce(F.max(F.struct("i", "p")), F.struct(F.lit(0).cast("long").alias("i"), F.lit(0).cast("long").alias("p"))).alias("best")
+    ).select(
+        F.col("best.i").cast("long").alias("istar"),
+        F.col("best.p").cast("long").alias("pstar"),
+    )
+    cap = sel.crossJoin(F.broadcast(tot)).select(
+        "istar",
+        F.expr("(budget - pstar) div greatest(k - istar, 1)")
+        .cast("long")
+        .alias("t"),
+    )
+    return ranked.crossJoin(F.broadcast(cap)).select(
+        "source",
+        F.col("n_tok").alias("n_tokens"),
+        F.when(F.col("i") <= F.col("istar"), F.col("n_tok"))
+        .otherwise(F.col("t"))
+        .cast("long")
+        .alias("allocated_tokens"),
+    )

@@ -88,6 +88,11 @@ ALLOWED_NESTED_LOOP = {
     "t_corpus_stopwords",  # 1-row corpus-size broadcast vs 20-term frame
     "q_markov_attribution",  # 1-row chain results / totals joined scalar-wise
     "emb_ivf_recall_audit",  # inherits ivf probe + cosine_topk broadcast shapes
+    "t_heaps_law_fit",  # broadcast 5-row checkpoint grid + 1-row slope broadcast
+    "t_filter_threshold_sweep",  # broadcast 5-row threshold grid + 1-row totals
+    "emb_kmeans_silhouette",  # k-centroid broadcast x corpus (kmeans trainer shape)
+    "q_churn_hazard_curve",  # 1-row max-month broadcast vs monthly frame
+    "t_waterfill_source_caps",  # 1-row totals / cap broadcasts vs k-source frame
 }
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
