@@ -108,6 +108,9 @@ _SAMPLE_PRIORITY = [
     "t_heaps_law_fit", "t_filter_threshold_sweep",
     "t_line_dedup_stats", "emb_kmeans_silhouette", "q_churn_hazard_curve",
     "q_dau_wau_stickiness", "q_mann_whitney_u", "t_waterfill_source_caps",
+    "q_entity_clusters", "q_lorenz_deciles", "t_hill_tail_index",
+    "q_abc_migration", "t_bootstrap_mean_ci", "t_code_like_docs",
+    "q_theil_index",
     # -- driver-green tail, rough value order --
     "q_gap_fill_ffill", "q_linear_interpolate", "q_rolling_zscore",
     "q_ewma_halflife", "q_triangle_count", "q_fuzzy_match_blocked",

@@ -4227,3 +4227,363 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1d * n2d * (n1d + n2d + F.lit(1.0)) / F.lit(12.0)
     )
     return r.select("n1", "n2", F.round(u, 6).alias("u_stat"), F.round(z, 6).alias("z_score"))
+
+
+@register(
+    "q_entity_clusters",
+    oracle="""
+WITH RECURSIVE p AS (
+  SELECT p_partkey, p_name FROM part WHERE p_partkey < 2000
+),
+blocked AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_name AS na, b.p_name AS nb
+  FROM p a JOIN p b
+    ON substr(a.p_name, 1, 4) = substr(b.p_name, 1, 4)
+   AND abs(length(a.p_name) - length(b.p_name)) <= 2 AND a.p_partkey < b.p_partkey
+  UNION
+  SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
+  FROM p a JOIN p b
+    ON substr(a.p_name, -4) = substr(b.p_name, -4)
+   AND abs(length(a.p_name) - length(b.p_name)) <= 2 AND a.p_partkey < b.p_partkey
+),
+fp AS (SELECT id_a, id_b FROM blocked WHERE na <> nb AND levenshtein(na, nb) <= 1),
+edges AS (SELECT id_a AS a, id_b AS b FROM fp UNION ALL SELECT id_b, id_a FROM fp),
+reach(n, m) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+),
+comp AS (SELECT n, CAST(min(m) AS BIGINT) AS component FROM reach GROUP BY 1)
+SELECT component, CAST(count(*) AS BIGINT) AS n_members
+FROM comp GROUP BY 1
+""",
+    doc="End-to-end entity resolution: blocked fuzzy candidate pairs "
+    "(q_fuzzy_match_blocked's prefix/suffix blocking + exact "
+    "Levenshtein<=1 verify) feed connected components, turning "
+    "pairwise matches into entity GROUPS — the full record-linkage "
+    "pipeline (match -> cluster -> canonical id = min member) that "
+    "MDM / customer-360 systems run, composed from two operators "
+    "this engine already ships. Spark resolves components via "
+    "iterative min-label propagation with the star-contraction "
+    "fallback (O(log n) rounds on long chains — edit-distance "
+    "graphs chain transitively, exactly the case the fallback "
+    "exists for); the oracle replays closure as a recursive CTE. "
+    "All integer ids/counts. Plan: two blocked equi-joins, "
+    "candidate-only Levenshtein, label-propagation joins bounded "
+    "by component diameter.",
+)
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 2000)
+        .select("p_partkey", "p_name")
+    )
+    a = part.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("na"),
+        F.substring("p_name", 1, 4).alias("pre"),
+        F.length("p_name").alias("la"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("nb"),
+        F.substring("p_name", 1, 4).alias("pre"),
+        F.length("p_name").alias("lb"),
+    )
+    blocked_pre = a.join(b, "pre").filter(
+        (F.abs(F.col("la") - F.col("lb")) <= 2) & (F.col("id_a") < F.col("id_b"))
+    )
+    a2 = a.drop("pre").withColumn("suf", F.expr("substr(na, -4)"))
+    b2 = b.drop("pre").withColumn("suf", F.expr("substr(nb, -4)"))
+    blocked_suf = a2.join(b2, "suf").filter(
+        (F.abs(F.col("la") - F.col("lb")) <= 2) & (F.col("id_a") < F.col("id_b"))
+    )
+    blocked = blocked_pre.select("id_a", "id_b", "na", "nb").unionByName(
+        blocked_suf.select("id_a", "id_b", "na", "nb")
+    ).distinct()
+    fp = blocked.filter(
+        (F.col("na") != F.col("nb")) & (F.levenshtein("na", "nb") <= 1)
+    ).select("id_a", "id_b")
+    comp = DD.connected_components(fp)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
+@register(
+    "q_lorenz_deciles",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_custkey,
+         CAST(coalesce(sum(CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT)), 0)
+              AS BIGINT) AS cents
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_cust, CAST(sum(cents) AS BIGINT) AS tot FROM rev),
+r AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, c_custkey) AS BIGINT) AS rn
+  FROM rev
+),
+dec AS (
+  SELECT CASE WHEN rn <= (n_cust % 10) * (n_cust // 10 + 1)
+              THEN (rn - 1) // (n_cust // 10 + 1) + 1
+              ELSE (n_cust % 10)
+                   + (rn - (n_cust % 10) * (n_cust // 10 + 1) - 1) // (n_cust // 10) + 1
+         END AS decile, cents
+  FROM r, n
+),
+g AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_cust_d,
+         CAST(sum(cents) AS BIGINT) AS cents_d
+  FROM dec GROUP BY 1
+),
+c AS (
+  SELECT decile, n_cust_d, cents_d,
+         CAST(sum(cents_d) OVER (ORDER BY decile
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+  FROM g
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_cust_d AS n_customers, cents_d AS cents,
+       round(CAST(cents_d AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS rev_share,
+       round(CAST(cum_cents AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
+FROM c, n
+""",
+    doc="Lorenz curve by customer revenue deciles: customers ranked "
+    "ascending by lifetime revenue (zero-order customers included "
+    "at 0), split into 10 ntile buckets, each decile's revenue "
+    "share and the cumulative share — the curve q_gini_revenue "
+    "summarizes to one number, in the table form a pricing review "
+    "reads ('the top decile carries X%'). The global rank is "
+    "global_row_number (range exchange, no single-task window), "
+    "the decile is ntile_from_position arithmetic on the exact "
+    "position (byte-matching ANSI ntile bucket sizing, spelled out "
+    "in the oracle), and the 10-row cumulative rides "
+    "global_prefix_sums. Revenue is exact cents end to end; the "
+    "two shares are the only floats. Plan: outer-join agg, one "
+    "range exchange, bounded rollup.",
+)
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import (
+        global_prefix_sums,
+        global_row_number,
+        ntile_from_position,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("cents"),
+    )
+    rev = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("cents"))
+    )
+    n = rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("cents").cast("long").alias("tot"),
+    )
+    r = global_row_number(rev, [F.col("cents"), F.col("c_custkey")], out_col="rn")
+    dec = r.crossJoin(F.broadcast(n)).select(
+        ntile_from_position(F.col("rn"), F.col("n_cust"), 10)
+        .cast("long")
+        .alias("decile"),
+        "cents",
+        "tot",
+    )
+    g = dec.groupBy("decile", "tot").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    c = global_prefix_sums(g, [F.col("decile")], {"cents": "cum_cents"})
+    return c.select(
+        "decile",
+        "n_customers",
+        "cents",
+        F.round(F.col("cents").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "rev_share"
+        ),
+        F.round(
+            F.col("cum_cents").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("cum_share"),
+    )
+
+
+@register(
+    "q_abc_migration",
+    oracle="""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(date_part('year', l_shipdate) * 12
+              + date_part('month', l_shipdate) - 1 AS BIGINT) AS mon,
+         CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0, 0) AS BIGINT) AS c0
+  FROM lineitem
+),
+mid AS (SELECT (min(mon) + max(mon) + 1) // 2 AS m FROM li),
+rev AS (
+  SELECT CASE WHEN mon < m THEN 0 ELSE 1 END AS half, l_partkey,
+         CAST(sum(c0) AS BIGINT) AS cents
+  FROM li, mid GROUP BY 1, 2
+),
+tot AS (SELECT half, CAST(sum(cents) AS BIGINT) AS tot FROM rev GROUP BY 1),
+c AS (
+  SELECT half, l_partkey, cents,
+         CAST(sum(cents) OVER (PARTITION BY half ORDER BY cents DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM rev
+),
+cls AS (
+  SELECT c.half, c.l_partkey,
+         CASE WHEN c.cum * 5 <= t.tot * 4 THEN 'A'
+              WHEN c.cum * 20 <= t.tot * 19 THEN 'B'
+              ELSE 'C' END AS cl
+  FROM c JOIN tot t USING (half)
+),
+m AS (
+  SELECT coalesce(a.l_partkey, b.l_partkey) AS pk,
+         coalesce(a.cl, '-') AS class_h1, coalesce(b.cl, '-') AS class_h2
+  FROM (SELECT l_partkey, cl FROM cls WHERE half = 0) a
+  FULL JOIN (SELECT l_partkey, cl FROM cls WHERE half = 1) b
+    ON b.l_partkey = a.l_partkey
+)
+SELECT class_h1, class_h2, CAST(count(*) AS BIGINT) AS n_parts
+FROM m GROUP BY 1, 2
+""",
+    doc="ABC class migration matrix between the first and second half "
+    "of the corpus timeline: each part's Pareto class (A/B/C, "
+    "q_abc_analysis' exact integer thresholds) computed per half, "
+    "full-outer-joined into a transition matrix ('-' = absent that "
+    "half) — the stability audit that says whether last year's A-"
+    "list still deserves the premium slotting, and the classic "
+    "input to safety-stock re-tiering. The per-half cumulative uses "
+    "a PARTITIONED window (two bounded groups — partitioning by "
+    "half is what makes the textbook global cumsum scale here; at "
+    "one-half granularity per group the range exchange of the "
+    "global operator is unnecessary). All class math is exact "
+    "int64 cross-multiplication. Plan: one scan, per-(half, part) "
+    "agg, per-half window, full outer join on partkey, 4x4 rollup.",
+)
+def q_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li0 = load_table(spark, sf_dir, "lineitem")
+    li = li0.select(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("long")
+        .alias("mon"),
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0, 0
+        )
+        .cast("long")
+        .alias("c0"),
+    )
+    mid = li.agg(
+        F.expr("(min(mon) + max(mon) + 1) div 2").cast("long").alias("m")
+    )
+    rev = (
+        li.crossJoin(F.broadcast(mid))
+        .groupBy(
+            F.when(F.col("mon") < F.col("m"), 0).otherwise(1).alias("half"),
+            "l_partkey",
+        )
+        .agg(F.sum("c0").cast("long").alias("cents"))
+    )
+    tot = rev.groupBy("half").agg(F.sum("cents").cast("long").alias("tot"))
+    w = (
+        Window.partitionBy("half")
+        .orderBy(F.col("cents").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = rev.withColumn("cum", F.sum("cents").over(w).cast("long"))
+    cls = c.join(tot, "half").select(
+        "half",
+        "l_partkey",
+        F.when(F.col("cum") * 5 <= F.col("tot") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("tot") * 19, "B")
+        .otherwise("C")
+        .alias("cl"),
+    )
+    a = cls.filter(F.col("half") == 0).select(
+        F.col("l_partkey").alias("pk_a"), F.col("cl").alias("cl_a")
+    )
+    b = cls.filter(F.col("half") == 1).select(
+        F.col("l_partkey").alias("pk_b"), F.col("cl").alias("cl_b")
+    )
+    m = a.join(b, a["pk_a"] == b["pk_b"], "full").select(
+        F.coalesce(F.col("cl_a"), F.lit("-")).alias("class_h1"),
+        F.coalesce(F.col("cl_b"), F.lit("-")).alias("class_h2"),
+    )
+    return m.groupBy("class_h1", "class_h2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+
+
+@register(
+    "q_theil_index",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS tot FROM rev
+),
+t AS (
+  SELECT CAST(round((CAST(cents AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * ln(CAST(cents AS DOUBLE) / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * 1000000.0, 0) AS BIGINT) AS term_micro, n
+  FROM rev, tot WHERE cents > 0
+)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       round(CAST(sum(term_micro) AS DOUBLE) / CAST(max(n) AS DOUBLE) / 1000000.0, 6)
+         AS theil_t
+FROM t
+""",
+    doc="Theil T inequality index over customer revenue: (1/n) sum "
+    "(x/mu) ln(x/mu) — the entropy-based inequality measure that, "
+    "unlike Gini (q_gini_revenue) and HHI (q_herfindahl_suppliers), "
+    "DECOMPOSES additively into within-group + between-group terms, "
+    "which is why segmentation studies report it. Per-row terms "
+    "integerize to micro-units against a 1-row (n, total) broadcast "
+    "mean, so the reduction is an exact int64 sum (order-"
+    "independent); the single division at the end is the only "
+    "uncontrolled float. Zero-revenue customers are excluded (x ln "
+    "x -> 0 limit, documented). Plan: one keyed agg, 1-row "
+    "broadcast, map-side term, 1-row reduce.",
+)
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("tot"),
+    )
+    mu = F.col("tot").cast("double") / F.col("n").cast("double")
+    ratio = F.col("cents").cast("double") / mu
+    t = (
+        rev.crossJoin(F.broadcast(tot))
+        .filter(F.col("cents") > 0)
+        .select(
+            F.round(ratio * F.log(ratio) * 1000000.0, 0)
+            .cast("long")
+            .alias("term_micro"),
+            "n",
+        )
+    )
+    return t.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(
+            F.sum("term_micro").cast("double")
+            / F.max("n").cast("double")
+            / 1000000.0,
+            6,
+        ).alias("theil_t"),
+    )

@@ -6876,3 +6876,244 @@ def t_waterfill_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("allocated_tokens"),
     )
+
+
+@register(
+    "t_hill_tail_index",
+    oracle="""
+WITH top AS (
+  SELECT n_chars, doc_id FROM documents
+  ORDER BY n_chars DESC, doc_id LIMIT 101
+),
+r AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+  FROM top
+),
+xk AS (SELECT CAST(n_chars AS BIGINT) AS x_k1 FROM r WHERE rn = 101),
+s AS (
+  SELECT CAST(sum(CAST(round(ln(CAST(r.n_chars AS DOUBLE) / CAST(xk.x_k1 AS DOUBLE))
+                             * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS lnsum_micro,
+         CAST(count(*) AS BIGINT) AS k
+  FROM r, xk WHERE r.rn <= 100
+)
+SELECT k, x_k1,
+       round(CAST(k AS DOUBLE)
+             / (CAST(lnsum_micro AS DOUBLE) / 1000000.0), 6) AS hill_alpha
+FROM s, xk
+""",
+    doc="Hill estimator of the document-length tail index over the "
+    "top-100 order statistics: alpha = k / sum ln(x_i / x_(k+1)) — "
+    "the heavy-tail diagnostic for VALUES (complements "
+    "q_powerlaw_degree_alpha, which fits frequency-rank data): "
+    "alpha < 2 means giant documents dominate total bytes and "
+    "length-capped chunking / per-file size budgets are mandatory "
+    "before a 100 TB ingest. The order statistics come from "
+    "orderBy+limit (TakeOrderedAndProject — per-partition heaps, "
+    "never a global sort) and rank WITHIN the 101 survivors via "
+    "the distributed global_row_number; per-item log terms "
+    "integerize to micro-units so the sum is an exact int64 "
+    "reduction. Plan: one column-pruned scan, a 101-row top-k, a "
+    "1-row threshold broadcast.",
+)
+def t_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("n_chars", "doc_id")
+    top = docs.orderBy(F.col("n_chars").desc(), F.col("doc_id")).limit(101)
+    r = global_row_number(
+        top, [F.col("n_chars").desc(), F.col("doc_id")], out_col="rn"
+    )
+    xk = r.filter(F.col("rn") == 101).select(
+        F.col("n_chars").cast("long").alias("x_k1")
+    )
+    s = (
+        r.filter(F.col("rn") <= 100)
+        .crossJoin(F.broadcast(xk))
+        .agg(
+            F.sum(
+                F.round(
+                    F.log(
+                        F.col("n_chars").cast("double") / F.col("x_k1").cast("double")
+                    )
+                    * 1000000.0,
+                    0,
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("lnsum_micro"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.max("x_k1").cast("long").alias("x_k1"),
+        )
+    )
+    return s.select(
+        "k",
+        "x_k1",
+        F.round(
+            F.col("k").cast("double")
+            / (F.col("lnsum_micro").cast("double") / F.lit(1000000.0)),
+            6,
+        ).alias("hill_alpha"),
+    )
+
+
+@register(
+    "t_bootstrap_mean_ci",
+    oracle="""
+WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x FROM documents),
+grid AS (
+  SELECT d.doc_id, d.x, b.b,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS h
+  FROM d, (SELECT unnest(range(0, 32)) AS b) b
+),
+w AS (
+  SELECT b, x,
+         CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1
+              WHEN h < 920 THEN 2 ELSE 3 END AS m
+  FROM grid
+),
+means AS (
+  SELECT b,
+         CAST(sum(m * x) AS BIGINT) AS sx,
+         CAST(sum(m) AS BIGINT) AS sm
+  FROM w GROUP BY b
+),
+mb AS (
+  SELECT round(CAST(sx AS DOUBLE) / CAST(nullif(sm, 0) AS DOUBLE), 6) AS mean_b
+  FROM means
+),
+base AS (SELECT round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_full FROM d)
+SELECT mean_full,
+       round(quantile_cont(mean_b, 0.025), 6) AS ci_lo,
+       round(quantile_cont(mean_b, 0.975), 6) AS ci_hi,
+       CAST(count(*) AS BIGINT) AS n_resamples
+FROM mb, base
+GROUP BY mean_full
+""",
+    doc="Poissonized bootstrap CI for the mean document length: 32 "
+    "resamples where each row's multiplicity in resample b is drawn "
+    "from a DETERMINISTIC Poisson(1) approximation (md5(doc_id:b) "
+    "mod 1000 against the Poisson pmf ladder 368/736/920 — the "
+    "portable-hash contract every MinHash oracle here already "
+    "uses), so both engines materialize bit-identical resamples "
+    "with NO random state and no shuffle of the data itself — the "
+    "distributed bootstrap the 'resample-with-replacement' textbook "
+    "form cannot scale to (Poissonization is how bootstrap runs on "
+    "streams/map-reduce; Kleiner et al.'s bag-of-little-bootstraps "
+    "builds on it). Per-resample sums are exact int64; the 2.5/97.5 "
+    "percentile CI runs over 32 rounded means. Plan: one scan x "
+    "32-replicate broadcast grid, 32-group agg, 1-row reduce.",
+)
+def t_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.col("n_chars").cast("long").alias("x"))
+    grid = d.crossJoin(F.broadcast(spark.range(0, 32).select(F.col("id").alias("b"))))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    m = (
+        F.when(h < 368, 0)
+        .when(h < 736, 1)
+        .when(h < 920, 2)
+        .otherwise(3)
+    )
+    means = (
+        grid.select("b", "x", m.alias("m"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("m") * F.col("x")).cast("long").alias("sx"),
+            F.sum("m").cast("long").alias("sm"),
+        )
+    )
+    mb = means.select(
+        F.round(
+            F.col("sx").cast("double") / F.nullif(F.col("sm"), F.lit(0)).cast("double"),
+            6,
+        ).alias("mean_b")
+    )
+    base = d.agg(
+        F.round(
+            F.sum("x").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_full")
+    )
+    return mb.crossJoin(F.broadcast(base)).groupBy("mean_full").agg(
+        F.round(F.expr("percentile(mean_b, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(mean_b, 0.975)"), 6).alias("ci_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_resamples"),
+    )
+
+
+@register(
+    "t_code_like_docs",
+    oracle="""
+WITH f AS (
+  SELECT source,
+         length(regexp_replace(text, '[^{}();=\\[\\]<>]', '', 'g')) AS n_sym,
+         length(text) AS n_ch,
+         len(regexp_extract_all(text, '[a-z][a-zA-Z]*[A-Z][a-zA-Z]*')) AS n_camel,
+         len(regexp_extract_all(text, '\\b(def|return|import|void|function|class|const|var|int)\\b')) AS n_kw
+  FROM documents
+),
+s AS (
+  SELECT source,
+         CASE WHEN (n_sym * 100 >= n_ch * 3 AND n_ch > 0)
+                   OR n_kw >= 2 OR n_camel >= 3
+              THEN 1 ELSE 0 END AS code_like
+  FROM f
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(code_like) AS BIGINT) AS n_code_like,
+       round(CAST(sum(code_like) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS code_share
+FROM s GROUP BY 1
+""",
+    doc="Code-likeness filter per source: a document is code-like when "
+    "code-symbol density ({}();=[]<> over chars) reaches 3%, or it "
+    "contains 2+ programming keywords, or 3+ camelCase identifiers "
+    "— the cheap heuristic gate that routes documents to a code-"
+    "specific pipeline (tokenizer, dedup thresholds, quality rules "
+    "all differ for code) before any expensive classifier runs. "
+    "Patterns use only portable character classes and literal "
+    "alternations (no unicode classes — Java regex and RE2 agree "
+    "on these); the density test is integer cross-multiplied "
+    "(n_sym*100 >= n_ch*3 — no float threshold). Counts exact "
+    "int64. Plan: one scan, per-source agg — a 100 TB single pass.",
+)
+def t_code_like_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_sym = F.length(F.regexp_replace(F.col("text"), "[^{}();=\\[\\]<>]", ""))
+    n_ch = F.length(F.col("text"))
+    n_camel = F.size(
+        F.expr("regexp_extract_all(text, '[a-z][a-zA-Z]*[A-Z][a-zA-Z]*', 0)")
+    )
+    n_kw = F.size(
+        F.expr(
+            "regexp_extract_all(text, "
+            "'\\\\b(def|return|import|void|function|class|const|var|int)\\\\b', 0)"
+        )
+    )
+    code_like = F.when(
+        ((n_sym * 100 >= n_ch * 3) & (n_ch > 0)) | (n_kw >= 2) | (n_camel >= 3), 1
+    ).otherwise(0)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(code_like).cast("long").alias("n_code_like"),
+        F.round(
+            F.sum(code_like).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("code_share"),
+    )

@@ -93,6 +93,11 @@ ALLOWED_NESTED_LOOP = {
     "emb_kmeans_silhouette",  # k-centroid broadcast x corpus (kmeans trainer shape)
     "q_churn_hazard_curve",  # 1-row max-month broadcast vs monthly frame
     "t_waterfill_source_caps",  # 1-row totals / cap broadcasts vs k-source frame
+    "q_lorenz_deciles",  # 1-row (n, tot) broadcast for ntile arithmetic
+    "t_hill_tail_index",  # 1-row x_(k+1) threshold broadcast vs 100-row top-k
+    "q_abc_migration",  # 1-row midpoint-month broadcast vs fact scan
+    "t_bootstrap_mean_ci",  # 32-replicate broadcast grid + 1-row full-mean broadcast
+    "q_theil_index",  # 1-row (n, total) mean broadcast vs customer frame
 }
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
