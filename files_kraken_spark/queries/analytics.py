@@ -4587,3 +4587,95 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("theil_t"),
     )
+
+
+@register(
+    "q_ks_two_sample",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+         CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+vg AS (
+  SELECT v, CAST(sum(g) AS BIGINT) AS d1, CAST(sum(1 - g) AS BIGINT) AS d2
+  FROM s GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         CAST(sum(d1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+         CAST(sum(d2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2
+  FROM vg
+),
+n AS (SELECT CAST(sum(d1) AS BIGINT) AS n1, CAST(sum(d2) AS BIGINT) AS n2 FROM vg),
+d AS (
+  SELECT v, abs(c1 * n2 - c2 * n1) AS d_scaled, c1, c2, n1, n2
+  FROM cum, n
+)
+SELECT n1, n2,
+       round(CAST(d_scaled AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+         AS ks_d,
+       CAST(v AS BIGINT) AS at_value_cents,
+       round(sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+             * 1.3581, 6) AS crit_05
+FROM d ORDER BY d_scaled DESC, v LIMIT 1
+""",
+    doc="Two-sample Kolmogorov-Smirnov test on order values between "
+    "the BUILDING and MACHINERY segments: D = max |F1 - F2|, the "
+    "distribution-shape companion to q_mann_whitney_u (MW detects "
+    "location shift; KS also catches variance/shape differences). "
+    "The empirical CDF gap is computed on VALUE GROUPS with the "
+    "cumulative via ordered prefix sums, and the supremum compares "
+    "CROSS-MULTIPLIED integers |c1*n2 - c2*n1| — the entire argmax "
+    "is exact int64, floats appear only in the reported D and the "
+    "1.358*sqrt((n1+n2)/(n1*n2)) alpha=.05 critical value (reject "
+    "if D > crit). The argmax is orderBy+limit with a value "
+    "tiebreak. Spark side uses global_prefix_sums for the CDF (no "
+    "single-task window). Plan: broadcast dim join, value-group "
+    "agg, one range exchange, TakeOrderedAndProject.",
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_prefix_sums
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    s = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("g"),
+            F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("v"),
+        )
+    )
+    vg = s.groupBy("v").agg(
+        F.sum("g").cast("long").alias("d1"),
+        F.sum(F.lit(1) - F.col("g")).cast("long").alias("d2"),
+    )
+    cum = global_prefix_sums(vg, [F.col("v")], {"d1": "c1", "d2": "c2"})
+    n = vg.agg(
+        F.sum("d1").cast("long").alias("n1"), F.sum("d2").cast("long").alias("n2")
+    )
+    d = cum.crossJoin(F.broadcast(n)).select(
+        "v",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias(
+            "d_scaled"
+        ),
+        "n1",
+        "n2",
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    return (
+        d.orderBy(F.col("d_scaled").desc(), "v")
+        .limit(1)
+        .select(
+            "n1",
+            "n2",
+            F.round(F.col("d_scaled").cast("double") / (n1d * n2d), 6).alias("ks_d"),
+            F.col("v").cast("long").alias("at_value_cents"),
+            F.round(
+                F.sqrt((n1d + n2d) / (n1d * n2d)) * F.lit(1.3581), 6
+            ).alias("crit_05"),
+        )
+    )

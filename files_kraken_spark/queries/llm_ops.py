@@ -7117,3 +7117,123 @@ def t_code_like_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(code_like).cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("code_share"),
     )
+
+
+def _lsh_band_sweep_oracle_sql() -> str:
+    """One signature table, three banding configs — the (bands, rows)
+    sweep shares the 16-perm signatures and the exact-Jaccard table,
+    so the oracle replays exactly what the Spark side composes."""
+    parts = [f"WITH {_SQL_SHINGLES.strip()},\n{_minhash_sql(16, 42).strip()}"]
+    rows = []
+    for b in (2, 4, 8):
+        us = ", ".join(str(i) for i in range(b))
+        parts.append(
+            f""",
+bands{b} AS (
+  SELECT doc_id, {_band_case_sql(16, b)} AS band_key
+  FROM sig, UNNEST([{us}]) AS u(b)
+),
+cand{b} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands{b} a JOIN bands{b} b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+        )
+        rows.append(
+            f"""SELECT {b} AS bands, {16 // b} AS rows_per_band,
+       (SELECT count(*) FROM cand{b}) AS n_candidates,
+       (SELECT count(*) FROM cand{b} c JOIN jac j USING (id_a, id_b)
+        WHERE j.jaccard >= 0.5) AS n_verified"""
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return (
+        "".join(parts)
+        + f""",
+sweep AS (
+{union}
+)
+SELECT CAST(bands AS BIGINT) AS bands,
+       CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_verified AS BIGINT) AS n_verified,
+       round(n_verified * 1.0 / nullif(n_candidates, 0), 6) AS precision_at_05
+FROM sweep"""
+    )
+
+
+@register(
+    "t_lsh_band_sweep",
+    oracle=_lsh_band_sweep_oracle_sql(),
+    doc="LSH banding parameter sweep: with ONE set of 16-perm MinHash "
+    "signatures, compare (b=2, r=8), (b=4, r=4), (b=8, r=2) — "
+    "candidate pair volume and the share that verifies at Jaccard "
+    ">= 0.5 — the empirical S-curve table that picks the banding "
+    "config before a 100 TB dedup run (theory says the threshold "
+    "sits near (1/b)^(1/r); this measures it on YOUR corpus, where "
+    "boilerplate skew bends the curve). Signatures and the exact-"
+    "Jaccard verify table compute once and feed all three configs; "
+    "each config costs one band self-join (the same banded bucket "
+    "join the production operator runs). Counts exact int64; the "
+    "precision ratio is the only float. Plan: shingle explode -> "
+    "16-min signature agg (once) -> three bounded band joins.",
+)
+def t_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _signature_bands
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = DD.shingle_sets(docs, "doc_id", "text", 3).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a_sh = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a_sh.join(b_sh, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter") * F.lit(1.0)
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .persist()
+    )
+    out = None
+    for b in (2, 4, 8):
+        exploded = _signature_bands(sh, "doc_id", 16, b, 42)
+        ca = exploded.select(F.col("doc_id").alias("id_a"), "band_key")
+        cb = exploded.select(F.col("doc_id").alias("id_b"), "band_key")
+        cand = (
+            ca.join(cb, "band_key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .persist()
+        )
+        nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        nv = cand.join(jac, ["id_a", "id_b"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_verified")
+        )
+        row = (
+            nc.crossJoin(F.broadcast(nv))
+            .select(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(16 // b).cast("long").alias("rows_per_band"),
+                "n_candidates",
+                "n_verified",
+                F.round(
+                    F.col("n_verified").cast("double")
+                    / F.nullif(F.col("n_candidates"), F.lit(0)).cast("double"),
+                    6,
+                ).alias("precision_at_05"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -296,3 +296,90 @@ def gap_sessions(grouped, gap_ns: int = 1_000_000_000) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HLL_DISTINCT_SCHEMA = (
+    "key string, batch_rows bigint, estimate_distinct bigint, registers_set bigint"
+)
+
+
+def hll_sketch_update(regs: list[int], values, p: int = 6) -> list[int]:
+    """Fold ``values`` into an HLL register array (pure function, no
+    Spark) — the register update is the MERGEABLE core: max per
+    register, so batch-wise folding equals one-shot folding (the
+    invariant the streaming test asserts). Hash is the portable
+    md5-prefix contract (``operators/dedup.md5_hash64``'s widening to
+    64 bits), so the sketch is engine- and restart-stable."""
+    import hashlib
+
+    m = 1 << p
+    for v in values:
+        h = int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:16], 16)
+        idx = h & (m - 1)
+        w = h >> p
+        width = 64 - p
+        rho = (width - w.bit_length() + 1) if w else (width + 1)
+        if rho > regs[idx]:
+            regs[idx] = rho
+    return regs
+
+
+def hll_estimate(regs: list[int], p: int = 6) -> int:
+    """Flajolet et al. estimate with the small-range linear-counting
+    correction — integer-rounded so the emitted metric is stable."""
+    import math
+
+    m = 1 << p
+    inv = sum(2.0 ** -r for r in regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / inv
+    zeros = sum(1 for r in regs if r == 0)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return int(round(est))
+
+
+def _make_hll_distinct(p: int = 6):
+    m = 1 << p
+
+    def _hll_distinct(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        regs = list(state.get[0]) if state.exists else [0] * m
+        batch = 0
+        for pdf in pdfs:
+            batch += len(pdf)
+            regs = hll_sketch_update(regs, pdf["value"], p=p)
+        state.update((regs,))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "batch_rows": [batch],
+                "estimate_distinct": [hll_estimate(regs, p=p)],
+                "registers_set": [sum(1 for r in regs if r > 0)],
+            }
+        )
+
+    return _hll_distinct
+
+
+def streaming_hll_distinct(grouped, p: int = 6) -> DataFrame:
+    """Streaming approximate-distinct monitor per key: a HyperLogLog
+    register array lives in the checkpoint and merges each
+    micro-batch by register max — the incremental-sketch shape
+    (bounded state: 2^p bytes-ish per key FOREVER, vs the unbounded
+    set a naive distinct monitor keeps; at p=6 each key costs 64
+    ints regardless of stream length). Emits the running distinct
+    estimate after every batch. Register updates are order- and
+    batching-invariant (max is commutative/associative/idempotent),
+    so replay after checkpoint recovery converges to the same sketch
+    — the exactly-once-effect argument the running-count test makes,
+    here for a NON-ADDITIVE aggregate. Batch twin: `q_hll_sketch` in
+    the registry (same register math at rest)."""
+    return grouped.applyInPandasWithState(
+        _make_hll_distinct(p),
+        outputStructType=HLL_DISTINCT_SCHEMA,
+        stateStructType="regs array<int>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

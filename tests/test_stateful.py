@@ -379,3 +379,65 @@ def test_gap_sessions_merge_across_batches(spark, tmp_path):
     # the open {100} session (state crossed the batch boundary), then
     # 500 closes {100,110}. Open sessions (a@500, b@7) are not emitted.
     assert rows == {("a", 0, 10, 2), ("a", 100, 110, 2)}
+
+
+def test_hll_sketch_pure_merge_invariance():
+    """Register folding must be batching-invariant: folding values in
+    two chunks equals folding the union in one pass — the property
+    that makes the streaming sketch correct across micro-batches and
+    checkpoint replays."""
+    from files_kraken_spark.streaming.stateful import (
+        hll_estimate,
+        hll_sketch_update,
+    )
+
+    vals = [f"v{i}" for i in range(40)]
+    one_shot = hll_sketch_update([0] * 64, vals)
+    chunked = hll_sketch_update(
+        hll_sketch_update([0] * 64, vals[:17]), vals[17:]
+    )
+    assert one_shot == chunked
+    # idempotence: refolding the same values changes nothing
+    assert hll_sketch_update(list(one_shot), vals) == one_shot
+    # small-range estimate lands on the exact count for tiny sets
+    est = hll_estimate(hll_sketch_update([0] * 64, ["a", "b", "c"]))
+    assert est == 3
+
+
+def test_streaming_hll_distinct_across_batches(spark, tmp_path):
+    from files_kraken_spark.streaming.stateful import (
+        hll_estimate,
+        hll_sketch_update,
+        streaming_hll_distinct,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batches(src)
+    stream = (
+        spark.readStream.schema("key string, value string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = streaming_hll_distinct(stream.groupBy("key"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hll").collect()
+    assert len(rows) == 4  # 2 keys x 2 micro-batches
+    finals = {}
+    for r in rows:
+        finals[r["key"]] = r["estimate_distinct"]
+    # the streamed sketch must equal the one-shot sketch over each
+    # key's full value set (merge invariance), which for these tiny
+    # sets is also the exact distinct count
+    expect_a = hll_estimate(hll_sketch_update([0] * 64, ["x", "y", "y", "z"]))
+    expect_b = hll_estimate(hll_sketch_update([0] * 64, ["x", "x"]))
+    assert finals == {"a": expect_a, "b": expect_b}
+    assert expect_a == 3 and expect_b == 1

@@ -98,6 +98,8 @@ ALLOWED_NESTED_LOOP = {
     "q_abc_migration",  # 1-row midpoint-month broadcast vs fact scan
     "t_bootstrap_mean_ci",  # 32-replicate broadcast grid + 1-row full-mean broadcast
     "q_theil_index",  # 1-row (n, total) mean broadcast vs customer frame
+    "t_lsh_band_sweep",  # three (1-row candidate, 1-row verified) counts joined scalar-wise
+    "q_ks_two_sample",  # 1-row (n1, n2) broadcast vs value-group CDF frame
 }
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
