@@ -111,6 +111,9 @@ _SAMPLE_PRIORITY = [
     "q_entity_clusters", "q_lorenz_deciles", "t_hill_tail_index",
     "q_abc_migration", "t_bootstrap_mean_ci", "t_code_like_docs",
     "q_theil_index", "t_lsh_band_sweep", "q_ks_two_sample",
+    "q_anova_f", "q_cramers_v", "t_effective_sources",
+    "q_naive_forecast_mape",
+    "emb_pca_explained_variance", "q_weighted_median_price",
     # -- driver-green tail, rough value order --
     "q_gap_fill_ffill", "q_linear_interpolate", "q_rolling_zscore",
     "q_ewma_halflife", "q_triangle_count", "q_fuzzy_match_blocked",

@@ -4679,3 +4679,327 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("crit_05"),
         )
     )
+
+
+@register(
+    "q_anova_f",
+    oracle="""
+WITH s AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+g AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv,
+         sum(CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0))) AS svv
+  FROM s GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(sv) AS BIGINT) AS gsv,
+         sum(svv) AS gsvv
+  FROM g
+),
+ss AS (
+  SELECT k, nn,
+         (SELECT sum(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) FROM g)
+           - CAST(gsv AS DOUBLE) * CAST(gsv AS DOUBLE) / CAST(nn AS DOUBLE) AS ss_between,
+         CAST(gsvv AS DOUBLE)
+           - (SELECT sum(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) FROM g)
+           AS ss_within
+  FROM tot
+)
+SELECT k, nn AS n_total,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(nn - k AS BIGINT) AS df_within,
+       round((ss_between / (CAST(k AS DOUBLE) - 1.0))
+             / nullif(ss_within / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)), 0.0), 6)
+         AS f_stat
+FROM ss
+""",
+    doc="One-way ANOVA F statistic for order value across the five "
+    "market segments: between-group vs within-group variance — the "
+    "k-group parametric screen that complements q_mann_whitney_u / "
+    "q_ks_two_sample's 2-group nonparametrics ('does segment matter "
+    "AT ALL before pairwise drilldowns'). Every sum is exact: group "
+    "sums in int64 cents, squared sums in DECIMAL(18)xDECIMAL(18) "
+    "cross-products (per-row squares ~1e13 fit; int64 would wrap on "
+    "the group SUM), and the sums-of-squares identity ss_b = sum "
+    "sv_g^2/n_g - gsv^2/N assembles in one shared double shape from "
+    "those exact operands — no per-row float accumulates anywhere. "
+    "Plan: broadcast dim join, 5-group agg, 1-row reduce.",
+)
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    s = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("v"),
+    )
+    vd = F.col("v").cast("decimal(18,0)")
+    g = s.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(vd * vd).alias("svv"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("sv").cast("long").alias("gsv"),
+        F.sum("svv").alias("gsvv"),
+        F.sum(
+            F.col("sv").cast("double") * F.col("sv").cast("double")
+            / F.col("n").cast("double")
+        ).alias("sqn"),
+    )
+    kd = F.col("k").cast("double")
+    nnd = F.col("nn").cast("double")
+    ss_between = F.col("sqn") - F.col("gsv").cast("double") * F.col("gsv").cast(
+        "double"
+    ) / nnd
+    ss_within = F.col("gsvv").cast("double") - F.col("sqn")
+    return tot.select(
+        "k",
+        F.col("nn").alias("n_total"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("nn") - F.col("k")).cast("long").alias("df_within"),
+        F.round(
+            (ss_between / (kd - F.lit(1.0)))
+            / F.nullif(ss_within / (nnd - kd), F.lit(0.0)),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "q_cramers_v",
+    oracle="""
+WITH s AS (
+  SELECT event_type AS a,
+         CAST(((epoch_us(ts) // 86400000000) + 3) % 7 AS BIGINT) AS b
+  FROM events
+),
+cell AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM cell GROUP BY 1),
+rb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM cell GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         (SELECT CAST(count(*) AS BIGINT) FROM ra) AS r,
+         (SELECT CAST(count(*) AS BIGINT) FROM rb) AS c
+  FROM cell
+),
+chi AS (
+  SELECT CAST(sum(CAST(round(
+           pow(CAST(cell.n AS DOUBLE)
+               - CAST(ra.na AS DOUBLE) * CAST(rb.nb AS DOUBLE) / CAST(tot.nn AS DOUBLE), 2)
+           / (CAST(ra.na AS DOUBLE) * CAST(rb.nb AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+           * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS chi2_micro
+  FROM cell JOIN ra USING (a) JOIN rb USING (b), tot
+)
+SELECT nn AS n_events, r AS n_rows_dim, c AS n_cols_dim,
+       round(CAST(chi2_micro AS DOUBLE) / 1000000.0, 6) AS chi2,
+       round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+                  / (CAST(nn AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE))), 6)
+         AS cramers_v
+FROM chi, tot
+""",
+    doc="Cramér's V association between event type and day-of-week: "
+    "the chi-square contingency test normalized to [0,1] — the "
+    "categorical-vs-categorical effect size ('is error traffic a "
+    "weekend thing') that complements the numeric-vs-numeric "
+    "correlation family. Expected cell counts derive from exact "
+    "int64 marginals in one shared double shape; each cell's chi2 "
+    "term integerizes to micro-units so the sum over cells is an "
+    "exact int64 reduction (order-independent across the 35 cells "
+    "and at any cell cardinality); day-of-week is the portable "
+    "(epoch_day+3) mod 7. Plan: one scan, bounded cell agg, two "
+    "marginal rollups, 1-row reduce.",
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    s = events.select(
+        F.col("event_type").alias("a"),
+        (F.expr("(((ts div 1000) div 86400000000) + 3) % 7")).cast("long").alias("b"),
+    )
+    cell = s.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ra = cell.groupBy("a").agg(F.sum("n").cast("long").alias("na"))
+    rb = cell.groupBy("b").agg(F.sum("n").cast("long").alias("nb"))
+    tot = cell.agg(F.sum("n").cast("long").alias("nn"))
+    dims = ra.agg(F.count(F.lit(1)).cast("long").alias("r")).crossJoin(
+        F.broadcast(rb.agg(F.count(F.lit(1)).cast("long").alias("c")))
+    )
+    expected = (
+        F.col("na").cast("double")
+        * F.col("nb").cast("double")
+        / F.col("nn").cast("double")
+    )
+    term = F.round(
+        F.pow(F.col("n").cast("double") - expected, F.lit(2)) / expected * 1000000.0,
+        0,
+    ).cast("long")
+    chi = (
+        cell.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(term).cast("long").alias("chi2_micro"))
+    )
+    return (
+        chi.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("nn").alias("n_events"),
+            F.col("r").alias("n_rows_dim"),
+            F.col("c").alias("n_cols_dim"),
+            F.round(F.col("chi2_micro").cast("double") / 1000000.0, 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2_micro").cast("double")
+                    / 1000000.0
+                    / (
+                        F.col("nn").cast("double")
+                        * (F.least(F.col("r"), F.col("c")) - 1).cast("double")
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@register(
+    "q_naive_forecast_mape",
+    oracle="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+j AS (
+  SELECT 'naive_1d' AS model, a.cnt AS actual, b.cnt AS forecast
+  FROM d a JOIN d b ON b.day = a.day - 1
+  UNION ALL
+  SELECT 'seasonal_7d' AS model, a.cnt AS actual, b.cnt AS forecast
+  FROM d a JOIN d b ON b.day = a.day - 7
+),
+e AS (
+  SELECT model, CAST(abs(actual - forecast) AS BIGINT) AS ae,
+         CAST(round(abs(actual - forecast) * 1000000.0
+                    / CAST(nullif(actual, 0) AS DOUBLE), 0) AS BIGINT) AS ape_micro
+  FROM j
+)
+SELECT model, CAST(count(*) AS BIGINT) AS n_days,
+       round(CAST(sum(ae) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mae,
+       round(CAST(sum(ape_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / 1000000.0, 6) AS mape
+FROM e GROUP BY 1
+""",
+    doc="Forecast-baseline scorecard: MAE and MAPE of the naive "
+    "(yesterday) and seasonal-naive (same weekday last week) "
+    "forecasts of daily event volume — the floor every real "
+    "forecasting model must beat (q_holt_linear produces forecasts; "
+    "this is the EVAL side, and seasonal-naive beating naive-1d is "
+    "the standard evidence that weekly seasonality is real, cf. "
+    "q_dow_seasonality). The day-offset pairing is an equi-join "
+    "(adjacent-calendar convention — gap days simply contribute no "
+    "pair), absolute errors are exact int64, per-day percentage "
+    "errors integerize to micro-units before the mean so both "
+    "reductions are exact sums. Plan: one scan, daily agg, two "
+    "self equi-joins, 2-group rollup.",
+)
+def q_naive_forecast_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    d = events.groupBy(
+        F.expr("(ts div 1000) div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+    def lagged(model: str, off: int):
+        a = d.select(F.col("day").alias("day"), F.col("cnt").alias("actual"))
+        b = d.select(
+            (F.col("day") + off).alias("day"), F.col("cnt").alias("forecast")
+        )
+        return a.join(b, "day").select(
+            F.lit(model).alias("model"), "actual", "forecast"
+        )
+
+    j = lagged("naive_1d", 1).unionByName(lagged("seasonal_7d", 7))
+    e = j.select(
+        "model",
+        F.abs(F.col("actual") - F.col("forecast")).cast("long").alias("ae"),
+        F.round(
+            F.abs(F.col("actual") - F.col("forecast")).cast("double")
+            * 1000000.0
+            / F.nullif(F.col("actual"), F.lit(0)).cast("double"),
+            0,
+        )
+        .cast("long")
+        .alias("ape_micro"),
+    )
+    return e.groupBy("model").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.sum("ae").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mae"),
+        F.round(
+            F.sum("ape_micro").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 1000000.0,
+            6,
+        ).alias("mape"),
+    )
+
+
+@register(
+    "q_weighted_median_price",
+    oracle="""
+WITH s AS (
+  SELECT CAST(round(l_extendedprice / l_quantity * 100.0, 0) AS BIGINT) AS unit_cents,
+         CAST(round(l_quantity * 100.0, 0) AS BIGINT) AS w
+  FROM lineitem WHERE l_quantity > 0
+),
+vg AS (SELECT unit_cents, CAST(sum(w) AS BIGINT) AS w FROM s GROUP BY 1),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM vg),
+c AS (
+  SELECT unit_cents, w,
+         CAST(sum(w) OVER (ORDER BY unit_cents
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+  FROM vg
+)
+SELECT unit_cents AS weighted_median_unit_cents, tw AS total_weight_centi
+FROM c, tot
+WHERE cw * 2 >= tw
+ORDER BY unit_cents LIMIT 1
+""",
+    doc="Quantity-weighted median unit price: the price point where "
+    "half the shipped VOLUME is cheaper — the procurement statistic "
+    "an unweighted median misstates whenever big orders price "
+    "differently than small ones. Prices and weights integerize to "
+    "centi-units; the weighted median is the first value whose "
+    "running weight crosses half the total — an EXACT integer "
+    "cross-multiply (cw*2 >= tw) over the value-grouped cumulative "
+    "from global_prefix_sums, selected by orderBy+limit. No floats "
+    "anywhere in the result. Plan: one scan, value-group agg, one "
+    "range exchange, TakeOrderedAndProject.",
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_prefix_sums
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    s = li.select(
+        F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100.0, 0)
+        .cast("long")
+        .alias("unit_cents"),
+        F.round(F.col("l_quantity") * 100.0, 0).cast("long").alias("w"),
+    )
+    vg = s.groupBy("unit_cents").agg(F.sum("w").cast("long").alias("w"))
+    tot = vg.agg(F.sum("w").cast("long").alias("tw"))
+    c = global_prefix_sums(vg, [F.col("unit_cents")], {"w": "cw"})
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .filter(F.col("cw") * 2 >= F.col("tw"))
+        .orderBy("unit_cents")
+        .limit(1)
+        .select(
+            F.col("unit_cents").alias("weighted_median_unit_cents"),
+            F.col("tw").alias("total_weight_centi"),
+        )
+    )

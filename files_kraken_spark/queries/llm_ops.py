@@ -7237,3 +7237,168 @@ def t_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "t_effective_sources",
+    oracle=f"""
+WITH n AS (
+  SELECT source, CAST(sum(len({_SQL_TOKENS.format(col='text')})) AS BIGINT) AS n_tok
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM n),
+sh AS (
+  SELECT n_tok // greatest(total // 1000000, 1) AS share_micro
+  FROM n, tot
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+         CAST(sum(share_micro * share_micro) AS BIGINT) AS sumsq_micro,
+         CAST(max(share_micro) AS BIGINT) AS max_share_micro,
+         CAST(sum(CASE WHEN share_micro > 0
+                       THEN CAST(round(-(CAST(share_micro AS DOUBLE) / 1000000.0)
+                                       * ln(CAST(share_micro AS DOUBLE) / 1000000.0)
+                                       * 1000000.0, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS entropy_micro
+  FROM sh
+)
+SELECT n_sources,
+       round(1000000000000.0 / CAST(sumsq_micro AS DOUBLE), 6)
+         AS effective_sources_simpson,
+       round(CAST(max_share_micro AS DOUBLE) / 1000000.0, 6) AS berger_parker,
+       round(CAST(entropy_micro AS DOUBLE) / 1000000.0, 6) AS shannon_nats
+FROM agg
+""",
+    doc="Corpus mix diversity in one row: inverse-Simpson effective "
+    "source count (1/sum p^2 — 'how many equal-size sources is this "
+    "mix worth'), Berger-Parker dominance (largest share), and "
+    "Shannon entropy in nats — the three numbers a dataset card "
+    "quotes about source balance, each reacting differently to the "
+    "tail (Simpson ignores it, Shannon credits it). Token shares "
+    "quantize to MICRO-SHARES by divide-before-multiply truncation "
+    "(the q_herfindahl_suppliers overflow-proof lane — bounded "
+    "squares at any corpus size), per-source entropy terms "
+    "integerize to micro-nats, so every reduction is an exact int64 "
+    "sum. Plan: one scan, per-source agg, 1-row total broadcast, "
+    "1-row reduce.",
+)
+def t_effective_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(
+        F.sum(T.token_count(F.col("text"))).cast("long").alias("n_tok")
+    )
+    tot = n.agg(F.sum("n_tok").cast("long").alias("total"))
+    sh = n.crossJoin(F.broadcast(tot)).select(
+        F.expr("n_tok div greatest(total div 1000000, 1)").alias("share_micro")
+    )
+    p = F.col("share_micro").cast("double") / F.lit(1000000.0)
+    ent_term = F.when(
+        F.col("share_micro") > 0,
+        F.round(-p * F.log(p) * 1000000.0, 0).cast("long"),
+    ).otherwise(0)
+    agg = sh.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum(F.col("share_micro") * F.col("share_micro"))
+        .cast("long")
+        .alias("sumsq_micro"),
+        F.max("share_micro").cast("long").alias("max_share_micro"),
+        F.sum(ent_term).cast("long").alias("entropy_micro"),
+    )
+    return agg.select(
+        "n_sources",
+        F.round(F.lit(1.0e12) / F.col("sumsq_micro").cast("double"), 6).alias(
+            "effective_sources_simpson"
+        ),
+        F.round(F.col("max_share_micro").cast("double") / 1000000.0, 6).alias(
+            "berger_parker"
+        ),
+        F.round(F.col("entropy_micro").cast("double") / 1000000.0, 6).alias(
+            "shannon_nats"
+        ),
+    )
+
+
+def _pca_explained_oracle_sql() -> str:
+    """Derive from emb_top_pc_power's registered oracle (one source of
+    truth for the fixed-point chain): keep its final vector CTE and
+    append the Rayleigh-quotient share — scale factors cancel in the
+    ratio, so the fixed-point scales never enter the result."""
+    from . import REGISTRY
+
+    base = REGISTRY["emb_top_pc_power"].oracle
+    marker = "\nSELECT dim, vq FROM v3"
+    head, sep, _ = base.rpartition(marker)
+    assert sep, "emb_top_pc_power oracle shape changed"
+    return (
+        head
+        + """,
+xv4 AS (
+  SELECT e.vec_id, sum(e.xq * v.vq) AS s
+  FROM exq e JOIN v3 v USING (dim) GROUP BY 1
+),
+num AS (SELECT sum(CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0))) AS ss FROM xv4),
+den1 AS (SELECT CAST(sum(vq * vq) AS BIGINT) AS vv FROM v3),
+den2 AS (SELECT sum(CAST(xq AS DECIMAL(18,0)) * CAST(xq AS DECIMAL(18,0))) AS xx FROM exq),
+nv AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs FROM exq)
+SELECT n_vecs,
+       round((CAST(ss AS DOUBLE) / CAST(vv AS DOUBLE)) / CAST(xx AS DOUBLE), 6)
+         AS explained_share
+FROM num, den1, den2, nv"""
+    )
+
+
+@register(
+    "emb_pca_explained_variance",
+    oracle=_pca_explained_oracle_sql(),
+    doc="Explained-variance share of the top principal direction: the "
+    "Rayleigh quotient ||Xv||^2 / (||v||^2 * ||X||_F^2) evaluated on "
+    "the fixed-point power-iteration vector — the number that says "
+    "whether the embedding space has one dominant axis (share near "
+    "1 = anisotropic/collapsed embeddings, the known failure mode "
+    "post-hoc whitening fixes; cf. emb_standardize) or spreads "
+    "energy across dims. The oracle derives from emb_top_pc_power's "
+    "registered SQL, so the iteration chain has one source of "
+    "truth; both fixed-point scales cancel in the ratio, squares "
+    "ride DECIMAL(18)xDECIMAL(18) (s^2 ~ 4e19 wraps int64), and "
+    "the three reductions are exact. Plan: the pinned exploded "
+    "matrix feeds one more keyed agg + two 1-row reduces past the "
+    "iteration itself.",
+)
+def emb_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import pin_frame
+    from ..operators.similarity import power_iteration_top_pc
+
+    scale = 10000
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = power_iteration_top_pc(emb, iters=3, scale=scale)
+    exq = pin_frame(
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x")).select(
+            "vec_id",
+            "dim",
+            F.round(F.col("x").cast("double") * scale, 0).cast("long").alias("xq"),
+        )
+    )
+    xv4 = (
+        exq.join(F.broadcast(v), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("xq") * F.col("vq")).alias("s"))
+    )
+    sd = F.col("s").cast("decimal(18,0)")
+    num = xv4.agg(F.sum(sd * sd).alias("ss"))
+    den1 = v.agg(F.sum(F.col("vq") * F.col("vq")).cast("long").alias("vv"))
+    xd = F.col("xq").cast("decimal(18,0)")
+    den2 = exq.agg(F.sum(xd * xd).alias("xx"))
+    nv = exq.agg(F.countDistinct("vec_id").cast("long").alias("n_vecs"))
+    return (
+        num.crossJoin(F.broadcast(den1))
+        .crossJoin(F.broadcast(den2))
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "n_vecs",
+            F.round(
+                (F.col("ss").cast("double") / F.col("vv").cast("double"))
+                / F.col("xx").cast("double"),
+                6,
+            ).alias("explained_share"),
+        )
+    )

@@ -383,3 +383,77 @@ def streaming_hll_distinct(grouped, p: int = 6) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HEAVY_HITTERS_SCHEMA = (
+    "key string, batch_rows bigint, item string, lower_bound bigint"
+)
+
+
+def mg_sketch_update(counters: dict, values, k: int = 8) -> dict:
+    """Misra-Gries fold (pure function, no Spark): maintain at most
+    ``k - 1`` counters; a value not tracked when the table is full
+    decrements EVERY counter (dropping zeros) instead of entering.
+    Guarantee: any item with true frequency > n/k survives, and each
+    counter lower-bounds the true count within n/k. Deterministic for
+    a given value order; the streaming wrapper feeds batches in
+    arrival order, and the error bound (not the exact counter values)
+    is the merge-stable contract the test asserts."""
+    for v in values:
+        v = str(v)
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < k - 1:
+            counters[v] = 1
+        else:
+            for key in list(counters):
+                counters[key] -= 1
+                if counters[key] == 0:
+                    del counters[key]
+    return counters
+
+
+def _make_heavy_hitters(k: int = 8):
+    def _hh(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts = state.get
+            counters = dict(zip(list(items), list(counts)))
+        else:
+            counters = {}
+        batch = 0
+        for pdf in pdfs:
+            batch += len(pdf)
+            counters = mg_sketch_update(counters, pdf["value"], k=k)
+        state.update((list(counters.keys()), [int(c) for c in counters.values()]))
+        out = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(out),
+                "batch_rows": [batch] * len(out),
+                "item": [i for i, _ in out],
+                "lower_bound": [c for _, c in out],
+            }
+        )
+
+    return _hh
+
+
+def streaming_heavy_hitters(grouped, k: int = 8) -> DataFrame:
+    """Streaming heavy-hitters monitor per key via the Misra-Gries
+    sketch: at most ``k - 1`` counters per key live in the checkpoint
+    FOREVER (vs the unbounded map a naive counter keeps), and any item
+    whose true frequency exceeds n/k is guaranteed present with a
+    count under-estimating truth by at most n/k — the deterministic
+    counter sibling of `streaming_hll_distinct` (HLL answers 'how
+    many distinct', this answers 'which values dominate'). Emits the
+    surviving counters after each micro-batch, most-frequent first.
+    Batch twin: `q_countmin_sketch` / `q_topk_orders` at rest."""
+    return grouped.applyInPandasWithState(
+        _make_heavy_hitters(k),
+        outputStructType=HEAVY_HITTERS_SCHEMA,
+        stateStructType="items array<string>, counts array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -441,3 +441,60 @@ def test_streaming_hll_distinct_across_batches(spark, tmp_path):
     expect_b = hll_estimate(hll_sketch_update([0] * 64, ["x", "x"]))
     assert finals == {"a": expect_a, "b": expect_b}
     assert expect_a == 3 and expect_b == 1
+
+
+def test_mg_sketch_guarantees():
+    """Misra-Gries invariants: heavy items (freq > n/k) always
+    survive, and counters under-estimate truth by at most n/k."""
+    from files_kraken_spark.streaming.stateful import mg_sketch_update
+
+    vals = ["a"] * 50 + ["b"] * 30 + [f"r{i}" for i in range(40)]
+    n, k = len(vals), 8
+    c = mg_sketch_update({}, vals, k=k)
+    assert "a" in c and "b" in c  # both exceed n/k = 15
+    assert 50 - n / k <= c["a"] <= 50
+    assert 30 - n / k <= c["b"] <= 30
+    # folding in two chunks keeps the guarantee (state carries over)
+    c2 = mg_sketch_update(mg_sketch_update({}, vals[:60], k=k), vals[60:], k=k)
+    assert "a" in c2 and "b" in c2
+    assert 50 - n / k <= c2["a"] <= 50
+
+
+def test_streaming_heavy_hitters_across_batches(spark, tmp_path):
+    import json as _json
+
+    from files_kraken_spark.streaming.stateful import streaming_heavy_hitters
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = [{"key": "a", "value": "hot"}] * 5 + [{"key": "a", "value": "x"}]
+    b2 = [{"key": "a", "value": "hot"}] * 4 + [{"key": "a", "value": "y"}]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    time.sleep(0.05)
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in b2))
+    stream = (
+        spark.readStream.schema("key string, value string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = streaming_heavy_hitters(stream.groupBy("key"), k=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hh").collect()
+    # 'hot' (9 of 11 rows, far above n/k) must survive both batches
+    # with a lower bound within n/k of truth, carried ACROSS batches:
+    # batch 1 (6 rows) ends with hot=5 exact; batch 2 (5 rows) sees
+    # the checkpointed counters and reaches the cumulative 9
+    b1_hot = [r["lower_bound"] for r in rows if r["item"] == "hot" and r["batch_rows"] == 6]
+    b2_hot = [r["lower_bound"] for r in rows if r["item"] == "hot" and r["batch_rows"] == 5]
+    assert b1_hot == [5]
+    assert b2_hot == [9]
+    cross = [r for r in rows if r["item"] == "hot"]
+    assert max(r["lower_bound"] for r in cross) >= 9 - 11 / 4

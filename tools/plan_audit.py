@@ -100,6 +100,10 @@ ALLOWED_NESTED_LOOP = {
     "q_theil_index",  # 1-row (n, total) mean broadcast vs customer frame
     "t_lsh_band_sweep",  # three (1-row candidate, 1-row verified) counts joined scalar-wise
     "q_ks_two_sample",  # 1-row (n1, n2) broadcast vs value-group CDF frame
+    "q_cramers_v",  # 1-row total / dims broadcasts vs bounded cell frame
+    "t_effective_sources",  # 1-row token-total broadcast vs k-source frame
+    "emb_pca_explained_variance",  # inherits the power-iteration 1-row renorm broadcasts
+    "q_weighted_median_price",  # 1-row total-weight broadcast vs value-group frame
 }
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
