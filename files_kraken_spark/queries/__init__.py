@@ -114,6 +114,8 @@ _SAMPLE_PRIORITY = [
     "q_anova_f", "q_cramers_v", "t_effective_sources",
     "q_naive_forecast_mape",
     "emb_pca_explained_variance", "q_weighted_median_price",
+    "q_theil_sen_trend", "q_seasonal_strength", "t_est_jaccard_histogram",
+    "q_neyman_allocation", "t_capture_recapture_vocab",
     # -- driver-green tail, rough value order --
     "q_gap_fill_ffill", "q_linear_interpolate", "q_rolling_zscore",
     "q_ewma_halflife", "q_triangle_count", "q_fuzzy_match_blocked",

@@ -5003,3 +5003,224 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tw").alias("total_weight_centi"),
         )
     )
+
+
+@register(
+    "q_theil_sen_trend",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_part('year', l_shipdate) * 12
+              + date_part('month', l_shipdate) - 1 AS BIGINT) AS mon,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0, 0)
+                       AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem GROUP BY 1
+),
+pairs AS (
+  SELECT (b.rev_c - a.rev_c) * 1.0 / (b.mon - a.mon) AS slope
+  FROM m a JOIN m b ON b.mon > a.mon
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         round(quantile_cont(slope, 0.5), 6) AS theil_sen_cents_per_month
+  FROM pairs
+)
+SELECT n_pairs, theil_sen_cents_per_month FROM s
+""",
+    doc="Theil-Sen robust trend of monthly revenue: the MEDIAN of all "
+    "pairwise month-to-month slopes — the trend estimator with a "
+    "29% breakdown point (one crazy quarter cannot move it, unlike "
+    "the OLS slope in q_group_regression's family). The O(m^2) pair "
+    "enumeration runs on the MONTH-AGGREGATED frame (82 months -> "
+    "~3.3k pairs — bounded by the calendar, not the corpus; at any "
+    "data size the fact scan collapses to months first), slopes are "
+    "exact-int differences divided once in identical shape, and the "
+    "median is the exact percentile contract (quantile_cont mirror "
+    "at round(6)). Plan: one scan, month agg, tiny self-join, 1-row "
+    "reduce.",
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("long")
+        .alias("mon")
+    ).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0,
+                0,
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("rev_c")
+    )
+    a = m.select(F.col("mon").alias("ma"), F.col("rev_c").alias("ra"))
+    b = m.select(F.col("mon").alias("mb"), F.col("rev_c").alias("rb"))
+    pairs = a.join(b, F.col("mb") > F.col("ma")).select(
+        (
+            (F.col("rb") - F.col("ra")).cast("double")
+            * F.lit(1.0)
+            / (F.col("mb") - F.col("ma")).cast("double")
+        ).alias("slope")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+            "theil_sen_cents_per_month"
+        ),
+    )
+
+
+@register(
+    "q_seasonal_strength",
+    oracle="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS s,
+         sum(CAST(cnt AS DECIMAL(18,0)) * CAST(cnt AS DECIMAL(18,0))) AS ss
+  FROM d
+),
+dw AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS nd, CAST(sum(cnt) AS BIGINT) AS sd
+  FROM d GROUP BY 1
+),
+bet AS (
+  SELECT sum(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(nd AS DOUBLE)) AS sq
+  FROM dw
+)
+SELECT n AS n_days,
+       round((sq - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / nullif(CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE),
+                      0.0), 6) AS seasonal_strength
+FROM tot, bet
+""",
+    doc="Weekly seasonality strength of daily event volume: the share "
+    "of day-to-day variance explained by the day-of-week profile — "
+    "the R^2 of the ANOVA decomposition (q_anova_f's identity with "
+    "dow as the factor), the one-number answer to 'should the "
+    "forecast be seasonal' that q_naive_forecast_mape then confirms "
+    "empirically. Daily counts are exact int64, squared sums ride "
+    "DECIMAL(18) cross-products, and both sums of squares assemble "
+    "in one shared double shape from exact operands; dow is the "
+    "portable (epoch_day+3) mod 7. Plan: one scan, daily agg, "
+    "7-group rollup, 1-row reduce.",
+)
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    d = events.groupBy(
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+        F.expr("(((ts div 1000) div 86400000000) + 3) % 7").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cd = F.col("cnt").cast("decimal(18,0)")
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(cd * cd).alias("ss"),
+    )
+    dw = d.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("cnt").cast("long").alias("sd"),
+    )
+    bet = dw.agg(
+        F.sum(
+            F.col("sd").cast("double")
+            * F.col("sd").cast("double")
+            / F.col("nd").cast("double")
+        ).alias("sq")
+    )
+    sd, nd = F.col("s").cast("double"), F.col("n").cast("double")
+    return tot.crossJoin(F.broadcast(bet)).select(
+        F.col("n").alias("n_days"),
+        F.round(
+            (F.col("sq") - sd * sd / nd)
+            / F.nullif(F.col("ss").cast("double") - sd * sd / nd, F.lit(0.0)),
+            6,
+        ).alias("seasonal_strength"),
+    )
+
+
+@register(
+    "q_neyman_allocation",
+    oracle="""
+WITH s AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+g AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS nh, CAST(sum(v) AS BIGINT) AS sv,
+         sum(CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0))) AS svv
+  FROM s GROUP BY 1
+),
+w AS (
+  SELECT seg, nh,
+         CAST(round(sqrt(greatest(CAST(nh AS DOUBLE) * CAST(svv AS DOUBLE)
+                                  - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE), 0.0))
+                    / CAST(nh AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS s_micro
+  FROM g
+),
+ww AS (SELECT seg, nh, nh * s_micro AS w_micro FROM w),
+tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS wt FROM ww)
+SELECT seg AS segment, nh AS stratum_rows,
+       round(CAST(s_micro_out AS DOUBLE) / 1000000.0, 6) AS stratum_std,
+       CAST(w_micro // greatest(wt // 10000, 1) AS BIGINT) AS allocated_samples
+FROM (SELECT ww.seg, ww.nh, ww.w_micro, w.s_micro AS s_micro_out
+      FROM ww JOIN w USING (seg)), tot
+""",
+    doc="Neyman-optimal stratified-sample allocation of a 10k-row "
+    "budget across market segments: n_h proportional to N_h * S_h — "
+    "the design that minimizes estimator variance for a fixed "
+    "budget, vs naive proportional allocation (high-variance strata "
+    "deserve more samples). Per-stratum std derives from exact "
+    "moments (n*ss - s^2, DECIMAL cross-products — the ANOVA "
+    "contract) then INTEGERIZES to micro-units, so the weights "
+    "N_h*S_micro and the final allocation w div (total div budget) "
+    "are pure int64 truncation math on both engines (divide-BEFORE-"
+    "multiply — budget*w would wrap int64 at micro scale); the documented "
+    "remainder (< k rows) is left unassigned rather than "
+    "float-rounded. Plan: broadcast dim join, 5-group agg, 1-row "
+    "weight-total broadcast.",
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    s = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("v"),
+    )
+    vd = F.col("v").cast("decimal(18,0)")
+    g = s.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(vd * vd).alias("svv"),
+    )
+    s_micro = F.round(
+        F.sqrt(
+            F.greatest(
+                F.col("nh").cast("double") * F.col("svv").cast("double")
+                - F.col("sv").cast("double") * F.col("sv").cast("double"),
+                F.lit(0.0),
+            )
+        )
+        / F.col("nh").cast("double")
+        * 1000000.0,
+        0,
+    ).cast("long")
+    w = g.select("seg", "nh", s_micro.alias("s_micro")).withColumn(
+        "w_micro", F.col("nh") * F.col("s_micro")
+    )
+    tot = w.agg(F.sum("w_micro").cast("long").alias("wt"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        F.col("seg").alias("segment"),
+        F.col("nh").alias("stratum_rows"),
+        F.round(F.col("s_micro").cast("double") / 1000000.0, 6).alias("stratum_std"),
+        F.expr("w_micro div greatest(wt div 10000, 1)")
+        .cast("long")
+        .alias("allocated_samples"),
+    )

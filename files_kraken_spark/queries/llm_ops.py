@@ -7402,3 +7402,179 @@ def emb_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("explained_share"),
         )
     )
+
+
+@register(
+    "t_est_jaccard_histogram",
+    oracle=f"""
+WITH {_SQL_SHINGLES.strip()},
+{_minhash_sql(16, 42).strip()},
+bands AS (
+  SELECT doc_id, {_band_case_sql(16, 4)} AS band_key
+  FROM sig, UNNEST([0, 1, 2, 3]) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         (CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END
+          + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END
+          + CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END + CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END
+          + CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END + CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END
+          + CASE WHEN sa.mh8 = sb.mh8 THEN 1 ELSE 0 END + CASE WHEN sa.mh9 = sb.mh9 THEN 1 ELSE 0 END
+          + CASE WHEN sa.mh10 = sb.mh10 THEN 1 ELSE 0 END + CASE WHEN sa.mh11 = sb.mh11 THEN 1 ELSE 0 END
+          + CASE WHEN sa.mh12 = sb.mh12 THEN 1 ELSE 0 END + CASE WHEN sa.mh13 = sb.mh13 THEN 1 ELSE 0 END
+          + CASE WHEN sa.mh14 = sb.mh14 THEN 1 ELSE 0 END + CASE WHEN sa.mh15 = sb.mh15 THEN 1 ELSE 0 END
+         ) AS matches
+  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM est)
+SELECT CAST(matches AS BIGINT) AS matching_sigs,
+       round(CAST(matches AS DOUBLE) / 16.0, 6) AS est_jaccard,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(count(*) AS DOUBLE) / CAST(max(tot.n_pairs) AS DOUBLE), 6)
+         AS pair_share
+FROM est, tot GROUP BY matches
+""",
+    doc="Estimated-Jaccard histogram over the LSH candidate pairs: for "
+    "every banding candidate, how many of the 16 MinHash components "
+    "agree — the similarity DISTRIBUTION a dedup operator will see, "
+    "read before choosing the verify threshold (a bimodal histogram "
+    "means a clean threshold exists; mass piled just below it means "
+    "the banding config over-generates, cf. t_lsh_band_sweep). The "
+    "match count per pair is pure integer signature comparison "
+    "(exact on both engines — the estimate IS matches/16, no float "
+    "estimation step), binned by its own exact value. Plan: one "
+    "signature agg, one banded bucket join, a signature-pair probe "
+    "keyed on doc id, 17-bucket rollup.",
+)
+def t_est_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _signature_bands
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = DD.shingle_sets(docs, "doc_id", "text", 3).persist()
+    sig = DD.minhash_signatures(docs, "doc_id", "text", 3, 16, 42).persist()
+    exploded = _signature_bands(sh, "doc_id", 16, 4, 42)
+    ca = exploded.select(F.col("doc_id").alias("id_a"), "band_key")
+    cb = exploded.select(F.col("doc_id").alias("id_b"), "band_key")
+    cand = (
+        ca.join(cb, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)],
+    )
+    matches = None
+    for i in range(16):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(matches.alias("matches"))
+    )
+    tot = est.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return (
+        est.groupBy("matches")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs_bin"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("matches").cast("long").alias("matching_sigs"),
+            F.round(F.col("matches").cast("double") / F.lit(16.0), 6).alias(
+                "est_jaccard"
+            ),
+            F.col("n_pairs_bin").alias("n_pairs"),
+            F.round(
+                F.col("n_pairs_bin").cast("double") / F.col("n_pairs").cast("double"),
+                6,
+            ).alias("pair_share"),
+        )
+    )
+
+
+@register(
+    "t_capture_recapture_vocab",
+    oracle=f"""
+WITH tk AS (
+  SELECT DISTINCT doc_id % 2 AS half,
+         unnest({_SQL_TOKENS.format(col='lower(text)')}) AS tk
+  FROM documents
+),
+m AS (SELECT tk, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+c AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM tk WHERE half = 0) AS n1,
+         (SELECT CAST(count(*) AS BIGINT) FROM tk WHERE half = 1) AS n2,
+         (SELECT CAST(count(*) AS BIGINT) FROM m WHERE c = 2) AS m_overlap,
+         (SELECT CAST(count(*) AS BIGINT) FROM m) AS true_vocab
+)
+SELECT n1, n2, m_overlap, true_vocab,
+       CAST((n1 * n2) // nullif(m_overlap, 0) AS BIGINT) AS lincoln_petersen_est,
+       round((CAST((n1 * n2) // nullif(m_overlap, 0) AS DOUBLE)
+              - CAST(true_vocab AS DOUBLE)) / CAST(true_vocab AS DOUBLE), 6)
+         AS relative_error
+FROM c
+""",
+    doc="Capture-recapture (Lincoln-Petersen) estimate of total "
+    "vocabulary size from two corpus halves: treat each half's "
+    "distinct token set as a 'capture', the shared tokens as "
+    "'marked recaptures', and estimate N = n1*n2/m — the ecology "
+    "estimator that transfers directly to corpus work ('how many "
+    "distinct entities/URLs/tokens exist in the crawl I have NOT "
+    "fully scanned'), here validated against the true vocabulary "
+    "(the relative-error column makes the estimator's bias visible "
+    "— LP under-counts when captures aren't independent, which "
+    "Zipfian tokens are not; the companion t_heaps_law_fit "
+    "extrapolates the same quantity a different way). All counts "
+    "exact int64; the estimate uses truncation division. Plan: one "
+    "distinct (half, token) agg, token-keyed overlap agg, 1-row "
+    "reduce.",
+)
+def t_capture_recapture_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("tk"),
+    ).distinct()
+    m = tk.groupBy("tk").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    c = (
+        tk.agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+        )
+        .crossJoin(
+            F.broadcast(
+                m.agg(
+                    F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+                    .cast("long")
+                    .alias("m_overlap"),
+                    F.count(F.lit(1)).cast("long").alias("true_vocab"),
+                )
+            )
+        )
+    )
+    est = F.expr("(n1 * n2) div nullif(m_overlap, 0)").cast("long")
+    return c.select(
+        "n1",
+        "n2",
+        "m_overlap",
+        "true_vocab",
+        est.alias("lincoln_petersen_est"),
+        F.round(
+            (est.cast("double") - F.col("true_vocab").cast("double"))
+            / F.col("true_vocab").cast("double"),
+            6,
+        ).alias("relative_error"),
+    )

@@ -104,6 +104,11 @@ ALLOWED_NESTED_LOOP = {
     "t_effective_sources",  # 1-row token-total broadcast vs k-source frame
     "emb_pca_explained_variance",  # inherits the power-iteration 1-row renorm broadcasts
     "q_weighted_median_price",  # 1-row total-weight broadcast vs value-group frame
+    "q_seasonal_strength",  # 1-row between-group variance broadcast vs totals
+    "t_est_jaccard_histogram",  # 1-row pair-total broadcast vs 17-bucket frame
+    "q_neyman_allocation",  # 1-row weight-total broadcast vs 5-stratum frame
+    "q_theil_sen_trend",  # month-pair inequality join: both sides calendar-bounded (~82 rows)
+    "t_capture_recapture_vocab",  # two 1-row capture aggregates joined scalar-wise
 }
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
