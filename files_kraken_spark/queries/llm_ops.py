@@ -7578,3 +7578,301 @@ def t_capture_recapture_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("relative_error"),
     )
+
+
+def _facility_location_oracle_sql(n_cand: int = 50, k: int = 5) -> str:
+    """Unrolled greedy facility-location selection: k chained
+    (gain-argmax, coverage-update) CTE pairs over a MATERIALIZED
+    micro-integer similarity matrix — the kmeans/pagerank fixed-step
+    replay contract applied to submodular maximization."""
+    head = f"""WITH u AS (
+  SELECT vec_id, {{unit}} AS un FROM embeddings WHERE vec_id < {n_cand}
+),
+sims AS MATERIALIZED (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         CAST(round({{dot}} * 1000000.0, 0) AS BIGINT) AS s
+  FROM u a, u b
+)"""
+    head = head.format(
+        unit=_SQL_UNIT.format(a="embedding"),
+        dot=_SQL_DOT.format(a="a.un", b="b.un"),
+    )
+    ctes = [head]
+    sel_rows = []
+    for step in range(1, k + 1):
+        prev_best = (
+            "greatest(s, 0)" if step == 1 else None
+        )
+        exclude = " AND ".join(
+            f"j <> (SELECT c FROM sel{p})" for p in range(1, step)
+        )
+        where = f"WHERE {exclude}" if exclude else ""
+        if step == 1:
+            gain_src = f"""g{step} AS (
+  SELECT j, CAST(sum(greatest(s, 0)) AS BIGINT) AS gain
+  FROM sims {where} GROUP BY 1
+)"""
+        else:
+            gain_src = f"""g{step} AS (
+  SELECT sims.j, CAST(sum(greatest(sims.s - b.best, 0)) AS BIGINT) AS gain
+  FROM sims JOIN b{step - 1} b USING (i) {where} GROUP BY 1
+)"""
+        ctes.append(gain_src)
+        ctes.append(
+            f"sel{step} AS MATERIALIZED (SELECT j AS c, gain FROM g{step} "
+            f"ORDER BY gain DESC, j LIMIT 1)"
+        )
+        if step < k:
+            if step == 1:
+                ctes.append(
+                    f"""b{step} AS MATERIALIZED (
+  SELECT sims.i, greatest(sims.s, 0) AS best
+  FROM sims JOIN sel{step} ON sims.j = sel{step}.c
+)"""
+                )
+            else:
+                ctes.append(
+                    f"""b{step} AS MATERIALIZED (
+  SELECT sims.i, greatest(b.best, sims.s) AS best
+  FROM sims JOIN sel{step} ON sims.j = sel{step}.c
+  JOIN b{step - 1} b USING (i)
+)"""
+                )
+        sel_rows.append(
+            f"SELECT {step} AS rank, (SELECT c FROM sel{step}) AS vec_id, "
+            f"(SELECT gain FROM sel{step}) AS coverage_gain_micro"
+        )
+    union = "\nUNION ALL\n".join(sel_rows)
+    return (
+        ",\n".join(ctes)
+        + f"""
+SELECT CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(coverage_gain_micro AS BIGINT) AS coverage_gain_micro
+FROM ({union})"""
+    )
+
+
+@register(
+    "t_facility_location_select",
+    oracle=_facility_location_oracle_sql(50, 5),
+    doc="Greedy facility-location data selection: pick 5 of 50 "
+    "candidate vectors maximizing total corpus coverage sum_v "
+    "max_selected sim(v, c) — THE submodular coreset selector for "
+    "'which k examples represent this dataset' (fine-tuning subset "
+    "choice, prototype picking, eval-set seeding), with the greedy "
+    "(1 - 1/e) guarantee. Similarities integerize to micro-units "
+    "once, so every marginal gain, argmax, and coverage update is "
+    "exact int64 — both engines walk the identical 5-step greedy "
+    "path (ties to the lower id); the oracle unrolls the loop as "
+    "materialized CTE pairs. Spark runs the loop with ONE 1-row "
+    "argmax collect per step (bounded driver traffic) over the "
+    "pinned similarity frame. At 100 TB the candidate set is a "
+    "pre-sampled pool (coverage evaluated against the full corpus "
+    "via the same joins); the micro-int contract is scale-free.",
+)
+def t_facility_location_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot, unit
+    from ..operators.ranks import pin_frame
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = emb.filter(F.col("vec_id") < 50).select(
+        "vec_id", unit(F.col("embedding")).alias("un")
+    )
+    a = u.select(F.col("vec_id").alias("i"), F.col("un").alias("ua"))
+    b = u.select(F.col("vec_id").alias("j"), F.col("un").alias("ub"))
+    sims = pin_frame(
+        a.crossJoin(b).select(
+            "i",
+            "j",
+            F.round(dot(F.col("ua"), F.col("ub")) * 1000000.0, 0)
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    selected: list[tuple[int, int, int]] = []  # (rank, vec_id, gain)
+    best = None  # DataFrame (i, best) or None before step 1
+    for step in range(1, 6):
+        if best is None:
+            gains = sims.groupBy("j").agg(
+                F.sum(F.greatest(F.col("s"), F.lit(0))).cast("long").alias("gain")
+            )
+        else:
+            gains = (
+                sims.join(best, "i")
+                .groupBy("j")
+                .agg(
+                    F.sum(F.greatest(F.col("s") - F.col("best"), F.lit(0)))
+                    .cast("long")
+                    .alias("gain")
+                )
+            )
+        chosen_ids = [c for _, c, _ in selected]
+        if chosen_ids:
+            gains = gains.filter(~F.col("j").isin(chosen_ids))
+        row = gains.orderBy(F.col("gain").desc(), "j").limit(1).collect()[0]
+        selected.append((step, row["j"], row["gain"]))
+        if step < 5:
+            step_best = sims.filter(F.col("j") == row["j"]).select(
+                "i", F.greatest(F.col("s"), F.lit(0)).alias("nb")
+            )
+            if best is None:
+                best = step_best.select("i", F.col("nb").alias("best"))
+            else:
+                best = (
+                    best.join(step_best, "i")
+                    .select("i", F.greatest("best", "nb").alias("best"))
+                )
+    return spark.createDataFrame(
+        selected, "rank long, vec_id long, coverage_gain_micro long"
+    )
+
+
+def _mmr_oracle_sql(pool: int = 20, k: int = 5, lam10: int = 7) -> str:
+    """Unrolled Maximal-Marginal-Relevance rerank: relevance and
+    candidate-candidate similarity integerize to micro-units, the MMR
+    score is the integer lam10*rel - (10-lam10)*maxsim (x10 scale),
+    and each greedy step is an argmax CTE — fixed-step replay."""
+    head = f"""WITH u AS (SELECT vec_id, {{unit}} AS un FROM embeddings),
+q AS (SELECT un AS qu FROM u WHERE vec_id = 0),
+rel AS MATERIALIZED (
+  SELECT vec_id, CAST(round({{dotq}} * 1000000.0, 0) AS BIGINT) AS rel
+  FROM u c, q WHERE c.vec_id <> 0
+  ORDER BY round({{dotq}} * 1000000.0, 0) DESC, vec_id LIMIT {pool}
+),
+sims AS MATERIALIZED (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         CAST(round({{dotc}} * 1000000.0, 0) AS BIGINT) AS s
+  FROM (SELECT r.vec_id, u.un FROM rel r JOIN u USING (vec_id)) a,
+       (SELECT r.vec_id, u.un FROM rel r JOIN u USING (vec_id)) b
+  WHERE a.vec_id <> b.vec_id
+)"""
+    head = head.format(
+        unit=_SQL_UNIT.format(a="embedding"),
+        dotq=_SQL_DOT.format(a="c.un", b="qu"),
+        dotc=_SQL_DOT.format(a="a.un", b="b.un"),
+    )
+    ctes = [head]
+    rows = []
+    for step in range(1, k + 1):
+        exclude = " AND ".join(
+            f"vec_id <> (SELECT c FROM sel{p})" for p in range(1, step)
+        )
+        where = f"WHERE {exclude}" if exclude else ""
+        if step == 1:
+            ctes.append(
+                f"sel1 AS MATERIALIZED (SELECT vec_id AS c, {lam10} * rel AS score "
+                f"FROM rel ORDER BY score DESC, vec_id LIMIT 1)"
+            )
+        else:
+            sel_list = ", ".join(f"(SELECT c FROM sel{p})" for p in range(1, step))
+            ctes.append(
+                f"""sel{step} AS MATERIALIZED (
+  SELECT r.vec_id AS c,
+         {lam10} * r.rel - {10 - lam10} * coalesce(mx.m, 0) AS score
+  FROM rel r LEFT JOIN (
+    SELECT i, CAST(max(s) AS BIGINT) AS m FROM sims
+    WHERE j IN ({sel_list}) GROUP BY 1
+  ) mx ON mx.i = r.vec_id
+  {where.replace('vec_id', 'r.vec_id')}
+  ORDER BY score DESC, c LIMIT 1
+)"""
+            )
+        rows.append(
+            f"SELECT {step} AS rank, (SELECT c FROM sel{step}) AS vec_id, "
+            f"(SELECT score FROM sel{step}) AS mmr_score_micro10"
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return (
+        ",\n".join(ctes)
+        + f"""
+SELECT CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(mmr_score_micro10 AS BIGINT) AS mmr_score_micro10
+FROM ({union})"""
+    )
+
+
+@register(
+    "t_mmr_rerank",
+    oracle=_mmr_oracle_sql(20, 5, 7),
+    doc="Maximal Marginal Relevance rerank (Carbonell & Goldstein): "
+    "from the query's cosine top-20 pool, greedily pick 5 results "
+    "maximizing lambda*relevance - (1-lambda)*max-similarity-to-"
+    "already-picked (lambda=0.7) — THE diversity reranker RAG "
+    "pipelines bolt onto dense retrieval so the context window isn't "
+    "five paraphrases of one passage. Relevance and inter-candidate "
+    "similarities integerize to micro-units once; the MMR score is "
+    "the INTEGER 7*rel - 3*maxsim (x10 lambda scale), so every "
+    "greedy argmax replays identically on both engines (ties to the "
+    "lower id; the oracle unrolls the 5 steps as materialized CTEs, "
+    "the t_facility_location_select contract with a different "
+    "objective). Spark runs the loop with one 1-row argmax collect "
+    "per step over the pinned pool-sized (20x20) similarity frame. "
+    "Plan: one broadcast-query scan + top-k, a bounded pool grid, "
+    "k tiny argmax aggregates.",
+)
+def t_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot, unit
+    from ..operators.ranks import pin_frame
+
+    lam10, k, pool = 7, 5, 20
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = emb.select("vec_id", unit(F.col("embedding")).alias("un"))
+    qv = u.filter(F.col("vec_id") == 0).select(F.col("un").alias("qu"))
+    rel = pin_frame(
+        u.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "un",
+            F.round(dot(F.col("un"), F.col("qu")) * 1000000.0, 0)
+            .cast("long")
+            .alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(pool)
+    )
+    a = rel.select(F.col("vec_id").alias("i"), F.col("un").alias("ua"))
+    b = rel.select(F.col("vec_id").alias("j"), F.col("un").alias("ub"))
+    sims = pin_frame(
+        a.crossJoin(b)
+        .filter(F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.round(dot(F.col("ua"), F.col("ub")) * 1000000.0, 0)
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    selected: list[tuple[int, int, int]] = []
+    for step in range(1, k + 1):
+        if not selected:
+            scores = rel.select(
+                F.col("vec_id").alias("c"),
+                (F.lit(lam10) * F.col("rel")).cast("long").alias("score"),
+            )
+        else:
+            chosen = [c for _, c, _ in selected]
+            mx = (
+                sims.filter(F.col("j").isin(chosen))
+                .groupBy("i")
+                .agg(F.max("s").cast("long").alias("m"))
+            )
+            scores = (
+                rel.join(mx, rel["vec_id"] == mx["i"], "left")
+                .filter(~F.col("vec_id").isin(chosen))
+                .select(
+                    F.col("vec_id").alias("c"),
+                    (
+                        F.lit(lam10) * F.col("rel")
+                        - F.lit(10 - lam10) * F.coalesce(F.col("m"), F.lit(0))
+                    )
+                    .cast("long")
+                    .alias("score"),
+                )
+            )
+        row = scores.orderBy(F.col("score").desc(), "c").limit(1).collect()[0]
+        selected.append((step, row["c"], row["score"]))
+    return spark.createDataFrame(
+        selected, "rank long, vec_id long, mmr_score_micro10 long"
+    )

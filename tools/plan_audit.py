@@ -109,6 +109,8 @@ ALLOWED_NESTED_LOOP = {
     "q_neyman_allocation",  # 1-row weight-total broadcast vs 5-stratum frame
     "q_theil_sen_trend",  # month-pair inequality join: both sides calendar-bounded (~82 rows)
     "t_capture_recapture_vocab",  # two 1-row capture aggregates joined scalar-wise
+    "t_facility_location_select",  # bounded 50x50 candidate-pool similarity grid
+    "t_mmr_rerank",  # 1-row query broadcast + bounded 20x20 pool grid
 }
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
