@@ -5224,3 +5224,97 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("allocated_samples"),
     )
+
+
+@register(
+    "q_kneedle_adoption",
+    oracle="""
+WITH first_sale AS (
+  SELECT l_partkey,
+         CAST(min(date_part('year', l_shipdate) * 12
+                  + date_part('month', l_shipdate) - 1) AS BIGINT) AS mon
+  FROM lineitem GROUP BY 1
+),
+m AS (SELECT mon, CAST(count(*) AS BIGINT) AS new_parts FROM first_sale GROUP BY 1),
+c AS (
+  SELECT mon, CAST(sum(new_parts) OVER (ORDER BY mon
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM m
+),
+ends AS (
+  SELECT CAST(min(mon) AS BIGINT) AS x1, CAST(max(mon) AS BIGINT) AS xn FROM c
+),
+ys AS (
+  SELECT (SELECT cum FROM c JOIN ends ON c.mon = ends.x1) AS y1,
+         (SELECT cum FROM c JOIN ends ON c.mon = ends.xn) AS yn
+),
+dev AS (
+  SELECT mon, cum,
+         abs((cum - y1) * (xn - x1) - (mon - x1) * (yn - y1)) AS d_scaled
+  FROM c, ends, ys
+)
+SELECT mon AS knee_month, cum AS cum_parts_at_knee,
+       CAST(d_scaled AS BIGINT) AS chord_deviation_scaled
+FROM dev ORDER BY d_scaled DESC, mon LIMIT 1
+""",
+    doc="Knee-point detection (Kneedle's chord criterion) on the "
+    "product adoption curve: the month where the cumulative-parts "
+    "curve bends hardest away from the straight line between its "
+    "endpoints — the generic 'where does the curve elbow' answer "
+    "that picks k for k-means, vocab cutoffs, and here the moment "
+    "catalog growth saturated. The deviation |dy*(xn-x1) - "
+    "dx*(yn-y1)| is the cross-product form of point-to-chord "
+    "distance with the constant denominator dropped — so the ENTIRE "
+    "argmax is exact int64 cross-multiplication, no sqrt, no "
+    "floats anywhere in the result; the argmax is orderBy+limit. "
+    "Cumulative via global_prefix_sums (the q_product_adoption_curve "
+    "frame). Plan: keyed min agg, monthly rollup, one range "
+    "exchange, two 1-row endpoint broadcasts, "
+    "TakeOrderedAndProject.",
+)
+def q_kneedle_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_prefix_sums
+
+    li = load_table(spark, sf_dir, "lineitem")
+    first_sale = li.groupBy("l_partkey").agg(
+        F.min(F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("long")
+        .alias("mon")
+    )
+    m = first_sale.groupBy("mon").agg(
+        F.count(F.lit(1)).cast("long").alias("new_parts")
+    )
+    c = global_prefix_sums(m, [F.col("mon")], {"new_parts": "cum"})
+    ends = c.agg(
+        F.min("mon").cast("long").alias("x1"), F.max("mon").cast("long").alias("xn")
+    )
+    with_ends = c.crossJoin(F.broadcast(ends))
+    y1 = (
+        with_ends.filter(F.col("mon") == F.col("x1"))
+        .select(F.col("cum").alias("y1"))
+    )
+    yn = (
+        with_ends.filter(F.col("mon") == F.col("xn"))
+        .select(F.col("cum").alias("yn"))
+    )
+    dev = (
+        with_ends.crossJoin(F.broadcast(y1))
+        .crossJoin(F.broadcast(yn))
+        .select(
+            "mon",
+            "cum",
+            F.abs(
+                (F.col("cum") - F.col("y1")) * (F.col("xn") - F.col("x1"))
+                - (F.col("mon") - F.col("x1")) * (F.col("yn") - F.col("y1"))
+            ).alias("d_scaled"),
+        )
+    )
+    return (
+        dev.orderBy(F.col("d_scaled").desc(), "mon")
+        .limit(1)
+        .select(
+            F.col("mon").alias("knee_month"),
+            F.col("cum").alias("cum_parts_at_knee"),
+            F.col("d_scaled").cast("long").alias("chord_deviation_scaled"),
+        )
+    )

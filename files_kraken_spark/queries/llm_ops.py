@@ -7876,3 +7876,167 @@ def t_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         selected, "rank long, vec_id long, mmr_score_micro10 long"
     )
+
+
+_RBO_W = {
+    1: "0.09999999999999998", 2: "0.08999999999999998", 3: "0.08099999999999999",
+    4: "0.07289999999999999", 5: "0.06560999999999999", 6: "0.059049",
+    7: "0.05314409999999999", 8: "0.047829689999999994", 9: "0.043046721",
+    10: "0.0387420489",
+}
+
+
+def _rbo_weight_case_sql(var: str) -> str:
+    whens = " ".join(f"WHEN {d} THEN {w}" for d, w in _RBO_W.items())
+    return f"CASE {var} {whens} END"
+
+
+@register(
+    "t_rbo_rankings",
+    oracle=f"""
+WITH u AS (SELECT vec_id, {_SQL_UNIT.format(a='embedding')} AS un FROM embeddings),
+q AS (SELECT vec_id AS q_id, un AS qu FROM u WHERE vec_id < 5),
+cosr AS (
+  SELECT q_id, cand_id, rn AS ra FROM (
+    SELECT q_id, c.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY {_SQL_DOT.format(a='qu', b='c.un')} DESC,
+                                       c.vec_id) AS rn
+    FROM u c, q WHERE c.vec_id <> q_id
+  ) WHERE rn <= 10
+),
+sig AS (
+  SELECT vec_id, {_SQL_SIGN_PACK.format(off=0)} AS lo,
+         {_SQL_SIGN_PACK.format(off=32)} AS hi
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM sig WHERE vec_id < 5),
+hamr AS (
+  SELECT q_id, cand_id, rn AS rb FROM (
+    SELECT q_id, c.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY bit_count(xor(qlo, c.lo))
+                                       + bit_count(xor(qhi, c.hi)), c.vec_id) AS rn
+    FROM sig c, qs WHERE c.vec_id <> q_id
+  ) WHERE rn <= 10
+),
+common AS (
+  SELECT c.q_id, greatest(c.ra, h.rb) AS mx
+  FROM cosr c JOIN hamr h ON h.q_id = c.q_id AND h.cand_id = c.cand_id
+),
+terms AS (
+  SELECT qq.q_id, d.d,
+         CAST(round({_rbo_weight_case_sql('d.d')}
+                    * (SELECT count(*) FROM common cm
+                       WHERE cm.q_id = qq.q_id AND cm.mx <= d.d)
+                    / d.d * 100000000.0, 0) AS BIGINT) AS term_micro8
+  FROM (SELECT DISTINCT q_id FROM cosr) qq,
+       (SELECT unnest(range(1, 11)) AS d) d
+)
+SELECT q_id,
+       (SELECT CAST(count(*) AS BIGINT) FROM common cm WHERE cm.q_id = terms.q_id)
+         AS n_common,
+       round(CAST(sum(term_micro8) AS DOUBLE) / 100000000.0, 6) AS rbo_at_10
+FROM terms GROUP BY q_id
+""",
+    doc="Rank-biased overlap (Webber et al.) between the exact-cosine "
+    "and sign-bit-Hamming top-10 rankings, truncated at depth 10 "
+    "with persistence p=0.9 — the top-weighted ranking-agreement "
+    "measure that, unlike NDCG (t_ndcg_sign_bits judges against a "
+    "relevance truth), treats both rankings symmetrically: 'how "
+    "interchangeable are these two retrieval stacks'. Per-depth "
+    "overlap counts are exact integers (an item contributes at "
+    "depth d iff max(rank_a, rank_b) <= d); the geometric weights "
+    "are spelled as full-precision double LITERALS (no pow() — the "
+    "one libm function the portability contract doesn't trust), and "
+    "each weighted term integerizes to 1e-8 units so the depth sum "
+    "is exact int64. Plan: two broadcast-query scans (float + "
+    "signature), two per-query top-10s, a 10-row depth grid "
+    "broadcast, per-query rollup.",
+)
+def t_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import dot, unit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = emb.select("vec_id", unit(F.col("embedding")).alias("un"))
+    q = u.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("un").alias("qu")
+    )
+    wcos = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    cosr = (
+        u.join(F.broadcast(q), u["vec_id"] != q["q_id"])
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            dot(F.col("qu"), F.col("un")).alias("cos"),
+        )
+        .withColumn("ra", F.row_number().over(wcos))
+        .filter(F.col("ra") <= 10)
+        .select("q_id", "cand_id", "ra")
+    )
+
+    def pack(off: int):
+        return F.expr(
+            "aggregate(sequence(1, 32), 0L, (acc, i) -> acc + "
+            f"CASE WHEN element_at(embedding, i + {off}) >= 0 "
+            "THEN shiftleft(1L, i - 1) ELSE 0L END)"
+        )
+
+    sig = emb.select("vec_id", pack(0).alias("lo"), pack(32).alias("hi"))
+    qs = sig.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    wham = Window.partitionBy("q_id").orderBy("hamming", "cand_id")
+    hamr = (
+        sig.join(F.broadcast(qs), sig["vec_id"] != qs["q_id"])
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            (
+                F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+                + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+            ).alias("hamming"),
+        )
+        .withColumn("rb", F.row_number().over(wham))
+        .filter(F.col("rb") <= 10)
+        .select("q_id", "cand_id", "rb")
+    )
+    common = cosr.join(hamr, ["q_id", "cand_id"]).select(
+        "q_id", F.greatest(F.col("ra"), F.col("rb")).alias("mx")
+    )
+    depths = spark.createDataFrame(
+        [(d, float(w)) for d, w in _RBO_W.items()], "d int, w double"
+    )
+    xd = (
+        common.crossJoin(F.broadcast(depths))
+        .filter(F.col("mx") <= F.col("d"))
+        .groupBy("q_id", "d", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("xd"))
+    )
+    terms = xd.select(
+        "q_id",
+        F.round(
+            F.col("w") * F.col("xd").cast("double") / F.col("d").cast("double")
+            * 100000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("term_micro8"),
+    )
+    ncommon = common.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    return (
+        terms.groupBy("q_id")
+        .agg(
+            F.round(
+                F.sum("term_micro8").cast("double") / 100000000.0, 6
+            ).alias("rbo_at_10")
+        )
+        .join(ncommon, "q_id")
+        .select("q_id", "n_common", "rbo_at_10")
+    )

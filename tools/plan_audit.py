@@ -111,6 +111,8 @@ ALLOWED_NESTED_LOOP = {
     "t_capture_recapture_vocab",  # two 1-row capture aggregates joined scalar-wise
     "t_facility_location_select",  # bounded 50x50 candidate-pool similarity grid
     "t_mmr_rerank",  # 1-row query broadcast + bounded 20x20 pool grid
+    "q_kneedle_adoption",  # three 1-row endpoint broadcasts vs month frame
+    "t_rbo_rankings",  # broadcast query/signature scans + 10-row depth grid
 }
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
