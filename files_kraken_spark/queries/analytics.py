@@ -5318,3 +5318,181 @@ def q_kneedle_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d_scaled").cast("long").alias("chord_deviation_scaled"),
         )
     )
+
+
+@register(
+    "q_acf_daily",
+    oracle="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+lags AS (SELECT unnest(range(1, 8)) AS lag),
+p AS (
+  SELECT l.lag, a.cnt AS x, b.cnt AS y
+  FROM d a CROSS JOIN lags l
+  JOIN d b ON b.day = a.day - l.lag
+),
+m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS sxy,
+         sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx,
+         sum(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS syy
+  FROM p GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0), 6)
+         AS acf
+FROM m
+""",
+    doc="Autocorrelation function of daily event volume at lags 1-7: "
+    "Pearson correlation of the series with its own calendar-day "
+    "lags — the diagnostic that separates momentum (high lag-1) "
+    "from weekly seasonality (a lag-7 spike, confirming "
+    "q_seasonal_strength / q_dow_seasonality from the correlation "
+    "side) and tells the forecaster which AR terms matter. Each "
+    "lag's pairs come from one day-offset EQUI-JOIN against a "
+    "broadcast 7-row lag grid (calendar gaps drop pairs instead of "
+    "silently shifting the series); all five moments per lag are "
+    "exact (int64 sums, DECIMAL cross-products), correlations "
+    "assemble in the shared q_degree_assortativity double shape, "
+    "nullif-guarded for constant series. Plan: one scan, daily "
+    "agg, 7x fanout equi-join, 7-group rollup.",
+)
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    d = events.groupBy(
+        F.expr("(ts div 1000) div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = d.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("day") - F.col("lag")).alias("jday"), F.col("cnt").alias("x")
+    )
+    b = d.select(F.col("day").alias("jday"), F.col("cnt").alias("y"))
+    p = a.join(b, "jday")
+    xd = F.col("x").cast("decimal(18,0)")
+    yd = F.col("y").cast("decimal(18,0)")
+    m = p.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.sqrt(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("acf"),
+    )
+
+
+@register(
+    "q_null_pattern_profile",
+    oracle="""
+WITH mart AS (
+  SELECT c.c_custkey,
+         min(CASE WHEN date_part('year', o.o_orderdate) = 1995
+                  THEN epoch_us(o.o_orderdate) END) AS first_1995,
+         min(CASE WHEN o.o_totalprice >= 300000.0
+                  THEN epoch_us(o.o_orderdate) END) AS big_order,
+         min(CASE WHEN o.o_orderpriority = '1-URGENT'
+                  THEN epoch_us(o.o_orderdate) END) AS urgent
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+p AS (
+  SELECT (CASE WHEN first_1995 IS NULL THEN 1 ELSE 0 END)
+         + 2 * (CASE WHEN big_order IS NULL THEN 1 ELSE 0 END)
+         + 4 * (CASE WHEN urgent IS NULL THEN 1 ELSE 0 END) AS pattern
+  FROM mart
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p)
+SELECT CAST(pattern AS BIGINT) AS null_pattern,
+       concat(CASE WHEN pattern % 2 = 1 THEN 'first_1995,' ELSE '' END,
+              CASE WHEN (pattern // 2) % 2 = 1 THEN 'big_order,' ELSE '' END,
+              CASE WHEN (pattern // 4) % 2 = 1 THEN 'urgent,' ELSE '' END)
+         AS null_columns,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(count(*) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS row_share
+FROM p, tot GROUP BY pattern, n
+""",
+    doc="Missingness pattern profile over a customer-360 mart: rows "
+    "grouped by the BITMASK of which derived fields are NULL "
+    "together (first 1995 order, any $300k+ order, any urgent "
+    "order — the conditional-min outer-join fields real marts are "
+    "full of) — the co-occurrence view (pandas' missingno matrix "
+    "as a query) that per-column null rates cannot give: fields "
+    "null TOGETHER share an upstream cause, independently null "
+    "fields are separate gaps, and imputation differs accordingly "
+    "(the raw fixture tables contain no NULLs at all — structural "
+    "mart missingness is where patterns actually live). The "
+    "pattern is pure integer bit math (weights 1/2/4), the "
+    "readable column list derives from the same integer; at most "
+    "2^k groups at any scale. Plan: one outer-join mart agg, "
+    "bounded-pattern agg, 1-row total broadcast.",
+)
+def q_null_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").alias("od_us"),
+        F.year("o_orderdate").alias("oy"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    mart = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.min(F.when(F.col("oy") == 1995, F.col("od_us"))).alias("first_1995"),
+            F.min(
+                F.when(F.col("o_totalprice") >= 300000.0, F.col("od_us"))
+            ).alias("big_order"),
+            F.min(
+                F.when(F.col("o_orderpriority") == "1-URGENT", F.col("od_us"))
+            ).alias("urgent"),
+        )
+    )
+    pattern = (
+        F.when(F.col("first_1995").isNull(), 1).otherwise(0)
+        + 2 * F.when(F.col("big_order").isNull(), 1).otherwise(0)
+        + 4 * F.when(F.col("urgent").isNull(), 1).otherwise(0)
+    )
+    p = mart.select(pattern.alias("pattern"))
+    tot = p.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cols = F.concat(
+        F.when(F.col("pattern") % 2 == 1, "first_1995,").otherwise(""),
+        F.when(F.expr("(pattern div 2) % 2") == 1, "big_order,").otherwise(""),
+        F.when(F.expr("(pattern div 4) % 2") == 1, "urgent,").otherwise(""),
+    )
+    return (
+        p.groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("pattern").cast("long").alias("null_pattern"),
+            cols.alias("null_columns"),
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("n").cast("double"), 6
+            ).alias("row_share"),
+        )
+    )

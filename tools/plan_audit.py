@@ -113,6 +113,8 @@ ALLOWED_NESTED_LOOP = {
     "t_mmr_rerank",  # 1-row query broadcast + bounded 20x20 pool grid
     "q_kneedle_adoption",  # three 1-row endpoint broadcasts vs month frame
     "t_rbo_rankings",  # broadcast query/signature scans + 10-row depth grid
+    "q_acf_daily",  # broadcast 7-row lag grid vs daily frame
+    "q_null_pattern_profile",  # 1-row total broadcast vs bounded-pattern frame
 }
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
