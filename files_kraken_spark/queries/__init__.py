@@ -118,7 +118,8 @@ _SAMPLE_PRIORITY = [
     "q_neyman_allocation", "t_capture_recapture_vocab",
     "t_facility_location_select", "t_mmr_rerank",
     "q_kneedle_adoption", "t_rbo_rankings",
-    "q_acf_daily", "q_null_pattern_profile",
+    "q_acf_daily", "q_null_pattern_profile", "q_bass_diffusion_fit",
+    "q_bounce_rate",
     # -- driver-green tail, rough value order --
     "q_gap_fill_ffill", "q_linear_interpolate", "q_rolling_zscore",
     "q_ewma_halflife", "q_triangle_count", "q_fuzzy_match_blocked",

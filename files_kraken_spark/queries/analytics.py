@@ -5496,3 +5496,246 @@ def q_null_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("row_share"),
         )
     )
+
+
+@register(
+    "q_bass_diffusion_fit",
+    oracle="""
+WITH first_sale AS (
+  SELECT l_partkey,
+         CAST(min(date_part('year', l_shipdate) * 12
+                  + date_part('month', l_shipdate) - 1) AS BIGINT) AS mon
+  FROM lineitem GROUP BY 1
+),
+m AS (SELECT mon, CAST(count(*) AS BIGINT) AS y FROM first_sale GROUP BY 1),
+c AS (
+  SELECT mon, y,
+         CAST(sum(y) OVER (ORDER BY mon ROWS UNBOUNDED PRECEDING) AS BIGINT) - y
+           AS x1
+  FROM m
+),
+obs AS (SELECT y, x1, x1 * x1 AS x2 FROM c),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1 * y) AS BIGINT) AS s1y,
+         CAST(sum(x2 * y) AS BIGINT) AS s2y
+  FROM obs
+),
+coef AS (
+  SELECT
+    (CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+     - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+     + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)))
+    / nullif(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+             - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)), 0.0) AS a,
+    (CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+     - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+     + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)))
+    / nullif(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+             - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)), 0.0) AS b,
+    (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE))
+     - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))
+     + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+    / nullif(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+             - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)), 0.0) AS c,
+    n
+  FROM mom
+)
+SELECT n AS n_months,
+       round(a, 6) + 0.0 AS coef_a, round(b, 6) + 0.0 AS coef_b,
+       round(c, 6) + 0.0 AS coef_c,
+       round(CASE WHEN c < 0 AND b * b - 4.0 * c * a >= 0
+                  THEN (-b - sqrt(b * b - 4.0 * c * a)) / (2.0 * c) END, 6)
+         AS market_size_m,
+       round(CASE WHEN c < 0 AND b * b - 4.0 * c * a >= 0
+                  THEN a / ((-b - sqrt(b * b - 4.0 * c * a)) / (2.0 * c)) END, 6)
+         AS innovation_p,
+       round(CASE WHEN c < 0 AND b * b - 4.0 * c * a >= 0
+                  THEN -c * ((-b - sqrt(b * b - 4.0 * c * a)) / (2.0 * c)) END, 6)
+         AS imitation_q
+FROM coef
+""",
+    doc="Bass diffusion model fit on monthly first-sale adoptions: the "
+    "discrete Bass regression n_t = a + b*C_(t-1) + c*C_(t-1)^2 "
+    "solved by Cramer's rule on the 3x3 normal equations, then "
+    "inverted to the famous (p, q, M) — innovation rate, imitation "
+    "rate, ultimate market size (Bass 1969, the standard "
+    "new-product forecast; q >> p means word-of-mouth-driven "
+    "growth and a sharp peak). ALL nine regression moments are "
+    "exact int64 sums (adoption counts are small ints; x2 = C^2 <= "
+    "4e6 here — at larger catalogs rescale C to kilo-units, same "
+    "plan), the determinants and root assemble in one shared "
+    "double shape (+0.0 normalizes IEEE negative zero out of the "
+    "rounded coefficients — the one hash-visible artifact of a "
+    "near-zero c), and degenerate fits (non-negative c or negative "
+    "discriminant) yield NULL (p,q,M) identically on both engines. "
+    "Plan: keyed min agg, monthly rollup, one range exchange "
+    "(global_prefix_sums), 1-row reduce — the months frame is "
+    "calendar-bounded at any corpus size.",
+)
+def q_bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import global_prefix_sums
+
+    li = load_table(spark, sf_dir, "lineitem")
+    first_sale = li.groupBy("l_partkey").agg(
+        F.min(F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("long")
+        .alias("mon")
+    )
+    m = first_sale.groupBy("mon").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    cum = global_prefix_sums(m, [F.col("mon")], {"y": "cy"})
+    obs = cum.select(
+        "y",
+        (F.col("cy") - F.col("y")).alias("x1"),
+        ((F.col("cy") - F.col("y")) * (F.col("cy") - F.col("y"))).alias("x2"),
+    )
+    mom = obs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    )
+    d = {k: F.col(k).cast("double") for k in
+         ["n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y"]}
+    det = (
+        d["n"] * (d["s11"] * d["s22"] - d["s12"] * d["s12"])
+        - d["s1"] * (d["s1"] * d["s22"] - d["s12"] * d["s2"])
+        + d["s2"] * (d["s1"] * d["s12"] - d["s11"] * d["s2"])
+    )
+    det_a = (
+        d["sy"] * (d["s11"] * d["s22"] - d["s12"] * d["s12"])
+        - d["s1"] * (d["s1y"] * d["s22"] - d["s12"] * d["s2y"])
+        + d["s2"] * (d["s1y"] * d["s12"] - d["s11"] * d["s2y"])
+    )
+    det_b = (
+        d["n"] * (d["s1y"] * d["s22"] - d["s12"] * d["s2y"])
+        - d["sy"] * (d["s1"] * d["s22"] - d["s12"] * d["s2"])
+        + d["s2"] * (d["s1"] * d["s2y"] - d["s1y"] * d["s2"])
+    )
+    det_c = (
+        d["n"] * (d["s11"] * d["s2y"] - d["s1y"] * d["s12"])
+        - d["s1"] * (d["s1"] * d["s2y"] - d["s1y"] * d["s2"])
+        + d["sy"] * (d["s1"] * d["s12"] - d["s11"] * d["s2"])
+    )
+    coef = mom.select(
+        F.col("n").alias("n_months"),
+        (det_a / F.nullif(det, F.lit(0.0))).alias("a"),
+        (det_b / F.nullif(det, F.lit(0.0))).alias("b"),
+        (det_c / F.nullif(det, F.lit(0.0))).alias("c"),
+    )
+    disc = F.col("b") * F.col("b") - F.lit(4.0) * F.col("c") * F.col("a")
+    ok = (F.col("c") < 0) & (disc >= 0)
+    mm = (-F.col("b") - F.sqrt(disc)) / (F.lit(2.0) * F.col("c"))
+    return coef.select(
+        "n_months",
+        (F.round(F.col("a"), 6) + F.lit(0.0)).alias("coef_a"),
+        (F.round(F.col("b"), 6) + F.lit(0.0)).alias("coef_b"),
+        (F.round(F.col("c"), 6) + F.lit(0.0)).alias("coef_c"),
+        F.round(F.when(ok, mm), 6).alias("market_size_m"),
+        F.round(F.when(ok, F.col("a") / mm), 6).alias("innovation_p"),
+        F.round(F.when(ok, -F.col("c") * mm), 6).alias("imitation_q"),
+    )
+
+
+@register(
+    "q_bounce_rate",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {30 * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id, t, event_id, event_type,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM ev
+),
+agg AS (
+  SELECT user_id, session_no,
+         min(t) AS t0,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY 1, 2
+),
+landing AS (
+  SELECT a.user_id, a.session_no, a.n_events, s.event_type AS landing_type
+  FROM agg a JOIN sess s
+    ON s.user_id = a.user_id AND s.session_no = a.session_no AND s.t = a.t0
+  QUALIFY row_number() OVER (PARTITION BY a.user_id, a.session_no
+                             ORDER BY s.event_id) = 1
+)
+SELECT landing_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+FROM landing GROUP BY 1
+""",
+    doc="Bounce rate by landing action: gap-sessionized sessions "
+    "grouped by their FIRST event type, with the share that ended "
+    "after that single event — the engagement diagnostic that says "
+    "which entry points dead-end ('error' landings bouncing hard is "
+    "an alerting signal; 'view' landings bouncing is a content "
+    "problem). The landing event resolves deterministically via the "
+    "session's min timestamp with an event_id tiebreak (per-session "
+    "window — bounded groups); counts are exact int64, the rate is "
+    "the only float. Plan: per-user windows, per-session agg, one "
+    "keyed join back for the landing row, bounded rollup.",
+)
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gap_us = 30 * 60 * 1_000_000
+    events = load_table(spark, sf_dir, "events")
+    t = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy(t, "event_id")
+    is_new = F.when(t - F.lag(t).over(w) > gap_us, 1).otherwise(0)
+    sess = events.select(
+        "user_id", t.alias("t"), "event_id", "event_type", is_new.alias("is_new")
+    ).withColumn(
+        "session_no",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("t", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long"),
+    )
+    agg = sess.groupBy("user_id", "session_no").agg(
+        F.min("t").alias("t0"), F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    joined = agg.join(
+        sess.select("user_id", "session_no", "t", "event_id", "event_type"),
+        ["user_id", "session_no"],
+    ).filter(F.col("t") == F.col("t0"))
+    wl = Window.partitionBy("user_id", "session_no").orderBy("event_id")
+    landing = (
+        joined.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select(F.col("event_type").alias("landing_type"), "n_events")
+    )
+    return landing.groupBy("landing_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("bounce_rate"),
+    )
