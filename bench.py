@@ -76,7 +76,9 @@ def serve_entries(spark, sf_dir):
     against the persisted index — the number that matters at 100 TB,
     where training amortizes over every query batch. These run WITHOUT
     the per-run clearCache of the main loop: a warm persisted index IS
-    the serving scenario being measured."""
+    the serving scenario being measured. Returns (entries, persisted)
+    so the caller can unpersist the index frames after timing (needed
+    now that the measured block can re-run on a contended start)."""
     from pyspark.sql import functions as F
 
     from files_kraken_spark.operators import similarity as SIM
@@ -90,7 +92,8 @@ def serve_entries(spark, sf_dir):
     pq_idx = (codes.persist(), cb.persist())
     ivfpq_idx = tuple(d.persist() for d in SIM.ivfpq_build_index(emb, **kw))
     ivfadc_idx = tuple(d.persist() for d in SIM.ivfadc_build_index(emb, **kw))
-    for d in (*pq_idx, *ivfpq_idx, *ivfadc_idx):
+    persisted = [*pq_idx, *ivfpq_idx, *ivfadc_idx]
+    for d in persisted:
         d.count()  # materialize: training cost paid here, not in the timings
 
     return {
@@ -103,7 +106,7 @@ def serve_entries(spark, sf_dir):
         "sim_ivfadc_topk_serve": lambda: SIM.ivfadc_topk(
             emb, q, **kw, probes=2, topk=5, index=ivfadc_idx
         ),
-    }
+    }, persisted
 
 
 def main():
@@ -127,56 +130,95 @@ def main():
     # ships in the JSON so a contention-polluted record self-flags —
     # spread ≳2 means even the min may be inflated, don't read deltas.
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
-    raw: dict[str, list[float]] = {}
-    spread: dict[str, float] = {}
-
-    def _record(name: str, runs: list[float], bucket: dict[str, float]):
-        raw[name] = runs
-        bucket[name] = min(runs)
-        spread[name] = round(max(runs) / max(min(runs), 1e-9), 2)
-        print(f"# {name}: {bucket[name]:.2f}s x{spread[name]} {runs}", file=sys.stderr)
 
     def _control() -> float:
         """Load sentinel: one clean-cache run of the cheapest headline
         query. Timed at start and end — drift between the two reveals a
-        box that got loaded mid-benchmark."""
+        box that got loaded (or UNloaded: a contended session start)
+        mid-benchmark."""
         spec = REGISTRY["q1_pricing_summary"]
         spark.catalog.clearCache()
         t0 = time.time()
         spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
-    control_start = _control()
-    for name in HEADLINE + EXTRA:
-        spec = REGISTRY[name]
-        runs = []
-        for _ in range(runs_per_query):
-            # operators that persist internal frames (LSH) must not get
-            # a free warm start from the previous run's plan cache
-            spark.catalog.clearCache()
-            t0 = time.time()
-            df = spec.spark(spark, sf_dir)
-            # noop sink: materializes EVERY column/expression (count()
-            # would let Catalyst prune projections and under-measure)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(round(time.time() - t0, 3))
-        _record(name, runs, timings if name in HEADLINE else extra)
+    def measure() -> dict:
+        """One full measured block: control sentinel, headline + extra
+        queries, serve path, closing control sentinel. Factored out so
+        a contended start (load_drift outside [0.5, 2]) can re-run the
+        WHOLE block once — both round-7 records carried a
+        contended-start sentinel, which cost that round an attributable
+        round-over-round comparison (round-7 verdict item 7)."""
+        timings: dict[str, float] = {}
+        extra: dict[str, float] = {}
+        raw: dict[str, list[float]] = {}
+        spread: dict[str, float] = {}
 
-    # serve path: index built once (untimed), queries timed warm
-    for name, run in serve_entries(spark, sf_dir).items():
-        runs = []
-        for _ in range(runs_per_query):
-            t0 = time.time()
-            run().write.format("noop").mode("overwrite").save()
-            runs.append(round(time.time() - t0, 3))
-        _record(name, runs, extra)
-    control_end = _control()
-    # >1 = box got slower while benching; ≳2 means the whole record is
-    # contention-polluted and round-over-round deltas are meaningless
-    load_drift = round(control_end / max(control_start, 1e-9), 2)
+        def _record(name: str, runs: list[float], bucket: dict[str, float]):
+            raw[name] = runs
+            bucket[name] = min(runs)
+            spread[name] = round(max(runs) / max(min(runs), 1e-9), 2)
+            print(
+                f"# {name}: {bucket[name]:.2f}s x{spread[name]} {runs}",
+                file=sys.stderr,
+            )
 
+        control_start = _control()
+        for name in HEADLINE + EXTRA:
+            spec = REGISTRY[name]
+            runs = []
+            for _ in range(runs_per_query):
+                # operators that persist internal frames (LSH) must not
+                # get a free warm start from the previous run's plan cache
+                spark.catalog.clearCache()
+                t0 = time.time()
+                df = spec.spark(spark, sf_dir)
+                # noop sink: materializes EVERY column/expression (count()
+                # would let Catalyst prune projections and under-measure)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t0, 3))
+            _record(name, runs, timings if name in HEADLINE else extra)
+
+        # serve path: index built once (untimed), queries timed warm
+        serve, persisted = serve_entries(spark, sf_dir)
+        for name, run in serve.items():
+            runs = []
+            for _ in range(runs_per_query):
+                t0 = time.time()
+                run().write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t0, 3))
+            _record(name, runs, extra)
+        for d in persisted:
+            d.unpersist()
+        control_end = _control()
+        # >1 = box got slower while benching; <1 = start was contended;
+        # outside [0.5, 2] either way means per-query deltas vs other
+        # rounds are unattributable
+        load_drift = round(control_end / max(control_start, 1e-9), 2)
+        return {
+            "timings": timings,
+            "extra": extra,
+            "raw": raw,
+            "spread": spread,
+            "control": [control_start, control_end],
+            "load_drift": load_drift,
+        }
+
+    m = measure()
+    retried = False
+    if not (0.5 <= m["load_drift"] <= 2.0):
+        print(
+            f"# load_drift {m['load_drift']} outside [0.5, 2] — "
+            "contended block, re-running once",
+            file=sys.stderr,
+        )
+        retried = True
+        m = measure()
+
+    timings, extra = m["timings"], m["extra"]
+    raw, spread = m["raw"], m["spread"]
+    control_start, control_end = m["control"]
+    load_drift = m["load_drift"]
     total = round(sum(timings.values()), 3)
     record = {
         "metric": "headline_queries_total_time",
@@ -192,6 +234,10 @@ def main():
         "spread": spread,
         "control_sec": [control_start, control_end],
         "load_drift": load_drift,
+        # True = the first pass's sentinel flagged a contended start/finish
+        # and the whole measured block was re-run once; the record holds
+        # the SECOND pass (round-7 verdict item 7)
+        "retried": retried,
         "raw_runs": raw,
     }
     # CANONICAL record: a file, immune to any stdout capture window

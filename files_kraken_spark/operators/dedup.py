@@ -144,9 +144,17 @@ def _shingle_pair_stats(
     score is an UNDERestimate with the cap on — conservative precision,
     bounded recall loss. Default off = exact.
     """
-    sh = shingle_sets(df, id_col, text_col, k, pad_short=pad_short)
+    # The shingle stage (an Arrow mapInPandas pass over every document)
+    # feeds THREE consumers — the per-doc sizes agg and both sides of
+    # the inverted-index self-join. Catalyst recomputes unpersisted
+    # subtrees per consumer (SCALING.md trap), so without pinning the
+    # extraction runs 3× (4× with the df cap's rare-shingle agg).
+    # Round-7 bench measured the cost of the unpinned default path:
+    # q_jaccard_knn_graph 2.44→3.07s. Pin unconditionally.
+    from .ranks import pin_frame
+
+    sh = pin_frame(shingle_sets(df, id_col, text_col, k, pad_short=pad_short))
     if max_shingle_df is not None:
-        sh = sh.persist()
         rare = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))

@@ -64,6 +64,7 @@ import atexit
 import shutil
 import tempfile
 import uuid
+import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -71,10 +72,30 @@ from pyspark.sql.window import Window
 
 #: driver-local scratch roots created this session, removed at exit
 _LOCAL_SCRATCH_ROOTS: list[str] = []
-#: every pin directory created this session, oldest first
-_PIN_DIRS: list[str] = []
+#: every pin created this session, oldest first: (path, delete_callable)
+_PIN_DIRS: list[tuple[str, object]] = []
 
 _DEFAULT_MAX_PINS = 64
+
+
+def _hadoop_deleter(spark, path: str):
+    """Delete ``path`` through the Hadoop FileSystem API, so removal
+    works on whatever filesystem the URI names (HDFS, S3A, file:...) —
+    ``shutil.rmtree`` silently no-ops on non-local scratch roots, which
+    was exactly the documented cluster configuration (round-7 advice).
+    The JVM handles are captured per-pin because ``release_pins()`` has
+    no SparkSession argument."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _delete():
+        try:
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            p.getFileSystem(hconf).delete(p, True)
+        except Exception as exc:  # session already stopped, FS gone, ...
+            warnings.warn(f"pin delete failed for {path}: {exc}", stacklevel=2)
+
+    return _delete
 
 
 def _scratch_path(spark) -> str:
@@ -82,18 +103,33 @@ def _scratch_path(spark) -> str:
     ``spark.files_kraken.scratch_dir`` (set it to a shared filesystem on
     a multi-node cluster); falls back to a driver-local tempdir that is
     removed at interpreter exit. Tracks the pin and rotates out the
-    oldest beyond ``spark.files_kraken.scratch_max_pins``."""
+    oldest beyond ``spark.files_kraken.scratch_max_pins`` — LOUDLY: a
+    rotated pin that an un-collected DataFrame still lazily references
+    would fail (or silently shrink) at collect time, so each rotation
+    emits a warning naming the evicted path (round-7 advice)."""
     root = spark.conf.get("spark.files_kraken.scratch_dir", None)
     if root is None:
         root = tempfile.mkdtemp(prefix="fks_ranks_")
         _LOCAL_SCRATCH_ROOTS.append(root)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
+        deleter_for = lambda p: (lambda: shutil.rmtree(p, ignore_errors=True))  # noqa: E731
+    else:
+        deleter_for = lambda p: _hadoop_deleter(spark, p)  # noqa: E731
     cap = int(spark.conf.get("spark.files_kraken.scratch_max_pins",
                              str(_DEFAULT_MAX_PINS)))
     while len(_PIN_DIRS) >= max(cap, 1):
-        shutil.rmtree(_PIN_DIRS.pop(0), ignore_errors=True)
+        old_path, old_delete = _PIN_DIRS.pop(0)
+        warnings.warn(
+            f"scratch pin cap ({cap}) reached: rotating out oldest pin "
+            f"{old_path} — any un-collected DataFrame still referencing "
+            "it will fail at materialization; collect results or call "
+            "release_pins() at job boundaries, or raise "
+            "spark.files_kraken.scratch_max_pins",
+            stacklevel=3,
+        )
+        old_delete()
     path = f"{root}/pin_{uuid.uuid4().hex}"
-    _PIN_DIRS.append(path)
+    _PIN_DIRS.append((path, deleter_for(path)))
     return path
 
 
@@ -102,11 +138,12 @@ def release_pins() -> int:
     removed. Call at job boundaries AFTER materializing results — a pin
     still lazily referenced by an un-collected DataFrame would recompute
     as file-not-found. This is the manual lifecycle hook for shared
-    scratch filesystems (``spark.files_kraken.scratch_dir``) where the
-    library never removes the root itself."""
+    scratch filesystems (``spark.files_kraken.scratch_dir``), where pins
+    are removed through the Hadoop FileSystem API so release works on
+    HDFS/S3 roots too (the library never removes the root itself)."""
     n = len(_PIN_DIRS)
     while _PIN_DIRS:
-        shutil.rmtree(_PIN_DIRS.pop(0), ignore_errors=True)
+        _PIN_DIRS.pop(0)[1]()
     return n
 
 

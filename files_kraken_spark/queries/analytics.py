@@ -1348,26 +1348,59 @@ WHERE event_type IN ('view', 'purchase')
     doc="Rolling median over the last 51 events per type — the "
     "outlier-immune moving baseline (a rolling MEAN chases the spikes "
     "an anomaly monitor wants to catch). Exact interpolated median "
-    "over a bounded ROWS frame, window PARTITIONED by event type with "
-    "a total (ts, event_id) order; the frame bound caps per-row state "
-    "at 51 values regardless of stream length. Same percentile/median "
-    "cross-engine equivalence contract as the t_winsorize family.",
+    "over a bounded ROWS frame. Scale shape (round-7 verdict item 3): "
+    "a window PARTITIONED only by event_type has key cardinality 2 "
+    "here, funnelling the whole stream through two tasks at 100×. "
+    "Because the frame is BOUNDED (50 preceding), the window is "
+    "mechanically chunkable: assign a global per-type position via the "
+    "ranks.global_row_number range exchange, split each type into "
+    "CHUNK-row chunks, duplicate each chunk's last 50 rows into the "
+    "next chunk as carry context, evaluate the window partitioned by "
+    "(type, chunk) — O(n/CHUNK) parallel window groups — and drop the "
+    "carry rows. Exact by construction since CHUNK > frame length: "
+    "every real row sees precisely its 50 predecessors. Same "
+    "percentile/median cross-engine equivalence contract as the "
+    "t_winsorize family.",
 )
 def q_moving_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("view", "purchase")
+    from files_kraken_spark.operators.ranks import global_row_number
+
+    CHUNK, FRAME = 1024, 50
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_id", "event_type", "ts", "value")
+    )
+    rn = global_row_number(
+        ev, [F.col("event_type"), F.col("ts"), F.col("event_id")], "__rn"
+    )
+    # 0-based per-type position: subtract each type's min global rn
+    # (a 2-row aggregate, broadcast back)
+    base = rn.groupBy("event_type").agg(F.min("__rn").alias("__base"))
+    t = rn.join(F.broadcast(base), "event_type").withColumn(
+        "__tr", F.col("__rn") - F.col("__base")
+    )
+    real = t.withColumn("__cid", F.expr(f"__tr div {CHUNK}")).withColumn(
+        "__carry", F.lit(False)
+    )
+    carry = (
+        t.filter(F.col("__tr") % CHUNK >= CHUNK - FRAME)
+        .withColumn("__cid", F.expr(f"__tr div {CHUNK}") + F.lit(1))
+        .withColumn("__carry", F.lit(True))
     )
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy("event_type", "__cid")
         .orderBy("ts", "event_id")
-        .rowsBetween(-50, Window.currentRow)
+        .rowsBetween(-FRAME, Window.currentRow)
     )
-    return ev.select(
-        "event_id",
-        "event_type",
-        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias(
-            "rolling_median"
-        ),
+    return (
+        real.unionByName(carry)
+        .withColumn(
+            "rolling_median",
+            F.round(F.expr("percentile(value, 0.5)").over(w), 6),
+        )
+        .filter(~F.col("__carry"))
+        .select("event_id", "event_type", "rolling_median")
     )
 
 
@@ -1490,14 +1523,17 @@ FROM {prev} GROUP BY 1"""
     "rounds, each taking dist(v) = min(previous dist, neighbor dist "
     "+ 1) — the frontier primitive under reachability, influence "
     "radius, and link-distance-from-seed-set features; output is the "
-    "hop histogram of reached nodes. Min-relaxation is idempotent "
-    "and monotone, so the fixed-round unrolled oracle (the PageRank "
-    "contract) replays it exactly. Per round: one edge join + one "
-    "min groupBy — keyed shuffles only; localCheckpoint cuts lineage "
-    "per round. At 100 TB the proper frontier optimization (join "
-    "only NEWLY settled nodes) halves traffic per round; full "
-    "relaxation is kept here because it is replayable as pure SQL "
-    "and the edge join dominates either way.",
+    "hop histogram of reached nodes. Frontier-optimized (round-7 "
+    "verdict item 6): with unit edges a node's distance is FINAL the "
+    "round it is first reached (all distance-k nodes appear exactly "
+    "at round k), so each round expands only the nodes NEWLY settled "
+    "last round — edge join against the frontier (shrinking), then "
+    "an anti-join against the settled set — instead of re-relaxing "
+    "every settled node every round. Equivalent by induction to the "
+    "full min-relaxation the unrolled SQL oracle replays, at a "
+    "fraction of the per-round join traffic once the frontier is "
+    "smaller than the reached set. Keyed shuffles only; "
+    "localCheckpoint cuts lineage per round.",
 )
 def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDS = 3
@@ -1516,17 +1552,22 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("n") % 97 == 0)
         .withColumn("d", F.lit(0))
+        .localCheckpoint(eager=True)
     )
-    for _ in range(ROUNDS):
-        relaxed = edges.join(
-            dist.select(F.col("n").alias("u"), "d"), "u"
-        ).select(F.col("v").alias("n"), (F.col("d") + F.lit(1)).alias("d"))
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("n")
-            .agg(F.min("d").alias("d"))
+    frontier = dist
+    for r in range(1, ROUNDS + 1):
+        reached = (
+            edges.join(frontier.select(F.col("n").alias("u")), "u")
+            .select(F.col("v").alias("n"))
+            .distinct()
+        )
+        newly = (
+            reached.join(dist.select("n"), "n", "left_anti")
+            .withColumn("d", F.lit(r))
             .localCheckpoint(eager=True)
         )
+        dist = dist.unionByName(newly)
+        frontier = newly
     return dist.groupBy(F.col("d").cast("int").alias("hops")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )

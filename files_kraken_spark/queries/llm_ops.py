@@ -4350,16 +4350,22 @@ SELECT source,
                * (-ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS dp_count
 FROM g
 """,
-    doc="Differentially-private count release (eps=1 Laplace mechanism) "
-    "for per-source document counts, with the noise draw DERIVED from "
-    "an md5-uniform of the group key via the Laplace inverse CDF — "
-    "the deterministic-seed variant that makes a privacy-preserving "
-    "dataset card reproducible across runs, engines, and "
-    "partitionings (true counts retained here only for the oracle "
-    "audit; a real release drops them). One keyed agg plus pure "
-    "per-row math — no extra shuffle, no RNG state, trivially "
-    "scale-free. The +1 / 2^32+1 shift keeps u strictly inside (0,1) "
-    "so ln never sees 0.",
+    doc="Laplace-noise MECHANISM DEMO for per-source count release — "
+    "explicitly NOT a differential-privacy guarantee (round-7 advice): "
+    "the noise here is a deterministic public function of the group "
+    "key (md5-uniform through the Laplace inverse CDF), so anyone can "
+    "recompute and subtract it; it demonstrates the mechanism's SHAPE "
+    "(scale-1 Laplace via inverse-CDF, the eps=1 noise magnitude) in "
+    "a form reproducible across runs, engines, and partitionings — "
+    "which is exactly what an oracle-checked demo needs and exactly "
+    "what a real release must not do. A real eps-DP release keeps the "
+    "same plan shape but draws u from a SECRET per-release seed "
+    "(e.g. HMAC(secret, source)) and drops the true counts; with a "
+    "public seed the mechanism provides zero privacy even if true "
+    "counts are withheld. One keyed agg plus pure per-row math — no "
+    "extra shuffle, no RNG state, trivially scale-free. The "
+    "+1 / 2^32+1 shift keeps u strictly inside (0,1) so ln never "
+    "sees 0.",
 )
 def t_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

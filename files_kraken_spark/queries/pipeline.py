@@ -1080,3 +1080,269 @@ def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         sk, [0.5, 0.95, 0.99], lo, hi, bins, keys=["l_returnflag"]
     )
+
+
+@register(
+    "t_streaming_hll_replay",
+    oracle="""
+WITH vals AS (
+  SELECT DISTINCT event_type AS key, CAST(user_id AS VARCHAR) AS v
+  FROM events
+), hashed AS (
+  SELECT key,
+         ('0x' || substr(md5(v), 1, 8))::BIGINT AS h_hi,
+         ('0x' || substr(md5(v), 9, 8))::BIGINT AS h_lo
+  FROM vals
+), rho AS (
+  SELECT key, h_lo % 64 AS idx,
+         CASE WHEN h_hi * 67108864 + h_lo // 64 > 0
+              THEN 59 - length(bin(h_hi * 67108864 + h_lo // 64))
+              ELSE 59 END AS r
+  FROM hashed
+), regs AS (
+  SELECT key, idx, max(r) AS m FROM rho GROUP BY 1, 2
+), sk AS (
+  SELECT key,
+         string_agg(idx || ':' || m, ',' ORDER BY idx) AS registers,
+         CAST(count(*) AS BIGINT) AS registers_set,
+         sum((1::HUGEINT << (59 - m)))
+           + (64 - count(*)) * (1::HUGEINT << 59) AS inv_scaled
+  FROM regs GROUP BY key
+), est AS (
+  SELECT key, registers, registers_set,
+         (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 64.0::DOUBLE))
+           * 64.0::DOUBLE * 64.0::DOUBLE
+           / (CAST(inv_scaled AS DOUBLE) / 576460752303423488.0::DOUBLE)
+           AS raw,
+         64 - registers_set AS zeros
+  FROM sk
+)
+SELECT e.key, e.registers, e.registers_set,
+       CAST(CASE WHEN e.raw <= 2.5::DOUBLE * 64.0::DOUBLE AND e.zeros > 0
+                 THEN 64.0::DOUBLE * ln(64.0::DOUBLE / CAST(e.zeros AS DOUBLE))
+                 ELSE e.raw END AS BIGINT) AS estimate_distinct,
+       d.exact_distinct
+FROM est e JOIN (
+  SELECT event_type AS key,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+) d USING (key)
+""",
+    doc="Batch replay of the streaming HLL distinct monitor "
+    "(streaming/stateful.py streaming_hll_distinct, p=6): reproduces, "
+    "as distributed Spark expressions, exactly the register state the "
+    "checkpointed sketch holds after folding every event — same 64-bit "
+    "md5-prefix hash (computed from two 32-bit halves so the unsigned "
+    "value never leaves BIGINT range), same idx = h & 63, same "
+    "rho = 59 - bit_length(h >> 6) (bit_length as length(bin(w)), "
+    "exact integer, no float log), same Flajolet estimate with "
+    "linear-counting correction over an EXACT integer-scaled harmonic "
+    "denominator, ties-to-even final rounding (Spark bround == DuckDB "
+    "double->BIGINT cast == Python round). Register folding is "
+    "max-mergeable, so this at-rest aggregation equals the streaming "
+    "op's final emission regardless of micro-batch boundaries — the "
+    "equality pytest (tests/test_stateful_streaming.py) pins the "
+    "query's registers and estimate to hll_sketch_update/hll_estimate "
+    "on the same rows. Scale shape: two keyed aggs (key,idx -> key), "
+    "map-side partials do the work; exact-distinct audit join is a "
+    "5-row broadcast.",
+)
+def t_streaming_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        F.col("event_type").alias("key"),
+        F.col("user_id").cast("string").alias("v"),
+    ).distinct()
+    hashed = vals.select(
+        "key",
+        F.conv(F.substring(F.md5(F.col("v")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h_hi"),
+        F.conv(F.substring(F.md5(F.col("v")), 9, 8), 16, 10)
+        .cast("long")
+        .alias("h_lo"),
+    )
+    w = F.col("h_hi") * F.lit(67108864) + F.expr("h_lo div 64")
+    rho = hashed.select(
+        "key",
+        F.pmod(F.col("h_lo"), F.lit(64)).alias("idx"),
+        F.when(w > 0, F.lit(59) - F.length(F.bin(w)))
+        .otherwise(F.lit(59))
+        .alias("r"),
+    )
+    regs = rho.groupBy("key", "idx").agg(F.max("r").alias("m"))
+    sk = regs.groupBy("key").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("idx"), F.col("m")))),
+                lambda s: F.concat_ws(":", s["idx"], s["m"]),
+            ),
+            ",",
+        ).alias("registers"),
+        F.count(F.lit(1)).alias("registers_set"),
+        (
+            F.sum(
+                F.expr(
+                    "CAST(shiftleft(CAST(1 AS BIGINT), 59 - m) AS DECIMAL(38,0))"
+                )
+            )
+            + (F.lit(64) - F.count(F.lit(1))).cast("decimal(38,0)")
+            * F.lit(576460752303423488).cast("decimal(38,0)")
+        ).alias("inv_scaled"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(64.0))
+    raw = (
+        alpha
+        * F.lit(64.0)
+        * F.lit(64.0)
+        / (F.col("inv_scaled").cast("double") / F.lit(576460752303423488.0))
+    )
+    zeros = F.lit(64) - F.col("registers_set")
+    est = F.when(
+        (raw <= F.lit(2.5) * F.lit(64.0)) & (zeros > 0),
+        F.lit(64.0) * F.log(F.lit(64.0) / zeros.cast("double")),
+    ).otherwise(raw)
+    exact = ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        sk.select(
+            "key",
+            "registers",
+            "registers_set",
+            F.bround(est).cast("long").alias("estimate_distinct"),
+        )
+        .join(F.broadcast(exact), "key")
+    )
+
+
+@register(
+    "t_streaming_mg_replay",
+    oracle="""
+WITH it AS (
+  SELECT l_returnflag AS key,
+         CAST(length(bin(CAST(l_quantity AS BIGINT))) - 1 AS VARCHAR) AS item
+  FROM lineitem
+), tot AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n FROM it GROUP BY 1
+), cnt AS (
+  SELECT key, item, CAST(count(*) AS BIGINT) AS exact_n FROM it GROUP BY 1, 2
+)
+SELECT c.key, c.item, c.exact_n, t.n AS stream_n,
+       TRUE AS tracked_by_mg,
+       TRUE AS lower_bound_le_exact,
+       TRUE AS error_within_n_over_k
+FROM cnt c JOIN tot t USING (key)
+WHERE c.exact_n * 4 > t.n
+""",
+    doc="Batch replay + guarantee audit of the streaming Misra-Gries "
+    "heavy-hitter monitor (streaming/stateful.py "
+    "streaming_heavy_hitters, k=4): streams each key's rows in a "
+    "fixed (l_orderkey, l_linenumber) order through the SAME pure "
+    "mg_sketch_update fold the checkpoint uses, in 4096-row chunks "
+    "standing in for micro-batches (state carried across chunks "
+    "exactly as applyInPandasWithState carries it across batches). "
+    "The MG counter walk is order-dependent, so its raw counters are "
+    "not SQL-expressible; what IS exactly checkable are the sketch's "
+    "THEOREMS, which hold for every order: any item with true "
+    "frequency > n/k is tracked, every tracked counter lower-bounds "
+    "its true count, and the undercount is at most n/k. The query "
+    "emits, per guaranteed-heavy item (exact count > n/4, from a "
+    "plain keyed agg both engines compute), the three guarantee "
+    "booleans evaluated against the REAL fold's counters — the "
+    "oracle asserts them TRUE, so any regression in the MG code "
+    "hash-fails the row. Item = bit_length(quantity)-1 "
+    "(length(bin(x))-1: exact-integer log2 bucketing, 6 skewed "
+    "buckets > k-1=3 counters, so the decrement path is exercised). "
+    "Scale shape: the fold is one linear pass per key with O(k) "
+    "state, key-parallel via repartition(key) + sortWithinPartitions "
+    "+ mapInPandas (bounded memory per Arrow chunk — the group is "
+    "never materialized); monitored-key counts are small by "
+    "construction in a heavy-hitter audit.",
+)
+def t_streaming_mg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..streaming.stateful import mg_sketch_update
+
+    K = 4
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("key"),
+        (F.length(F.bin(F.col("l_quantity").cast("bigint"))) - 1)
+        .cast("string")
+        .alias("item"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+    def _fold(pdfs):
+        # rows arrive sorted by (key, l_orderkey, l_linenumber); fold
+        # each key's values through mg_sketch_update in CHUNK-row
+        # micro-batches, carrying the counter dict across chunks the
+        # way the streaming op carries GroupState across micro-batches
+        CHUNK = 4096
+        counters: dict = {}
+        cur_key = None
+        n = 0
+
+        def _emit():
+            if cur_key is None:
+                return None
+            items = sorted(counters)
+            return pd.DataFrame(
+                {
+                    "key": [cur_key] * len(items),
+                    "item": items,
+                    "mg_count": [int(counters[i]) for i in items],
+                    "stream_n": [n] * len(items),
+                }
+            )
+
+        for pdf in pdfs:
+            for ko, grp in pdf.groupby("key", sort=True):
+                if ko != cur_key:
+                    out = _emit()
+                    if out is not None:
+                        yield out
+                    cur_key, counters, n = ko, {}, 0
+                vals = grp["item"].tolist()
+                n += len(vals)
+                for i in range(0, len(vals), CHUNK):
+                    counters = mg_sketch_update(
+                        counters, vals[i : i + CHUNK], k=K
+                    )
+        out = _emit()
+        if out is not None:
+            yield out
+
+    folded = (
+        li.repartition("key")
+        .sortWithinPartitions("key", "l_orderkey", "l_linenumber")
+        .mapInPandas(
+            _fold, "key string, item string, mg_count long, stream_n long"
+        )
+        .groupBy("key", "item")
+        .agg(
+            F.max("mg_count").alias("mg_count"),
+            F.max("stream_n").alias("stream_n"),
+        )
+    )
+    exact = li.groupBy("key", "item").agg(F.count(F.lit(1)).alias("exact_n"))
+    tot = li.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    heavy = exact.join(F.broadcast(tot), "key").filter(
+        F.col("exact_n") * K > F.col("n")
+    )
+    return heavy.join(folded, ["key", "item"], "left").select(
+        "key",
+        "item",
+        "exact_n",
+        F.col("n").alias("stream_n"),
+        F.col("mg_count").isNotNull().alias("tracked_by_mg"),
+        (F.coalesce(F.col("mg_count"), F.lit(-1)) <= F.col("exact_n")).alias(
+            "lower_bound_le_exact"
+        ),
+        (
+            (F.col("exact_n") - F.coalesce(F.col("mg_count"), F.lit(0)))
+            <= F.expr(f"n div {K}")
+        ).alias("error_within_n_over_k"),
+    )

@@ -307,9 +307,13 @@ def hll_sketch_update(regs: list[int], values, p: int = 6) -> list[int]:
     """Fold ``values`` into an HLL register array (pure function, no
     Spark) — the register update is the MERGEABLE core: max per
     register, so batch-wise folding equals one-shot folding (the
-    invariant the streaming test asserts). Hash is the portable
-    md5-prefix contract (``operators/dedup.md5_hash64``'s widening to
-    64 bits), so the sketch is engine- and restart-stable."""
+    invariant the streaming test asserts). Hash is an independent
+    64-bit md5-prefix hash (first 16 hex chars of md5(str(v)) — NOT
+    ``operators/dedup.md5_hash64``, which takes only the first 8 hex
+    chars / 32 bits), so the sketch is engine- and restart-stable;
+    the batch-replay twin `t_streaming_mg_replay`'s sibling
+    `t_streaming_hll_replay` reproduces exactly this hash from SQL
+    halves (hi/lo 32-bit md5 prefixes)."""
     import hashlib
 
     m = 1 << p
@@ -326,11 +330,26 @@ def hll_sketch_update(regs: list[int], values, p: int = 6) -> list[int]:
 
 def hll_estimate(regs: list[int], p: int = 6) -> int:
     """Flajolet et al. estimate with the small-range linear-counting
-    correction — integer-rounded so the emitted metric is stable."""
+    correction — integer-rounded so the emitted metric is stable.
+
+    The harmonic denominator is accumulated as an EXACT integer
+    (sum of 2^(maxrho - r), arbitrary precision) and converted to
+    double once, instead of a float sum of 2^-r terms: a float sum
+    whose register values span more than 53 bits of magnitude rounds,
+    and rounds DIFFERENTLY under different summation orders — which
+    would make the estimate depend on register iteration order and be
+    irreproducible from SQL. With the integer path the whole estimate
+    is a fixed sequence of IEEE ops on deterministic inputs, so the
+    batch-replay oracle query (`t_streaming_hll_replay`) reproduces it
+    bit-for-bit in DuckDB (HUGEINT sum → one cast → same divides;
+    Python round() and DuckDB CAST(double AS BIGINT) are both
+    ties-to-even)."""
     import math
 
     m = 1 << p
-    inv = sum(2.0 ** -r for r in regs)
+    sb = 64 - p + 1  # max possible rho, so every 2^(sb - r) is an int
+    inv_scaled = sum(1 << (sb - r) for r in regs)
+    inv = float(inv_scaled) / float(1 << sb)
     alpha = 0.7213 / (1.0 + 1.079 / m)
     est = alpha * m * m / inv
     zeros = sum(1 for r in regs if r == 0)

@@ -146,13 +146,21 @@ def test_pin_lifecycle_rotation_and_release(spark):
 
     spark.conf.set("spark.files_kraken.scratch_max_pins", "3")
     try:
+        import warnings as _w
+
         frames = []
-        for i in range(5):
-            df = spark.range(0, 100 + i)
-            frames.append(R.pin_frame(df))
-        # rotation kept only the newest 3 pin dirs on disk
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            for i in range(5):
+                df = spark.range(0, 100 + i)
+                frames.append(R.pin_frame(df))
+        # rotation kept only the newest 3 pin dirs on disk, and each of
+        # the 2 evictions warned loudly (round-7 advice: never silently
+        # delete a pin a lazy DataFrame may still reference)
+        rot = [w for w in caught if "rotating out oldest pin" in str(w.message)]
+        assert len(rot) == 2
         assert len(R._PIN_DIRS) == 3
-        for p in R._PIN_DIRS:
+        for p, _deleter in R._PIN_DIRS:
             assert os.path.isdir(p)
         # the newest pins are still readable
         assert frames[-1].count() == 104

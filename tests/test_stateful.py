@@ -498,3 +498,73 @@ def test_streaming_heavy_hitters_across_batches(spark, tmp_path):
     assert b2_hot == [9]
     cross = [r for r in rows if r["item"] == "hot"]
     assert max(r["lower_bound"] for r in cross) >= 9 - 11 / 4
+
+
+def test_streaming_hll_replay_matches_pure_fold(spark):
+    """The batch-replay registry query reproduces BIT-FOR-BIT the
+    register state and estimate the pure streaming fold
+    (hll_sketch_update / hll_estimate) produces over the same rows —
+    the driver-visible evidence bridge for streaming_hll_distinct
+    (round-7 verdict item 4)."""
+    from files_kraken_spark.queries.pipeline import t_streaming_hll_replay
+    from files_kraken_spark.streaming.stateful import (
+        hll_estimate,
+        hll_sketch_update,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["key"]: r for r in t_streaming_hll_replay(spark, sf).collect()}
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("event_type", "user_id")
+        .collect()
+    )
+    by_key: dict = {}
+    for r in ev:
+        by_key.setdefault(r["event_type"], []).append(str(r["user_id"]))
+    assert set(got) == set(by_key)
+    for key, vals in by_key.items():
+        # fold in two arbitrary chunks — batching must not matter
+        regs = hll_sketch_update(
+            hll_sketch_update([0] * 64, vals[:7]), vals[7:]
+        )
+        want_regs = ",".join(
+            f"{i}:{m}" for i, m in enumerate(regs) if m > 0
+        )
+        assert got[key]["registers"] == want_regs, key
+        assert got[key]["registers_set"] == sum(1 for m in regs if m > 0)
+        assert got[key]["estimate_distinct"] == hll_estimate(regs), key
+        assert got[key]["exact_distinct"] == len(set(vals))
+
+
+def test_streaming_mg_replay_guarantees_hold(spark):
+    """The MG batch-replay query's guarantee booleans are all TRUE on
+    real data (what its oracle asserts), and its guaranteed-heavy item
+    set matches an independent pandas count."""
+    from files_kraken_spark.queries.pipeline import t_streaming_mg_replay
+
+    sf = "/root/testdata/sf0.001"
+    rows = t_streaming_mg_replay(spark, sf).collect()
+    assert rows, "expected guaranteed-heavy items at k=4"
+    for r in rows:
+        assert r["tracked_by_mg"], r
+        assert r["lower_bound_le_exact"], r
+        assert r["error_within_n_over_k"], r
+        assert r["exact_n"] * 4 > r["stream_n"]
+    import collections
+
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity")
+        .collect()
+    )
+    cnt: dict = collections.defaultdict(collections.Counter)
+    for r in li:
+        cnt[r["l_returnflag"]][str(int(r["l_quantity"]).bit_length() - 1)] += 1
+    want = {
+        (k, item)
+        for k, c in cnt.items()
+        for item, n in c.items()
+        if n * 4 > sum(c.values())
+    }
+    assert {(r["key"], r["item"]) for r in rows} == want

@@ -23,21 +23,25 @@ from files_kraken_spark.queries import REGISTRY
 from files_kraken_spark.session import get_session
 
 # Queries where a nested-loop/cartesian shape is the declared intent
-# (exact all-pairs baselines, tiny dim grids) — documented, not flags.
+# (exact all-pairs baselines, tiny dim grids, k-centroid / query-set
+# broadcasts) — documented, not flags.
+#
+# Round-8 mechanization (round-7 verdict item 5): the dominant BNLJ
+# class — a broadcast side that is structurally a 1-ROW AGGREGATE
+# (global agg with no grouping keys, optionally wrapped in
+# projections/filters/joins of other 1-row frames) — is now detected
+# from the physical plan by `_bnlj_sides_all_one_row` and allowed
+# WITHOUT a name entry. A 1-row broadcast cannot be quadratic: the
+# "nested loop" is one comparison per probe row. That removed ~72 of
+# the ~100 names this list had grown to; what remains is only the
+# genuinely bounded grids and multi-row broadcast sets, each of which
+# a structural check cannot certify (their bound is a domain fact —
+# "the candidate pool is 50×50", "the query set is 8 vectors" — not a
+# plan shape).
 ALLOWED_NESTED_LOOP = {
     "sim_cosine_topk",  # broadcast query set vs corpus: O(n·q) by design
     "sim_knn_classify",  # same broadcast-query-set scan as cosine_topk
     "q_cross_join_dims",  # 5×3 dim grid
-    "dedup_embedding_cosine",  # block-pair grid join (bounded fanout)
-    "q_scalar_subquery",  # scalar subquery broadcast compare
-    "q_not_in_null_semantics",  # NOT IN decorrelation uses BNLJ by spec
-    "q_correlated_min",  # scalar-subquery equality: Catalyst picks BNLJ fallback
-    "q22_global_sales_opportunity",  # 1-row avg-balance threshold broadcast
-    "q11_important_stock",  # 1-row value threshold broadcast
-    "t_tfidf_top_terms",  # 1-row corpus-size broadcast
-    "q_mutual_info_terms",  # 1-row corpus-total broadcast vs per-(term,source) stats
-    "t_udf_isolation_score",  # two 1-row stats broadcasts (medians, MADs) vs corpus
-    "emb_top_pc_power",  # 1-row max-abs renorm scalar broadcast per iteration
     "emb_kmeans_cells",  # k-centroid broadcast × corpus argmin: Lloyd's IS a nested loop
     "sem_dedup_kmeans",  # same trainer underneath
     "sim_ivf_trained_topk",  # k-centroid probe broadcast
@@ -46,78 +50,93 @@ ALLOWED_NESTED_LOOP = {
     "sim_ivfpq_topk",  # centroid probe + ADC LUT broadcasts
     "sim_ivfpq_residual_topk",  # same probe + per-(q,cell) residual LUT broadcast
     "sim_ivfadc_rerank",  # same residual probe/LUT broadcasts + shortlist rerank
-    "t_temperature_resample",  # 1-row weight-total broadcast vs per-source counts
-    "t_bpe_tokenize_trained",  # 1-row merge-winner / merge-list broadcasts
-    "q_bloom_filter",  # 1-row bitmap broadcast vs probe side
-    "q_decay_topk",  # 1-row max-day anchor broadcast vs event stream
-    "emb_pc_outliers",  # inherits emb_top_pc_power's 1-row renorm broadcast
-    "t_unigram_logprob",  # 1-row corpus-token-total broadcast
-    "t_kn_bigram_logprob",  # 1-row bigram-type-total broadcast
     "sim_mips_norm_trick",  # 1-row max-norm broadcast + broadcast query set (cosine_topk shape)
-    "t_perplexity_buckets",  # 1-row corpus-token-total broadcast (unigram-LM stage)
-    "q_holt_linear",  # 1-row max-hour anchor broadcast (decay_topk shape)
     "emb_sign_hamming_topk",  # broadcast query signatures vs corpus (cosine_topk shape)
-    "t_vocab_coverage_curve",  # 1-row totals broadcast vs 1-row coverage sums
-    "t_js_divergence",  # 1-row corpus-token-total broadcast (unigram-LM shape)
     "emb_dim_fidelity",  # broadcast query set vs corpus, both rankings (cosine_topk shape)
-    "t_lsh_recall_audit",  # three 1-row count aggregates joined scalar-wise
-    # round-5 departitioned global windows: the BNLJ sides are a 1-row
-    # total count (ntile / percent_rank arithmetic) or a tiny
-    # distinct-value / per-day frame (dense_rank grid, 30-day range
-    # join) — the trade that REMOVED the single-task WindowExec stage
-    "q_ntile_rank_frames",  # 1-row count broadcast for ntile arithmetic
-    "q_distribution_windows",  # 1-row count broadcast for pr/cd arithmetic
     "q_range_frame_rolling",  # per-day frame range-joined within 30-day lookback
     "d2_ordered_changes",  # u² distinct-priority grid (u ≈ 5)
-    "q_market_basket_lift",  # 1-row basket-total broadcast for the lift denominator
-    "sim_hybrid_rrf",  # 1-row query-embedding broadcast vs corpus scan
-    "t_bm25_topk",  # 1-row corpus-stats broadcast (N, avgdl, dfs)
-    "q_benford_first_digit",  # 1-row total-count broadcast vs 9-digit groups
-    "q_rfm_segmentation",  # 1-row anchor-date + 1-row quartile-threshold broadcasts
-    "q_abc_analysis",  # 1-row revenue-total broadcast vs ranked parts
-    "q_cusum_changepoint",  # 1-row (total, n-hours) broadcast vs hourly series
-    "q_clustering_coefficient",  # three 1-row aggregates joined scalar-wise
     "t_ndcg_sign_bits",  # broadcast query set (float + signature scans) + 1-row IDCG constant
-    "q_peak_concurrency",  # 1-row session-count broadcast vs sweep frame
-    "q_dow_seasonality",  # 1-row total broadcast vs 7-group frame
-    "emb_label_balance",  # 1-row totals broadcast vs k-label frame
-    "q_xmr_control_limits",  # three 1-row aggregates + limits broadcast vs day frame
-    "t_doc_keywords",  # 1-row corpus-size broadcast (tfidf_top_terms shape)
     "t_hard_negative_mining",  # broadcast query set vs corpus (cosine_topk shape)
-    "t_psi_drift",  # two 1-row totals broadcasts vs bounded-bucket frame
-    "t_corpus_stopwords",  # 1-row corpus-size broadcast vs 20-term frame
-    "q_markov_attribution",  # 1-row chain results / totals joined scalar-wise
     "emb_ivf_recall_audit",  # inherits ivf probe + cosine_topk broadcast shapes
     "t_heaps_law_fit",  # broadcast 5-row checkpoint grid + 1-row slope broadcast
     "t_filter_threshold_sweep",  # broadcast 5-row threshold grid + 1-row totals
     "emb_kmeans_silhouette",  # k-centroid broadcast x corpus (kmeans trainer shape)
-    "q_churn_hazard_curve",  # 1-row max-month broadcast vs monthly frame
-    "t_waterfill_source_caps",  # 1-row totals / cap broadcasts vs k-source frame
-    "q_lorenz_deciles",  # 1-row (n, tot) broadcast for ntile arithmetic
     "t_hill_tail_index",  # 1-row x_(k+1) threshold broadcast vs 100-row top-k
-    "q_abc_migration",  # 1-row midpoint-month broadcast vs fact scan
     "t_bootstrap_mean_ci",  # 32-replicate broadcast grid + 1-row full-mean broadcast
-    "q_theil_index",  # 1-row (n, total) mean broadcast vs customer frame
-    "t_lsh_band_sweep",  # three (1-row candidate, 1-row verified) counts joined scalar-wise
-    "q_ks_two_sample",  # 1-row (n1, n2) broadcast vs value-group CDF frame
-    "q_cramers_v",  # 1-row total / dims broadcasts vs bounded cell frame
-    "t_effective_sources",  # 1-row token-total broadcast vs k-source frame
-    "emb_pca_explained_variance",  # inherits the power-iteration 1-row renorm broadcasts
-    "q_weighted_median_price",  # 1-row total-weight broadcast vs value-group frame
-    "q_seasonal_strength",  # 1-row between-group variance broadcast vs totals
-    "t_est_jaccard_histogram",  # 1-row pair-total broadcast vs 17-bucket frame
-    "q_neyman_allocation",  # 1-row weight-total broadcast vs 5-stratum frame
     "q_theil_sen_trend",  # month-pair inequality join: both sides calendar-bounded (~82 rows)
-    "t_capture_recapture_vocab",  # two 1-row capture aggregates joined scalar-wise
-    "t_facility_location_select",  # bounded 50x50 candidate-pool similarity grid
-    "t_mmr_rerank",  # 1-row query broadcast + bounded 20x20 pool grid
     "q_kneedle_adoption",  # three 1-row endpoint broadcasts vs month frame
     "t_rbo_rankings",  # broadcast query/signature scans + 10-row depth grid
     "q_acf_daily",  # broadcast 7-row lag grid vs daily frame
-    "q_null_pattern_profile",  # 1-row total broadcast vs bounded-pattern frame
 }
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
+
+# Physical nodes that cannot INCREASE row count: a ≤1-row input stays
+# ≤1-row through them. (Generate/Expand/Union are deliberately absent.)
+_ROW_PRESERVING = {
+    "ProjectExec",
+    "FilterExec",
+    "BroadcastExchangeExec",
+    "ShuffleExchangeExec",
+    "SortExec",
+    "CoalesceExec",
+    "TakeOrderedAndProjectExec",
+    "LocalLimitExec",
+    "GlobalLimitExec",
+    "DeserializeToObjectExec",
+    "SerializeFromObjectExec",
+}
+_GLOBAL_AGGS = {"HashAggregateExec", "SortAggregateExec", "ObjectHashAggregateExec"}
+
+
+def _children(node):
+    s = node.children()
+    return [s.apply(i) for i in range(s.length())]
+
+
+def _is_one_row(node) -> bool:
+    """True if this physical subtree provably produces ≤1 row: a global
+    aggregate (no grouping keys), possibly wrapped in row-preserving
+    nodes, or a join whose EVERY side is itself ≤1-row (the 'three
+    scalar aggregates joined scalar-wise' pattern)."""
+    n = node.getClass().getSimpleName()
+    if n in _GLOBAL_AGGS:
+        return node.groupingExpressions().isEmpty()
+    if n in _ROW_PRESERVING:
+        ks = _children(node)
+        return len(ks) == 1 and _is_one_row(ks[0])
+    if "Join" in n:
+        return all(_is_one_row(c) for c in _children(node))
+    return False
+
+
+def _bnlj_sides_all_one_row(df) -> bool:
+    """Walk the (pre-AQE) physical plan; True iff the plan contains at
+    least one BroadcastNestedLoopJoin and EVERY one broadcasts a
+    structurally ≤1-row side. Such joins are one comparison per probe
+    row — a scalar broadcast, not a quadratic nested loop — and are
+    allowed without a name-allowlist entry. Returns False when no BNLJ
+    is found in the main tree (e.g. it hides in a subquery plan the
+    walk does not enter): conservative — the name allowlist then
+    decides."""
+    plan = df._jdf.queryExecution().sparkPlan()
+    found: list = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "BroadcastNestedLoopJoinExec":
+            found.append(node)
+        for c in _children(node):
+            walk(c)
+
+    walk(plan)
+    if not found:
+        return False
+    for nd in found:
+        ks = _children(nd)
+        build = ks[0] if nd.buildSide().toString() == "BuildLeft" else ks[1]
+        if not _is_one_row(build):
+            return False
+    return True
 
 
 def main() -> int:
@@ -138,7 +157,11 @@ def main() -> int:
             continue
         if "CartesianProduct" in plan and name not in ALLOWED_NESTED_LOOP:
             hard.append((name, "CartesianProduct join"))
-        if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_NESTED_LOOP:
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in ALLOWED_NESTED_LOOP
+            and not _bnlj_sides_all_one_row(df)
+        ):
             hard.append((name, "BroadcastNestedLoopJoin"))
         # row-at-a-time Python UDF: BatchEvalPython (Arrow path shows ArrowEvalPython)
         if "BatchEvalPython" in plan:
