@@ -106,7 +106,8 @@ _SAMPLE_PRIORITY = [
     "q_bass_diffusion_fit", "q_bounce_rate",
     # -- changed this round (perf-only: shingle-stage pin, chunked
     # moving-quantile, BFS frontier; all driver-green in r7) --
-    "q_moving_quantile", "q_bfs_hops", "t_minhash_containment",
+    "q_moving_quantile", "q_bfs_hops", "t_kn_bigram_logprob",
+    "t_minhash_containment",
     "q_jaccard_knn_graph", "dedup_ngram_jaccard", "dedup_overlap_coeff",
     "t_minhash_est_vs_exact",
     # -- driver-green tail, rough value order --
@@ -118,7 +119,7 @@ _SAMPLE_PRIORITY = [
     "t_shard_skew_audit", "q_gap_islands", "q_mode_per_group",
     "q_cdc_compact", "q_last_touch_attribution", "t_zipf_fit",
     "t_bigram_surprisal", "t_dataset_card", "q_label_prop_communities",
-    "t_weighted_reservoir", "t_kn_bigram_logprob", "t_dp_count_release",
+    "t_weighted_reservoir", "t_dp_count_release",
     "t_curriculum_interleave", "sim_mips_norm_trick", "t_doc_pair_rouge2",
     "t_quality_logistic", "q_watermark_lateness_audit",
     "q_markov_transitions", "t_boilerplate_ngrams", "t_perplexity_buckets",

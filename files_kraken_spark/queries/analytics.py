@@ -5593,15 +5593,15 @@ coef AS (
 SELECT n AS n_months,
        round(a, 6) + 0.0 AS coef_a, round(b, 6) + 0.0 AS coef_b,
        round(c, 6) + 0.0 AS coef_c,
-       round(CASE WHEN c < 0 AND b * b - 4.0 * c * a >= 0
-                  THEN (-b - sqrt(b * b - 4.0 * c * a)) / (2.0 * c) END, 6)
-         AS market_size_m,
-       round(CASE WHEN c < 0 AND b * b - 4.0 * c * a >= 0
-                  THEN a / ((-b - sqrt(b * b - 4.0 * c * a)) / (2.0 * c)) END, 6)
-         AS innovation_p,
-       round(CASE WHEN c < 0 AND b * b - 4.0 * c * a >= 0
-                  THEN -c * ((-b - sqrt(b * b - 4.0 * c * a)) / (2.0 * c)) END, 6)
-         AS imitation_q
+       CASE WHEN c < 0 AND b * b - 4.0 * c * a >= 0
+            THEN round((-b - sqrt(b * b - 4.0 * c * a)) / (2.0 * c), 6)
+            ELSE 'NaN'::DOUBLE END AS market_size_m,
+       CASE WHEN c < 0 AND b * b - 4.0 * c * a >= 0
+            THEN round(a / ((-b - sqrt(b * b - 4.0 * c * a)) / (2.0 * c)), 6)
+            ELSE 'NaN'::DOUBLE END AS innovation_p,
+       CASE WHEN c < 0 AND b * b - 4.0 * c * a >= 0
+            THEN round(-c * ((-b - sqrt(b * b - 4.0 * c * a)) / (2.0 * c)), 6)
+            ELSE 'NaN'::DOUBLE END AS imitation_q
 FROM coef
 """,
     doc="Bass diffusion model fit on monthly first-sale adoptions: the "
@@ -5617,7 +5617,10 @@ FROM coef
     "double shape (+0.0 normalizes IEEE negative zero out of the "
     "rounded coefficients — the one hash-visible artifact of a "
     "near-zero c), and degenerate fits (non-negative c or negative "
-    "discriminant) yield NULL (p,q,M) identically on both engines. "
+    "discriminant) yield NaN (p,q,M) on both engines — NaN, not "
+    "NULL, because an all-NULL Spark double column hashes as object "
+    "'NULL' under the driver's pandas canon while DuckDB NULL "
+    "doubles always surface as NaN. "
     "Plan: keyed min agg, monthly rollup, one range exchange "
     "(global_prefix_sums), 1-row reduce — the months frame is "
     "calendar-bounded at any corpus size.",
@@ -5680,14 +5683,21 @@ def q_bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("b") * F.col("b") - F.lit(4.0) * F.col("c") * F.col("a")
     ok = (F.col("c") < 0) & (disc >= 0)
     mm = (-F.col("b") - F.sqrt(disc)) / (F.lit(2.0) * F.col("c"))
+    # degenerate fits emit NaN, not NULL: a Spark column that is
+    # all-NULL stays object-dtyped through the driver's
+    # collect->pandas canon (hashes as "NULL") while DuckDB NULL
+    # doubles always become NaN via .df() — NaN on BOTH sides is the
+    # only encoding stable under that canon at every scale (found by
+    # the round-8 sf0.001 sweep, where this fit IS degenerate)
+    nan = F.lit(float("nan"))
     return coef.select(
         "n_months",
         (F.round(F.col("a"), 6) + F.lit(0.0)).alias("coef_a"),
         (F.round(F.col("b"), 6) + F.lit(0.0)).alias("coef_b"),
         (F.round(F.col("c"), 6) + F.lit(0.0)).alias("coef_c"),
-        F.round(F.when(ok, mm), 6).alias("market_size_m"),
-        F.round(F.when(ok, F.col("a") / mm), 6).alias("innovation_p"),
-        F.round(F.when(ok, -F.col("c") * mm), 6).alias("imitation_q"),
+        F.when(ok, F.round(mm, 6)).otherwise(nan).alias("market_size_m"),
+        F.when(ok, F.round(F.col("a") / mm, 6)).otherwise(nan).alias("innovation_p"),
+        F.when(ok, F.round(-F.col("c") * mm, 6)).otherwise(nan).alias("imitation_q"),
     )
 
 

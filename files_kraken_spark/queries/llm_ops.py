@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import portable_math as _PM
 from ..functions import text as T
 from ..operators import dedup as DD
 from ..operators import multimodal as MM
@@ -4255,24 +4256,33 @@ c2 AS (SELECT w1, w2, count(*) AS c FROM bge GROUP BY 1, 2),
 c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx, count(*) AS n1f FROM c2 GROUP BY 1),
 cb AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY 1),
 bt AS (SELECT count(*) AS bt FROM c2),
-terms AS (
-  SELECT g.doc_id,
-         CAST(round(ln(
-           (CAST(c.c AS DOUBLE) - CAST(0.75 AS DOUBLE)) / CAST(u.ctx AS DOUBLE)
-           + (CAST(0.75 AS DOUBLE) * CAST(u.n1f AS DOUBLE) / CAST(u.ctx AS DOUBLE))
-             * (CAST(b.n1b AS DOUBLE) / CAST(s.bt AS DOUBLE))
-         ) * 1000000.0, 0) AS BIGINT) AS lp_fp
-  FROM bge g
-  JOIN c2 c ON c.w1 = g.w1 AND c.w2 = g.w2
-  JOIN c1 u ON u.w1 = g.w1
-  JOIN cb b ON b.w2 = g.w2
+kn AS (
+  SELECT c.w1, c.w2,
+         (4 * c.c - 3) * s.bt + 3 * u.n1f * b.n1b AS nn,
+         4 * u.ctx * s.bt AS dd
+  FROM c2 c
+  JOIN c1 u ON u.w1 = c.w1
+  JOIN cb b ON b.w2 = c.w2
   CROSS JOIN bt s
+),
+lp AS (
+  SELECT w1, w2,
+         CAST(round(({LN_NN} - {LN_DD}) * 1000000.0, 0) AS BIGINT) AS lp_fp
+  FROM kn
+),
+terms AS (
+  SELECT g.doc_id, l.lp_fp
+  FROM bge g JOIN lp l ON l.w1 = g.w1 AND l.w2 = g.w2
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(-(CAST(sum(lp_fp) AS DOUBLE) / 1000000.0) / count(*), 6) AS avg_nll
+       round(-(CAST(sum(lp_fp) AS DOUBLE) / 1000000.0) / count(*)
+             * 1000000.0, 0) / 1000000.0 AS avg_nll
 FROM terms GROUP BY 1
-""",
+""".format(
+        LN_NN=_PM.ln_posint_sql("nn", spark_dialect=False),
+        LN_DD=_PM.ln_posint_sql("dd", spark_dialect=False),
+    ),
     doc="Interpolated Kneser-Ney bigram language-model scoring "
     "(absolute discount D=0.75): per-document average negative "
     "log-likelihood under P_KN(w2|w1) = (c(w1,w2)-D)/c(w1.) + "
@@ -4281,17 +4291,27 @@ FROM terms GROUP BY 1
     "'frequent because versatile' from 'frequent because one template "
     "repeats it'; a materially better perplexity proxy than the "
     "unigram LM for boilerplate detection. Every bigram is in-corpus "
-    "so the discounted term stays positive; per-token ln terms are "
-    "FIXED-POINT integerized (round(ln p*1e6) as int64) so the "
-    "per-doc sum is an exact integer reduction regardless of "
-    "partitioning. Plan: bigram explode (transform over the token "
-    "array, no self-join), ONE bigram groupBy that derives all three "
-    "count tables (context totals and forward continuation counts "
-    "re-aggregate the bigram-type table, not the corpus), a 1-row "
-    "type-total broadcast, three keyed joins back (AQE broadcasts "
-    "while the dictionaries fit), one doc agg.",
+    "so the discounted term stays positive; P_KN is an exact RATIONAL "
+    "((4c-3)*bt + 3*n1f*n1b) / (4*ctx*bt) of int64 terms, its log is "
+    "taken with the PORTABLE ln (functions/portable_math: exact "
+    "bit-length range reduction + atanh Horner series, bit-identical "
+    "on both engines — the engines' own libm ln diverged by an ulp on "
+    "one sf0.1 term and flipped the 1e-6 fixed-point rounding, the "
+    "round-8 sweep find), and per-token terms are FIXED-POINT "
+    "integerized (round(ln p*1e6) as int64) so the per-doc sum is an "
+    "exact integer reduction regardless of partitioning. At larger "
+    "corpora rescale: 4*ctx*bt must stay under 2^53 (divide both "
+    "sides by gcd or bucket bt to kilo-units — same plan). Plan: "
+    "bigram explode (transform over the token array, no self-join), "
+    "ONE bigram groupBy that derives all three count tables (context "
+    "totals and forward continuation counts re-aggregate the "
+    "bigram-type table, not the corpus), a 1-row type-total "
+    "broadcast, the per-TYPE log-prob computed once on the ~|types| "
+    "frame then joined back to occurrences, one doc agg.",
 )
 def t_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable_math import ln_posint
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", T.tokens(T.normalize_text(F.col("text"))).alias("t")
@@ -4311,25 +4331,41 @@ def t_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cb = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
     bt = c2.agg(F.count(F.lit(1)).alias("bt"))
-    p_kn = (
-        (F.col("c").cast("double") - F.lit(0.75)) / F.col("ctx").cast("double")
-        + (F.lit(0.75) * F.col("n1f").cast("double") / F.col("ctx").cast("double"))
-        * (F.col("n1b").cast("double") / F.col("bt").cast("double"))
-    )
-    terms = (
-        bge.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+    lp = (
+        c2.join(c1, "w1")
         .join(cb, "w2")
         .crossJoin(F.broadcast(bt))
+        .withColumn(
+            "nn",
+            (F.lit(4) * F.col("c") - F.lit(3)) * F.col("bt")
+            + F.lit(3) * F.col("n1f") * F.col("n1b"),
+        )
+        .withColumn("dd", F.lit(4) * F.col("ctx") * F.col("bt"))
         .select(
-            "doc_id",
-            F.round(F.log(p_kn) * 1e6, 0).cast("long").alias("lp_fp"),
+            "w1",
+            "w2",
+            F.round((ln_posint("nn") - ln_posint("dd")) * F.lit(1e6), 0)
+            .cast("long")
+            .alias("lp_fp"),
         )
     )
+    terms = bge.join(lp, ["w1", "w2"]).select("doc_id", "lp_fp")
+    # final display rounding in the explicit multiply-round-divide
+    # shape: Spark's round(x, 6) is exact-BigDecimal HALF_UP on the
+    # binary value while DuckDB's scales by 1e6 FIRST (the multiply
+    # itself can round onto the .5 boundary) — one sf0.1 doc landed at
+    # 3.41638649999999977, which the two spellings round apart. The
+    # explicit shape makes both engines run the identical IEEE ops.
     return terms.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(
-            -(F.sum("lp_fp").cast("double") / F.lit(1e6)) / F.count(F.lit(1)), 6
+        (
+            F.round(
+                -(F.sum("lp_fp").cast("double") / F.lit(1e6))
+                / F.count(F.lit(1))
+                * F.lit(1e6),
+                0,
+            )
+            / F.lit(1e6)
         ).alias("avg_nll"),
     )
 
@@ -8036,13 +8072,22 @@ def t_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ncommon = common.groupBy("q_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_common")
     )
-    return (
-        terms.groupBy("q_id")
-        .agg(
-            F.round(
-                F.sum("term_micro8").cast("double") / 100000000.0, 6
-            ).alias("rbo_at_10")
+    # anchor on the query set: a query whose two top-10s share NOTHING
+    # has no `common` rows, but the oracle's correlated count still
+    # emits it with every depth term 0 → rbo 0.0 (seen at sf0.001,
+    # where one sign-bit ranking misses the cosine top-10 entirely)
+    qids = cosr.select("q_id").distinct()
+    rbo = terms.groupBy("q_id").agg(
+        F.round(F.sum("term_micro8").cast("double") / 100000000.0, 6).alias(
+            "rbo_at_10"
         )
-        .join(ncommon, "q_id")
-        .select("q_id", "n_common", "rbo_at_10")
+    )
+    return (
+        qids.join(ncommon, "q_id", "left")
+        .join(rbo, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+            F.coalesce(F.col("rbo_at_10"), F.lit(0.0)).alias("rbo_at_10"),
+        )
     )

@@ -95,6 +95,17 @@ def canon_hazards(sdf_pd: pd.DataFrame, odf_pd: pd.DataFrame) -> list[str]:
             # datetime64 stringifies "1998-01-01 00:00:00" vs datetime.date
             # "1998-01-01" — project DATE results as ISO strings instead
             out.append(f"datetime split {c}: spark={sdf_pd[c].dtype} oracle={odf_pd[c].dtype}")
+        # all-NULL Spark double column: collect->pandas leaves it object
+        # (hashes "NULL") while DuckDB NULL doubles surface as float64
+        # NaN via .df() — a scale-dependent hash split (a query can be
+        # green at sf0.01 and fail wherever the column goes all-NULL).
+        # Fix in the QUERY: emit NaN on both sides for no-result rows
+        # (see q_bass_diffusion_fit, round 8).
+        if sk == "O" and ok == "f" and sdf_pd[c].isna().all() and len(sdf_pd):
+            out.append(
+                f"all-NULL spark column {c} vs double oracle column "
+                "(NULL-vs-NaN canon split: emit NaN, not NULL)"
+            )
         for side, df in (("spark", sdf_pd), ("oracle", odf_pd)):
             col = df[c]
             if _kind(col.dtype) == "O":
