@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text, shingles_from_tokens, tokens
+from .ranks import spread_small_scan
 
 # Deterministic affine-permutation constants for MinHash:
 #   h_i(x) = (A[i] * base_hash(x) + B[i]) mod P
@@ -118,9 +119,8 @@ def shingle_sets(
     # a hardcoded `long` would corrupt or reject non-bigint ids and
     # diverge from the expr impl's output contract
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
-        _shingle, f"{id_col} {id_type}, shingle string"
-    )
+    src = spread_small_scan(df.select(id_col, text_col))
+    return src.mapInPandas(_shingle, f"{id_col} {id_type}, shingle string")
 
 
 def _shingle_pair_stats(

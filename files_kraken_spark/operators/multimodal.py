@@ -57,7 +57,10 @@ FEATURE_SCHEMA = StructType(
 def attach_binary(df: DataFrame, id_col: str, payload_col: str, modality: str) -> DataFrame:
     """Wrap an existing column's bytes as a typed media row (utf-8
     encoding stands in for real media bytes in tests)."""
+    from .ranks import spread_small_scan
+
     data = F.encode(F.col(payload_col), "UTF-8")
+    df = spread_small_scan(df.select(payload_col, id_col))
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
         F.lit(modality).alias("modality"),
@@ -82,10 +85,14 @@ def attach_png(
 
     import numpy as np
 
+    from .ranks import spread_small_scan
+
     need = w * h
-    src = df.select(
-        F.col(id_col).cast("long").alias("media_id"),
-        F.col(payload_col).alias("payload"),
+    src = spread_small_scan(
+        df.select(
+            F.col(id_col).cast("long").alias("media_id"),
+            F.col(payload_col).alias("payload"),
+        )
     )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

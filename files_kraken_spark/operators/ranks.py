@@ -147,6 +147,23 @@ def release_pins() -> int:
     return n
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin a narrow frame across the cluster when it has fewer
+    partitions than cores. Arrow ``mapInPandas`` stages inherit the
+    upstream partitioning, and a small corpus stored as one parquet
+    file (one row group, unsplittable) otherwise serializes the whole
+    per-row Python pass onto a single task (measured at sf0.1: the
+    shingle stage ran on 1/32 cores — ~3s of a 3.1s query). At real
+    scale the scan already has >= cores partitions and this is a
+    no-op; when it fires, the shuffle moves only the projected
+    columns. Apply to the frame feeding a per-row Arrow pass, AFTER
+    projecting it down to the columns that pass needs."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def pin_frame(df: DataFrame) -> DataFrame:
     """Materialize ``df`` exactly once to a scratch-parquet directory
     and return a frame reading it back. The zero-cache-entry way to
