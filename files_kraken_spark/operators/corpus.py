@@ -303,8 +303,15 @@ def bpe_train(
     pair counts. For byte-level BPE
     at web scale the same plan applies with bytes as initial symbols.
     """
+    from .ranks import spread_small_scan
+
+    # The tokenize explode + its partial agg inherit the scan's
+    # partitioning; spread the narrow text projection first so a
+    # single-file corpus doesn't serialize the one corpus-sized pass
+    # onto one task (no-op once the scan has >= cores partitions).
     words = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        spread_small_scan(df.select(F.col(text_col)))
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("wc"))
         .select(

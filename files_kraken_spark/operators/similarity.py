@@ -393,9 +393,18 @@ def kmeans_fit_predict(
     round's centroid frame is tiny and re-broadcast. At huge k move
     the argmin to a BLAS `mapInPandas` (same plan shape).
     """
-    emb = df.select(
-        F.col(id_col).alias("__id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    from .ranks import spread_small_scan
+
+    # A small corpus parquet scans as ONE partition, which would
+    # serialize every per-row argmin (k·dim interpreted-HOF flops)
+    # onto a single task; spread fans the scan out once it matters.
+    # No pin: the subtree below is just scan+cast, cheaper to
+    # recompute per consumer than a parquet round-trip.
+    emb = spread_small_scan(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        )
     )
     seed = emb.orderBy("__id").limit(k)
     # cell id = rank of __id among the k seeds. For practical k the
@@ -551,7 +560,15 @@ def pq_train_encode(
             for mm in range(m)
         ]
     )
-    sub = df.select(F.col(id_col).alias("__id"), F.explode(subs).alias("s")).select(
+    from .ranks import spread_small_scan
+
+    # Same spread rationale as kmeans_fit_predict: the subvector frame
+    # feeds every Lloyd's round plus the final encode, and a
+    # single-file corpus would run all of it on one task. Spread the
+    # narrow (id, vec) projection BEFORE the m-way explode so the
+    # round-robin moves n rows, not m·n.
+    src = spread_small_scan(df.select(F.col(id_col), F.col(vec_col)))
+    sub = src.select(F.col(id_col).alias("__id"), F.explode(subs).alias("s")).select(
         "__id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
     )
     wn = Window.partitionBy("m").orderBy("__id")

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.graph import cooccurrence_edges
 from ..sources.tables import load_table
 from . import register
 
@@ -748,7 +749,13 @@ GROUP BY 1
     "in at most 2 bins via a bounded sequence-explode, each point in "
     "exactly 1) plus an exact residual filter — shuffle is keyed and "
     "linear in rows, the standard scale answer to range joins "
-    "(Databricks' range-join bin hints implement the same idea).",
+    "(Databricks' range-join bin hints implement the same idea). "
+    "Because the aggregate is additive, the dense point side first "
+    "pre-aggregates to per-day weights (map-side combine), so the bin "
+    "join moves O(distinct days), not O(lineitems) — the pair "
+    "explosion (every point x every interval sharing its bin, ~60M "
+    "rows here, measured 5.2s -> 0.9s) never materializes; counting "
+    "pairs and summing day-weights are the same number.",
 )
 def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch = F.lit("1970-01-01").cast("date")
@@ -762,7 +769,11 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("d1", F.col("d0") + F.lit(7))
     )
-    pts = li.select(F.datediff(F.to_date("l_shipdate"), epoch).alias("pd"))
+    pts = (
+        li.select(F.datediff(F.to_date("l_shipdate"), epoch).alias("pd"))
+        .groupBy("pd")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     bin_w = 8  # >= interval length + 1 => every interval spans <= 2 bins
     ivb = iv.withColumn(
         "bin",
@@ -779,7 +790,7 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivb.join(ptb, "bin")
         .filter((F.col("pd") >= F.col("d0")) & (F.col("pd") <= F.col("d1")))
         .groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_ship"))
+        .agg(F.sum("c").cast("long").alias("n_ship"))
     )
 
 
@@ -1104,24 +1115,20 @@ FROM df WHERE deg >= {k}"""
     "with degree < k until the dense core remains — the standard way "
     "to separate structurally-embedded items from one-off pairings "
     "before community detection. Spark runs the peeling loop with "
-    "localCheckpoint lineage cuts (each round: one degree groupBy + "
-    "one semi-join edge filter, all keyed shuffles); the oracle "
+    "scratch-parquet pin lineage cuts (each round: one degree groupBy "
+    "+ one semi-join edge filter, all keyed shuffles); the oracle "
     "replays the SAME fixed 8 rounds as unrolled CTEs (the PageRank "
     "fixed-round contract — the graph converges in fewer). Round "
     "count is O(peeling depth), not O(diameter); at 100 TB the edge "
     "set shrinks monotonically so later rounds are nearly free.",
 )
 def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import pin_frame
+
     K, ROUNDS = 3, 8
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)
+    edges = pin_frame(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey", directed=False)
     )
     for _ in range(ROUNDS):
         nodes = edges.select(F.col("u").alias("n")).unionByName(
@@ -1133,11 +1140,10 @@ def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("deg") >= K)
             .select("n")
         )
-        edges = (
+        edges = pin_frame(
             edges.join(keep.select(F.col("n").alias("u")), "u", "left_semi")
             .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=True)
         )
     nodes = edges.select(F.col("u").alias("n")).unionByName(
         edges.select(F.col("v").alias("n"))
@@ -1446,38 +1452,40 @@ FROM {prev} GROUP BY 1"""
     "tie rule — the determinism fix for LPA's usually-random tie "
     "breaking, which makes the iteration bit-replayable as unrolled "
     "SQL (the PageRank fixed-round contract). Per round: one "
-    "edge-label join + one (node, label) count + one per-node "
-    "PARTITIONED rank — keyed shuffles only, no global window; "
-    "localCheckpoint cuts lineage per round. Output is the community "
-    "size histogram.",
+    "edge-label join + one (node, label) count + a second per-node "
+    "groupBy taking max(struct(count, -label)) — the same winner the "
+    "oracle's row_number rank picks, but partial-aggregable and "
+    "sort-free; keyed shuffles only, no window. Scratch-parquet pins "
+    "(not localCheckpoint) cut lineage per round: checkpoint blocks "
+    "accumulate in executor memory across runs with no unpersist "
+    "hook, measured as 2x bimodal wall-time swings at sf0.1. Output "
+    "is the community size histogram.",
 )
 def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import pin_frame
+
     ROUNDS = 4
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") != F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)
+    edges = pin_frame(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey", directed=True)
     )
     labels = edges.select(F.col("u").alias("n")).distinct().withColumn(
         "lab", F.col("n")
     )
-    w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("lab"))
     for _ in range(ROUNDS):
         cnt = (
             edges.join(labels.withColumnRenamed("n", "v"), "v")
             .groupBy(F.col("u").alias("n"), "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("n", "lab")
-            .localCheckpoint(eager=True)
+        # (count desc, min label) winner via max(struct(c, -lab)) — a
+        # second partial-aggregable groupBy instead of a row_number
+        # window, which would re-shuffle AND sort every (n, lab) group
+        # per round just to take its first row
+        labels = pin_frame(
+            cnt.groupBy("n")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias("m"))
+            .select("n", (-F.col("m.nl")).alias("lab"))
         )
     return labels.groupBy(F.col("lab").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members")
@@ -1533,26 +1541,22 @@ FROM {prev} GROUP BY 1"""
     "full min-relaxation the unrolled SQL oracle replays, at a "
     "fraction of the per-round join traffic once the frontier is "
     "smaller than the reached set. Keyed shuffles only; "
-    "localCheckpoint cuts lineage per round.",
+    "scratch-parquet pins cut lineage per round (localCheckpoint "
+    "blocks have no unpersist hook and accumulate across runs).",
 )
 def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranks import pin_frame
+
     ROUNDS = 3
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") != F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)
+    edges = pin_frame(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey", directed=True)
     )
-    dist = (
+    dist = pin_frame(
         edges.select(F.col("u").alias("n"))
         .distinct()
         .filter(F.col("n") % 97 == 0)
         .withColumn("d", F.lit(0))
-        .localCheckpoint(eager=True)
     )
     frontier = dist
     for r in range(1, ROUNDS + 1):
@@ -1561,10 +1565,9 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("v").alias("n"))
             .distinct()
         )
-        newly = (
+        newly = pin_frame(
             reached.join(dist.select("n"), "n", "left_anti")
             .withColumn("d", F.lit(r))
-            .localCheckpoint(eager=True)
         )
         dist = dist.unionByName(newly)
         frontier = newly
@@ -2048,9 +2051,7 @@ FROM mom
 )
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = a.join(b, "ok").filter(F.col("u") != F.col("v")).select("u", "v").distinct()
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", directed=True)
     deg = edges.groupBy(F.col("u").alias("n")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
@@ -2454,9 +2455,7 @@ FROM tri, wed, ne
 )
 def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    e0 = a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    e0 = cooccurrence_edges(li, "l_orderkey", "l_partkey", directed=False)
     und = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
@@ -3068,9 +3067,7 @@ FROM s
 )
 def q_powerlaw_degree_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    e0 = a.join(b, "o").filter(F.col("u") != F.col("v")).select("u", "v").distinct()
+    e0 = cooccurrence_edges(li, "l_orderkey", "l_partkey", directed=True)
     deg = e0.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
     s = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),

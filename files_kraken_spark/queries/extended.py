@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.graph import cooccurrence_edges
 from ..sources.tables import load_table
 from . import register
 
@@ -717,14 +718,7 @@ GROUP BY w1.s
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    e0 = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    e0 = cooccurrence_edges(li, "l_orderkey", "l_partkey", directed=False)
     und = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("d")

@@ -3452,7 +3452,11 @@ GROUP BY 1
     "family, aggregated at source rather than document granularity.",
 )
 def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.ranks import spread_small_scan
+
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("source", "text")
+    )
     toks = docs.select("source", T.tokens(F.col("text")).alias("__toks"))
     sh = toks.select(
         "source",
@@ -3573,7 +3577,18 @@ FROM terms GROUP BY 1
     "groupBys, all partial-aggregated.",
 )
 def t_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    from ..operators.ranks import spread_small_scan
+
+    # The ~240x char explode below amplifies whatever parallelism the
+    # scan has; a single-file corpus would run the whole explode +
+    # partial agg on one task. Spread the narrow (doc_id, text)
+    # projection BEFORE exploding so the round-robin moves documents,
+    # not characters.
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text")
+    )
     chars = docs.select(
         "doc_id",
         F.explode(
@@ -4311,8 +4326,11 @@ FROM terms GROUP BY 1
 )
 def t_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.portable_math import ln_posint
+    from ..operators.ranks import spread_small_scan
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = docs.select(
         "doc_id", T.tokens(T.normalize_text(F.col("text"))).alias("t")
     ).filter(F.size("t") >= 2)
@@ -4758,7 +4776,11 @@ ORDER BY doc_freq DESC, ngram LIMIT 20
     "TakeOrderedAndProject per-partition heaps, never a global sort.",
 )
 def t_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.ranks import spread_small_scan
+
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = docs.select(
         "doc_id", T.tokens(T.normalize_text(F.col("text"))).alias("t")
     ).filter(F.size("t") >= 5)

@@ -1106,3 +1106,39 @@ def test_overlap_pairs_subset_scores_one(spark):
         ).collect()
     }
     assert capped <= set(ov)  # cap never invents pairs
+
+
+def test_cooccurrence_edges_matches_naive_self_join(spark):
+    from files_kraken_spark.operators.graph import cooccurrence_edges
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 20), (2, 30), (3, 40), (3, 40), (4, 50)],
+        ["grp", "item"],
+    )
+    a = df.select(F.col("grp").alias("g"), F.col("item").alias("u"))
+    b = df.select(F.col("grp").alias("g"), F.col("item").alias("v"))
+
+    naive_und = set(
+        map(
+            tuple,
+            a.join(b, "g").filter(F.col("u") < F.col("v")).select("u", "v").distinct().collect(),
+        )
+    )
+    got_und = set(
+        map(tuple, cooccurrence_edges(df, "grp", "item", directed=False).collect())
+    )
+    assert got_und == naive_und
+
+    naive_dir = set(
+        map(
+            tuple,
+            a.join(b, "g").filter(F.col("u") != F.col("v")).select("u", "v").distinct().collect(),
+        )
+    )
+    got_dir_df = cooccurrence_edges(df, "grp", "item", directed=True)
+    got_dir = list(map(tuple, got_dir_df.collect()))
+    assert set(got_dir) == naive_dir
+    assert len(got_dir) == len(naive_dir)  # mirror introduces no duplicates
+    # singleton groups and duplicate (grp, item) rows produce no edges
+    assert all(u != v for u, v in got_dir)
+    assert not any(u == 40 or v == 40 for u, v in got_dir)
