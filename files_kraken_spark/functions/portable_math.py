@@ -87,3 +87,22 @@ def ln_posint(col_name: str) -> Column:
     ``col_name`` (must be a column NAME — the shift-by-column lives
     inside an F.expr)."""
     return F.expr(ln_posint_sql(col_name, spark_dialect=True))
+
+
+def ln_posint_py(n: int) -> float:
+    """Pure-Python mirror of :func:`ln_posint_sql` — the SAME fixed
+    sequence of basic IEEE double ops (CPython floats are IEEE754
+    binary64 with correctly rounded +,-,*,/ — identical semantics to
+    the SQL chain on either engine), so a Python-side fold (e.g. the
+    streaming HLL sketch's linear-counting branch) produces the
+    bit-identical value its SQL batch-replay oracle computes.
+    ``n`` must be a positive int < 2^53."""
+    e = n.bit_length() - 1
+    m = n / float(1 << e)  # exact: division by a power of two
+    t = (m - 1.0) / (m + 1.0)
+    t2 = t * t
+    acc = 1.0 / float(_SERIES[-1])
+    for k in reversed(_SERIES[:-1]):
+        acc = 1.0 / float(k) + t2 * acc
+    horner = 1.0 + t2 * acc
+    return float(e) * float(LN2_STR) + 2.0 * (t * horner)

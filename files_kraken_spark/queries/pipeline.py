@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import portable_math as _PM
 from ..functions.text import EN_STOPWORDS
 from ..operators import corpus as C
 from ..operators.asof import asof_join
@@ -1084,7 +1085,7 @@ def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t_streaming_hll_replay",
-    oracle="""
+    oracle=f"""
 WITH vals AS (
   SELECT DISTINCT event_type AS key, CAST(user_id AS VARCHAR) AS v
   FROM events
@@ -1119,7 +1120,9 @@ WITH vals AS (
 )
 SELECT e.key, e.registers, e.registers_set,
        CAST(CASE WHEN e.raw <= 2.5::DOUBLE * 64.0::DOUBLE AND e.zeros > 0
-                 THEN 64.0::DOUBLE * ln(64.0::DOUBLE / CAST(e.zeros AS DOUBLE))
+                 THEN 64.0::DOUBLE *
+                      ({_PM.ln_posint_sql('CAST(64 AS BIGINT)', spark_dialect=False)}
+                       - {_PM.ln_posint_sql('CAST(e.zeros AS BIGINT)', spark_dialect=False)})
                  ELSE e.raw END AS BIGINT) AS estimate_distinct,
        d.exact_distinct
 FROM est e JOIN (
@@ -1137,8 +1140,12 @@ FROM est e JOIN (
     "rho = 59 - bit_length(h >> 6) (bit_length as length(bin(w)), "
     "exact integer, no float log), same Flajolet estimate with "
     "linear-counting correction over an EXACT integer-scaled harmonic "
-    "denominator, ties-to-even final rounding (Spark bround == DuckDB "
-    "double->BIGINT cast == Python round). Register folding is "
+    "denominator — the correction's ln runs the PORTABLE integer ln "
+    "(functions/portable_math, as 64*(ln 64 - ln zeros)) identically "
+    "on all three sides (Python fold, Spark, DuckDB), closing the "
+    "round-8-advice 1-ulp native-ln exception — ties-to-even final "
+    "rounding (Spark bround == DuckDB double->BIGINT cast == Python "
+    "round). Register folding is "
     "max-mergeable, so this at-rest aggregation equals the streaming "
     "op's final emission regardless of micro-batch boundaries — the "
     "equality pytest (tests/test_stateful_streaming.py) pins the "
@@ -1198,9 +1205,21 @@ def t_streaming_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("inv_scaled").cast("double") / F.lit(576460752303423488.0))
     )
     zeros = F.lit(64) - F.col("registers_set")
+    # linear counting via the portable integer ln (round-8 advice):
+    # 64*(ln(64) - ln(zeros)) as the same fixed IEEE-op sequence the
+    # Python fold (hll_estimate) and the DuckDB oracle run — the
+    # engines' native ln is the one unaudited 1-ulp exception the
+    # determinism contract had left
+    lin = F.lit(64.0) * (
+        F.expr(_PM.ln_posint_sql("CAST(64 AS BIGINT)", spark_dialect=True))
+        - F.expr(
+            _PM.ln_posint_sql(
+                "CAST(64 - registers_set AS BIGINT)", spark_dialect=True
+            )
+        )
+    )
     est = F.when(
-        (raw <= F.lit(2.5) * F.lit(64.0)) & (zeros > 0),
-        F.lit(64.0) * F.log(F.lit(64.0) / zeros.cast("double")),
+        (raw <= F.lit(2.5) * F.lit(64.0)) & (zeros > 0), lin
     ).otherwise(raw)
     exact = ev.groupBy(F.col("event_type").alias("key")).agg(
         F.count_distinct("user_id").alias("exact_distinct")

@@ -344,8 +344,6 @@ def hll_estimate(regs: list[int], p: int = 6) -> int:
     bit-for-bit in DuckDB (HUGEINT sum → one cast → same divides;
     Python round() and DuckDB CAST(double AS BIGINT) are both
     ties-to-even)."""
-    import math
-
     m = 1 << p
     sb = 64 - p + 1  # max possible rho, so every 2^(sb - r) is an int
     inv_scaled = sum(1 << (sb - r) for r in regs)
@@ -354,7 +352,17 @@ def hll_estimate(regs: list[int], p: int = 6) -> int:
     est = alpha * m * m / inv
     zeros = sum(1 for r in regs if r == 0)
     if est <= 2.5 * m and zeros > 0:
-        est = m * math.log(m / zeros)
+        # linear counting m*ln(m/zeros), but via the PORTABLE integer
+        # ln (functions/portable_math) as ln(m) - ln(zeros): the
+        # engines' native ln differs from Python's libm by an ulp on
+        # some inputs, which right before integer rounding is exactly
+        # the cross-engine divergence class the determinism contract
+        # bans (round-8 advice) — this keeps the Python fold, the
+        # Spark replay, and the DuckDB oracle a single fixed sequence
+        # of correctly rounded IEEE ops
+        from ..functions.portable_math import ln_posint_py
+
+        est = m * (ln_posint_py(m) - ln_posint_py(zeros))
     return int(round(est))
 
 

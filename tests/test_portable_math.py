@@ -64,3 +64,34 @@ def test_portable_ln_exact_at_one():
         f"SELECT {ln_posint_sql('1', spark_dialect=False)}"
     ).fetchone()
     assert l == 0.0
+
+
+def test_ln_posint_py_bit_identical_to_sql(spark):
+    """The pure-Python mirror (used by the streaming HLL fold's
+    linear-counting branch) produces the SAME bits as both SQL
+    dialects — so the Python fold, the Spark replay, and the DuckDB
+    oracle can never diverge on the correction term."""
+    from files_kraken_spark.functions.portable_math import ln_posint_py
+
+    vals = (
+        list(range(1, 2000))
+        + [2**k for k in range(1, 53)]
+        + [2**k - 1 for k in range(2, 53)]
+        + [2**53 - 1]
+    )
+    con = duckdb.connect()
+    got_d = dict(
+        con.execute(
+            f"SELECT x, {ln_posint_sql('x', spark_dialect=False)} "
+            "FROM (SELECT unnest($1::BIGINT[]) AS x)",
+            [vals],
+        ).fetchall()
+    )
+    bad = [v for v in vals if _bits(ln_posint_py(v)) != _bits(got_d[v])]
+    assert bad == []
+    sdf = spark.createDataFrame([(v,) for v in vals[:256]], "x long").select(
+        "x", ln_posint("x").alias("l")
+    )
+    got_s = {r["x"]: r["l"] for r in sdf.collect()}
+    bad_s = [v for v in vals[:256] if _bits(ln_posint_py(v)) != _bits(got_s[v])]
+    assert bad_s == []
