@@ -110,16 +110,36 @@ def _is_one_row(node) -> bool:
     return False
 
 
-def _bnlj_sides_all_one_row(df) -> bool:
+def _bnlj_sides_all_one_row(df, plan_str: str | None = None) -> bool:
     """Walk the (pre-AQE) physical plan; True iff the plan contains at
-    least one BroadcastNestedLoopJoin and EVERY one broadcasts a
-    structurally ≤1-row side. Such joins are one comparison per probe
-    row — a scalar broadcast, not a quadratic nested loop — and are
-    allowed without a name-allowlist entry. Returns False when no BNLJ
-    is found in the main tree (e.g. it hides in a subquery plan the
-    walk does not enter): conservative — the name allowlist then
-    decides."""
-    plan = df._jdf.queryExecution().sparkPlan()
+    least one BroadcastNestedLoopJoin, EVERY one broadcasts a
+    structurally ≤1-row side, AND the walk accounted for every BNLJ
+    the formatted explain string names. Such joins are one comparison
+    per probe row — a scalar broadcast, not a quadratic nested loop —
+    and are allowed without a name-allowlist entry. Returns False when
+    no BNLJ is found at all: conservative — the name allowlist then
+    decides.
+
+    The count guard (round-8 advice): subquery plans are still LOGICAL
+    at the ``sparkPlan`` stage (PlanSubqueries runs later, in executed-
+    plan preparation), so a BNLJ hosted inside a scalar/IN subquery is
+    structurally unreachable here — but it DOES appear in the
+    formatted explain string that triggers this check. Without the
+    guard, a harmless 1-row BNLJ in the main tree would vouch for a
+    quadratic one hiding in a subquery. Each physical node appears in
+    the formatted details exactly once as ``(N) NodeName``, subquery
+    sections included, so requiring the structural find count to match
+    that count makes any subquery-hosted BNLJ fall through to the name
+    allowlist (conservative by construction)."""
+    qe = df._jdf.queryExecution()
+    if plan_str is None:
+        plan_str = qe.explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    named = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin\b", plan_str))
+    plan = qe.sparkPlan()
     found: list = []
 
     def walk(node):
@@ -129,7 +149,7 @@ def _bnlj_sides_all_one_row(df) -> bool:
             walk(c)
 
     walk(plan)
-    if not found:
+    if not found or len(found) != named:
         return False
     for nd in found:
         ks = _children(nd)
@@ -160,7 +180,7 @@ def main() -> int:
         if (
             "BroadcastNestedLoopJoin" in plan
             and name not in ALLOWED_NESTED_LOOP
-            and not _bnlj_sides_all_one_row(df)
+            and not _bnlj_sides_all_one_row(df, plan)
         ):
             hard.append((name, "BroadcastNestedLoopJoin"))
         # row-at-a-time Python UDF: BatchEvalPython (Arrow path shows ArrowEvalPython)
