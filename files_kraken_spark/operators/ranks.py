@@ -133,6 +133,47 @@ def _scratch_path(spark) -> str:
     return path
 
 
+#: default per-pin size warning threshold: 16 GiB. A pin is a scratch
+#: MATERIALIZATION of one subtree — if a single pin reaches this size
+#: the caller is probably pinning a frame that should stream (e.g. a
+#: full edge set at large sf), and the rotation cap alone would let 64
+#: such pins fill the scratch filesystem before any one is evicted.
+_DEFAULT_PIN_WARN_BYTES = 16 * 1024**3
+
+
+def _warn_if_pin_oversized(spark, path: str) -> None:
+    """Post-write size check for a scratch pin (round-8 verdict item
+    6): warn — naming the path and its size — when a single pin
+    exceeds ``spark.files_kraken.scratch_pin_warn_bytes`` (0 disables).
+    Measured through the Hadoop FileSystem API so the check works on
+    whatever filesystem the scratch root names (HDFS/S3A/local)."""
+    cap = int(
+        spark.conf.get(
+            "spark.files_kraken.scratch_pin_warn_bytes",
+            str(_DEFAULT_PIN_WARN_BYTES),
+        )
+    )
+    if cap <= 0:
+        return
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        size = int(p.getFileSystem(hconf).getContentSummary(p).getLength())
+    except Exception:  # size check is best-effort, never fails the pin
+        return
+    if size > cap:
+        warnings.warn(
+            f"scratch pin {path} is {size} bytes "
+            f"(> spark.files_kraken.scratch_pin_warn_bytes={cap}): a "
+            "runaway pin can fill the scratch filesystem long before "
+            "the rotation cap evicts it — release_pins() at job "
+            "boundaries, avoid pinning frames that should stream, or "
+            "raise the warning threshold",
+            stacklevel=3,
+        )
+
+
 def release_pins() -> int:
     """Delete every scratch pin created so far and return how many were
     removed. Call at job boundaries AFTER materializing results — a pin
@@ -147,6 +188,12 @@ def release_pins() -> int:
     return n
 
 
+#: semanticHash(analyzed plan) -> pre-AQE partition count, so repeated
+#: wraps of the same frame (bench reps, the oracle mirror, shared scan
+#: projections across queries) skip the physical-planning pass
+_SPREAD_NPART_CACHE: dict[int, int] = {}
+
+
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Round-robin a narrow frame across the cluster when it has fewer
     partitions than cores. Arrow ``mapInPandas`` stages inherit the
@@ -157,9 +204,26 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     scale the scan already has >= cores partitions and this is a
     no-op; when it fires, the shuffle moves only the projected
     columns. Apply to the frame feeding a per-row Arrow pass, AFTER
-    projecting it down to the columns that pass needs."""
+    projecting it down to the columns that pass needs.
+
+    The partition count comes from ``df.rdd`` — a full
+    physical-planning/RDD-conversion pass — so the decision is CACHED
+    by the analyzed plan's ``semanticHash`` (round-8 advice): the
+    first wrap of a given frame pays planning once; every later wrap
+    of a semantically identical frame (bench repetitions, the oracle
+    mirror, the same projected scan shared across queries in one
+    session) is a dict hit. The hash is over the resolved logical
+    plan, so two frames reading different paths or columns never
+    collide; the cached value can go stale only if the SAME parquet
+    path changes size mid-session, which only re-biases a heuristic
+    whose misfire is a no-op shuffle or a skipped one."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    key = df._jdf.queryExecution().analyzed().semanticHash()
+    nparts = _SPREAD_NPART_CACHE.get(key)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        _SPREAD_NPART_CACHE[key] = nparts
+    if nparts < target:
         return df.repartition(target)
     return df
 
@@ -175,6 +239,7 @@ def pin_frame(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     path = _scratch_path(spark)
     df.write.parquet(path)
+    _warn_if_pin_oversized(spark, path)
     return spark.read.parquet(path)
 
 
@@ -199,6 +264,7 @@ def global_row_number(
         .withColumn("__pid", F.spark_partition_id())
         .write.parquet(path)
     )
+    _warn_if_pin_oversized(spark, path)
     keyed = spark.read.parquet(path)
     counts = {
         r["__pid"]: r["n"]
@@ -306,6 +372,7 @@ def global_prefix_min(
         .withColumn("__pid", F.spark_partition_id())
         .write.parquet(path)
     )
+    _warn_if_pin_oversized(spark, path)
     keyed = spark.read.parquet(path)
     pm = {
         r["__pid"]: r["m"]
@@ -373,6 +440,7 @@ def global_prefix_sums(
         .withColumn("__pid", F.spark_partition_id())
         .write.parquet(path)
     )
+    _warn_if_pin_oversized(spark, path)
     keyed = spark.read.parquet(path)
     totals = keyed.groupBy("__pid").agg(
         *[F.sum(vc).cast("long").alias(vc) for vc in values]

@@ -255,3 +255,61 @@ def test_global_prefix_sums_desc_nulls_and_empty(spark):
     empty = spark.createDataFrame([], "id long, v long")
     out = global_prefix_sums(empty, [F.col("id")], {"v": "s"})
     assert out.count() == 0 and "s" in out.columns
+
+
+def test_pin_size_warning_fires_and_is_configurable(spark):
+    """Round-8 verdict item 6: a pin larger than
+    spark.files_kraken.scratch_pin_warn_bytes warns, naming the path;
+    the default threshold and 0 (disabled) stay silent."""
+    import warnings as _w
+
+    from files_kraken_spark.operators import ranks as R
+
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    old = spark.conf.get("spark.files_kraken.scratch_pin_warn_bytes", None)
+    try:
+        spark.conf.set("spark.files_kraken.scratch_pin_warn_bytes", "1")
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            out = R.pin_frame(df)
+            assert out.count() == 1000  # pin itself unaffected
+        msgs = [str(x.message) for x in rec]
+        assert any("scratch pin" in m and "bytes" in m for m in msgs), msgs
+
+        spark.conf.set("spark.files_kraken.scratch_pin_warn_bytes", "0")
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            R.pin_frame(df).count()
+        assert not any("scratch pin" in str(x.message) for x in rec)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.files_kraken.scratch_pin_warn_bytes")
+        else:
+            spark.conf.set("spark.files_kraken.scratch_pin_warn_bytes", old)
+
+
+def test_spread_small_scan_caches_partition_decision(spark):
+    """Round-8 advice: the .rdd physical-planning pass runs once per
+    semantically distinct frame; a repeat wrap is a cache hit, and
+    distinct frames get distinct cache entries (no collisions)."""
+    from files_kraken_spark.operators import ranks as R
+
+    R._SPREAD_NPART_CACHE.clear()
+    one = spark.range(0, 100).coalesce(1)
+    out1 = R.spread_small_scan(one)
+    assert len(R._SPREAD_NPART_CACHE) == 1
+    (cached,) = R._SPREAD_NPART_CACHE.values()
+    assert cached == 1
+    # spread actually fired: output partitioning is the default parallelism
+    assert out1.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # second wrap of the same frame: no new entry
+    R.spread_small_scan(spark.range(0, 100).coalesce(1))
+    assert len(R._SPREAD_NPART_CACHE) == 1
+    # a different frame is a different key
+    R.spread_small_scan(spark.range(0, 200).coalesce(1))
+    assert len(R._SPREAD_NPART_CACHE) == 2
+    # an already-wide frame passes through untouched
+    wide = spark.range(0, 1000).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    assert R.spread_small_scan(wide) is wide
