@@ -55,44 +55,21 @@ from . import pipeline  # noqa: E402,F401
 from . import extended  # noqa: E402,F401
 from . import advanced_sql  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
+from . import streaming_replay  # noqa: E402,F401
 
 # A budget-capped correctness pass walks the registry in order and may
-# only reach a prefix. Round-8 order (round-7 verdict item 1): the
-# never-driver-sampled backlog comes FIRST — two new streaming-sketch
-# replay queries, then the 78 registry names that have no row in any
-# CORRECTNESS_r*.json — so every driver sample this round lands on a
-# name with no prior driver evidence. Names and semantics are
-# byte-stable — only the iteration order changes. Missing names (new
-# queries pre-seeded before they land) skip harmlessly.
+# only reach a prefix. Round-9 order (round-8 verdict item 1): the 30
+# registry names that still have no row in any CORRECTNESS_r*.json
+# come FIRST (they sat at positions 50-79 last round, just past the
+# driver's 50-query window), then this round's 4 new streaming
+# batch-replay oracles (round-8 verdict item 3), then the queries
+# whose code paths changed this round — so the 50-query window drains
+# the never-sampled backlog to ZERO and re-evidences every changed
+# path, with nothing re-sampled that didn't change. Names and
+# semantics are byte-stable — only the iteration order changes.
 _SAMPLE_PRIORITY = [
-    # -- NEW this round (round 8): the only two registry additions —
-    # batch-replay oracles for the streaming HLL / Misra-Gries sketches
-    # (round-7 verdict item 4); never driver-sampled --
-    "t_streaming_hll_replay", "t_streaming_mg_replay",
-    # -- the 78-query never-driver-sampled backlog (round-7 verdict
-    # item 1): every name below this line and above the 'changed'
-    # marker has NO row in any CORRECTNESS_r*.json; the driver's
-    # 50-query window covers the first 48 of them this round, the
-    # remaining 30 lead round 9. Registry growth is FROZEN beyond the
-    # two replay queries above until this backlog drains. --
-    "t_dedup_bytes_saved", "emb_sign_hamming_topk",
-    "t_vocab_coverage_curve", "q_degree_assortativity",
-    "t_spearman_filters", "t_js_divergence", "q_benford_first_digit",
-    "q_rfm_segmentation", "q_abc_analysis", "q_cusum_changepoint",
-    "q_clustering_coefficient", "t_ndcg_sign_bits", "emb_jl_projection",
-    "t_tokenizer_fertility", "q_herfindahl_suppliers", "q_peak_concurrency",
-    "t_hard_negative_mining", "emb_label_balance", "q_dow_seasonality",
-    "q_repeat_purchase_interval", "q_xmr_control_limits",
-    "q_ab_test_proportions", "q_cohort_ltv_curve",
-    "q_powerlaw_degree_alpha", "q_wilson_quality_ci", "t_doc_keywords",
-    "t_psi_drift", "t_classifier_prf1", "t_corpus_stopwords",
-    "emb_pq_reconstruction_mse", "q_latency_heatmap", "q_top_session_paths",
-    "q_funnel_time_to_convert", "q_price_elasticity",
-    "q_markov_attribution", "q_temporal_dq_violations", "q_ma_crossover",
-    "q_duplicate_orders", "emb_ivf_recall_audit", "q_revenue_bridge",
-    "q_xyz_variability", "q_product_adoption_curve", "t_heaps_law_fit",
-    "t_filter_threshold_sweep", "t_line_dedup_stats",
-    "emb_kmeans_silhouette", "q_churn_hazard_curve", "q_dau_wau_stickiness",
+    # -- the last 30 never-driver-sampled names (driver union becomes
+    # 323+4/327 when these land) --
     "q_mann_whitney_u", "t_waterfill_source_caps", "q_entity_clusters",
     "q_lorenz_deciles", "t_hill_tail_index", "q_abc_migration",
     "t_bootstrap_mean_ci", "t_code_like_docs", "q_theil_index",
@@ -104,21 +81,54 @@ _SAMPLE_PRIORITY = [
     "t_facility_location_select", "t_mmr_rerank", "q_kneedle_adoption",
     "t_rbo_rankings", "q_acf_daily", "q_null_pattern_profile",
     "q_bass_diffusion_fit", "q_bounce_rate",
-    # -- changed this round (perf-only: shingle-stage pin, chunked
-    # moving-quantile, BFS frontier; all driver-green in r7) --
-    "q_moving_quantile", "q_bfs_hops", "t_kn_bigram_logprob",
-    "t_minhash_containment",
-    "q_jaccard_knn_graph", "dedup_ngram_jaccard", "dedup_overlap_coeff",
+    # -- NEW this round (round-8 verdict item 3): batch-replay oracles
+    # for the remaining stateful streaming family --
+    "t_streaming_gap_sessions_replay", "t_streaming_dedup_replay",
+    "t_streaming_session_totals_replay",
+    "t_streaming_band_candidates_replay",
+    # -- changed this round: the HLL replay's linear-counting branch
+    # moved to the portable integer ln (round-8 advice); the seven
+    # graph queries share the restructured+capped cooccurrence_edges
+    # builder (round-8 verdict item 2); the rest sit on the
+    # spread_small_scan decision cache / pin-size-guard paths --
+    "t_streaming_hll_replay",
+    "q_kcore_parts", "q_label_prop_communities", "q_bfs_hops",
+    "q_degree_assortativity", "q_clustering_coefficient",
+    "q_powerlaw_degree_alpha", "q_triangle_count",
+    "t_minhash_containment", "q_jaccard_knn_graph", "t_entropy_score",
+    "mm_png_decode_dhash", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "q_moving_quantile", "q_pagerank_supply",
+    # -- driver-green tail (all have hash-green rows in r1-r8),
+    # rough value order --
+    "t_streaming_mg_replay",
+    "t_dedup_bytes_saved", "emb_sign_hamming_topk",
+    "t_vocab_coverage_curve",
+    "t_spearman_filters", "t_js_divergence", "q_benford_first_digit",
+    "q_rfm_segmentation", "q_abc_analysis", "q_cusum_changepoint",
+    "t_ndcg_sign_bits", "emb_jl_projection",
+    "t_tokenizer_fertility", "q_herfindahl_suppliers", "q_peak_concurrency",
+    "t_hard_negative_mining", "emb_label_balance", "q_dow_seasonality",
+    "q_repeat_purchase_interval", "q_xmr_control_limits",
+    "q_ab_test_proportions", "q_cohort_ltv_curve",
+    "q_wilson_quality_ci", "t_doc_keywords",
+    "t_psi_drift", "t_classifier_prf1", "t_corpus_stopwords",
+    "emb_pq_reconstruction_mse", "q_latency_heatmap", "q_top_session_paths",
+    "q_funnel_time_to_convert", "q_price_elasticity",
+    "q_markov_attribution", "q_temporal_dq_violations", "q_ma_crossover",
+    "q_duplicate_orders", "emb_ivf_recall_audit", "q_revenue_bridge",
+    "q_xyz_variability", "q_product_adoption_curve", "t_heaps_law_fit",
+    "t_filter_threshold_sweep", "t_line_dedup_stats",
+    "emb_kmeans_silhouette", "q_churn_hazard_curve", "q_dau_wau_stickiness",
+    "t_kn_bigram_logprob", "dedup_overlap_coeff",
     "t_minhash_est_vs_exact",
-    # -- driver-green tail, rough value order --
     "q_json_extract", "emb_top_pc_power", "t_oov_rate", "sim_hybrid_rrf",
-    "t_ngram_novelty", "t_entropy_score", "t_context_pack", "q_decay_topk",
+    "t_ngram_novelty", "t_context_pack", "q_decay_topk",
     "t_score_calibrate", "t_stratified_sample_hash", "q_skyline_orders",
     "t_dup_cluster_sizes", "emb_pc_outliers", "t_unigram_logprob",
-    "emb_dim_fidelity", "q_kcore_parts", "t_lsh_recall_audit",
+    "emb_dim_fidelity", "t_lsh_recall_audit",
     "t_shard_skew_audit", "q_gap_islands", "q_mode_per_group",
     "q_cdc_compact", "q_last_touch_attribution", "t_zipf_fit",
-    "t_bigram_surprisal", "t_dataset_card", "q_label_prop_communities",
+    "t_bigram_surprisal", "t_dataset_card",
     "t_weighted_reservoir", "t_dp_count_release",
     "t_curriculum_interleave", "sim_mips_norm_trick", "t_doc_pair_rouge2",
     "t_quality_logistic", "q_watermark_lateness_audit",
@@ -126,16 +136,16 @@ _SAMPLE_PRIORITY = [
     "q_new_vs_returning", "t_filter_agreement_kappa", "q_gini_revenue",
     "q_holt_linear", "q_table_checksum", "q_partition_planner",
     "q_gap_fill_ffill", "q_linear_interpolate", "q_rolling_zscore",
-    "q_ewma_halflife", "q_triangle_count", "q_fuzzy_match_blocked",
+    "q_ewma_halflife", "q_fuzzy_match_blocked",
     "q_market_basket_lift", "q_funnel_conversion_window", "mm_scene_cuts",
     "t_quality_terciles", "t_rare_trigram_ratio", "t_bm25_topk",
     "q_scd2_intervals", "sem_dedup_incremental", "t_winsorize",
-    "t_pii_scrub", "t_pii_stats", "mm_png_decode_dhash",
+    "t_pii_scrub", "t_pii_stats",
     "q_sequential_pattern", "t_cross_dup_overlap", "t_robust_scale",
     "t_doc_prefix_clusters", "q_mutual_info_terms", "t_type_token_ratio",
     "t_udf_isolation_score", "q_range_join_binned", "q_group_regression",
     "q_mad_anomaly", "emb_standardize", "t_dedup_survivorship",
-    "q_distribution_windows", "q_pagerank_supply", "q_ntile_rank_frames",
+    "q_distribution_windows", "q_ntile_rank_frames",
     "t_global_shuffle", "d2_ordered_changes", "sim_ivf_trained_topk",
     "sim_ivfpq_topk", "sem_dedup_kmeans", "mm_audio_neardup",
     "a11_upsert_cow", "sim_cosine_topk", "sim_knn_classify",

@@ -1,0 +1,279 @@
+"""Batch-replay oracles for the custom stateful streaming operators.
+
+Round-8 verdict item 3 (extends the round-7 HLL/Misra-Gries precedent
+in ``pipeline.py``): each `applyInPandasWithState` /
+`transformWithStateInPandas` operator in ``streaming/stateful.py``
+whose cross-batch semantics are batching-INVARIANT gets a registry
+query that reproduces, at rest and in distributed SQL on both engines,
+exactly what the streaming op's checkpointed state/emissions converge
+to after folding every row. The driver's hash compare then gives the
+streaming family the same class of evidence the batch operators have:
+any regression in the shared fold logic hash-fails the replay row, and
+the pytest twins (tests/test_stateful_streaming.py) pin the REAL
+streaming fold to the same values on the same rows.
+
+Reference semantics mirrored: the poll-batch change sessions of
+files-kraken's monitoring loop
+(/root/reference/src/files_kraken/monitoring/_monitoring.py:39-50) —
+events arriving within a quiet-gap window belong to one logical batch;
+the gap-session replay is that contract at event-time scale.
+
+Why each replay is exact regardless of micro-batch boundaries:
+
+- gap sessions: for any TIME-ORDERED batching (each micro-batch's
+  events are at or after the previous batch's — the watermarked
+  streaming contract; genuinely late data is the sessionizer's
+  documented caveat, not the replay's), session membership depends
+  only on the global per-key event-time order: the fold sorts each
+  batch and keeps the open session in state, so batch boundaries
+  never split or merge a session. Closed-session emission = all
+  sessions except each key's last (the open one, which only a later
+  event or timer closes).
+- exact dedup: the union of per-batch `fresh_values` emissions over
+  ANY batching is the per-key distinct set — first-occurrence order
+  varies with batching, set membership does not. The replay digests
+  the SORTED set, the canonical batching-invariant view.
+- session totals (v2 API): per-key row count is additive; the value
+  total is replayed in exact integer cents (the double `.sum()` the
+  processor keeps is subject to float addition order — the replay
+  checks the SEMANTICS in arithmetic where every grouping/batching
+  folds to the same bits; see the docstring note on the query).
+- LSH band candidates: for a band below its occupancy cap, the
+  replay-safe fold emits exactly the i<j pair set of the band's
+  members, whatever order they arrived in. Over-cap (frozen) bands
+  are emission-order-DEPENDENT by design, so the replay excludes
+  them — at the tested corpora no band reaches the default cap
+  (asserted in the pytest twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from . import register
+from .llm_ops import _SQL_SHINGLES, _band_sql, _minhash_sql
+
+#: event-time quiet gap for the session replay: 1 day in nanoseconds.
+#: At sf0.01 this yields ~1,200 sessions over 150 users (~8 events
+#: each) — real cross-batch merging, unlike an hour gap where nearly
+#: every event is its own session on this corpus's event spacing.
+GAP_NS = 86_400 * 1_000_000_000
+
+#: mirrors streaming.stateful.DEFAULT_MAX_BAND_OCCUPANCY
+BAND_CAP = 256
+
+
+@register(
+    "t_streaming_gap_sessions_replay",
+    oracle=f"""
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) * 1000 AS t, event_id
+  FROM events
+), flags AS (
+  SELECT key, t, event_id,
+         CASE WHEN t - lag(t) OVER (PARTITION BY key ORDER BY t, event_id)
+                   > {GAP_NS} THEN 1 ELSE 0 END AS is_new
+  FROM ev
+), sess AS (
+  SELECT key, t,
+         CAST(sum(is_new) OVER (PARTITION BY key ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sno
+  FROM flags
+), agg AS (
+  SELECT key, sno,
+         min(t) AS session_start_ns,
+         max(t) AS session_end_ns,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT key, session_start_ns, session_end_ns, n_events
+FROM (SELECT *, max(sno) OVER (PARTITION BY key) AS mx FROM agg)
+WHERE sno < mx
+""",
+    doc="Batch replay of the streaming gap sessionizer "
+    "(streaming/stateful.py gap_sessions, 1-day gap): lag + running "
+    "sum reconstructs the same session boundaries the checkpointed "
+    "(start, last, n) state converges to — for any TIME-ORDERED "
+    "batching (the watermarked streaming contract), session "
+    "membership depends only on the global per-key event-time order, "
+    "so micro-batch boundaries can never split or merge a session "
+    "(the fold sorts each batch and carries the open session; "
+    "genuinely late data is the sessionizer's documented caveat, not "
+    "the replay's). Emits CLOSED sessions "
+    "only, exactly as the streaming op does in append mode: each "
+    "key's final session (max running session number) is the one "
+    "still open in state and is excluded. The pytest twin folds the "
+    "same rows through the op's pure fold in adversarial batchings "
+    "and pins equality. Scale shape: one keyed window (partitioned "
+    "by user — no global window), one keyed agg.",
+)
+def t_streaming_gap_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ts").alias("t"),  # long nanos (load_table contract)
+        "event_id",
+    )
+    wo = Window.partitionBy("key").orderBy("t", "event_id")
+    is_new = F.when(
+        F.col("t") - F.lag("t").over(wo) > F.lit(GAP_NS), 1
+    ).otherwise(0)
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "sno",
+        F.sum("is_new")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    agg = sess.groupBy("key", "sno").agg(
+        F.min("t").alias("session_start_ns"),
+        F.max("t").alias("session_end_ns"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    mx = F.max("sno").over(Window.partitionBy("key"))
+    return (
+        agg.withColumn("mx", mx)
+        .filter(F.col("sno") < F.col("mx"))
+        .select("key", "session_start_ns", "session_end_ns", "n_events")
+    )
+
+
+@register(
+    "t_streaming_dedup_replay",
+    oracle="""
+WITH vals AS (
+  SELECT DISTINCT event_type AS key, CAST(user_id AS VARCHAR) AS v FROM events
+), totals AS (
+  SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+)
+SELECT v.key, t.n_rows,
+       CAST(count(*) AS BIGINT) AS n_fresh,
+       md5(string_agg(v.v, ',' ORDER BY v.v)) AS seen_digest
+FROM vals v JOIN totals t USING (key)
+GROUP BY v.key, t.n_rows
+""",
+    doc="Batch replay of the streaming exact dedup "
+    "(streaming/stateful.py streaming_dedup): the union of per-batch "
+    "fresh_values emissions over ANY batching is the per-key distinct "
+    "set (first-emission order varies with batching; membership does "
+    "not), so the replay checks the batching-invariant view — the "
+    "count of values ever emitted as fresh and an md5 digest of the "
+    "SORTED seen-set the checkpoint state converges to. Any "
+    "regression that drops, duplicates, or invents a fresh value "
+    "changes n_fresh or the digest and hash-fails the row. The "
+    "pytest twin folds the same rows through the op's pure fold "
+    "under adversarial batchings and pins the same set. Scale shape: "
+    "one keyed distinct + one keyed agg (sort inside a 5-group "
+    "collect is bounded by per-key distinct users).",
+)
+def t_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        F.col("event_type").alias("key"),
+        F.col("user_id").cast("string").alias("v"),
+    ).distinct()
+    totals = ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    seen = vals.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_fresh"),
+        F.md5(F.array_join(F.array_sort(F.collect_set("v")), ",")).alias(
+            "seen_digest"
+        ),
+    )
+    return seen.join(F.broadcast(totals), "key").select(
+        "key", "n_rows", "n_fresh", "seen_digest"
+    )
+
+
+@register(
+    "t_streaming_session_totals_replay",
+    oracle="""
+SELECT event_type AS key,
+       CAST(count(*) AS BIGINT) AS events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_total_cents
+FROM events GROUP BY 1
+""",
+    doc="Batch replay of the v2-API running session totals "
+    "(streaming/stateful.py session_totals_v2, "
+    "transformWithStateInPandas): per-key event count and value total "
+    "are additive folds, so the final ValueState equals the at-rest "
+    "keyed aggregate for every batching. The value total is replayed "
+    "in exact integer CENTS (value has 2 decimals; round(value*100) "
+    "recovers the exact integer on both engines) because the "
+    "processor's float .sum() is addition-order-dependent at the ulp "
+    "— the replay checks the fold's semantics in arithmetic where "
+    "every grouping folds to identical bits. The pytest twin drives "
+    "the actual processor (protobuf-gated) and compares counts "
+    "exactly, totals to float tolerance. Scale shape: one keyed "
+    "partial agg, 5 output rows.",
+)
+def t_streaming_session_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "value_total_cents"
+        ),
+    )
+
+
+@register(
+    "t_streaming_band_candidates_replay",
+    oracle=f"""
+WITH {_SQL_SHINGLES},
+{_minhash_sql(16, 42).strip().rstrip()}
+,
+{_band_sql(16, 4)},
+occ AS (
+  SELECT band_key, count(*) AS n FROM banded GROUP BY 1
+), elig AS (
+  SELECT b.doc_id, b.band_key
+  FROM banded b JOIN occ USING (band_key)
+  WHERE occ.n <= {BAND_CAP}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.band_key AS band_key
+FROM elig a JOIN elig b
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+    doc="Batch replay of the streaming LSH candidate generator "
+    "(streaming/stateful.py streaming_band_candidates): for a band "
+    "below its occupancy cap the replay-safe fold emits EXACTLY the "
+    "i<j pair set of the band's members whatever order they arrive "
+    "in (each new id pairs against all stored ids once; redeliveries "
+    "are skipped), so the at-rest equi-self-join within eligible "
+    "bands reproduces the streaming emission verbatim — same "
+    "(id_a, id_b, band_key) rows, same portable md5 minhash/band "
+    "math as the batch dedup oracles. Bands OVER the cap freeze "
+    "mid-arrival (emission becomes order-dependent by design) and "
+    "are excluded from the replay; the pytest twin asserts no band "
+    "reaches the default cap on the test corpora, so the exclusion "
+    "is vacuous there. Scale shape: banded signatures via map-side "
+    "min aggs, one keyed occupancy agg, one keyed self-join whose "
+    "per-band fan-out is bounded by the cap — never corpus².",
+)
+def t_streaming_band_candidates_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import band_keys
+    from ..operators.ranks import spread_small_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    bk = band_keys(
+        spread_small_scan(docs.select("doc_id", "text")),
+        "doc_id",
+        "text",
+        k_shingle=3,
+        num_hashes=16,
+        bands=4,
+    )
+    occ = bk.groupBy("band_key").agg(F.count(F.lit(1)).alias("n"))
+    elig = bk.join(occ.filter(F.col("n") <= BAND_CAP), "band_key").select(
+        "doc_id", "band_key"
+    )
+    a = elig.select(F.col("doc_id").alias("id_a"), "band_key")
+    b = elig.select(F.col("doc_id").alias("id_b"), "band_key")
+    return a.join(b, "band_key").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "band_key"
+    )

@@ -1,0 +1,154 @@
+"""Evidence bridges for the round-9 streaming batch-replay oracles
+(queries/streaming_replay.py): each replay registry query is pinned to
+the ACTUAL streaming fold semantics on the same rows, under
+adversarial (but time-ordered, for the sessionizer) batchings — the
+same contract the HLL/MG replay twins established in round 8."""
+
+from __future__ import annotations
+
+import hashlib
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    from files_kraken_spark.sources.tables import load_table
+
+    return load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).collect()
+
+
+def test_gap_sessions_replay_matches_pure_fold(spark):
+    """Replay query rows == the streaming gap-session fold (sorted
+    batches, open-session state carried, closed sessions emitted) run
+    over the same events in three time-ordered micro-batches per key."""
+    from files_kraken_spark.queries.streaming_replay import (
+        GAP_NS,
+        t_streaming_gap_sessions_replay,
+    )
+
+    got = {
+        (r["key"], r["session_start_ns"]): (r["session_end_ns"], r["n_events"])
+        for r in t_streaming_gap_sessions_replay(spark, SF).collect()
+    }
+
+    by_key: dict = {}
+    for r in _events(spark):
+        by_key.setdefault(str(r["user_id"]), []).append((r["ts"], r["event_id"]))
+    want: dict = {}
+    for key, evs in by_key.items():
+        evs.sort()
+        ts = [t for t, _ in evs]
+        # fold in 3 time-ordered chunks, carrying (start, last, n) state
+        # across chunk boundaries the way GroupState carries it
+        start = last = None
+        n = 0
+        k = max(1, len(ts) // 3)
+        for chunk in (ts[i : i + k] for i in range(0, len(ts), k)):
+            for t in sorted(chunk):
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last <= GAP_NS:
+                    last, n = t, n + 1
+                else:
+                    want[(key, start)] = (last, n)  # closed session
+                    start, last, n = t, t, 1
+        # the final open session is NOT emitted (still in state)
+    assert got == want
+    assert len(got) > len(by_key)  # the 1-day gap produced real splits
+
+
+def test_dedup_replay_matches_pure_fold(spark):
+    """Replay digest/count == union of per-batch fresh emissions of the
+    streaming seen-set fold, for two different batchings (invariance)."""
+    from files_kraken_spark.queries.streaming_replay import (
+        t_streaming_dedup_replay,
+    )
+
+    got = {r["key"]: r for r in t_streaming_dedup_replay(spark, SF).collect()}
+    by_key: dict = {}
+    for r in _events(spark):
+        by_key.setdefault(r["event_type"], []).append(str(r["user_id"]))
+    assert set(got) == set(by_key)
+    for key, vals in by_key.items():
+        fresh_sets = []
+        for nb in (2, 5):  # two adversarial batchings
+            seen: set = set()
+            fresh: list = []
+            k = max(1, len(vals) // nb)
+            for chunk in (vals[i : i + k] for i in range(0, len(vals), k)):
+                for v in chunk:
+                    if v not in seen:
+                        seen.add(v)
+                        fresh.append(v)
+            fresh_sets.append(set(fresh))
+        assert fresh_sets[0] == fresh_sets[1] == set(vals)  # invariant
+        digest = hashlib.md5(
+            ",".join(sorted(fresh_sets[0])).encode()
+        ).hexdigest()
+        assert got[key]["seen_digest"] == digest
+        assert got[key]["n_fresh"] == len(fresh_sets[0])
+        assert got[key]["n_rows"] == len(vals)
+
+
+def test_session_totals_replay_exact_cents(spark):
+    """Replay totals == exact integer-cent fold of the same rows; the
+    additive fold is batching-invariant by construction."""
+    from files_kraken_spark.queries.streaming_replay import (
+        t_streaming_session_totals_replay,
+    )
+
+    got = {
+        r["key"]: (r["events"], r["value_total_cents"])
+        for r in t_streaming_session_totals_replay(spark, SF).collect()
+    }
+    want: dict = {}
+    for r in _events(spark):
+        ev, cents = want.get(r["event_type"], (0, 0))
+        want[r["event_type"]] = (ev + 1, cents + round(r["value"] * 100))
+    assert got == want
+
+
+def test_band_candidates_replay_matches_streaming_fold(spark):
+    """(a) No band reaches the default occupancy cap on the test corpus
+    (so the replay's over-cap exclusion is vacuous there); (b) the
+    replay pair set equals the streaming fold's emissions for two
+    arrival orders of each band's members."""
+    from files_kraken_spark.operators.dedup import band_keys
+    from files_kraken_spark.queries.streaming_replay import (
+        BAND_CAP,
+        t_streaming_band_candidates_replay,
+    )
+    from files_kraken_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    bk = band_keys(docs, "doc_id", "text", k_shingle=3, num_hashes=16, bands=4)
+    members: dict = {}
+    for r in bk.collect():
+        members.setdefault(r["band_key"], []).append(int(r["doc_id"]))
+    assert max(len(v) for v in members.values()) < BAND_CAP
+
+    got = {
+        (r["id_a"], r["id_b"], r["band_key"])
+        for r in t_streaming_band_candidates_replay(spark, SF).collect()
+    }
+    want = set()
+    for band, ids in members.items():
+        for order in (sorted(ids), sorted(ids, reverse=True)):
+            emitted = set()
+            stored: list = []
+            for nid in order:
+                if nid in stored:
+                    continue
+                for old in stored:
+                    emitted.add((min(old, nid), max(old, nid), band))
+                stored.append(nid)
+            # arrival order must not change the emitted pair set
+            assert emitted == {
+                (min(a, b), max(a, b), band)
+                for i, a in enumerate(ids)
+                for b in ids[i + 1 :]
+            }
+        want |= emitted
+    assert got == want
