@@ -27,6 +27,7 @@ def cooccurrence_edges(
     item_col: str,
     directed: bool = True,
     max_group_size: int = 10_000,
+    join_path_threshold: int | None = None,
 ) -> DataFrame:
     """Distinct co-occurrence edges (items sharing a group are
     adjacent) via one groupBy + map-side pair expansion: collect the
@@ -60,6 +61,22 @@ def cooccurrence_edges(
     cap never fires on the test corpora and the seven graph-query
     oracles are unaffected; pass ``None`` to disable.
 
+    ``join_path_threshold`` (opt-in; round-8 ADVICE's hybrid): the
+    staged expansion bounds MEMORY at O(k) per row but still computes
+    an oversized group's k²/2 pairs inside ONE task — measured on a
+    single 5,000-item group: 12.6s in that straggler task vs 0.55s
+    for a self-join, which parallelizes the same pair set across the
+    cluster. With a threshold set, groups at or under it expand via
+    the staged generates (one shuffle, pairs born canonical — the
+    fast path for the short-basket groups real co-occurrence data is
+    made of), while larger groups are exploded back to (group, item)
+    rows and equi-self-joined. The set frame is pinned once
+    (scratch-parquet, zero cache entries) so the two branches read
+    one materialization instead of recomputing the groupBy. Default
+    ``None`` keeps the single-path plan: on corpora like TPC-H
+    (groups ≤7) the routing's pin write costs more than it can ever
+    save, and ``max_group_size`` already bounds the straggler.
+
     ``directed=True``: both (u, v) and (v, u), u != v — the layout
     label-prop/BFS/assortativity expect. ``directed=False``: u < v
     once (triangle/k-core layout).
@@ -67,23 +84,43 @@ def cooccurrence_edges(
     sets = df.groupBy(group_col).agg(F.collect_set(item_col).alias("__ps"))
     if max_group_size is not None:
         sets = sets.filter(F.size("__ps") <= max_group_size)
-    pairs = (
-        sets.select(F.col("__ps"), F.posexplode("__ps").alias("__i", "__x"))
-        .select(
-            F.col("__x"),
-            F.expr("slice(__ps, __i + 2, size(__ps))").alias("__t"),
+
+    def _staged(s: DataFrame) -> DataFrame:
+        return (
+            s.select(F.col("__ps"), F.posexplode("__ps").alias("__i", "__x"))
+            .select(
+                F.col("__x"),
+                F.expr("slice(__ps, __i + 2, size(__ps))").alias("__t"),
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(__t, y -> "
+                        "struct(least(__x, y) AS u, greatest(__x, y) AS v))"
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
         )
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(__t, y -> "
-                    "struct(least(__x, y) AS u, greatest(__x, y) AS v))"
-                )
-            ).alias("e")
+
+    if join_path_threshold is None:
+        pairs = _staged(sets).distinct()
+    else:
+        from .ranks import pin_frame
+
+        sets = pin_frame(sets)
+        small = _staged(sets.filter(F.size("__ps") <= join_path_threshold))
+        big_items = sets.filter(F.size("__ps") > join_path_threshold).select(
+            F.col(group_col).alias("__g"), F.explode("__ps").alias("__it")
         )
-        .select("e.u", "e.v")
-        .distinct()
-    )
+        a = big_items.select("__g", F.col("__it").alias("u"))
+        b = big_items.select("__g", F.col("__it").alias("v"))
+        big = (
+            a.join(b, "__g")
+            .filter(F.col("u") < F.col("v"))
+            .select("u", "v")
+        )
+        pairs = small.unionByName(big).distinct()
     if not directed:
         return pairs
     return pairs.unionByName(

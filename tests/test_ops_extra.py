@@ -1174,3 +1174,37 @@ def test_cooccurrence_edges_max_group_size_cap(spark):
     big = spark.createDataFrame([("g", i) for i in range(500)], ["grp", "item"])
     assert cooccurrence_edges(big, "grp", "item", directed=False).count() \
         == 500 * 499 // 2
+
+
+def test_cooccurrence_edges_join_path_threshold_hybrid(spark):
+    """The opt-in hybrid (round-8 advice): oversized groups route
+    through the parallel equi-self-join, small ones through the staged
+    expansion — edge set identical to the single-path plan, for both
+    layouts, with the cap still composing on top."""
+    from files_kraken_spark.operators.graph import cooccurrence_edges
+
+    rows = (
+        [("big", i) for i in range(50)]
+        + [("mid", 100 + i) for i in range(8)]
+        + [("small", 201), ("small", 202), ("lone", 300)]
+    )
+    df = spark.createDataFrame(rows, ["grp", "item"])
+    for directed in (False, True):
+        plain = set(
+            map(tuple, cooccurrence_edges(df, "grp", "item",
+                                          directed=directed).collect())
+        )
+        hybrid = set(
+            map(tuple, cooccurrence_edges(df, "grp", "item",
+                                          directed=directed,
+                                          join_path_threshold=8).collect())
+        )
+        assert hybrid == plain
+        assert len(plain) == (50 * 49 // 2 + 8 * 7 // 2 + 1) * (2 if directed else 1)
+    # cap composes: over-cap groups drop before routing
+    capped = cooccurrence_edges(df, "grp", "item", directed=False,
+                                max_group_size=10, join_path_threshold=4)
+    got = set(map(tuple, capped.collect()))
+    assert got == {(201, 202)} | {
+        (100 + i, 100 + j) for i in range(8) for j in range(i + 1, 8)
+    }
