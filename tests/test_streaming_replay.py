@@ -152,3 +152,160 @@ def test_band_candidates_replay_matches_streaming_fold(spark):
             }
         want |= emitted
     assert got == want
+
+
+def _run_stream(spark, tmp_path, out, name):
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_gap_sessions_streaming_op_end_to_end_matches_replay(spark, tmp_path):
+    """The ACTUAL applyInPandasWithState sessionizer, fed the real
+    sf0.001 events in three time-ordered micro-batches (file-source
+    batching), emits exactly the closed-session rows the batch-replay
+    registry query computes at rest."""
+    import json
+
+    from files_kraken_spark.queries.streaming_replay import (
+        GAP_NS,
+        t_streaming_gap_sessions_replay,
+    )
+    from files_kraken_spark.streaming.stateful import gap_sessions
+
+    rows = sorted(
+        (
+            (str(r["user_id"]), int(r["ts"]))
+            for r in _events(spark)
+        ),
+        key=lambda kv: kv[1],  # global time order -> time-ordered batches
+    )
+    src = tmp_path / "src_gap"
+    src.mkdir()
+    k = (len(rows) + 2) // 3
+    for i in range(3):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps({"key": kk, "ts": tt})
+                for kk, tt in rows[i * k : (i + 1) * k]
+            )
+        )
+    stream = (
+        spark.readStream.schema("key string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    got = {
+        (r["key"], r["session_start_ns"], r["session_end_ns"], r["n_events"])
+        for r in _run_stream(
+            spark, tmp_path, gap_sessions(stream.groupBy("key"), gap_ns=GAP_NS),
+            "gap_e2e",
+        )
+    }
+    want = {
+        (r["key"], r["session_start_ns"], r["session_end_ns"], r["n_events"])
+        for r in t_streaming_gap_sessions_replay(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_op_end_to_end_matches_replay(spark, tmp_path):
+    """The actual streaming_dedup operator over real events (two
+    micro-batches): the union of its fresh emissions digests to
+    exactly the replay query's per-key seen_digest / n_fresh."""
+    import json
+
+    from files_kraken_spark.queries.streaming_replay import (
+        t_streaming_dedup_replay,
+    )
+    from files_kraken_spark.streaming.stateful import streaming_dedup
+
+    evs = [(r["event_type"], str(r["user_id"])) for r in _events(spark)]
+    src = tmp_path / "src_dd"
+    src.mkdir()
+    k = (len(evs) + 1) // 2
+    for i in range(2):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps({"key": kk, "value": vv})
+                for kk, vv in evs[i * k : (i + 1) * k]
+            )
+        )
+    stream = (
+        spark.readStream.schema("key string, value string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    fresh: dict = {}
+    for r in _run_stream(
+        spark, tmp_path, streaming_dedup(stream.groupBy("key")), "dd_e2e"
+    ):
+        fresh.setdefault(r["key"], []).extend(r["fresh_values"])
+    got = {
+        k: (len(v), hashlib.md5(",".join(sorted(v)).encode()).hexdigest())
+        for k, v in fresh.items()
+    }
+    want = {
+        r["key"]: (r["n_fresh"], r["seen_digest"])
+        for r in t_streaming_dedup_replay(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_band_candidates_op_end_to_end_matches_replay(spark, tmp_path):
+    """The actual streaming LSH candidate generator over the real
+    sf0.001 documents (two micro-batches through the row-wise
+    band_keys signature): its emitted pair set equals the replay
+    query's at-rest self-join rows."""
+    from files_kraken_spark.operators.dedup import band_keys
+    from files_kraken_spark.queries.streaming_replay import (
+        t_streaming_band_candidates_replay,
+    )
+    from files_kraken_spark.sources.tables import load_table
+    from files_kraken_spark.streaming.stateful import (
+        streaming_band_candidates,
+    )
+
+    import json
+
+    docs = [
+        (int(r["doc_id"]), r["text"])
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    src = tmp_path / "src_band"
+    src.mkdir()
+    half = len(docs) // 2
+    for i, chunk in enumerate((docs[:half], docs[half:])):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps({"doc_id": d, "text": t}) for d, t in chunk
+            )
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    bk = band_keys(stream, "doc_id", "text", k_shingle=3, num_hashes=16,
+                   bands=4)
+    got = {
+        (r["id_a"], r["id_b"], r["band_key"])
+        for r in _run_stream(
+            spark, tmp_path,
+            streaming_band_candidates(bk.groupBy("band_key")), "band_e2e",
+        )
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["band_key"])
+        for r in t_streaming_band_candidates_replay(spark, SF).collect()
+    }
+    assert got == want
