@@ -1,0 +1,78 @@
+"""Property-based checks for the co-occurrence edge builder against a
+naive Python reference on arbitrary small group/item frames — all
+three code paths (staged expansion, cap filter, hybrid join routing)
+must agree with set semantics for every input, both layouts."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from files_kraken_spark.operators.graph import cooccurrence_edges
+
+ROW = st.tuples(st.integers(0, 5), st.integers(0, 12))  # (group, item)
+ROWS = st.lists(ROW, min_size=1, max_size=40)
+
+
+def _naive(rows, directed):
+    groups: dict = {}
+    for g, it in rows:
+        groups.setdefault(g, set()).add(it)
+    und = {
+        (min(a, b), max(a, b))
+        for items in groups.values()
+        for a in items
+        for b in items
+        if a != b
+    }
+    if not directed:
+        return und
+    return und | {(b, a) for a, b in und}
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ROWS, directed=st.booleans(), thr=st.sampled_from([None, 1, 3]))
+def test_cooccurrence_edges_matches_naive(spark, rows, directed, thr):
+    df = spark.createDataFrame(rows, "grp long, item long")
+    got = set(
+        map(
+            tuple,
+            cooccurrence_edges(
+                df, "grp", "item", directed=directed, join_path_threshold=thr
+            ).collect(),
+        )
+    )
+    assert got == _naive(rows, directed)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ROWS, cap=st.integers(1, 6))
+def test_cooccurrence_cap_is_exact_group_filter(spark, rows, cap):
+    """The cap must behave exactly like dropping whole groups whose
+    DISTINCT item count exceeds it — never partial output."""
+    df = spark.createDataFrame(rows, "grp long, item long")
+    got = set(
+        map(
+            tuple,
+            cooccurrence_edges(
+                df, "grp", "item", directed=False, max_group_size=cap
+            ).collect(),
+        )
+    )
+    kept = [
+        (g, it)
+        for g, it in rows
+        if len({i for gg, i in rows if gg == g}) <= cap
+    ]
+    assert got == _naive(kept, False)
