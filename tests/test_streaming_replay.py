@@ -154,6 +154,20 @@ def test_band_candidates_replay_matches_streaming_fold(spark):
     assert got == want
 
 
+def _stamp_order(paths):
+    """Force strictly increasing mtimes: the file source admits files
+    in modification-time order, and same-second writes tie-break
+    arbitrarily — the gap-session E2E needs batch order to BE the
+    event-time order (a real deployment's arrival order), and flaked
+    once in a full-suite run when two files landed in the same tick."""
+    import os
+    import time
+
+    base = time.time() - len(paths) * 10
+    for i, p in enumerate(paths):
+        os.utime(p, (base + i * 10, base + i * 10))
+
+
 def _run_stream(spark, tmp_path, out, name):
     q = (
         out.writeStream.format("memory")
@@ -197,6 +211,7 @@ def test_gap_sessions_streaming_op_end_to_end_matches_replay(spark, tmp_path):
                 for kk, tt in rows[i * k : (i + 1) * k]
             )
         )
+    _stamp_order([src / f"b{i}.json" for i in range(3)])
     stream = (
         spark.readStream.schema("key string, ts long")
         .option("maxFilesPerTrigger", 1)
@@ -238,6 +253,7 @@ def test_streaming_dedup_op_end_to_end_matches_replay(spark, tmp_path):
                 for kk, vv in evs[i * k : (i + 1) * k]
             )
         )
+    _stamp_order([src / f"b{i}.json" for i in range(2)])
     stream = (
         spark.readStream.schema("key string, value string")
         .option("maxFilesPerTrigger", 1)
@@ -290,6 +306,7 @@ def test_band_candidates_op_end_to_end_matches_replay(spark, tmp_path):
                 json.dumps({"doc_id": d, "text": t}) for d, t in chunk
             )
         )
+    _stamp_order([src / f"b{i}.json" for i in range(2)])
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
