@@ -39,8 +39,10 @@ def cooccurrence_edges(
     mirrored pair set): here the table shuffles once, pairs are born
     canonical so distinct runs on half the rows, and the ``directed``
     mirror is a shuffle-free union afterwards. Measured at sf0.1 on
-    the parts co-purchase graph: 2.6s -> 1.5s for the same
-    2,392,000-edge result.
+    the parts co-purchase graph (SCALING.md round 9, undirected
+    1,196,000-edge result): self-join 1.53s, this staged expansion
+    1.09s — and the staging costs nothing over the round-8
+    single-array lambda (1.12s) while removing its memory cliff.
 
     Skew safety (round-8 verdict weak): an earlier shape built each
     group's complete k(k-1)/2 struct array in ONE row
