@@ -206,10 +206,12 @@ FROM events GROUP BY 1
     "recovers the exact integer on both engines) because the "
     "processor's float .sum() is addition-order-dependent at the ulp "
     "— the replay checks the fold's semantics in arithmetic where "
-    "every grouping folds to identical bits. The pytest twin drives "
-    "the actual processor (protobuf-gated) and compares counts "
-    "exactly, totals to float tolerance. Scale shape: one keyed "
-    "partial agg, 5 output rows.",
+    "every grouping folds to identical bits. The pytest twin "
+    "(tests/test_streaming_replay.py) folds the same rows to exact "
+    "cents in Python; the processor itself is exercised by the "
+    "protobuf-gated v2 test in tests/test_stateful.py (gate arm runs "
+    "where the v2 runtime is absent — no silent skip). Scale shape: "
+    "one keyed partial agg, 5 output rows.",
 )
 def t_streaming_session_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
