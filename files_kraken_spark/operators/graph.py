@@ -20,6 +20,14 @@ from pyspark.sql import functions as F
 
 UNIT = 1_000_000  # rank mass per node, in micro-units
 
+#: "auto" routing picks the equi-self-join path for groups larger than
+#: this. Derived from round-9 measurements (SCALING.md): a k-item
+#: group's staged expansion runs its k²/2 pairs inside ONE task at
+#: ~0.5 µs/pair (5,000-item group: 12.6s straggler vs 0.55s join),
+#: while the hybrid's pin write costs a ~0.3-0.5s flat tax — the
+#: straggler overtakes the tax near k ≈ 1,000.
+AUTO_JOIN_THRESHOLD = 1_024
+
 
 def cooccurrence_edges(
     df: DataFrame,
@@ -27,7 +35,7 @@ def cooccurrence_edges(
     item_col: str,
     directed: bool = True,
     max_group_size: int = 10_000,
-    join_path_threshold: int | None = None,
+    join_path_threshold: int | None | str = "auto",
 ) -> DataFrame:
     """Distinct co-occurrence edges (items sharing a group are
     adjacent) via one groupBy + map-side pair expansion: collect the
@@ -63,26 +71,78 @@ def cooccurrence_edges(
     cap never fires on the test corpora and the seven graph-query
     oracles are unaffected; pass ``None`` to disable.
 
-    ``join_path_threshold`` (opt-in; round-8 ADVICE's hybrid): the
-    staged expansion bounds MEMORY at O(k) per row but still computes
-    an oversized group's k²/2 pairs inside ONE task — measured on a
-    single 5,000-item group: 12.6s in that straggler task vs 0.55s
-    for a self-join, which parallelizes the same pair set across the
-    cluster. With a threshold set, groups at or under it expand via
-    the staged generates (one shuffle, pairs born canonical — the
-    fast path for the short-basket groups real co-occurrence data is
-    made of), while larger groups are exploded back to (group, item)
-    rows and equi-self-joined. The set frame is pinned once
-    (scratch-parquet, zero cache entries) so the two branches read
-    one materialization instead of recomputing the groupBy. Default
-    ``None`` keeps the single-path plan: on corpora like TPC-H
-    (groups ≤7) the routing's pin write costs more than it can ever
-    save, and ``max_group_size`` already bounds the straggler.
+    ``join_path_threshold`` (round-8 ADVICE's hybrid, stats-driven by
+    default since round 10): the staged expansion bounds MEMORY at
+    O(k) per row but still computes an oversized group's k²/2 pairs
+    inside ONE task — measured on a single 5,000-item group: 12.6s in
+    that straggler task vs 0.55s for a self-join, which parallelizes
+    the same pair set across the cluster. With a threshold in effect,
+    groups at or under it expand via the staged generates (one
+    shuffle, pairs born canonical — the fast path for the short-basket
+    groups real co-occurrence data is made of), while larger groups
+    are exploded back to (group, item) rows and equi-self-joined. The
+    set frame is pinned once (scratch-parquet, zero cache entries) so
+    the two branches read one materialization instead of recomputing
+    the groupBy.
+
+    The default ``"auto"`` (round-9 verdict item 1) makes 100×-scale
+    skew safety independent of the caller knowing this kwarg: one
+    cheap profile aggregation — ``groupBy(group).count_distinct(item)``
+    then a 1-row max/over-cap rollup, no ``collect_set``, partial
+    map-side aggregation, measured ~0.2-0.4s at sf0.1 (SCALING.md
+    round 10) — reads the group-size distribution first. Short-basket
+    corpora (max group ≤ ``AUTO_JOIN_THRESHOLD``, e.g. TPC-H's ≤7-part
+    orders) keep the single-path staged plan and never pay the pin
+    tax; a corpus with even one mega-basket routes its over-threshold
+    groups through the parallelizing join automatically. The same
+    profile pass counts groups the ``max_group_size`` cap is about to
+    drop and WARNS with the count (round-9 ADVICE: the cap previously
+    dropped silently), mirroring the pin-size warning pattern.
+    Explicit ``None`` keeps the unconditional single-path plan and
+    explicit ``int`` forces the hybrid at that threshold — both skip
+    the profile job (and therefore its drop warning): they are the
+    escape hatches for callers who already know their group-size
+    profile and want zero extra jobs.
 
     ``directed=True``: both (u, v) and (v, u), u != v — the layout
     label-prop/BFS/assortativity expect. ``directed=False``: u < v
     once (triangle/k-core layout).
     """
+    if join_path_threshold == "auto":
+        # One tiny profile agg (no collect_set; count_distinct partial-
+        # aggregates map-side, the rollup is 1 row) decides the path
+        # and surfaces what the cap is about to drop.
+        prof = (
+            df.groupBy(group_col)
+            .agg(F.countDistinct(item_col).alias("__k"))
+            .agg(
+                F.max("__k").alias("mx"),
+                F.count(
+                    F.when(
+                        F.lit(max_group_size is not None)
+                        & (F.col("__k") > F.lit(max_group_size or 0)),
+                        1,
+                    )
+                ).alias("over_cap"),
+            )
+            .first()
+        )
+        max_k = prof["mx"] or 0
+        if max_group_size is not None and prof["over_cap"]:
+            import warnings
+
+            warnings.warn(
+                f"cooccurrence_edges: max_group_size={max_group_size} "
+                f"drops {prof['over_cap']} group(s) (largest has "
+                f"{max_k} distinct items) — the edge set is a "
+                "conservative under-approximation; raise the cap or "
+                "pass max_group_size=None to keep mega-groups",
+                stacklevel=2,
+            )
+        join_path_threshold = (
+            AUTO_JOIN_THRESHOLD if max_k > AUTO_JOIN_THRESHOLD else None
+        )
+
     sets = df.groupBy(group_col).agg(F.collect_set(item_col).alias("__ps"))
     if max_group_size is not None:
         sets = sets.filter(F.size("__ps") <= max_group_size)

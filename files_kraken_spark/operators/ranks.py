@@ -65,6 +65,7 @@ import shutil
 import tempfile
 import uuid
 import warnings
+from collections import OrderedDict
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -181,17 +182,27 @@ def release_pins() -> int:
     as file-not-found. This is the manual lifecycle hook for shared
     scratch filesystems (``spark.files_kraken.scratch_dir``), where pins
     are removed through the Hadoop FileSystem API so release works on
-    HDFS/S3 roots too (the library never removes the root itself)."""
+    HDFS/S3 roots too (the library never removes the root itself).
+    Also drops the ``spread_small_scan`` partition-count cache: a job
+    boundary is where regenerated/overwritten data should stop being
+    judged by its old file count."""
+    _SPREAD_NPART_CACHE.clear()
     n = len(_PIN_DIRS)
     while _PIN_DIRS:
         _PIN_DIRS.pop(0)[1]()
     return n
 
 
-#: semanticHash(analyzed plan) -> pre-AQE partition count, so repeated
-#: wraps of the same frame (bench reps, the oracle mirror, shared scan
-#: projections across queries) skip the physical-planning pass
-_SPREAD_NPART_CACHE: dict[int, int] = {}
+#: (applicationId, semanticHash(analyzed plan)) -> pre-AQE partition
+#: count, so repeated wraps of the same frame (bench reps, the oracle
+#: mirror, shared scan projections across queries) skip the
+#: physical-planning pass. Keyed by the Spark application id so
+#: entries can never leak across a SparkContext restart, FIFO-bounded
+#: (round-9 advice: the module-global dict grew one int per distinct
+#: frame forever in long-lived service sessions), and cleared by
+#: ``release_pins()`` at job boundaries.
+_SPREAD_NPART_CACHE: "OrderedDict[tuple[str, int], int]" = OrderedDict()
+_SPREAD_CACHE_MAX = 512
 
 
 def spread_small_scan(df: DataFrame) -> DataFrame:
@@ -214,15 +225,24 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     mirror, the same projected scan shared across queries in one
     session) is a dict hit. The hash is over the resolved logical
     plan, so two frames reading different paths or columns never
-    collide; the cached value can go stale only if the SAME parquet
-    path changes size mid-session, which only re-biases a heuristic
-    whose misfire is a no-op shuffle or a skipped one."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    key = df._jdf.queryExecution().analyzed().semanticHash()
+    collide; the key also carries the application id so a restarted
+    SparkContext never reads a dead session's counts. The cached
+    value can go stale only if the SAME parquet path changes size
+    mid-application, which only re-biases a heuristic whose misfire
+    is a no-op shuffle or a skipped one — and ``release_pins()`` (the
+    job-boundary lifecycle hook) clears the cache, so regenerated
+    data picks up fresh counts at the next boundary. FIFO-bounded at
+    ``_SPREAD_CACHE_MAX`` entries so a long-lived registry sweep
+    can't grow it without bound."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    key = (sc.applicationId, df._jdf.queryExecution().analyzed().semanticHash())
     nparts = _SPREAD_NPART_CACHE.get(key)
     if nparts is None:
         nparts = df.rdd.getNumPartitions()
         _SPREAD_NPART_CACHE[key] = nparts
+        while len(_SPREAD_NPART_CACHE) > _SPREAD_CACHE_MAX:
+            _SPREAD_NPART_CACHE.popitem(last=False)
     if nparts < target:
         return df.repartition(target)
     return df

@@ -56,11 +56,18 @@ from ..sources.tables import load_table
 from . import register
 from .llm_ops import _SQL_SHINGLES, _band_sql, _minhash_sql
 
-#: event-time quiet gap for the session replay: 1 day in nanoseconds.
+#: event-time quiet gap for the session replay: 1 day in MICROseconds.
 #: At sf0.01 this yields ~1,200 sessions over 150 users (~8 events
 #: each) — real cross-batch merging, unlike an hour gap where nearly
 #: every event is its own session on this corpus's event spacing.
-GAP_NS = 86_400 * 1_000_000_000
+#: Micros, not nanos: the replay follows the repo's cross-engine
+#: timestamp convention (q_asof_join precedent) — DuckDB's native
+#: resolution is micros (`epoch_us`), so comparing raw Spark nanos
+#: against a micro-truncated oracle would diverge on any corpus with
+#: sub-microsecond timestamps (load_table explicitly supports
+#: TIMESTAMP(NANOS) generations). Both engines sessionize on
+#: `ts div 1000` so the semantics are identical by construction.
+GAP_US = 86_400 * 1_000_000
 
 #: mirrors streaming.stateful.DEFAULT_MAX_BAND_OCCUPANCY
 BAND_CAP = 256
@@ -70,12 +77,12 @@ BAND_CAP = 256
     "t_streaming_gap_sessions_replay",
     oracle=f"""
 WITH ev AS (
-  SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) * 1000 AS t, event_id
+  SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) AS t, event_id
   FROM events
 ), flags AS (
   SELECT key, t, event_id,
          CASE WHEN t - lag(t) OVER (PARTITION BY key ORDER BY t, event_id)
-                   > {GAP_NS} THEN 1 ELSE 0 END AS is_new
+                   > {GAP_US} THEN 1 ELSE 0 END AS is_new
   FROM ev
 ), sess AS (
   SELECT key, t,
@@ -84,12 +91,12 @@ WITH ev AS (
   FROM flags
 ), agg AS (
   SELECT key, sno,
-         min(t) AS session_start_ns,
-         max(t) AS session_end_ns,
+         min(t) AS session_start_us,
+         max(t) AS session_end_us,
          CAST(count(*) AS BIGINT) AS n_events
   FROM sess GROUP BY 1, 2
 )
-SELECT key, session_start_ns, session_end_ns, n_events
+SELECT key, session_start_us, session_end_us, n_events
 FROM (SELECT *, max(sno) OVER (PARTITION BY key) AS mx FROM agg)
 WHERE sno < mx
 """,
@@ -102,7 +109,10 @@ WHERE sno < mx
     "so micro-batch boundaries can never split or merge a session "
     "(the fold sorts each batch and carries the open session; "
     "genuinely late data is the sessionizer's documented caveat, not "
-    "the replay's). Emits CLOSED sessions "
+    "the replay's). Event times are truncated to MICROS on both "
+    "engines (ts div 1000 / epoch_us — the q_asof_join convention), "
+    "so the replay stays engine-identical on corpora with "
+    "sub-microsecond timestamps. Emits CLOSED sessions "
     "only, exactly as the streaming op does in append mode: each "
     "key's final session (max running session number) is the one "
     "still open in state and is excluded. The pytest twin folds the "
@@ -113,12 +123,15 @@ WHERE sno < mx
 def t_streaming_gap_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("key"),
-        F.col("ts").alias("t"),  # long nanos (load_table contract)
+        # long nanos (load_table contract) -> micros, matching the
+        # oracle's epoch_us. `div` truncates like DuckDB `//` on the
+        # positive epoch values.
+        F.expr("ts div 1000").alias("t"),
         "event_id",
     )
     wo = Window.partitionBy("key").orderBy("t", "event_id")
     is_new = F.when(
-        F.col("t") - F.lag("t").over(wo) > F.lit(GAP_NS), 1
+        F.col("t") - F.lag("t").over(wo) > F.lit(GAP_US), 1
     ).otherwise(0)
     sess = ev.withColumn("is_new", is_new).withColumn(
         "sno",
@@ -127,15 +140,15 @@ def t_streaming_gap_sessions_replay(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("long"),
     )
     agg = sess.groupBy("key", "sno").agg(
-        F.min("t").alias("session_start_ns"),
-        F.max("t").alias("session_end_ns"),
+        F.min("t").alias("session_start_us"),
+        F.max("t").alias("session_end_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
     mx = F.max("sno").over(Window.partitionBy("key"))
     return (
         agg.withColumn("mx", mx)
         .filter(F.col("sno") < F.col("mx"))
-        .select("key", "session_start_ns", "session_end_ns", "n_events")
+        .select("key", "session_start_us", "session_end_us", "n_events")
     )
 
 

@@ -1208,3 +1208,84 @@ def test_cooccurrence_edges_join_path_threshold_hybrid(spark):
     assert got == {(201, 202)} | {
         (100 + i, 100 + j) for i in range(8) for j in range(i + 1, 8)
     }
+
+
+def test_cooccurrence_edges_auto_routing(spark, monkeypatch):
+    """Round-9 verdict item 1: the default "auto" probes the group-size
+    profile — short-basket corpora keep the single-path plan (no pin
+    write), a corpus with a mega-basket routes it through the parallel
+    join automatically, and the edge set is identical either way."""
+    from files_kraken_spark.operators import graph as G
+    from files_kraken_spark.operators import ranks as R
+
+    # short-basket corpus: auto must NOT pin (single-path staged plan)
+    small = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4), ("b", 5)], ["grp", "item"]
+    )
+    pins_before = len(R._PIN_DIRS)
+    got = set(
+        map(tuple, G.cooccurrence_edges(small, "grp", "item",
+                                        directed=False).collect())
+    )
+    assert got == {(1, 2), (3, 4), (3, 5), (4, 5)}
+    assert len(R._PIN_DIRS) == pins_before  # no pin tax on short baskets
+
+    # big-basket corpus (threshold lowered so the test stays cheap):
+    # auto routes the oversized group through the join branch — the
+    # pin write is the observable evidence the hybrid engaged
+    monkeypatch.setattr(G, "AUTO_JOIN_THRESHOLD", 8)
+    rows = [("mega", i) for i in range(40)] + [("tiny", 100), ("tiny", 101)]
+    df = spark.createDataFrame(rows, ["grp", "item"])
+    pins_before = len(R._PIN_DIRS)
+    auto = set(
+        map(tuple, G.cooccurrence_edges(df, "grp", "item",
+                                        directed=False).collect())
+    )
+    assert len(R._PIN_DIRS) > pins_before  # join branch (pinned sets) ran
+    want = {(i, j) for i in range(40) for j in range(i + 1, 40)} | {(100, 101)}
+    assert auto == want
+
+
+def test_cooccurrence_edges_auto_join_branch_at_real_threshold(spark):
+    """Synthetic big-basket at the REAL AUTO_JOIN_THRESHOLD (1,024):
+    a 1,100-item basket trips the auto probe and the join path emits
+    the exact k(k-1)/2 pair set."""
+    from files_kraken_spark.operators import graph as G
+    from files_kraken_spark.operators import ranks as R
+
+    df = spark.createDataFrame(
+        [("mega", i) for i in range(1_100)] + [("pair", 9001), ("pair", 9002)],
+        ["grp", "item"],
+    )
+    pins_before = len(R._PIN_DIRS)
+    out = G.cooccurrence_edges(df, "grp", "item", directed=False)
+    assert out.count() == 1_100 * 1_099 // 2 + 1
+    assert len(R._PIN_DIRS) > pins_before
+
+
+def test_cooccurrence_edges_cap_warns_on_drop(spark):
+    """Round-9 advice: the max_group_size cap must not drop groups
+    silently — under the default auto profile a fired cap warns with
+    the dropped-group count; an idle cap stays quiet."""
+    import warnings as W
+
+    from files_kraken_spark.operators.graph import cooccurrence_edges
+
+    rows = [("big", i) for i in range(30)] + [("small", 1), ("small", 2)]
+    df = spark.createDataFrame(rows, ["grp", "item"])
+
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        got = set(
+            map(tuple, cooccurrence_edges(df, "grp", "item", directed=False,
+                                          max_group_size=10).collect())
+        )
+    assert got == {(1, 2)}
+    msgs = [str(w.message) for w in rec if "cooccurrence_edges" in str(w.message)]
+    assert len(msgs) == 1 and "drops 1 group(s)" in msgs[0]
+    assert "largest has 30" in msgs[0]
+
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        cooccurrence_edges(df, "grp", "item", directed=False).count()
+    assert not [w for w in rec if "cooccurrence_edges" in str(w.message)]

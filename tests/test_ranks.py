@@ -313,3 +313,20 @@ def test_spread_small_scan_caches_partition_decision(spark):
         spark.sparkContext.defaultParallelism
     )
     assert R.spread_small_scan(wide) is wide
+
+
+def test_spread_cache_bounded_and_cleared_at_job_boundary(spark, monkeypatch):
+    """Round-9 advice: the decision cache is FIFO-bounded and keyed by
+    application id, and release_pins() (the job-boundary hook) clears
+    it so regenerated data gets fresh partition counts."""
+    from files_kraken_spark.operators import ranks as R
+
+    R._SPREAD_NPART_CACHE.clear()
+    monkeypatch.setattr(R, "_SPREAD_CACHE_MAX", 2)
+    for n in (10, 20, 30):
+        R.spread_small_scan(spark.range(0, n).coalesce(1))
+    assert len(R._SPREAD_NPART_CACHE) == 2  # FIFO evicted the oldest
+    app_id = spark.sparkContext.applicationId
+    assert all(k[0] == app_id for k in R._SPREAD_NPART_CACHE)
+    R.release_pins()
+    assert R._SPREAD_NPART_CACHE == {}

@@ -24,18 +24,21 @@ def test_gap_sessions_replay_matches_pure_fold(spark):
     batches, open-session state carried, closed sessions emitted) run
     over the same events in three time-ordered micro-batches per key."""
     from files_kraken_spark.queries.streaming_replay import (
-        GAP_NS,
+        GAP_US,
         t_streaming_gap_sessions_replay,
     )
 
     got = {
-        (r["key"], r["session_start_ns"]): (r["session_end_ns"], r["n_events"])
+        (r["key"], r["session_start_us"]): (r["session_end_us"], r["n_events"])
         for r in t_streaming_gap_sessions_replay(spark, SF).collect()
     }
 
     by_key: dict = {}
     for r in _events(spark):
-        by_key.setdefault(str(r["user_id"]), []).append((r["ts"], r["event_id"]))
+        # replay convention: micros on both engines (ts div 1000)
+        by_key.setdefault(str(r["user_id"]), []).append(
+            (r["ts"] // 1000, r["event_id"])
+        )
     want: dict = {}
     for key, evs in by_key.items():
         evs.sort()
@@ -49,7 +52,7 @@ def test_gap_sessions_replay_matches_pure_fold(spark):
             for t in sorted(chunk):
                 if start is None:
                     start, last, n = t, t, 1
-                elif t - last <= GAP_NS:
+                elif t - last <= GAP_US:
                     last, n = t, n + 1
                 else:
                     want[(key, start)] = (last, n)  # closed session
@@ -189,14 +192,16 @@ def test_gap_sessions_streaming_op_end_to_end_matches_replay(spark, tmp_path):
     import json
 
     from files_kraken_spark.queries.streaming_replay import (
-        GAP_NS,
+        GAP_US,
         t_streaming_gap_sessions_replay,
     )
     from files_kraken_spark.streaming.stateful import gap_sessions
 
     rows = sorted(
         (
-            (str(r["user_id"]), int(r["ts"]))
+            # feed the sessionizer micro timestamps (the replay
+            # convention); the op itself is unit-agnostic (longs+gap)
+            (str(r["user_id"]), int(r["ts"]) // 1000)
             for r in _events(spark)
         ),
         key=lambda kv: kv[1],  # global time order -> time-ordered batches
@@ -220,12 +225,12 @@ def test_gap_sessions_streaming_op_end_to_end_matches_replay(spark, tmp_path):
     got = {
         (r["key"], r["session_start_ns"], r["session_end_ns"], r["n_events"])
         for r in _run_stream(
-            spark, tmp_path, gap_sessions(stream.groupBy("key"), gap_ns=GAP_NS),
+            spark, tmp_path, gap_sessions(stream.groupBy("key"), gap_ns=GAP_US),
             "gap_e2e",
         )
     }
     want = {
-        (r["key"], r["session_start_ns"], r["session_end_ns"], r["n_events"])
+        (r["key"], r["session_start_us"], r["session_end_us"], r["n_events"])
         for r in t_streaming_gap_sessions_replay(spark, SF).collect()
     }
     assert got == want

@@ -67,6 +67,10 @@ ALLOWED_NESTED_LOOP = {
     "q_kneedle_adoption",  # three 1-row endpoint broadcasts vs month frame
     "t_rbo_rankings",  # broadcast query/signature scans + 10-row depth grid
     "q_acf_daily",  # broadcast 7-row lag grid vs daily frame
+    "sim_ivf_incremental_assign",  # k-centroid broadcast × new-batch argmin (kmeans trainer shape)
+    "sim_ivf_merge_occupancy",  # same frozen-centroid broadcast, both splits
+    "sim_ivf_merged_topk",  # centroid probe broadcast (sim_ivf_trained_topk shape)
+    "sim_ivfpq_incremental_recode",  # m·ksub frozen-codebook broadcast (pq trainer shape)
 }
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
@@ -110,7 +114,7 @@ def _is_one_row(node) -> bool:
     return False
 
 
-def _bnlj_sides_all_one_row(df, plan_str: str | None = None) -> bool:
+def _bnlj_sides_all_one_row(df) -> bool:
     """Walk the (pre-AQE) physical plan; True iff the plan contains at
     least one BroadcastNestedLoopJoin, EVERY one broadcasts a
     structurally ≤1-row side, AND the walk accounted for every BNLJ
@@ -130,14 +134,19 @@ def _bnlj_sides_all_one_row(df, plan_str: str | None = None) -> bool:
     the formatted details exactly once as ``(N) NodeName``, subquery
     sections included, so requiring the structural find count to match
     that count makes any subquery-hosted BNLJ fall through to the name
-    allowlist (conservative by construction)."""
+    allowlist (conservative by construction).
+
+    The count is ALWAYS taken from a formatted-mode explain generated
+    here (round-9 advice): the ``(N) NodeName`` detail lines the regex
+    needs exist only in formatted output, so accepting a caller-passed
+    plan string risked ``named=0`` on a simple/extended string —
+    silently disabling the 1-row auto-allow instead of failing loudly."""
     qe = df._jdf.queryExecution()
-    if plan_str is None:
-        plan_str = qe.explainString(
-            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
+    plan_str = qe.explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
         )
+    )
     named = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin\b", plan_str))
     plan = qe.sparkPlan()
     found: list = []
@@ -180,7 +189,7 @@ def main() -> int:
         if (
             "BroadcastNestedLoopJoin" in plan
             and name not in ALLOWED_NESTED_LOOP
-            and not _bnlj_sides_all_one_row(df, plan)
+            and not _bnlj_sides_all_one_row(df)
         ):
             hard.append((name, "BroadcastNestedLoopJoin"))
         # row-at-a-time Python UDF: BatchEvalPython (Arrow path shows ArrowEvalPython)
