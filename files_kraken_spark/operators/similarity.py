@@ -1350,3 +1350,203 @@ def power_iteration_top_pc(
             )
         )
     return v.select("dim", "vq")
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN index maintenance (round-10): merge a new-embeddings
+# batch into an existing IVF / PQ structure WITHOUT retraining.
+# ---------------------------------------------------------------------------
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest FROZEN centroid — the core of
+    incremental IVF maintenance: new vectors join an existing index by
+    one broadcast argmin pass, no retrain. ``centroids`` is the
+    (cell, centroid array<double>) frame an IVF build produces
+    (`_cell_centroids` shape). Ties break to the lower cell id, the
+    same rule training uses, so an incrementally-assigned vector lands
+    exactly where a full retrain's assignment step would put it given
+    these centroids.
+
+    Scale shape: ONE map-only pass — k·dim flops per row against a
+    broadcast k-row centroid frame, zero shuffles over the batch
+    (the groupBy argmin partial-aggregates map-side to one row per
+    vector). A 100 TB corpus absorbs a daily batch at scan speed,
+    which is the whole point of maintain-vs-retrain.
+    """
+    from .ranks import spread_small_scan
+
+    new_d = spread_small_scan(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        )
+    )
+    sqdist = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        new_d.crossJoin(F.broadcast(centroids))
+        .select("__id", sqdist.alias("__d"), "cell")
+        .groupBy("__id")
+        .agg(F.min(F.struct(F.col("__d"), F.col("cell"))).alias("__b"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__b.cell").cast("long").alias("cell"),
+        )
+    )
+
+
+def ivf_build_cells_and_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Train an IVF coarse quantizer and return BOTH halves of the
+    index state: ``(cells, centroids)`` — (id, cell) assignments and
+    the per-cell mean vectors (round(sum,6)/count, the determinism
+    policy). This is the state a maintenance pass needs: new batches
+    assign against ``centroids`` (`assign_to_centroids`) and append to
+    ``cells``; serving probes centroids then scans cells."""
+    cells = kmeans_fit_predict(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
+    emb_d = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    return cells, _cell_centroids(emb_d, cells, id_col)
+
+
+def pq_encode_frozen(
+    df: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode vectors against a FROZEN PQ codebook (the (m, code, cv)
+    frame `pq_train_encode` returns) — incremental PQ maintenance: a
+    new batch gets codes from the existing codebooks, bit-identical to
+    what re-running the trainer's final assignment step would emit, so
+    ADC serving tables keep working unchanged across merges.
+
+    Scale shape: subvector explode (m narrow rows/vector), one
+    broadcast join against the m·ksub codebook, per-(id, subspace)
+    argmin (ties to the lower code, the training rule), one groupBy(id)
+    to pack codes — the only shuffle, and it's the output's natural
+    key."""
+    w = dim // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(mm).alias("m"),
+                F.transform(
+                    F.slice(F.col(vec_col), mm * w + 1, w), lambda x: x.cast("double")
+                ).alias("sv"),
+            )
+            for mm in range(m)
+        ]
+    )
+    from .ranks import spread_small_scan
+
+    src = spread_small_scan(df.select(F.col(id_col), F.col(vec_col)))
+    sub = src.select(F.col(id_col).alias("__id"), F.explode(subs).alias("s")).select(
+        "__id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+    sqd = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        sub.join(F.broadcast(codebook), "m")
+        .select("__id", "m", "code", sqd.alias("__d"))
+        .groupBy("__id", "m")
+        .agg(F.min(F.struct(F.col("__d"), F.col("code"))).alias("__b"))
+        .select("__id", "m", F.col("__b.code").alias("code"))
+    )
+    return (
+        assigned.groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
+            ).alias("codes")
+        )
+        .select(F.col("__id").alias(id_col), "codes")
+    )
+
+
+def ivf_merged_topk(
+    base_df: DataFrame,
+    new_df: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """Serve ANN queries from a MERGED index: train on the base corpus,
+    assign the new batch to the frozen centroids, and probe the union —
+    proof that an incrementally-maintained index stays serveable with
+    the exact `ivf_topk_trained` probe shape (nearest centroid, exact
+    cosine top-k within the probed cell), no retrain between batches.
+
+    Queries see both old and new vectors in one candidate scan because
+    the merged (id, cell) assignment is just a union — cell ids are
+    stable under maintenance since the centroids are frozen."""
+    from pyspark.sql.window import Window
+
+    cells_base, centroids = ivf_build_cells_and_centroids(
+        base_df, id_col=id_col, vec_col=vec_col, k=k, iters=iters
+    )
+    cells_new = assign_to_centroids(
+        new_df, centroids, id_col=id_col, vec_col=vec_col
+    )
+    merged_cells = cells_base.select(
+        F.col(id_col), F.col("cell").cast("long").alias("cell")
+    ).unionByName(cells_new)
+    corpus = base_df.select(id_col, vec_col).unionByName(
+        new_df.select(id_col, vec_col)
+    )
+    emb = corpus.select(
+        F.col(id_col).alias("cid"),
+        unit(F.col(vec_col)).alias("cu"),
+    ).join(merged_cells.withColumnRenamed(id_col, "cid"), "cid")
+    q = corpus.join(query_ids, id_col).select(
+        F.col(id_col).alias("q_id"),
+        unit(F.col(vec_col)).alias("qu"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    sqdist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("q_id", "qu", "cell", sqdist.alias("__d"))
+        .groupBy("q_id", "qu")
+        .agg(F.min(F.struct(F.col("__d"), F.col("cell"))).alias("__b"))
+        .select("q_id", "qu", F.col("__b.cell").alias("cell"))
+    )
+    scored = (
+        emb.join(F.broadcast(probed), "cell")
+        .filter(F.col("cid") != F.col("q_id"))
+        .select("q_id", "cid", dot(F.col("qu"), F.col("cu")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("q_id", F.col("cid").alias("cand_id"))
+    )

@@ -56,6 +56,8 @@ from . import extended  # noqa: E402,F401
 from . import advanced_sql  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import streaming_replay  # noqa: E402,F401
+from . import ann_maintenance  # noqa: E402,F401
+from . import curation  # noqa: E402,F401
 
 # A budget-capped correctness pass walks the registry in order and may
 # only reach a prefix. Round-9 order (round-8 verdict item 1): the 30

@@ -871,11 +871,16 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+def _kmeans_oracle_sql(
+    k: int = 8, iters: int = 2, dim: int = 64, where: str = ""
+) -> str:
     """Unroll Lloyd's iterations into chained CTEs. Determinism mirrors
     the operator: init = k lowest-id vectors; centroid coordinate =
     round(sum, 6)/count (exact at that grain on both engines);
-    distances and argmins then match bit-for-bit, ties to lower cell."""
+    distances and argmins then match bit-for-bit, ties to lower cell.
+    ``where`` (e.g. ``" WHERE vec_id % 10 < 8"``) restricts training to
+    a base subset — the incremental-maintenance oracles train on the
+    base split and assign the held-out batch against frozen centroids."""
     assign = """
 a{n} AS (
   SELECT vec_id, cell FROM (
@@ -896,7 +901,7 @@ c{n1} AS (
   ) GROUP BY cell
 )"""
     ctes = [
-        "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings{where})",
         f"""c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
   FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {k})
@@ -1013,13 +1018,16 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk_trained(emb, q, k=8, iters=2, topk=5)
 
 
-def _pq_oracle_sql(m: int = 4, ksub: int = 8, iters: int = 2, dim: int = 64) -> str:
+def _pq_oracle_sql(
+    m: int = 4, ksub: int = 8, iters: int = 2, dim: int = 64, where: str = ""
+) -> str:
     """Unrolled product-quantization training (per-subspace Lloyd's) as
     chained CTEs — mirrors ``operators.similarity.pq_train_encode``
     exactly: init = ksub lowest-id subvectors per subspace, means =
     round(sum,6)/count, argmin ties to the lower code, empty codewords
     carry their previous centroid (dense grid). Ends with ``codes`` /
-    ``cb{last}`` CTEs for queries to build on."""
+    ``cb{last}`` CTEs for queries to build on. ``where`` restricts
+    training to a base subset (incremental-maintenance oracles)."""
     w = dim // m
     assign = """
 a{n} AS (
@@ -1044,7 +1052,7 @@ cb{n1} AS (
   ) u ON u.m = c.m AND u.code = c.code
 )"""
     ctes = [
-        "emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings{where})",
         f"""sub AS (
   SELECT vec_id, m, v[m * {w} + 1 : (m + 1) * {w}] AS sv
   FROM emb, range(0, {m}) r(m)
