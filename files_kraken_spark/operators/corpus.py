@@ -668,3 +668,54 @@ def per_group_cap(
         .filter(F.col("__rk") <= cap)
         .drop("__rk")
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values (theta) sketch of each key's distinct-token
+    set: the ``k`` smallest md5-derived 32-bit hashes per key, plus the
+    key's exact distinct-hash count ``nd``. Returns
+    ``(key_col, h, rn, nd)`` — the mergeable summary behind
+    distinct-count, set-union and set-intersection ESTIMATES whose
+    cost is O(k) per key instead of O(vocabulary):
+
+    - distinct estimate: ``(k-1)·2³² div h_k`` (Bar-Yossef et al. 2002)
+    - union of two keys: the k smallest of the two sketch sets ARE the
+      k smallest of the true union (any hash below the union's k-th
+      minimum is below its own key's k-th minimum), so sketches merge
+      without touching the data
+    - intersection/Jaccard: common hashes among the union's k minima
+
+    All arithmetic is exact integers over md5 hashes, so an external
+    engine replays the sketch AND every downstream estimate
+    bit-identically — the property that makes these registry-oracle
+    material where HLL register layouts are not.
+
+    Scale shape: one (key, hash) distinct-agg shuffle, then a keyed
+    window top-k — no global window, no driver collect; sketches are
+    k rows per key, so every cross-key set operation downstream is a
+    broadcast-size problem regardless of corpus size.
+    """
+    from .dedup import md5_hash64
+    from ..functions.text import tokens
+
+    tk = (
+        df.select(
+            F.col(key_col),
+            F.explode(tokens(F.col(text_col))).alias("__tok"),
+        )
+        .select(F.col(key_col), md5_hash64(F.col("__tok")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(key_col).orderBy("h")
+    wn = Window.partitionBy(key_col)
+    return (
+        tk.withColumn("rn", F.row_number().over(w))
+        .withColumn("nd", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") <= k)
+        .select(key_col, "h", "rn", "nd")
+    )

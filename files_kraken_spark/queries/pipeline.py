@@ -1365,3 +1365,172 @@ def t_streaming_mg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.expr(f"n div {K}")
         ).alias("error_within_n_over_k"),
     )
+
+
+# KMV (theta) sketch family — shared oracle CTEs: per-source distinct
+# token hashes, ranked per source; mirrors operators.corpus.kmv_sketch.
+_SQL_KMV_RANKED = f"""
+tk AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT source, unnest({_SQL_TOKENS.format(col='text')}) AS tok
+        FROM documents) t
+),
+ranked AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY source) AS nd
+  FROM tk
+)"""
+
+
+@register(
+    "t_kmv_distinct_tokens",
+    oracle="WITH "
+    + _SQL_KMV_RANKED
+    + """
+SELECT source,
+       CAST(any_value(nd) AS BIGINT) AS n_exact,
+       CAST(CASE WHEN any_value(nd) < 64 THEN any_value(nd)
+                 ELSE (63 * 4294967296) // max(h) END AS BIGINT) AS kmv_est
+FROM ranked WHERE rn <= 64 GROUP BY source""",
+    doc="K-minimum-values distinct-count sketch (Bar-Yossef et al. "
+    "2002): each source keeps its 64 smallest md5 token hashes; the "
+    "64th minimum h_k estimates the distinct vocabulary as "
+    "(k-1)·2^32 div h_k — exact integer division on both engines, so "
+    "unlike HLL register layouts the whole sketch is oracle-material. "
+    "Output carries the exact count next to the estimate: the "
+    "accuracy audit is the query. Scale shape: one (source, hash) "
+    "distinct shuffle + a keyed top-k window — per-key state is O(k) "
+    "however large the vocabulary, which is the point of a sketch.",
+)
+def t_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sk = C.kmv_sketch(docs, "source", "text", k=64)
+    per = sk.groupBy("source").agg(
+        F.max("h").alias("hk"),
+        F.max("nd").alias("nd"),
+    )
+    est = F.when(F.col("nd") < 64, F.col("nd")).otherwise(
+        F.expr("(63 * 4294967296) div hk")
+    )
+    return per.select(
+        "source",
+        F.col("nd").cast("long").alias("n_exact"),
+        est.cast("long").alias("kmv_est"),
+    )
+
+
+@register(
+    "t_kmv_union_jaccard",
+    oracle="WITH "
+    + _SQL_KMV_RANKED
+    + """,
+sk AS (SELECT source, h FROM ranked WHERE rn <= 64),
+srcs AS (SELECT DISTINCT source FROM documents),
+pr AS (SELECT a.source AS sa, b.source AS sb
+       FROM srcs a JOIN srcs b ON a.source < b.source),
+members AS (
+  SELECT sa, sb, sa AS member FROM pr
+  UNION ALL
+  SELECT sa, sb, sb AS member FROM pr
+),
+flagged AS (
+  SELECT m.sa, m.sb, s.h,
+         CASE WHEN m.member = m.sa THEN 1 ELSE 0 END AS ia,
+         CASE WHEN m.member = m.sb THEN 1 ELSE 0 END AS ib
+  FROM members m JOIN sk s ON s.source = m.member
+),
+merged AS (
+  SELECT sa, sb, h, max(ia) AS in_a, max(ib) AS in_b
+  FROM flagged GROUP BY 1, 2, 3
+),
+mr AS (
+  SELECT sa, sb, h, in_a, in_b,
+         row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY sa, sb) AS ntot
+  FROM merged
+),
+agg AS (
+  SELECT sa, sb, max(ntot) AS ntot, max(h) AS mk,
+         CAST(sum(in_a * in_b) AS BIGINT) AS ncom
+  FROM mr WHERE rn <= 64 GROUP BY 1, 2
+)
+SELECT sa AS src_a, sb AS src_b,
+       CAST(CASE WHEN ntot < 64 THEN ntot
+                 ELSE (63 * 4294967296) // mk END AS BIGINT) AS est_union,
+       CAST(CASE WHEN ntot < 64 THEN ncom
+                 ELSE (ncom * ((63 * 4294967296) // mk)) // 64 END AS BIGINT) AS est_inter,
+       CAST(CASE WHEN ntot < 64 THEN (ncom * 1000000) // ntot
+                 ELSE (ncom * 1000000) // 64 END AS BIGINT) AS jaccard_ppm
+FROM agg""",
+    doc="Theta-sketch SET OPERATIONS: for every source pair, merge the "
+    "two KMV sketches — the k smallest of the two sketch sets are "
+    "provably the k smallest of the true union, so union/intersection "
+    "/Jaccard estimates come from 64-row sketches without rescanning "
+    "either corpus (the mergeability HLL has for unions, extended to "
+    "intersections). Under-k pairs degrade to EXACT set math (the "
+    "sketch IS the set). All estimates are integer divisions of md5 "
+    "hashes — engine-replayable end to end. Scale shape: sketches are "
+    "O(k) rows/source, so the pair grid is broadcast-size compute "
+    "over 20 sources regardless of corpus size; the only corpus-sized "
+    "work is the one distinct-hash shuffle the sketch build already "
+    "paid.",
+)
+def t_kmv_union_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    sk = C.kmv_sketch(docs, "source", "text", k=64).select(
+        F.col("source").alias("member"), "h"
+    )
+    srcs = docs.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .join(
+            F.broadcast(srcs.select(F.col("source").alias("sb"))),
+            F.col("sa") < F.col("sb"),
+        )
+    )
+    members = pairs.select("sa", "sb", F.col("sa").alias("member")).unionByName(
+        pairs.select("sa", "sb", F.col("sb").alias("member"))
+    )
+    flagged = members.join(sk, "member").select(
+        "sa",
+        "sb",
+        "h",
+        F.when(F.col("member") == F.col("sa"), 1).otherwise(0).alias("ia"),
+        F.when(F.col("member") == F.col("sb"), 1).otherwise(0).alias("ib"),
+    )
+    merged = flagged.groupBy("sa", "sb", "h").agg(
+        F.max("ia").alias("in_a"), F.max("ib").alias("in_b")
+    )
+    mr = (
+        merged.withColumn(
+            "rn", F.row_number().over(W.partitionBy("sa", "sb").orderBy("h"))
+        )
+        .withColumn("ntot", F.count(F.lit(1)).over(W.partitionBy("sa", "sb")))
+        .filter(F.col("rn") <= 64)
+    )
+    agg = mr.groupBy("sa", "sb").agg(
+        F.max("ntot").alias("ntot"),
+        F.max("h").alias("mk"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("ncom"),
+    )
+    under = F.col("ntot") < 64
+    return agg.select(
+        F.col("sa").alias("src_a"),
+        F.col("sb").alias("src_b"),
+        F.when(under, F.col("ntot"))
+        .otherwise(F.expr("(63 * 4294967296) div mk"))
+        .cast("long")
+        .alias("est_union"),
+        F.when(under, F.col("ncom"))
+        .otherwise(F.expr("(ncom * ((63 * 4294967296) div mk)) div 64"))
+        .cast("long")
+        .alias("est_inter"),
+        F.when(under, F.expr("(ncom * 1000000) div ntot"))
+        .otherwise(F.expr("(ncom * 1000000) div 64"))
+        .cast("long")
+        .alias("jaccard_ppm"),
+    )
