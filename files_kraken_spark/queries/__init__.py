@@ -60,18 +60,40 @@ from . import ann_maintenance  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 
 # A budget-capped correctness pass walks the registry in order and may
-# only reach a prefix. Round-9 order (round-8 verdict item 1): the 30
-# registry names that still have no row in any CORRECTNESS_r*.json
-# come FIRST (they sat at positions 50-79 last round, just past the
-# driver's 50-query window), then this round's 4 new streaming
-# batch-replay oracles (round-8 verdict item 3), then the queries
-# whose code paths changed this round — so the 50-query window drains
-# the never-sampled backlog to ZERO and re-evidences every changed
-# path, with nothing re-sampled that didn't change. Names and
-# semantics are byte-stable — only the iteration order changes.
+# only reach a prefix. Round-10 order (round-9 verdict item 2): the
+# driver union reached 327/327 in round 9, so growth resumes — the 8
+# NEW names this round come first (incremental ANN maintenance,
+# composite curation pipeline, KMV theta sketches), then every query
+# whose code path changed this round (the micros-convention gap
+# sessionizer replay; the seven graph queries now on the auto-probed
+# cooccurrence_edges builder; the four round-9 bench drifts flagged
+# for re-measurement). Names and semantics of existing queries are
+# byte-stable — only the iteration order changes.
 _SAMPLE_PRIORITY = [
-    # -- the last 30 never-driver-sampled names (driver union becomes
-    # 323+4/327 when these land) --
+    # -- NEW this round: incremental ANN index maintenance (train on
+    # the vec_id%10<8 base, merge the rest against frozen structures) --
+    "sim_ivf_incremental_assign", "sim_ivfpq_incremental_recode",
+    "sim_ivf_merge_occupancy", "sim_ivf_merged_topk",
+    # -- NEW: composite curation pipeline (dedup -> quality gate ->
+    # stratified sample fused over one documents scan) --
+    "t_curation_pipeline", "t_curation_funnel",
+    # -- NEW: KMV theta-sketch distinct / set-operation estimates --
+    "t_kmv_distinct_tokens", "t_kmv_union_jaccard",
+    # -- changed this round: gap-sessions replay moved to the micros
+    # convention on both engines (round-9 ADVICE item 1) --
+    "t_streaming_gap_sessions_replay",
+    # -- changed: the seven graph queries share cooccurrence_edges,
+    # whose default routing is now the stats-driven auto probe
+    # (round-9 verdict item 1) --
+    "q_kcore_parts", "q_label_prop_communities", "q_bfs_hops",
+    "q_degree_assortativity", "q_clustering_coefficient",
+    "q_powerlaw_degree_alpha", "q_triangle_count",
+    # -- round-9 bench drifts, re-evidenced while re-measured
+    # (round-9 verdict item 4) --
+    "emb_pc_outliers", "t_ngram_novelty", "q_jaccard_knn_graph",
+    "t_minhash_containment",
+    # -- driver-green tail (every name below has a hash-green row in
+    # r1-r9), rough value order --
     "q_mann_whitney_u", "t_waterfill_source_caps", "q_entity_clusters",
     "q_lorenz_deciles", "t_hill_tail_index", "q_abc_migration",
     "t_bootstrap_mean_ci", "t_code_like_docs", "q_theil_index",
@@ -83,25 +105,13 @@ _SAMPLE_PRIORITY = [
     "t_facility_location_select", "t_mmr_rerank", "q_kneedle_adoption",
     "t_rbo_rankings", "q_acf_daily", "q_null_pattern_profile",
     "q_bass_diffusion_fit", "q_bounce_rate",
-    # -- NEW this round (round-8 verdict item 3): batch-replay oracles
-    # for the remaining stateful streaming family --
-    "t_streaming_gap_sessions_replay", "t_streaming_dedup_replay",
+    "t_streaming_dedup_replay",
     "t_streaming_session_totals_replay",
     "t_streaming_band_candidates_replay",
-    # -- changed this round: the HLL replay's linear-counting branch
-    # moved to the portable integer ln (round-8 advice); the seven
-    # graph queries share the restructured+capped cooccurrence_edges
-    # builder (round-8 verdict item 2); the rest sit on the
-    # spread_small_scan decision cache / pin-size-guard paths --
     "t_streaming_hll_replay",
-    "q_kcore_parts", "q_label_prop_communities", "q_bfs_hops",
-    "q_degree_assortativity", "q_clustering_coefficient",
-    "q_powerlaw_degree_alpha", "q_triangle_count",
-    "t_minhash_containment", "q_jaccard_knn_graph", "t_entropy_score",
+    "t_entropy_score",
     "mm_png_decode_dhash", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "q_moving_quantile", "q_pagerank_supply",
-    # -- driver-green tail (all have hash-green rows in r1-r8),
-    # rough value order --
     "t_streaming_mg_replay",
     "t_dedup_bytes_saved", "emb_sign_hamming_topk",
     "t_vocab_coverage_curve",
@@ -124,9 +134,9 @@ _SAMPLE_PRIORITY = [
     "t_kn_bigram_logprob", "dedup_overlap_coeff",
     "t_minhash_est_vs_exact",
     "q_json_extract", "emb_top_pc_power", "t_oov_rate", "sim_hybrid_rrf",
-    "t_ngram_novelty", "t_context_pack", "q_decay_topk",
+    "t_context_pack", "q_decay_topk",
     "t_score_calibrate", "t_stratified_sample_hash", "q_skyline_orders",
-    "t_dup_cluster_sizes", "emb_pc_outliers", "t_unigram_logprob",
+    "t_dup_cluster_sizes", "t_unigram_logprob",
     "emb_dim_fidelity", "t_lsh_recall_audit",
     "t_shard_skew_audit", "q_gap_islands", "q_mode_per_group",
     "q_cdc_compact", "q_last_touch_attribution", "t_zipf_fit",
