@@ -1494,6 +1494,7 @@ def ivf_merged_topk(
     k: int = 8,
     iters: int = 2,
     topk: int = 5,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Serve ANN queries from a MERGED index: train on the base corpus,
     assign the new batch to the frozen centroids, and probe the union —
@@ -1503,7 +1504,14 @@ def ivf_merged_topk(
 
     Queries see both old and new vectors in one candidate scan because
     the merged (id, cell) assignment is just a union — cell ids are
-    stable under maintenance since the centroids are frozen."""
+    stable under maintenance since the centroids are frozen.
+
+    ``tombstones`` (optional, an ``id_col`` frame) completes the index
+    lifecycle: DELETED vectors are excluded from the candidate side by
+    one anti-join at serve time — no index rebuild, no hole-patching,
+    the standard soft-delete an updatable vector store runs between
+    compactions. Queries themselves may be tombstoned ids (a deleted
+    doc can still be a probe); only candidacy is revoked."""
     from pyspark.sql.window import Window
 
     cells_base, centroids = ivf_build_cells_and_centroids(
@@ -1515,6 +1523,13 @@ def ivf_merged_topk(
     merged_cells = cells_base.select(
         F.col(id_col), F.col("cell").cast("long").alias("cell")
     ).unionByName(cells_new)
+    if tombstones is not None:
+        # no broadcast hint: a small delete set auto-broadcasts under
+        # the threshold, a compaction-overdue one shuffles on the id
+        # key rather than spilling a forced broadcast
+        merged_cells = merged_cells.join(
+            tombstones.select(id_col), id_col, "left_anti"
+        )
     corpus = base_df.select(id_col, vec_col).unionByName(
         new_df.select(id_col, vec_col)
     )

@@ -74,6 +74,7 @@ _SAMPLE_PRIORITY = [
     # the vec_id%10<8 base, merge the rest against frozen structures) --
     "sim_ivf_incremental_assign", "sim_ivfpq_incremental_recode",
     "sim_ivf_merge_occupancy", "sim_ivf_merged_topk",
+    "sim_ivf_tombstone_topk", "emb_batch_drift",
     # -- NEW: composite curation pipeline (dedup -> quality gate ->
     # stratified sample fused over one documents scan) --
     "t_curation_pipeline", "t_curation_funnel",

@@ -258,3 +258,142 @@ def sim_ivf_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8).select("vec_id")
     return SIM.ivf_merged_topk(base, new, q, k=8, iters=2, topk=5)
+
+
+@register(
+    "sim_ivf_tombstone_topk",
+    oracle=_kmeans_oracle_sql(8, 2, 64, where=_BASE_SQL).replace(
+        "\nSELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a1",
+        _CENTS_AND_ASSIGN_SQL
+        + """,
+merged AS (
+  SELECT vec_id, cell FROM a1 WHERE vec_id % 17 <> 0
+  UNION ALL
+  SELECT vec_id, cell FROM na WHERE vec_id % 17 <> 0
+),
+u AS (SELECT vec_id, """
+        + _SQL_UNIT.format(a="embedding")
+        + """ AS un FROM embeddings),
+q AS (SELECT e.vec_id AS q_id,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS qv,
+             u.un AS qu
+      FROM embeddings e JOIN u ON u.vec_id = e.vec_id
+      WHERE e.vec_id < 8),
+probed AS (
+  SELECT q_id, cell, qu FROM (
+    SELECT q.q_id, c.cell, q.qu,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (q.qv[i] - c.centroid[i]) * (q.qv[i] - c.centroid[i]))), c.cell) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT p.q_id, mg.vec_id AS cand_id,
+         """
+        + _SQL_DOT.format(a="p.qu", b="e2.un")
+        + """ AS cos
+  FROM probed p
+  JOIN merged mg ON mg.cell = p.cell AND mg.vec_id <> p.q_id
+  JOIN u e2 ON e2.vec_id = mg.vec_id
+)
+SELECT q_id, cand_id FROM (
+  SELECT q_id, cand_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+  FROM scored
+) WHERE rn <= 5""",
+    ),
+    doc="Index lifecycle DELETE: serving from the merged index with a "
+    "soft-deleted set (vec_id % 17 = 0) revoked by one anti-join on "
+    "the candidate side — no rebuild, no hole-patching, results as if "
+    "the deleted vectors were never indexed (queries may themselves "
+    "be deleted ids; only candidacy is revoked, matching a store "
+    "where a removed doc can still be used as a probe). Completes "
+    "insert (incremental assign) / read (merged topk) / delete for "
+    "the maintained index. Anti-join is unhinted: small delete sets "
+    "auto-broadcast, compaction-overdue ones shuffle on the id key.",
+)
+def sim_ivf_tombstone_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, new = _split(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select("vec_id")
+    dead = emb.filter(F.col("vec_id") % 17 == 0).select("vec_id")
+    return SIM.ivf_merged_topk(
+        base, new, q, k=8, iters=2, topk=5, tombstones=dead
+    )
+
+
+@register(
+    "emb_batch_drift",
+    oracle=f"""
+WITH b AS (
+  SELECT i - 1 AS dim,
+         round(sum(CAST(embedding[i] AS DOUBLE)), 6) / count(*) AS mu,
+         round(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 6) / count(*) AS m2
+  FROM embeddings, range(1, 65) r(i)
+  {_BASE_SQL.strip()} GROUP BY i
+),
+nw AS (
+  SELECT i - 1 AS dim,
+         round(sum(CAST(embedding[i] AS DOUBLE)), 6) / count(*) AS mu,
+         CAST(count(*) AS BIGINT) AS n
+  FROM embeddings, range(1, 65) r(i)
+  {_NEW_SQL} GROUP BY i
+)
+SELECT b.dim,
+       b.mu AS mu_base,
+       nw.mu AS mu_new,
+       (nw.mu - b.mu) / sqrt(greatest(b.m2 - b.mu * b.mu, 1e-12) / nw.n)
+         AS z_shift
+FROM b JOIN nw ON nw.dim = b.dim""",
+    doc="Per-dimension drift monitor for the maintained index — the "
+    "second retrain trigger next to sim_ivf_merge_occupancy: the new "
+    "batch's per-dim mean against the base distribution, as a z-score "
+    "of the batch mean under the base variance (explicit moments via "
+    "the round(sum,6)/count policy, never engine stddev; sqrt and the "
+    "final divisions are correctly-rounded IEEE ops, so both engines "
+    "emit identical doubles). A dimension drifting hard means the "
+    "frozen centroids no longer describe incoming vectors along it. "
+    "Scale shape: one posexplode + (dim) partial-agg shuffle per "
+    "split, 64-row join output — corpus-size-independent state.",
+)
+def emb_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, new = _split(spark, sf_dir)
+
+    def moments(df, with_m2):
+        e = df.select(
+            F.posexplode(
+                F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            ).alias("dim", "v")
+        )
+        aggs = [
+            (F.round(F.sum("v"), 6) / F.count(F.lit(1))).alias("mu"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        ]
+        if with_m2:
+            aggs.append(
+                (F.round(F.sum(F.col("v") * F.col("v")), 6) / F.count(F.lit(1))).alias(
+                    "m2"
+                )
+            )
+        return e.groupBy("dim").agg(*aggs)
+
+    b = moments(base, True).select("dim", F.col("mu").alias("mu_base"), "m2")
+    nw = moments(new, False).select(
+        "dim", F.col("mu").alias("mu_new"), F.col("n")
+    )
+    z = (F.col("mu_new") - F.col("mu_base")) / F.sqrt(
+        F.greatest(
+            F.col("m2") - F.col("mu_base") * F.col("mu_base"), F.lit(1e-12)
+        )
+        / F.col("n")
+    )
+    return (
+        b.join(nw, "dim")
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            "mu_base",
+            "mu_new",
+            z.alias("z_shift"),
+        )
+    )

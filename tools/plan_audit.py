@@ -71,6 +71,7 @@ ALLOWED_NESTED_LOOP = {
     "sim_ivf_merge_occupancy",  # same frozen-centroid broadcast, both splits
     "sim_ivf_merged_topk",  # centroid probe broadcast (sim_ivf_trained_topk shape)
     "sim_ivfpq_incremental_recode",  # m·ksub frozen-codebook broadcast (pq trainer shape)
+    "sim_ivf_tombstone_topk",  # centroid probe broadcast (sim_ivf_merged_topk shape)
     "t_kmv_union_jaccard",  # 20-source pair grid (inequality self-join of the source list)
 }
 
