@@ -80,6 +80,9 @@ _SAMPLE_PRIORITY = [
     "t_curation_pipeline", "t_curation_funnel",
     # -- NEW: KMV theta-sketch distinct / set-operation estimates --
     "t_kmv_distinct_tokens", "t_kmv_union_jaccard",
+    # -- NEW: batch-vs-corpus incremental funnel; deterministic
+    # histogram-quantile sketch with its exact audit --
+    "t_curation_incremental", "q_hist_quantile_sketch",
     # -- changed this round: gap-sessions replay moved to the micros
     # convention on both engines (round-9 ADVICE item 1) --
     "t_streaming_gap_sessions_replay",

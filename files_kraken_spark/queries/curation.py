@@ -206,3 +206,130 @@ def t_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_sampled"),
     )
+
+
+@register(
+    "t_curation_incremental",
+    oracle="""
+WITH corpus_fp AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 10 < 8
+),
+batch AS (
+  SELECT doc_id, source, lang,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 10 >= 8
+),
+fresh AS (
+  SELECT b.* FROM batch b LEFT JOIN corpus_fp c USING (fp)
+  WHERE c.fp IS NULL
+),
+breps AS (SELECT fp, min(doc_id) AS rep_id FROM fresh GROUP BY 1),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '')) AS tk
+  FROM documents WHERE doc_id % 10 >= 8
+),
+tf AS (SELECT doc_id, tk, count(*) AS n FROM tok GROUP BY 1, 2),
+feat AS (
+  SELECT doc_id,
+         CAST(sum(n) AS DOUBLE) AS n_tok,
+         CAST(count(*) AS DOUBLE) AS n_types,
+         CAST(sum(len(tk) * n) AS DOUBLE) AS sum_len
+  FROM tf GROUP BY 1
+),
+zq AS (
+  SELECT doc_id,
+         CAST(-6.0 AS DOUBLE)
+           + CAST(0.9 AS DOUBLE) * ln(CAST(1.0 AS DOUBLE) + n_tok)
+           + CAST(2.5 AS DOUBLE) * (n_types / n_tok)
+           + CAST(0.4 AS DOUBLE) * (sum_len / n_tok) AS z
+  FROM feat
+),
+rated AS (
+  SELECT source,
+         0.05 + 0.90 * ((CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 1000) / 1000.0) AS rate
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT f.doc_id, f.source, f.lang,
+       round(1.0 / (1.0 + exp(-z.z)), 6) AS quality_prob
+FROM fresh f
+JOIN breps r USING (fp)
+JOIN zq z USING (doc_id)
+JOIN rated rt ON rt.source = f.source
+WHERE f.doc_id = r.rep_id
+  AND (1.0 / (1.0 + exp(-z.z))) >= 0.5
+  AND (CAST(('0x' || substr(md5(CAST(f.doc_id AS VARCHAR) || '|' || f.source), 1, 8)) AS BIGINT)
+       / 4294967296.0) < rt.rate
+""",
+    doc="INCREMENTAL curation — the production shape of the funnel: a "
+    "new batch (doc_id % 10 >= 8) is curated against the EXISTING "
+    "corpus's fingerprint index (one anti-join of batch fps vs stored "
+    "fps — the daily batch never re-reads, re-features or re-scores "
+    "the curated corpus; dedup_incremental precedent), then "
+    "intra-batch dedup, the same logistic quality gate and the same "
+    "hash-stratified sampling as t_curation_pipeline, feature-computed "
+    "over BATCH text only. At 100 TB this is the difference between "
+    "curating a day's arrivals and re-curating the lake: work scales "
+    "with the batch, corpus contact is one fingerprint-column join. "
+    "The sampling rate table still derives from all sources so batch "
+    "decisions match full-pipeline decisions doc-for-doc.",
+)
+def t_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    corpus_fp = corpus.select(
+        T.fingerprint(F.col("text")).alias("fp")
+    ).distinct()
+    bfp = batch.select(
+        "doc_id", "source", "lang", T.fingerprint(F.col("text")).alias("fp")
+    )
+    fresh = bfp.join(corpus_fp, "fp", "left_anti")
+    breps = fresh.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    tok = batch.select(
+        "doc_id",
+        F.explode(T.tokens(T.normalize_text(F.col("text")))).alias("tk"),
+    )
+    tf = tok.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("n"))
+    feat = tf.groupBy("doc_id").agg(
+        F.sum("n").cast("double").alias("n_tok"),
+        F.count(F.lit(1)).cast("double").alias("n_types"),
+        F.sum(F.length("tk") * F.col("n")).cast("double").alias("sum_len"),
+    )
+    z = (
+        F.lit(-6.0)
+        + F.lit(0.9) * F.log(F.lit(1.0) + F.col("n_tok"))
+        + F.lit(2.5) * (F.col("n_types") / F.col("n_tok"))
+        + F.lit(0.4) * (F.col("sum_len") / F.col("n_tok"))
+    )
+    zq = feat.select("doc_id", z.alias("z"))
+    rated = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                F.lit(0.05)
+                + F.lit(0.90)
+                * ((md5_hash64(F.col("source")) % 1000) / F.lit(1000.0))
+            ).alias("rate"),
+        )
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+    u = md5_hash64(
+        F.concat_ws("|", F.col("doc_id").cast("string"), F.col("source"))
+    ) / F.lit(4294967296.0)
+    return (
+        fresh.join(breps, "fp")
+        .join(zq, "doc_id")
+        .join(F.broadcast(rated), "source")
+        .filter(
+            (F.col("doc_id") == F.col("rep_id"))
+            & (prob >= F.lit(0.5))
+            & (u < F.col("rate"))
+        )
+        .select(
+            "doc_id", "source", "lang", F.round(prob, 6).alias("quality_prob")
+        )
+    )

@@ -1534,3 +1534,115 @@ def t_kmv_union_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("jaccard_ppm"),
     )
+
+
+@register(
+    "q_hist_quantile_sketch",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+),
+st AS (
+  SELECT flag, min(c) AS mn, max(c) AS mx, CAST(count(*) AS BIGINT) AS n,
+         round(quantile_cont(c, 0.50), 6) AS ex50,
+         round(quantile_cont(c, 0.95), 6) AS ex95
+  FROM v GROUP BY 1
+),
+b AS (
+  SELECT v.flag, ((v.c - st.mn) * 64) // (st.mx - st.mn + 1) AS bin
+  FROM v JOIN st USING (flag)
+),
+bc AS (SELECT flag, bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT flag, bin, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM bc
+),
+qq AS (
+  SELECT c.flag, c.bin, c.cnt, c.cum - c.cnt AS cum_before, q.q,
+         ((st.n - 1) * q.q) // 100 AS r,
+         st.mn, st.mx, st.ex50, st.ex95
+  FROM cum c JOIN st USING (flag), (VALUES (50), (95)) q(q)
+)
+SELECT flag AS l_returnflag,
+       CAST(q AS BIGINT) AS q_pct,
+       CAST(mn + (bin * (mx - mn + 1)) // 64
+            + ((r - cum_before)
+               * (((bin + 1) * (mx - mn + 1)) // 64 - (bin * (mx - mn + 1)) // 64))
+              // cnt AS BIGINT) AS est_cents,
+       CASE WHEN q = 50 THEN ex50 ELSE ex95 END AS exact_cents
+FROM qq
+WHERE cum_before <= r AND r < cum_before + cnt""",
+    doc="Mergeable histogram-quantile SKETCH next to its exact audit: "
+    "per return flag, a fixed 64-bin equi-width histogram of price "
+    "cents (floor(x*100+0.5) — identical integerization on both "
+    "engines) estimates p50/p95 by in-bin linear interpolation in "
+    "PURE int64 arithmetic (bin edges, ranks and the interpolation "
+    "are all truncating divisions — `div`/`//` parity), with the "
+    "exact interpolated percentile beside it so the error is the "
+    "query's own output. This is the scale path the exact "
+    "sort-based percentile (q_percentile_qty) can't take: histograms "
+    "partial-aggregate map-side, merge across partitions/batches by "
+    "vector addition, and hold O(bins) state per key — the "
+    "deterministic stand-in for approx_percentile's opaque sketch. "
+    "Quantile targets arrive by Generate (explode of a 2-element "
+    "array), not a join.",
+)
+def q_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("c"),
+    )
+    st = v.groupBy("flag").agg(
+        F.min("c").alias("mn"),
+        F.max("c").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("c", F.lit(0.50)), 6).alias("ex50"),
+        F.round(F.percentile("c", F.lit(0.95)), 6).alias("ex95"),
+    )
+    b = v.join(F.broadcast(st.select("flag", "mn", "mx")), "flag").select(
+        "flag", F.expr("((c - mn) * 64) div (mx - mn + 1)").alias("bin")
+    )
+    bc = b.groupBy("flag", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = bc.withColumn(
+        "cum",
+        F.sum("cnt")
+        .over(
+            W.partitionBy("flag")
+            .orderBy("bin")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .cast("long"),
+    )
+    qq = (
+        cum.join(F.broadcast(st), "flag")
+        .withColumn("q", F.explode(F.array(F.lit(50), F.lit(95))))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+        .withColumn("r", F.expr("((n - 1) * q) div 100"))
+    )
+    est = F.expr(
+        "CAST(mn + (bin * (mx - mn + 1)) div 64"
+        " + ((r - cum_before)"
+        " * (((bin + 1) * (mx - mn + 1)) div 64 - (bin * (mx - mn + 1)) div 64))"
+        " div cnt AS BIGINT)"
+    )
+    return (
+        qq.filter(
+            (F.col("cum_before") <= F.col("r"))
+            & (F.col("r") < F.col("cum_before") + F.col("cnt"))
+        )
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("q").cast("long").alias("q_pct"),
+            est.alias("est_cents"),
+            F.when(F.col("q") == 50, F.col("ex50"))
+            .otherwise(F.col("ex95"))
+            .alias("exact_cents"),
+        )
+    )
