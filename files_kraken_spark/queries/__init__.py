@@ -83,6 +83,8 @@ _SAMPLE_PRIORITY = [
     # -- NEW: batch-vs-corpus incremental funnel; deterministic
     # histogram-quantile sketch with its exact audit --
     "t_curation_incremental", "q_hist_quantile_sketch",
+    # -- NEW: streaming KMV distinct monitor's batch replay --
+    "t_streaming_kmv_replay",
     # -- changed this round: gap-sessions replay moved to the micros
     # convention on both engines (round-9 ADVICE item 1) --
     "t_streaming_gap_sessions_replay",

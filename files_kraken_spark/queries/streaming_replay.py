@@ -292,3 +292,59 @@ def t_streaming_band_candidates_replay(spark: SparkSession, sf_dir: str) -> Data
     return a.join(b, "band_key").filter(F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b", "band_key"
     )
+
+
+@register(
+    "t_streaming_kmv_replay",
+    oracle="""
+WITH tk AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS key,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM events
+),
+ranked AS (
+  SELECT key, h,
+         row_number() OVER (PARTITION BY key ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY key) AS nd
+  FROM tk
+)
+SELECT key,
+       CAST(CASE WHEN any_value(nd) < 64 THEN any_value(nd)
+                 ELSE (63 * 4294967296) // max(h) END AS BIGINT) AS kmv_est,
+       CAST(least(any_value(nd), 64) AS BIGINT) AS sketch_size
+FROM ranked WHERE rn <= 64 GROUP BY key
+""",
+    doc="Batch replay of the streaming KMV distinct monitor "
+    "(streaming/stateful.py streaming_kmv_distinct, k=64 over each "
+    "user's event ids): the checkpointed sketch — the k smallest "
+    "md5-prefix hashes — is batching-invariant because the k minima "
+    "of a union are the k minima of the parts' k minima, so the "
+    "at-rest k-smallest computation reproduces the converged state "
+    "and therefore the emitted estimate ((k-1)·2^32 div h_k, exact "
+    "size while unsaturated) and sketch size for ANY batching. Same "
+    "md5-prefix hash on all three sides (Python fold, Spark, DuckDB). "
+    "Scale shape: one keyed distinct-hash shuffle + a keyed top-k "
+    "window — no global window, per-key state O(k).",
+)
+def t_streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    tk = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        md5_hash64(F.col("event_id").cast("string")).alias("h"),
+    ).distinct()
+    wo = Window.partitionBy("key").orderBy("h")
+    wk = Window.partitionBy("key")
+    ranked = (
+        tk.withColumn("rn", F.row_number().over(wo))
+        .withColumn("nd", F.count(F.lit(1)).over(wk))
+        .filter(F.col("rn") <= 64)
+    )
+    return ranked.groupBy("key").agg(
+        F.when(F.max("nd") < 64, F.max("nd"))
+        .otherwise(F.expr("(63 * 4294967296) div max(h)"))
+        .cast("long")
+        .alias("kmv_est"),
+        F.least(F.max("nd"), F.lit(64)).cast("long").alias("sketch_size"),
+    )

@@ -484,3 +484,82 @@ def streaming_heavy_hitters(grouped, k: int = 8) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_DISTINCT_SCHEMA = (
+    "key string, batch_rows bigint, kmv_est bigint, sketch_size bigint"
+)
+
+
+def kmv_update(hashes: list[int], values, k: int = 64) -> list[int]:
+    """K-minimum-values fold (pure function, no Spark): keep the ``k``
+    smallest 32-bit md5-prefix hashes of the distinct values seen.
+    The hash is ``int(md5(str(v))[:8], 16)`` — byte-identical to
+    ``operators/dedup.md5_hash64`` and to the SQL spelling
+    ``('0x' || substr(md5(v), 1, 8))::BIGINT``, so the sketch state is
+    engine-replayable. Min-k of a union is commutative, associative
+    and idempotent over insertion order and batch boundaries (any hash
+    in the true k minima is in every batch-wise merge's k minima), so
+    batch-wise folding equals one-shot folding — the same mergeability
+    class as the HLL register max, with the extra property that SET
+    ALGEBRA works downstream (`corpus.kmv_sketch`'s union/intersection
+    estimates read this exact state)."""
+    import hashlib
+
+    s = set(hashes)
+    for v in values:
+        s.add(int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8], 16))
+    return sorted(s)[:k]
+
+
+def kmv_estimate(hashes: list[int], k: int = 64) -> int:
+    """Distinct estimate from the sketch: exact size while the sketch
+    is unsaturated, else ``(k-1)·2³² div h_k`` — pure int64 arithmetic
+    (Bar-Yossef et al. 2002), replayed verbatim by the SQL oracle."""
+    if len(hashes) < k:
+        return len(hashes)
+    return (k - 1) * 4294967296 // hashes[k - 1]
+
+
+def _make_kmv_distinct(k: int = 64):
+    def _kmv(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        hashes = list(state.get[0]) if state.exists else []
+        batch = 0
+        for pdf in pdfs:
+            batch += len(pdf)
+            hashes = kmv_update(hashes, pdf["value"], k=k)
+        state.update((hashes,))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "batch_rows": [batch],
+                "kmv_est": [kmv_estimate(hashes, k=k)],
+                "sketch_size": [len(hashes)],
+            }
+        )
+
+    return _kmv
+
+
+def streaming_kmv_distinct(grouped, k: int = 64) -> DataFrame:
+    """Streaming KMV (theta-sketch) distinct monitor per key: the k
+    smallest value hashes live in the checkpoint (k·8 bytes per key
+    FOREVER) and emit a running distinct estimate after every
+    micro-batch. Relative to `streaming_hll_distinct` this costs more
+    state per key (64 longs vs 64 small ints) but buys exact-integer
+    arithmetic end to end (no float harmonic mean, no linear-counting
+    ln branch) AND mergeable set algebra: two keys' checkpointed
+    sketches intersect/union at rest via `corpus.kmv_sketch`'s
+    estimators without touching the stream. Batching-invariant by the
+    min-k argument on `kmv_update`, so the batch replay
+    (`t_streaming_kmv_replay`) reproduces the converged state exactly
+    for ANY batching. Batch twin: `t_kmv_distinct_tokens` at rest."""
+    return grouped.applyInPandasWithState(
+        _make_kmv_distinct(k),
+        outputStructType=KMV_DISTINCT_SCHEMA,
+        stateStructType="hashes array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -331,3 +331,78 @@ def test_band_candidates_op_end_to_end_matches_replay(spark, tmp_path):
         for r in t_streaming_band_candidates_replay(spark, SF).collect()
     }
     assert got == want
+
+
+def test_kmv_replay_matches_pure_fold(spark):
+    """Replay estimate/size == the streaming KMV fold's converged
+    state under two adversarial batchings (min-k invariance)."""
+    from files_kraken_spark.queries.streaming_replay import (
+        t_streaming_kmv_replay,
+    )
+    from files_kraken_spark.streaming.stateful import kmv_estimate, kmv_update
+
+    got = {
+        r["key"]: (r["kmv_est"], r["sketch_size"])
+        for r in t_streaming_kmv_replay(spark, SF).collect()
+    }
+    by_key: dict = {}
+    for r in _events(spark):
+        by_key.setdefault(str(r["user_id"]), []).append(r["event_id"])
+    assert set(got) == set(by_key)
+    for key, vals in by_key.items():
+        folds = []
+        for nb in (2, 5):
+            hashes: list = []
+            k = max(1, len(vals) // nb)
+            for chunk in (vals[i : i + k] for i in range(0, len(vals), k)):
+                hashes = kmv_update(hashes, chunk, k=64)
+            folds.append(tuple(hashes))
+        assert folds[0] == folds[1]  # batching-invariant state
+        assert got[key] == (kmv_estimate(list(folds[0]), k=64), len(folds[0]))
+
+
+def test_streaming_kmv_op_end_to_end_matches_replay(spark, tmp_path):
+    """The actual streaming_kmv_distinct operator over real events in
+    two micro-batches: its final per-key emission equals the replay
+    query's converged estimate and sketch size."""
+    import json
+
+    from files_kraken_spark.queries.streaming_replay import (
+        t_streaming_kmv_replay,
+    )
+    from files_kraken_spark.streaming.stateful import streaming_kmv_distinct
+
+    evs = [(str(r["user_id"]), int(r["event_id"])) for r in _events(spark)]
+    src = tmp_path / "src_kmv"
+    src.mkdir()
+    k = (len(evs) + 1) // 2
+    for i in range(2):
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                json.dumps({"key": kk, "value": vv})
+                for kk, vv in evs[i * k : (i + 1) * k]
+            )
+        )
+    _stamp_order([src / f"b{i}.json" for i in range(2)])
+    stream = (
+        spark.readStream.schema("key string, value long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    last: dict = {}
+    for r in _run_stream(
+        spark, tmp_path, streaming_kmv_distinct(stream.groupBy("key")), "kmv_e2e"
+    ):
+        # append mode emits one row per (key, batch). The converged
+        # row is the max per key: state hashes only shrink over time,
+        # so sketch_size AND the estimate are monotone non-decreasing
+        # across batches — no reliance on memory-sink row order.
+        cur = (r["sketch_size"], r["kmv_est"])
+        if r["key"] not in last or cur > last[r["key"]]:
+            last[r["key"]] = cur
+    last = {k: (est, size) for k, (size, est) in last.items()}
+    want = {
+        r["key"]: (r["kmv_est"], r["sketch_size"])
+        for r in t_streaming_kmv_replay(spark, SF).collect()
+    }
+    assert last == want
