@@ -49,3 +49,35 @@ def test_curation_pipeline_agrees_with_stage_queries(spark):
     for rid in rep_ids:
         per_src_reps[docs[rid]] = per_src_reps.get(docs[rid], 0) + 1
     assert {s: f["n_unique"] for s, f in funnel.items()} == per_src_reps
+
+
+def test_hist_quantile_sketch_bins_merge_by_addition(spark):
+    """The property that makes the histogram sketch the scale path:
+    bin vectors of disjoint subsets SUM to the bin vector of the
+    union (given shared mn/mx), so partial histograms merge across
+    partitions/batches with no re-scan. Rebuilt here from the query's
+    own integerization and bin math."""
+    from pyspark.sql import functions as F
+
+    from files_kraken_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("c"),
+        (F.col("l_orderkey") % 2).alias("half"),
+    )
+    st = v.groupBy("flag").agg(F.min("c").alias("mn"), F.max("c").alias("mx"))
+    b = v.join(F.broadcast(st), "flag").select(
+        "flag", "half", F.expr("((c - mn) * 64) div (mx - mn + 1)").alias("bin")
+    )
+    whole = {
+        (r["flag"], r["bin"]): r["cnt"]
+        for r in b.groupBy("flag", "bin").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    parts = b.groupBy("flag", "half", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    summed: dict = {}
+    for r in parts.collect():
+        k = (r["flag"], r["bin"])
+        summed[k] = summed.get(k, 0) + r["cnt"]
+    assert summed == whole and len(whole) > 64  # real multi-bin histograms
