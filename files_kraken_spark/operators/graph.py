@@ -36,13 +36,20 @@ def cooccurrence_edges(
     directed: bool = True,
     max_group_size: int = 10_000,
     join_path_threshold: int | None | str = "auto",
+    warn_on_drop: bool = True,
 ) -> DataFrame:
     """Distinct co-occurrence edges (items sharing a group are
     adjacent) via one groupBy + map-side pair expansion: collect the
     group's item set, then expand its i<j pairs in TWO streamed
     generates — ``posexplode`` the set into (anchor, tail-slice) rows,
     then explode each tail against its anchor — canonicalized with
-    least/greatest. Replaces the two-sided equi-self-join + distinct
+    least/greatest. NOTE this builder is EAGER by default: the
+    ``"auto"`` routing probe (and, when a cap is set, the
+    ``warn_on_drop`` audit) runs one or two small Spark jobs at
+    DataFrame-CONSTRUCTION time, before any action on the returned
+    frame — callers composing plans lazily should pass an explicit
+    ``join_path_threshold`` (``None``/``int``) AND
+    ``warn_on_drop=False`` to get a fully lazy, zero-extra-job build. Replaces the two-sided equi-self-join + distinct
     build (shuffles the item table twice, then distincts the FULL
     mirrored pair set): here the table shuffles once, pairs are born
     canonical so distinct runs on half the rows, and the ``directed``
@@ -100,9 +107,15 @@ def cooccurrence_edges(
     dropped silently), mirroring the pin-size warning pattern.
     Explicit ``None`` keeps the unconditional single-path plan and
     explicit ``int`` forces the hybrid at that threshold — both skip
-    the profile job (and therefore its drop warning): they are the
-    escape hatches for callers who already know their group-size
-    profile and want zero extra jobs.
+    the profile job. Since round 11 they no longer skip the drop
+    SIGNAL: when a ``max_group_size`` cap is set, a one-agg audit on
+    the sets frame (pin-backed in hybrid mode) warns if the cap is
+    about to drop groups, so no mode truncates silently. Callers who
+    already know their group-size profile and want zero extra jobs
+    pass ``warn_on_drop=False`` with their explicit threshold. In
+    ``"auto"`` mode the probe itself carries the warning and the
+    routing decision is taken over CAP SURVIVORS only — a mega-group
+    the cap is dropping anyway cannot flip the plan to the hybrid.
 
     ``directed=True``: both (u, v) and (v, u), u != v — the layout
     label-prop/BFS/assortativity expect. ``directed=False``: u < v
@@ -131,11 +144,21 @@ def cooccurrence_edges(
         ):
             join_path_threshold = None
         else:
+            surviving = F.when(
+                F.lit(max_group_size is None)
+                | (F.col("__k") <= F.lit(max_group_size or 0)),
+                F.col("__k"),
+            )
             prof = (
                 df.groupBy(group_col)
                 .agg(F.countDistinct(item_col).alias("__k"))
                 .agg(
                     F.max("__k").alias("mx"),
+                    # Routing decides over CAP SURVIVORS only (round-10
+                    # ADVICE): a mega-group the cap is about to drop
+                    # must not flip the plan to the hybrid — it won't
+                    # be in the expansion at all.
+                    F.max(surviving).alias("mx_surv"),
                     F.count(
                         F.when(
                             F.lit(max_group_size is not None)
@@ -159,11 +182,47 @@ def cooccurrence_edges(
                     stacklevel=2,
                 )
             join_path_threshold = (
-                AUTO_JOIN_THRESHOLD if max_k > AUTO_JOIN_THRESHOLD else None
+                AUTO_JOIN_THRESHOLD
+                if (prof["mx_surv"] or 0) > AUTO_JOIN_THRESHOLD
+                else None
             )
+        profiled = True
+    else:
+        profiled = False
 
     sets = df.groupBy(group_col).agg(F.collect_set(item_col).alias("__ps"))
+    if join_path_threshold is not None:
+        # Pin BEFORE the cap filter so the explicit-mode drop audit
+        # below reads the pinned materialization, not a second groupBy.
+        from .ranks import pin_frame
+
+        sets = pin_frame(sets)
     if max_group_size is not None:
+        if not profiled and warn_on_drop:
+            # Explicit None/int modes skip the profile job, which used
+            # to make the cap a SILENT truncation (round-10 verdict
+            # item 4). One small audit agg on the sets frame (cheap —
+            # reads the pin in hybrid mode) closes that; callers who
+            # want the zero-extra-job build pass warn_on_drop=False.
+            audit = (
+                sets.filter(F.size("__ps") > max_group_size)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max(F.size("__ps")).alias("mx"),
+                )
+                .first()
+            )
+            if audit["n"]:
+                import warnings
+
+                warnings.warn(
+                    f"cooccurrence_edges: max_group_size={max_group_size}"
+                    f" drops {audit['n']} group(s) (largest has "
+                    f"{audit['mx']} distinct items) — the edge set is a "
+                    "conservative under-approximation; raise the cap or "
+                    "pass max_group_size=None to keep mega-groups",
+                    stacklevel=2,
+                )
         sets = sets.filter(F.size("__ps") <= max_group_size)
 
     def _staged(s: DataFrame) -> DataFrame:
@@ -187,9 +246,6 @@ def cooccurrence_edges(
     if join_path_threshold is None:
         pairs = _staged(sets).distinct()
     else:
-        from .ranks import pin_frame
-
-        sets = pin_frame(sets)
         small = _staged(sets.filter(F.size("__ps") <= join_path_threshold))
         big_items = sets.filter(F.size("__ps") > join_path_threshold).select(
             F.col(group_col).alias("__g"), F.explode("__ps").alias("__it")

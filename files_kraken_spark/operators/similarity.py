@@ -1511,7 +1511,15 @@ def ivf_merged_topk(
     one anti-join at serve time — no index rebuild, no hole-patching,
     the standard soft-delete an updatable vector store runs between
     compactions. Queries themselves may be tombstoned ids (a deleted
-    doc can still be a probe); only candidacy is revoked."""
+    doc can still be a probe); only candidacy is revoked.
+
+    Overlapping ids UPSERT (round-10 ADVICE): an id present in both
+    frames takes the NEW batch's vector and assignment — the base row
+    is anti-joined out of both the cell map and the candidate corpus
+    before the union, so a re-ingested document can never appear as
+    two candidate rows or skew cell occupancy. The anti-join keys on
+    the (small) new batch, so at scale it's a broadcast anti-join on
+    the base side, not a second corpus shuffle."""
     from pyspark.sql.window import Window
 
     cells_base, centroids = ivf_build_cells_and_centroids(
@@ -1520,9 +1528,14 @@ def ivf_merged_topk(
     cells_new = assign_to_centroids(
         new_df, centroids, id_col=id_col, vec_col=vec_col
     )
-    merged_cells = cells_base.select(
-        F.col(id_col), F.col("cell").cast("long").alias("cell")
-    ).unionByName(cells_new)
+    new_ids = new_df.select(id_col)
+    merged_cells = (
+        cells_base.select(
+            F.col(id_col), F.col("cell").cast("long").alias("cell")
+        )
+        .join(new_ids, id_col, "left_anti")
+        .unionByName(cells_new)
+    )
     if tombstones is not None:
         # no broadcast hint: a small delete set auto-broadcasts under
         # the threshold, a compaction-overdue one shuffles on the id
@@ -1530,8 +1543,10 @@ def ivf_merged_topk(
         merged_cells = merged_cells.join(
             tombstones.select(id_col), id_col, "left_anti"
         )
-    corpus = base_df.select(id_col, vec_col).unionByName(
-        new_df.select(id_col, vec_col)
+    corpus = (
+        base_df.select(id_col, vec_col)
+        .join(new_ids, id_col, "left_anti")
+        .unionByName(new_df.select(id_col, vec_col))
     )
     emb = corpus.select(
         F.col(id_col).alias("cid"),

@@ -1390,17 +1390,22 @@ ranked AS (
     + _SQL_KMV_RANKED
     + """
 SELECT source,
-       CAST(any_value(nd) AS BIGINT) AS n_exact,
+       CAST(any_value(nd) AS BIGINT) AS n_exact_hashes,
        CAST(CASE WHEN any_value(nd) < 64 THEN any_value(nd)
-                 ELSE (63 * 4294967296) // max(h) END AS BIGINT) AS kmv_est
+                 ELSE (63 * 4294967296) // greatest(max(h), 1) END AS BIGINT) AS kmv_est
 FROM ranked WHERE rn <= 64 GROUP BY source""",
     doc="K-minimum-values distinct-count sketch (Bar-Yossef et al. "
     "2002): each source keeps its 64 smallest md5 token hashes; the "
     "64th minimum h_k estimates the distinct vocabulary as "
     "(k-1)·2^32 div h_k — exact integer division on both engines, so "
     "unlike HLL register layouts the whole sketch is oracle-material. "
-    "Output carries the exact count next to the estimate: the "
-    "accuracy audit is the query. Scale shape: one (source, hash) "
+    "Output carries the audit column n_exact_hashes next to the "
+    "estimate — the exact count of DISTINCT 32-BIT HASHES, identical "
+    "on both engines but itself a slight undercount of true distinct "
+    "tokens once vocabularies reach birthday-collision territory "
+    "(~10^5); the divisor is clamped greatest(h_k, 1) on both sides "
+    "against the p≈2^-32 all-zero md5 prefix. Scale shape: one "
+    "(source, hash) "
     "distinct shuffle + a keyed top-k window — per-key state is O(k) "
     "however large the vocabulary, which is the point of a sketch.",
 )
@@ -1412,11 +1417,11 @@ def t_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nd").alias("nd"),
     )
     est = F.when(F.col("nd") < 64, F.col("nd")).otherwise(
-        F.expr("(63 * 4294967296) div hk")
+        F.expr("(63 * 4294967296) div greatest(hk, 1)")
     )
     return per.select(
         "source",
-        F.col("nd").cast("long").alias("n_exact"),
+        F.col("nd").cast("long").alias("n_exact_hashes"),
         est.cast("long").alias("kmv_est"),
     )
 
@@ -1458,9 +1463,9 @@ agg AS (
 )
 SELECT sa AS src_a, sb AS src_b,
        CAST(CASE WHEN ntot < 64 THEN ntot
-                 ELSE (63 * 4294967296) // mk END AS BIGINT) AS est_union,
+                 ELSE (63 * 4294967296) // greatest(mk, 1) END AS BIGINT) AS est_union,
        CAST(CASE WHEN ntot < 64 THEN ncom
-                 ELSE (ncom * ((63 * 4294967296) // mk)) // 64 END AS BIGINT) AS est_inter,
+                 ELSE (ncom * ((63 * 4294967296) // greatest(mk, 1))) // 64 END AS BIGINT) AS est_inter,
        CAST(CASE WHEN ntot < 64 THEN (ncom * 1000000) // ntot
                  ELSE (ncom * 1000000) // 64 END AS BIGINT) AS jaccard_ppm
 FROM agg""",
@@ -1522,11 +1527,11 @@ def t_kmv_union_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sa").alias("src_a"),
         F.col("sb").alias("src_b"),
         F.when(under, F.col("ntot"))
-        .otherwise(F.expr("(63 * 4294967296) div mk"))
+        .otherwise(F.expr("(63 * 4294967296) div greatest(mk, 1)"))
         .cast("long")
         .alias("est_union"),
         F.when(under, F.col("ncom"))
-        .otherwise(F.expr("(ncom * ((63 * 4294967296) div mk)) div 64"))
+        .otherwise(F.expr("(ncom * ((63 * 4294967296) div greatest(mk, 1))) div 64"))
         .cast("long")
         .alias("est_inter"),
         F.when(under, F.expr("(ncom * 1000000) div ntot"))

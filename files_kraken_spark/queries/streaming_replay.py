@@ -310,7 +310,7 @@ ranked AS (
 )
 SELECT key,
        CAST(CASE WHEN any_value(nd) < 64 THEN any_value(nd)
-                 ELSE (63 * 4294967296) // max(h) END AS BIGINT) AS kmv_est,
+                 ELSE (63 * 4294967296) // greatest(max(h), 1) END AS BIGINT) AS kmv_est,
        CAST(least(any_value(nd), 64) AS BIGINT) AS sketch_size
 FROM ranked WHERE rn <= 64 GROUP BY key
 """,
@@ -343,7 +343,7 @@ def t_streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.groupBy("key").agg(
         F.when(F.max("nd") < 64, F.max("nd"))
-        .otherwise(F.expr("(63 * 4294967296) div max(h)"))
+        .otherwise(F.expr("(63 * 4294967296) div greatest(max(h), 1)"))
         .cast("long")
         .alias("kmv_est"),
         F.least(F.max("nd"), F.lit(64)).cast("long").alias("sketch_size"),

@@ -514,11 +514,15 @@ def kmv_update(hashes: list[int], values, k: int = 64) -> list[int]:
 
 def kmv_estimate(hashes: list[int], k: int = 64) -> int:
     """Distinct estimate from the sketch: exact size while the sketch
-    is unsaturated, else ``(k-1)·2³² div h_k`` — pure int64 arithmetic
-    (Bar-Yossef et al. 2002), replayed verbatim by the SQL oracle."""
+    is unsaturated, else ``(k-1)·2³² div max(h_k, 1)`` — pure int64
+    arithmetic (Bar-Yossef et al. 2002), replayed verbatim by the SQL
+    oracle. The divisor clamp guards the p≈2⁻³² value whose md5
+    prefix is 00000000 (h=0): once such a hash is the k-th minimum an
+    unclamped divide raises — the Spark/DuckDB twins spell the same
+    ``greatest(h_k, 1)`` so the parity contract survives the clamp."""
     if len(hashes) < k:
         return len(hashes)
-    return (k - 1) * 4294967296 // hashes[k - 1]
+    return (k - 1) * 4294967296 // max(hashes[k - 1], 1)
 
 
 def _make_kmv_distinct(k: int = 64):

@@ -80,3 +80,47 @@ def test_tombstones_revoke_candidacy_only(spark):
     b = {(r["q_id"], r["cand_id"]) for r in
          ivf_merged_topk(base, new, q, k=8, iters=2, topk=5).collect()}
     assert a == b
+
+
+def test_merged_topk_overlapping_ids_upsert_new_wins(spark):
+    """Round-10 ADVICE: an id present in BOTH base and new must not
+    duplicate candidate rows — the merge is an upsert where the new
+    batch's vector wins. Re-ingest one base id with a different
+    embedding and check (a) no query sees it twice, (b) its serving
+    position follows the NEW vector."""
+    from files_kraken_spark.operators.similarity import ivf_merged_topk
+    from files_kraken_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 < 8)
+    reingest_id = base.select(F.min("vec_id")).first()[0]
+    # new batch = held-out split PLUS a re-ingest of reingest_id whose
+    # vector is replaced by another base row's vector (id 'donor')
+    donor = base.select(F.max("vec_id")).first()[0]
+    replaced = (
+        emb.filter(F.col("vec_id") == donor)
+        .select(F.lit(reingest_id).cast("long").alias("vec_id"), "embedding")
+    )
+    new = emb.filter(F.col("vec_id") % 10 >= 8).select(
+        "vec_id", "embedding"
+    ).unionByName(replaced)
+    q = emb.filter(F.col("vec_id") < 8).select("vec_id")
+
+    res = ivf_merged_topk(base, new, q, k=8, iters=2, topk=5)
+    rows = res.collect()
+    assert rows
+    # (a) no (q_id, cand_id) pair appears twice
+    pairs = [(r["q_id"], r["cand_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    # (b) the upserted id serves with the donor's vector: wherever the
+    # donor ranks for a query, the re-ingested id (same vector, lower
+    # id tiebreak) must rank identically or adjacent — concretely, any
+    # query listing the donor in its top-k must list reingest_id too
+    # at least as high (identical cos, lower id wins the tiebreak).
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r["cand_id"])
+    for q_id, cands in by_q.items():
+        if donor in cands and q_id != reingest_id:
+            assert reingest_id in cands
+            assert cands.index(reingest_id) < cands.index(donor)

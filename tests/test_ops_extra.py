@@ -1289,3 +1289,84 @@ def test_cooccurrence_edges_cap_warns_on_drop(spark):
         W.simplefilter("always")
         cooccurrence_edges(df, "grp", "item", directed=False).count()
     assert not [w for w in rec if "cooccurrence_edges" in str(w.message)]
+
+
+def test_cooccurrence_edges_explicit_modes_warn_on_cap_drop(spark):
+    """Round-10 verdict item 4: the explicit None/int escape hatches
+    used to be the last SILENT truncation path — a max_group_size cap
+    could drop groups with no signal. Both modes now warn via the
+    one-agg audit on the sets frame; warn_on_drop=False restores the
+    zero-extra-job build for callers who know their profile."""
+    import warnings as W
+
+    import pytest
+
+    from files_kraken_spark.operators.graph import cooccurrence_edges
+
+    rows = [("big", i) for i in range(30)] + [("small", 1001), ("small", 1002)]
+    df = spark.createDataFrame(rows, ["grp", "item"])
+
+    for thr in (None, 4):  # single-path and forced-hybrid explicit modes
+        with pytest.warns(UserWarning, match="drops 1 group"):
+            got = set(
+                map(
+                    tuple,
+                    cooccurrence_edges(
+                        df, "grp", "item", directed=False,
+                        max_group_size=10, join_path_threshold=thr,
+                    ).collect(),
+                )
+            )
+        assert got == {(1001, 1002)}
+
+    # warn_on_drop=False: silent by request, result unchanged
+    with W.catch_warnings():
+        W.simplefilter("error")
+        got = set(
+            map(
+                tuple,
+                cooccurrence_edges(
+                    df, "grp", "item", directed=False,
+                    max_group_size=10, join_path_threshold=None,
+                    warn_on_drop=False,
+                ).collect(),
+            )
+        )
+    assert got == {(1001, 1002)}
+
+    # no cap set -> no audit job, no warning, either explicit mode
+    with W.catch_warnings():
+        W.simplefilter("error")
+        n = cooccurrence_edges(
+            df, "grp", "item", directed=False,
+            max_group_size=None, join_path_threshold=None,
+        ).count()
+    assert n == 30 * 29 // 2 + 1
+
+
+def test_cooccurrence_edges_auto_routing_ignores_capped_groups(spark, monkeypatch):
+    """Round-10 ADVICE: a mega-group the cap is about to DROP must not
+    flip auto routing to the hybrid — the probe's routing max is taken
+    over cap survivors only, so the surviving short-basket corpus
+    keeps the single-path plan (observable: no pin write), while the
+    drop warning still fires with the uncapped max."""
+    import pytest
+
+    from files_kraken_spark.operators import graph as G
+    from files_kraken_spark.operators import ranks as R
+
+    monkeypatch.setattr(G, "AUTO_JOIN_THRESHOLD", 8)
+    rows = [("mega", i) for i in range(40)] + [("tiny", 100), ("tiny", 101)]
+    df = spark.createDataFrame(rows, ["grp", "item"])
+    pins_before = len(R._PIN_DIRS)
+    with pytest.warns(UserWarning, match="drops 1 group.*40 distinct"):
+        got = set(
+            map(
+                tuple,
+                G.cooccurrence_edges(
+                    df, "grp", "item", directed=False, max_group_size=10
+                ).collect(),
+            )
+        )
+    assert got == {(100, 101)}  # mega dropped, tiny kept
+    assert len(R._PIN_DIRS) == pins_before  # hybrid did NOT engage

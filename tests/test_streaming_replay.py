@@ -406,3 +406,20 @@ def test_streaming_kmv_op_end_to_end_matches_replay(spark, tmp_path):
         for r in t_streaming_kmv_replay(spark, SF).collect()
     }
     assert last == want
+
+
+def test_kmv_estimate_zero_hash_guard():
+    """Round-10 ADVICE: a value whose md5 prefix is 00000000 lands
+    h=0 in the sketch; once it is the k-th minimum the estimator must
+    clamp the divisor instead of raising. The clamp is spelled
+    greatest(h_k, 1) identically in the Spark/DuckDB twins, so the
+    pure fold here IS the parity pin."""
+    from files_kraken_spark.streaming.stateful import kmv_estimate
+
+    # saturated sketch whose k-th minimum is 0 (k zero-or-tiny hashes)
+    hashes = list(range(64))  # h_k = hashes[63] = 63 -> normal path
+    assert kmv_estimate(hashes, k=64) == 63 * 4294967296 // 63
+    degenerate = [0] * 64  # h_k = 0 -> clamped divisor, no raise
+    assert kmv_estimate(degenerate, k=64) == 63 * 4294967296
+    # unsaturated sketch stays exact regardless of zeros
+    assert kmv_estimate([0, 1, 2], k=64) == 3
