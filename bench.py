@@ -67,6 +67,12 @@ EXTRA = [
     "q_label_prop_communities",
     "sim_mips_norm_trick",
     "t_boilerplate_ngrams",
+    # round-10 operator families (round-10 verdict item 2: capability
+    # lines need sf0.1 perf evidence, not just sf0.01 correctness)
+    "sim_ivf_incremental_assign",
+    "t_curation_pipeline",
+    "t_kmv_distinct_tokens",
+    "q_hist_quantile_sketch",
 ]
 
 
@@ -204,14 +210,31 @@ def main():
             "load_drift": load_drift,
         }
 
+    # Healthy-control ceiling (round-10 verdict item 1): on this box a
+    # clean q1 control run sits at ~0.26-0.34s; a control above the
+    # ceiling means the whole block ran on a loaded machine and raw
+    # deltas vs other rounds are machine drift, not code. One retry,
+    # same policy as the drift sentinel.
+    control_ceiling = float(
+        os.environ.get("SPARK_GRAFT_CONTROL_CEILING", "0.35")
+    )
+
+    def _unhealthy(m: dict) -> str | None:
+        if not (0.5 <= m["load_drift"] <= 2.0):
+            return f"load_drift {m['load_drift']} outside [0.5, 2]"
+        mean_control = sum(m["control"]) / 2
+        if mean_control > control_ceiling:
+            return (
+                f"mean control {mean_control:.3f}s above ceiling "
+                f"{control_ceiling}s (loaded box)"
+            )
+        return None
+
     m = measure()
     retried = False
-    if not (0.5 <= m["load_drift"] <= 2.0):
-        print(
-            f"# load_drift {m['load_drift']} outside [0.5, 2] — "
-            "contended block, re-running once",
-            file=sys.stderr,
-        )
+    reason = _unhealthy(m)
+    if reason:
+        print(f"# {reason} — contended block, re-running once", file=sys.stderr)
         retried = True
         m = measure()
 
@@ -220,6 +243,7 @@ def main():
     control_start, control_end = m["control"]
     load_drift = m["load_drift"]
     total = round(sum(timings.values()), 3)
+    mean_control = (control_start + control_end) / 2
     record = {
         "metric": "headline_queries_total_time",
         "value": total,
@@ -229,6 +253,17 @@ def main():
         "sf": sf,
         "runs_per_query": runs_per_query,
         "agg": "min",
+        # Control-normalized headline (round-10 verdict item 1): the
+        # raw total divided by the mean control-sentinel time. The
+        # control runs the SAME cheapest query on the same box inside
+        # the same block, so uniform machine drift (round 10's +18%,
+        # which tracked a +20-25% control rise on untouched queries)
+        # divides out; code regressions don't. Compare THIS number
+        # round-over-round when control_healthy is false.
+        "value_per_control": round(total / max(mean_control, 1e-9), 2),
+        # True = both sentinels under the ceiling: raw value trustable
+        "control_healthy": mean_control <= control_ceiling,
+        "control_ceiling_sec": control_ceiling,
         # noise self-flags (round-5 verdict item #2): per-query
         # max/min run ratio, plus control-query drift start→end
         "spread": spread,

@@ -893,3 +893,65 @@ def span_dedup(
         ).alias("kept_text"),
     )
     return per_doc
+
+
+def cc_incremental(
+    state: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Merge an APPEND-ONLY batch of near-dup pairs into persisted
+    connected-components state without re-running CC over the corpus —
+    the group-level half of incremental dedup (the pair-level half is
+    the batch-vs-corpus candidate join in `minhash_lsh_incremental` /
+    `ngram_overlap` shapes). Returns ``(doc_id, component)`` EXACTLY
+    equal to from-scratch :func:`connected_components` on the union
+    pair set — the oracle replays the from-scratch build and the
+    driver hash-compares.
+
+    Why exact: ``state`` labels are CANONICAL (component = min doc id
+    reachable, which is what every CC in this module emits). A new
+    batch can only merge whole existing components (or mint singleton
+    components for unseen docs), so lift each new pair to its
+    endpoints' LABELS, run CC on that label graph — tiny: at most one
+    edge per batch pair — and the merged label of a group of old
+    labels is min(labels) = min doc id of the union component. One
+    broadcast relabel join over ``state`` finishes the merge.
+
+    Scale shape (maintain-vs-retrain): a from-scratch CC is O(log n)
+    or O(diameter) rounds of CORPUS-wide shuffles; this merge is one
+    batch-endpoint label lookup against state (broadcast of the small
+    batch side), a CC over ≤|batch| label edges, and one broadcast map
+    join — the corpus-sized state table is read once and shuffled
+    never. Contract: append-only (pair retractions can SPLIT a
+    component, which needs recomputing that component from its
+    surviving pairs — not this operator)."""
+    ends = (
+        new_pairs.select(F.col(id_a).alias("n"))
+        .unionByName(new_pairs.select(F.col(id_b).alias("n")))
+        .distinct()
+    )
+    lab = (
+        ends.join(state.withColumnRenamed("doc_id", "n"), "n", "left")
+        .select("n", F.coalesce("component", F.col("n")).alias("lbl"))
+        .persist()
+    )
+    label_edges = (
+        new_pairs.select(id_a, id_b)
+        .join(lab.select(F.col("n").alias(id_a), F.col("lbl").alias("la")), id_a)
+        .join(lab.select(F.col("n").alias(id_b), F.col("lbl").alias("lb")), id_b)
+        .select("la", "lb")
+        .filter(F.col("la") != F.col("lb"))
+        .distinct()
+    )
+    merge_map = connected_components(label_edges, id_a="la", id_b="lb").select(
+        F.col("doc_id").alias("component"), F.col("component").alias("__merged")
+    )
+    nodes = state.unionByName(
+        lab.select(F.col("n").alias("doc_id"), F.col("lbl").alias("component"))
+    ).distinct()
+    return nodes.join(F.broadcast(merge_map), "component", "left").select(
+        "doc_id",
+        F.coalesce("__merged", F.col("component")).alias("component"),
+    )

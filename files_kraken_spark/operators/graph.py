@@ -353,3 +353,236 @@ def pagerank(
             .alias("pr"),
         )
     return ranks.select("node", "pr")
+
+
+# ---------------------------------------------------------------------------
+# Incremental PageRank maintenance (round-11): merge an APPEND-ONLY
+# edge batch into persisted PageRank state without recomputing the
+# full graph — the graph leg of the maintain-vs-retrain story next to
+# incremental dedup (dedup.py) and incremental ANN (similarity.py).
+# ---------------------------------------------------------------------------
+
+
+def pagerank_history(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-``iters`` integer PageRank that returns the FULL per-round
+    trajectory ``(node, round, pr)`` for rounds 0..iters — the state an
+    incremental maintainer needs. A k-round PageRank value depends on
+    the k-hop in-neighborhood, so merging an edge batch exactly
+    requires the per-round values at the dirty frontier's boundary:
+    storing only the final round forces a full recompute, storing the
+    (iters+1)-row-per-node trajectory makes the merge a frontier-local
+    job (`pagerank_incremental`). Same update rule as :func:`pagerank`
+    (BIGINT micro-units, DIV truncation, bit-exact under any
+    partitioning); no personalization/symmetrize — callers shape edges
+    first. State cost: (iters+1)·16 bytes per node, flat in corpus
+    size per node — the PQ-codes-per-vector equivalent for graphs."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    base = (100 - damping_pct) * UNIT // 100
+    ranks = nodes.select("node", F.lit(UNIT).cast("long").alias("pr"))
+    out = [ranks.select("node", F.lit(0).alias("round"), "pr")]
+    for t in range(iters):
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src").select("src", "pr"), "src")
+            .select("dst", F.expr("pr DIV deg").alias("c"))
+        )
+        agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(agg.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) DIV 100"
+                    )
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+            # localCheckpoint, not persist: each round's plan would
+            # otherwise embed every prior round's analyzed plan, and
+            # with the incremental merge consuming ALL slices the
+            # compounded planning time dominates data time (measured
+            # 60s+ at sf0.01 with persist-only — pure Catalyst
+            # overhead, the deep-tiny-frame trap from SCALING.md)
+            .localCheckpoint(eager=True)
+        )
+        out.append(ranks.select("node", F.lit(t + 1).alias("round"), "pr"))
+    hist = out[0]
+    for frame in out[1:]:
+        hist = hist.unionByName(frame)
+    return hist
+
+
+def dirty_frontiers(
+    edges: DataFrame,
+    delta_edges: DataFrame,
+    base_nodes: DataFrame,
+    iters: int = 3,
+) -> list[DataFrame]:
+    """Per-round dirty sets D_1..D_iters for an append-only edge batch
+    under the fixed-``iters`` PageRank recurrence — the nodes whose
+    round-t value can differ from the stored base trajectory.
+
+    A node is dirty at round t iff some in-contribution changed: the
+    in-edge is new, the in-neighbor's out-degree grew (it sources a
+    delta edge), or the in-neighbor was dirty at t-1. With S = src of
+    delta edges and N = nodes absent from the base graph, that gives
+    D_0 = N, D_static = N ∪ out(S ∪ N), D_t = D_static ∪ out(D_{t-1})
+    over the UNION edge list — a monotone sequence (S and N re-enter
+    every round), so the final merge only needs D_iters. Each step is
+    one semi-join-shaped probe of the edge table against a (small)
+    frontier — the frontier-bounded cost that makes maintenance beat
+    retrain: a retrain shuffles every edge ``iters`` times, the merge
+    touches only edges INTO the dirty sets.
+
+    ``base_nodes``: one-column frame of nodes present in the base
+    graph (e.g. ``history.filter(round == 0)``). All frames returned
+    are single-column ``node`` and persisted (they seed multiple
+    consumers); callers unpersist when done."""
+    e = edges.select("src", "dst")
+    dn = (
+        delta_edges.select(F.col("src").alias("node"))
+        .unionByName(delta_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    new_nodes = dn.join(
+        base_nodes.select(F.col(base_nodes.columns[0]).alias("node")),
+        "node",
+        "left_anti",
+    ).persist()
+    seed = (
+        delta_edges.select(F.col("src").alias("node"))
+        .distinct()
+        .unionByName(new_nodes)
+        .distinct()
+        .persist()
+    )
+    d_static = (
+        new_nodes.unionByName(
+            e.join(seed.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # cuts the round-chained lineage
+    )
+    frontiers = [d_static]  # D_1 = D_static (out(D_0=N) ⊆ out(seed))
+    prev = d_static
+    for _ in range(iters - 1):
+        nxt = (
+            d_static.unionByName(
+                e.join(prev.withColumnRenamed("node", "src"), "src")
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        frontiers.append(nxt)
+        prev = nxt
+    return frontiers
+
+
+def pagerank_incremental(
+    edges: DataFrame,
+    delta_edges: DataFrame,
+    history: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Merge an APPEND-ONLY edge batch into a persisted PageRank
+    trajectory and return the final ``(node, pr)`` — bit-identical to
+    re-running :func:`pagerank`/:func:`pagerank_history` from scratch
+    on the union edge list, at frontier-local cost.
+
+    ``edges`` is the union edge list (base ∪ batch, as the store holds
+    it after the append), ``delta_edges`` just the batch, ``history``
+    the base trajectory from :func:`pagerank_history`. Per round t the
+    recompute is restricted to the dirty set D_t (`dirty_frontiers`):
+    contributions into D_t read the round-(t-1) value from the updated
+    frame when the in-neighbor is dirty, else from stored history —
+    clean nodes are exactly the nodes whose k-hop in-cone is unchanged,
+    so their stored values ARE the union values (induction on t). All
+    arithmetic stays BIGINT micro-units + DIV truncation, so equality
+    with the from-scratch build is exact, not approximate — the oracle
+    replays the from-scratch union build and the driver hash-compares.
+
+    Contract: append-only (no edge retractions — a retraction changes
+    out-degrees downward and needs the same machinery with a dirty
+    seed of the removed edges' endpoints; not implemented), and
+    ``history`` must hold rounds 0..iters of THIS damping on the base
+    edge list. Scale shape per round: one probe of the edge table
+    against a small frontier (broadcast semi-join under AQE), one
+    lookup join against the O(nodes) round slice, one groupBy(dst) on
+    frontier-bounded rows. A daily batch touches its k-hop out-cone,
+    not the corpus."""
+    e = edges.select("src", "dst").persist()
+    de = delta_edges.select("src", "dst").persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    base_nodes = history.filter(F.col("round") == 0).select("node")
+    frontiers = dirty_frontiers(e, de, base_nodes, iters=iters)
+    new_nodes = (
+        de.select(F.col("src").alias("node"))
+        .unionByName(de.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(base_nodes, "node", "left_anti")
+    )
+    base = (100 - damping_pct) * UNIT // 100
+    upd = new_nodes.select(
+        "node", F.lit(UNIT).cast("long").alias("pr")
+    ).localCheckpoint(eager=True)  # D_0 rows: new nodes start at UNIT
+    for t in range(1, iters + 1):
+        d_t = frontiers[t - 1]
+        prev = (
+            history.filter(F.col("round") == t - 1)
+            .select("node", "pr")
+            .join(upd.select("node"), "node", "left_anti")
+            .unionByName(upd)
+        )
+        e_in = e.join(
+            d_t.withColumnRenamed("node", "dst"), "dst", "left_semi"
+        )
+        contrib = (
+            e_in.join(deg, "src")
+            .join(prev.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("pr DIV deg").alias("c"))
+        )
+        agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        upd = (
+            d_t.join(agg.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) DIV 100"
+                    )
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=True)  # same planning-depth cut
+        )
+    return (
+        history.filter(F.col("round") == iters)
+        .select("node", "pr")
+        .join(upd.select("node"), "node", "left_anti")
+        .unionByName(upd)
+    )

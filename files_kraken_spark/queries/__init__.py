@@ -58,6 +58,7 @@ from . import analytics  # noqa: E402,F401
 from . import streaming_replay  # noqa: E402,F401
 from . import ann_maintenance  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
+from . import graph_maintenance  # noqa: E402,F401
 
 # A budget-capped correctness pass walks the registry in order and may
 # only reach a prefix. Round-10 order (round-9 verdict item 2): the

@@ -1542,6 +1542,134 @@ def t_kmv_union_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_kmv_anotb",
+    oracle="WITH "
+    + _SQL_KMV_RANKED
+    + """,
+sk AS (SELECT source, h FROM ranked WHERE rn <= 64),
+th AS (
+  SELECT source,
+         CASE WHEN any_value(nd) < 64 THEN 4294967296 ELSE max(h) END AS theta
+  FROM ranked WHERE rn <= 64 GROUP BY source
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+pr AS (SELECT a.source AS sa, b.source AS sb
+       FROM srcs a JOIN srcs b ON a.source < b.source),
+tt AS (
+  SELECT pr.sa, pr.sb, least(ta.theta, tb.theta) AS theta
+  FROM pr JOIN th ta ON ta.source = pr.sa JOIN th tb ON tb.source = pr.sb
+),
+ca AS (
+  SELECT t.sa, t.sb, CAST(count(*) AS BIGINT) AS n
+  FROM tt t JOIN sk a ON a.source = t.sa AND a.h < t.theta
+  WHERE NOT EXISTS (SELECT 1 FROM sk b WHERE b.source = t.sb AND b.h = a.h)
+  GROUP BY 1, 2
+),
+cb AS (
+  SELECT t.sa, t.sb, CAST(count(*) AS BIGINT) AS n
+  FROM tt t JOIN sk b ON b.source = t.sb AND b.h < t.theta
+  WHERE NOT EXISTS (SELECT 1 FROM sk a WHERE a.source = t.sa AND a.h = b.h)
+  GROUP BY 1, 2
+)
+SELECT t.sa AS src_a, t.sb AS src_b,
+       CAST(coalesce(ca.n, 0) AS BIGINT) AS n_anotb_hashes,
+       CAST(coalesce(cb.n, 0) AS BIGINT) AS n_bnota_hashes,
+       CAST((coalesce(ca.n, 0) * 4294967296) // greatest(t.theta, 1)
+            AS BIGINT) AS est_anotb,
+       CAST((coalesce(cb.n, 0) * 4294967296) // greatest(t.theta, 1)
+            AS BIGINT) AS est_bnota
+FROM tt t
+LEFT JOIN ca ON ca.sa = t.sa AND ca.sb = t.sb
+LEFT JOIN cb ON cb.sa = t.sa AND cb.sb = t.sb""",
+    doc="Theta-sketch A-not-B — the set-DIFFERENCE estimator that "
+    "completes the KMV algebra (distinct: t_kmv_distinct_tokens; "
+    "union/intersection/Jaccard: t_kmv_union_jaccard): per source "
+    "pair, theta = min of the two sketches' k-th minima (2^32 for an "
+    "unsaturated side, degrading the estimate to EXACT set math), "
+    "candidates = A's sketch hashes below theta absent from B's "
+    "sketch — exact membership, since B's sketch holds every B hash "
+    "below its own theta >= theta — and the estimate scales "
+    "candidates by 2^32 div theta in pure int64 (divisor clamped "
+    "like every KMV estimator here). Both directions in one row; "
+    "the retained-hash counts ride along as the audit columns. "
+    "Scale shape: sketches are O(k) rows per source, so the whole "
+    "pair grid is broadcast-size compute regardless of corpus size — "
+    "the one corpus-sized pass is the distinct-hash shuffle the "
+    "sketch build already paid.",
+)
+def t_kmv_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sk = C.kmv_sketch(docs, "source", "text", k=64).persist()
+    th = sk.groupBy("source").agg(
+        F.when(F.max("nd") < 64, F.lit(4294967296))
+        .otherwise(F.max("h"))
+        .cast("long")
+        .alias("theta")
+    )
+    srcs = docs.select("source").distinct()
+    pairs = srcs.select(F.col("source").alias("sa")).join(
+        F.broadcast(srcs.select(F.col("source").alias("sb"))),
+        F.col("sa") < F.col("sb"),
+    )
+    tt = (
+        pairs.join(
+            F.broadcast(th.select(F.col("source").alias("sa"),
+                                  F.col("theta").alias("ta"))),
+            "sa",
+        )
+        .join(
+            F.broadcast(th.select(F.col("source").alias("sb"),
+                                  F.col("theta").alias("tb"))),
+            "sb",
+        )
+        .select("sa", "sb", F.least("ta", "tb").alias("theta"))
+        .persist()
+    )
+
+    def _diff_count(side: str, other: str, alias: str) -> DataFrame:
+        # hashes of `side`'s sketch below theta, absent from `other`'s
+        # sketch (exact membership: other's sketch holds every hash of
+        # other below its own theta >= theta)
+        cand = (
+            tt.join(sk.select(F.col("source").alias(side), "h"), side)
+            .filter(F.col("h") < F.col("theta"))
+            .join(
+                sk.select(F.col("source").alias(other), "h"),
+                [other, "h"],
+                "left_anti",
+            )
+        )
+        return cand.groupBy("sa", "sb").agg(
+            F.count(F.lit(1)).cast("long").alias(alias)
+        )
+
+    ca = _diff_count("sa", "sb", "na")
+    cb = _diff_count("sb", "sa", "nb")
+    return (
+        tt.join(ca, ["sa", "sb"], "left")
+        .join(cb, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("src_a"),
+            F.col("sb").alias("src_b"),
+            F.coalesce("na", F.lit(0)).cast("long").alias("n_anotb_hashes"),
+            F.coalesce("nb", F.lit(0)).cast("long").alias("n_bnota_hashes"),
+            F.expr(
+                "(coalesce(na, CAST(0 AS BIGINT)) * 4294967296)"
+                " div greatest(theta, 1)"
+            )
+            .cast("long")
+            .alias("est_anotb"),
+            F.expr(
+                "(coalesce(nb, CAST(0 AS BIGINT)) * 4294967296)"
+                " div greatest(theta, 1)"
+            )
+            .cast("long")
+            .alias("est_bnota"),
+        )
+    )
+
+
+@register(
     "q_hist_quantile_sketch",
     oracle="""
 WITH v AS (

@@ -348,3 +348,209 @@ def t_streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kmv_est"),
         F.least(F.max("nd"), F.lit(64)).cast("long").alias("sketch_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowed aggregation with LATE DATA under a watermark
+# (round 11): the replays model Spark Structured Streaming's OWN
+# `withWatermark(...).groupBy(window(...))` semantics deterministically
+# — per micro-batch, the watermark applied to batch N is (max event
+# time seen through batch N-2) - delay: MEASURED on this engine
+# (pyspark 4.1.2), the filtering watermark lags the data by TWO
+# batches, not one — batch N-1's event-time stats are collected at
+# its commit and land in the offset metadata one batch later (fitted
+# empirically: a lag-1 model diverges on 54 windows of the sf0.001
+# corpus, lag-2 matches row-for-row under either boundary convention;
+# the E2E twin pins it). A row is dropped iff its window END is at or
+# below that watermark (state for the window was already evicted), and
+# append mode emits exactly the windows whose end is at or below the
+# FINAL watermark. Batching is a deterministic Knuth-hash permutation
+# of event_id, so arrival order decorrelates from event time and the
+# corpus genuinely exercises lateness (event_id is ~monotone in ts —
+# natural arrival order would drop nothing). The pytest twin
+# (tests/test_streaming_replay.py) runs the REAL withWatermark+window
+# engine over the same rows in the same batch order and pins equality.
+# ---------------------------------------------------------------------------
+
+#: tumbling/sliding window width and slide, in MICROseconds
+WIN_US = 86_400 * 1_000_000  # 1 day
+SLIDE_US = 86_400 * 1_000_000  # sliding: 2-day windows every 1 day
+#: watermark delay: 2 days — long enough that the Knuth-shuffled
+#: batches keep most rows, short enough that every batch drops some
+DELAY_US = 2 * 86_400 * 1_000_000
+#: deterministic micro-batch count for the replay model
+N_BATCHES = 16
+
+#: shared oracle head: events in micros with their deterministic
+#: batch, each batch's prior-max watermark, and the final watermark
+_SQL_WM_EVENTS = f"""
+ev AS (
+  SELECT event_id, epoch_us(ts) AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         ((event_id * 2654435761) % 4294967296) % {N_BATCHES} AS batch
+  FROM events
+),
+bm AS (SELECT batch, max(t) AS mx FROM ev GROUP BY batch),
+wm AS (
+  SELECT a.batch, max(b.mx) - {DELAY_US} AS w
+  FROM bm a JOIN bm b ON b.batch <= a.batch - 2 GROUP BY a.batch
+),
+wf AS (SELECT max(t) - {DELAY_US} AS w FROM ev)"""
+
+
+@register(
+    "t_tumbling_watermark_replay",
+    oracle="WITH "
+    + _SQL_WM_EVENTS
+    + f""",
+rows_w AS (
+  SELECT e.t, e.cents,
+         (e.t // {WIN_US}) * {WIN_US} AS ws,
+         (e.t // {WIN_US}) * {WIN_US} + {WIN_US} AS we,
+         wm.w
+  FROM ev e LEFT JOIN wm ON wm.batch = e.batch
+)
+SELECT CAST(r.ws AS BIGINT) AS window_start_us,
+       CAST(count(*) FILTER (WHERE r.w IS NULL OR r.we > r.w)
+            AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE r.w IS NOT NULL AND r.we <= r.w)
+            AS BIGINT) AS n_late_dropped,
+       CAST(coalesce(sum(r.cents)
+              FILTER (WHERE r.w IS NULL OR r.we > r.w), 0)
+            AS BIGINT) AS value_sum_cents
+FROM rows_w r, wf
+WHERE r.we <= wf.w
+GROUP BY r.ws""",
+    doc="Batch replay of Spark's OWN watermarked tumbling-window "
+    "aggregation (withWatermark '2 days' + window '1 day', append "
+    "mode): events are dealt into 16 deterministic micro-batches by a "
+    "Knuth multiplicative hash of event_id (decorrelating arrival "
+    "from event time, so lateness actually occurs — event_id is "
+    "~monotone in ts); each batch's watermark is max prior-batch "
+    "event time minus the delay; a row is DROPPED iff its window end "
+    "is at or below that watermark (the window's state was already "
+    "evicted — Spark's exact late-row rule for windowed aggs, which "
+    "keys eviction on window end, not row time); append mode emits "
+    "windows whose end is at or below the final watermark. Dropped "
+    "counts ride along per window as the audit column. The pytest "
+    "twin runs the real engine over the same batch order and pins "
+    "equality row-for-row. Scale shape: one broadcast of the 16-row "
+    "watermark table, one groupBy(window) — the same two exchanges "
+    "the streaming plan itself runs, replayed at rest.",
+)
+def t_tumbling_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("ts div 1000").alias("t"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.expr(
+            f"((event_id * 2654435761) % 4294967296) % {N_BATCHES}"
+        ).alias("batch"),
+    )
+    bm = ev.groupBy("batch").agg(F.max("t").alias("mx"))
+    wm = (
+        bm.alias("a")
+        .join(bm.alias("b"), F.expr("b.batch <= a.batch - 2"))
+        .groupBy(F.col("a.batch").alias("batch"))
+        .agg((F.max("b.mx") - F.lit(DELAY_US)).alias("w"))
+    )
+    wf = ev.agg((F.max("t") - F.lit(DELAY_US)).alias("wf"))
+    r = (
+        ev.join(F.broadcast(wm), "batch", "left")
+        .select(
+            "t",
+            "cents",
+            "w",
+            F.expr(f"(t div {WIN_US}) * {WIN_US}").alias("ws"),
+            F.expr(f"(t div {WIN_US}) * {WIN_US} + {WIN_US}").alias("we"),
+        )
+        .crossJoin(F.broadcast(wf))  # 1-row aggregate: structural BNLJ OK
+        .filter(F.col("we") <= F.col("wf"))
+    )
+    kept = F.col("w").isNull() | (F.col("we") > F.col("w"))
+    return r.groupBy(F.col("ws").cast("long").alias("window_start_us")).agg(
+        F.count(F.when(kept, 1)).cast("long").alias("n_events"),
+        F.count(F.when(~kept, 1)).cast("long").alias("n_late_dropped"),
+        F.coalesce(F.sum(F.when(kept, F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("value_sum_cents"),
+    )
+
+
+@register(
+    "t_sliding_window_replay",
+    oracle="WITH "
+    + _SQL_WM_EVENTS
+    + f""",
+rows_w AS (
+  SELECT e.t, e.cents, wm.w,
+         ((e.t // {SLIDE_US}) - k.k) * {SLIDE_US} AS ws,
+         ((e.t // {SLIDE_US}) - k.k) * {SLIDE_US} + {2 * SLIDE_US} AS we
+  FROM ev e LEFT JOIN wm ON wm.batch = e.batch, (VALUES (0), (1)) k(k)
+)
+SELECT CAST(r.ws AS BIGINT) AS window_start_us,
+       CAST(count(*) FILTER (WHERE r.w IS NULL OR r.we > r.w)
+            AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE r.w IS NOT NULL AND r.we <= r.w)
+            AS BIGINT) AS n_late_dropped,
+       CAST(coalesce(sum(r.cents)
+              FILTER (WHERE r.w IS NULL OR r.we > r.w), 0)
+            AS BIGINT) AS value_sum_cents
+FROM rows_w r, wf
+WHERE r.we <= wf.w
+GROUP BY r.ws""",
+    doc="Batch replay of the watermarked SLIDING-window aggregation "
+    "(2-day windows every 1 day): each event belongs to exactly two "
+    "windows (explode of the slide index — Spark's own plan Generates "
+    "the same expansion), and the late-row rule applies PER WINDOW — "
+    "a late row can be dropped from the older window it falls in "
+    "(state evicted) while still counting toward the newer one, the "
+    "per-window eviction nuance that makes sliding windows the "
+    "interesting watermark case. Same deterministic Knuth batching, "
+    "same per-batch prior-max watermark, same append-mode emission "
+    "rule as t_tumbling_watermark_replay; the pytest twin pins the "
+    "real engine. Scale shape: the expansion doubles rows map-side "
+    "before ONE groupBy(window) shuffle — identical exchange count "
+    "to the tumbling plan.",
+)
+def t_sliding_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("ts div 1000").alias("t"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.expr(
+            f"((event_id * 2654435761) % 4294967296) % {N_BATCHES}"
+        ).alias("batch"),
+    )
+    bm = ev.groupBy("batch").agg(F.max("t").alias("mx"))
+    wm = (
+        bm.alias("a")
+        .join(bm.alias("b"), F.expr("b.batch <= a.batch - 2"))
+        .groupBy(F.col("a.batch").alias("batch"))
+        .agg((F.max("b.mx") - F.lit(DELAY_US)).alias("w"))
+    )
+    wf = ev.agg((F.max("t") - F.lit(DELAY_US)).alias("wf"))
+    r = (
+        ev.join(F.broadcast(wm), "batch", "left")
+        .select(
+            "t", "cents", "w", F.explode(F.array(F.lit(0), F.lit(1))).alias("k")
+        )
+        .select(
+            "cents",
+            "w",
+            F.expr(f"((t div {SLIDE_US}) - k) * {SLIDE_US}").alias("ws"),
+            F.expr(
+                f"((t div {SLIDE_US}) - k) * {SLIDE_US} + {2 * SLIDE_US}"
+            ).alias("we"),
+        )
+        .crossJoin(F.broadcast(wf))  # 1-row aggregate: structural BNLJ OK
+        .filter(F.col("we") <= F.col("wf"))
+    )
+    kept = F.col("w").isNull() | (F.col("we") > F.col("w"))
+    return r.groupBy(F.col("ws").cast("long").alias("window_start_us")).agg(
+        F.count(F.when(kept, 1)).cast("long").alias("n_events"),
+        F.count(F.when(~kept, 1)).cast("long").alias("n_late_dropped"),
+        F.coalesce(F.sum(F.when(kept, F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("value_sum_cents"),
+    )

@@ -1,0 +1,154 @@
+"""Round-11 incremental graph maintenance: merging an append-only
+edge batch into persisted PageRank / connected-components state must
+be BIT-IDENTICAL to the from-scratch build on the union — the same
+maintain-vs-retrain contract the ANN (test_ann_maintenance) and dedup
+families carry. queries/graph_maintenance.py holds the oracle
+evidence; these pin the operator-level equalities on adversarial
+shapes (new nodes, sinks, changed out-degrees, chain merges)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _pr_map(df):
+    return {r["node"]: r["pr"] for r in df.collect()}
+
+
+def test_pagerank_incremental_equals_from_scratch(spark):
+    from files_kraken_spark.operators.graph import (
+        pagerank,
+        pagerank_history,
+        pagerank_incremental,
+    )
+
+    # base: two weakly-connected clusters + a sink (6 has no out-edges)
+    base = [
+        (1, 2), (2, 3), (3, 1), (1, 3),
+        (4, 5), (5, 4),
+        (2, 6),
+    ]
+    # batch: cross-cluster edge, a NEW node 7 (in and out), a new edge
+    # from the sink (6 gains out-degree: every old contribution of 6
+    # — there were none — plus deg-change propagation), and a new
+    # out-edge from 1 (changed out-degree dilutes 1's contributions)
+    delta = [
+        (3, 4), (7, 1), (5, 7), (6, 2), (1, 5),
+    ]
+    base_df = spark.createDataFrame(base, ["src", "dst"])
+    delta_df = spark.createDataFrame(delta, ["src", "dst"])
+    union_df = base_df.unionByName(delta_df)
+
+    for iters in (1, 3):
+        hist = pagerank_history(base_df, iters=iters)
+        merged = pagerank_incremental(
+            union_df, delta_df, hist, iters=iters
+        )
+        scratch = pagerank(union_df, iters=iters)
+        assert _pr_map(merged) == _pr_map(scratch)
+        # one row per union node, no duplicates from the merge union
+        assert merged.count() == merged.select("node").distinct().count()
+
+
+def test_pagerank_incremental_empty_delta_is_identity(spark):
+    from files_kraken_spark.operators.graph import (
+        pagerank_history,
+        pagerank_incremental,
+    )
+
+    base_df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], ["src", "dst"]
+    )
+    empty = base_df.filter(F.lit(False))
+    hist = pagerank_history(base_df, iters=2)
+    merged = pagerank_incremental(base_df, empty, hist, iters=2)
+    final = {
+        r["node"]: r["pr"]
+        for r in hist.filter(F.col("round") == 2).collect()
+    }
+    assert _pr_map(merged) == final
+
+
+def test_dirty_frontiers_monotone_and_bounded(spark):
+    """The per-round dirty sets are monotone (the final merge may read
+    only D_iters) and exclude nodes whose k-hop in-cone is untouched —
+    the frontier-boundedness that makes maintenance beat retrain."""
+    from files_kraken_spark.operators.graph import dirty_frontiers
+
+    # a 6-chain 1->2->...->6 plus an ISOLATED base pair 10->11
+    base = [(i, i + 1) for i in range(1, 6)] + [(10, 11)]
+    delta = [(0, 1)]  # new node 0 feeds the chain head
+    base_df = spark.createDataFrame(base, ["src", "dst"])
+    delta_df = spark.createDataFrame(delta, ["src", "dst"])
+    union_df = base_df.unionByName(delta_df)
+    base_nodes = (
+        base_df.select(F.col("src").alias("node"))
+        .unionByName(base_df.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    fr = dirty_frontiers(union_df, delta_df, base_nodes, iters=3)
+    sets = [{r["node"] for r in d.collect()} for d in fr]
+    # D_1 = {0 (new), 1 (dst of new edge)}; each round advances one hop
+    assert sets[0] == {0, 1}
+    assert sets[1] == {0, 1, 2}
+    assert sets[2] == {0, 1, 2, 3}
+    # monotone; the untouched island never enters any frontier
+    assert sets[0] <= sets[1] <= sets[2]
+    assert all({10, 11}.isdisjoint(s) for s in sets)
+
+
+def test_cc_incremental_equals_from_scratch(spark):
+    from files_kraken_spark.operators.dedup import (
+        cc_incremental,
+        connected_components,
+    )
+
+    # base components: {1,2,3} (chain), {7,8}, {20,21}
+    base_pairs = [(1, 2), (2, 3), (7, 8), (20, 21)]
+    # batch: bridge two components through a NEW node (3-9, 9-7),
+    # a brand-new island (30,31), and an intra-component pair (1,3)
+    # that must not change anything
+    new_pairs = [(3, 9), (9, 7), (30, 31), (1, 3)]
+    bp = spark.createDataFrame(base_pairs, ["id_a", "id_b"])
+    np_ = spark.createDataFrame(new_pairs, ["id_a", "id_b"])
+
+    state = connected_components(bp)
+    merged = cc_incremental(state, np_)
+    scratch = connected_components(bp.unionByName(np_))
+    got = {(r["doc_id"], r["component"]) for r in merged.collect()}
+    want = {(r["doc_id"], r["component"]) for r in scratch.collect()}
+    assert got == want
+    # the bridge merged {1,2,3}+{9}+{7,8} under min id 1; island under 30
+    comp = dict(got)
+    assert comp[9] == 1 and comp[7] == 1 and comp[8] == 1
+    assert comp[30] == 30 and comp[31] == 30
+    assert comp[20] == 20 and comp[21] == 20  # untouched component
+
+    # empty batch: identity on state
+    empty = np_.filter(F.lit(False))
+    same = {
+        (r["doc_id"], r["component"])
+        for r in cc_incremental(state, empty).collect()
+    }
+    assert same == {(r["doc_id"], r["component"]) for r in state.collect()}
+
+
+def test_cc_incremental_chain_of_merges_via_label_graph(spark):
+    """A batch whose pairs chain MULTIPLE old components together in
+    one go (A-B, B-C component bridges) exercises the label-graph CC:
+    the merged label must be the min across the whole chain, not just
+    each pair."""
+    from files_kraken_spark.operators.dedup import (
+        cc_incremental,
+        connected_components,
+    )
+
+    base_pairs = [(10, 11), (20, 21), (30, 31), (40, 41)]
+    # chain: comp(20)-comp(30), comp(30)-comp(40), and comp(10) stays
+    new_pairs = [(21, 30), (31, 40)]
+    bp = spark.createDataFrame(base_pairs, ["id_a", "id_b"])
+    np_ = spark.createDataFrame(new_pairs, ["id_a", "id_b"])
+    merged = cc_incremental(connected_components(bp), np_)
+    comp = {r["doc_id"]: r["component"] for r in merged.collect()}
+    assert comp[40] == 20 and comp[41] == 20 and comp[30] == 20
+    assert comp[10] == 10 and comp[11] == 10

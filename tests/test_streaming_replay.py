@@ -423,3 +423,136 @@ def test_kmv_estimate_zero_hash_guard():
     assert kmv_estimate(degenerate, k=64) == 63 * 4294967296
     # unsaturated sketch stays exact regardless of zeros
     assert kmv_estimate([0, 1, 2], k=64) == 3
+
+
+def _wm_batches(spark):
+    """The replay's deterministic Knuth batching over the sf0.001
+    events, as (batch -> [(t_us, cents), ...])."""
+    from files_kraken_spark.queries.streaming_replay import N_BATCHES
+
+    by_batch: dict[int, list[tuple[int, int]]] = {}
+    for r in _events(spark):
+        b = ((r["event_id"] * 2654435761) % 4294967296) % N_BATCHES
+        t_us = int(r["ts"]) // 1000
+        cents = int(__import__("math").floor(r["value"] * 100 + 0.5))
+        by_batch.setdefault(b, []).append((t_us, cents))
+    return by_batch
+
+
+def _run_windowed_stream(spark, tmp_path, name, windowed):
+    """Feed the replay's 16 batches to the REAL engine in batch order
+    (one json file per batch, mtime-ordered, maxFilesPerTrigger=1) and
+    return the append-mode emissions of `windowed(stream_df)`."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / f"src_{name}"
+    src.mkdir()
+    by_batch = _wm_batches(spark)
+    paths = []
+    for b in sorted(by_batch):
+        p = src / f"b{b:02d}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"t": t, "cents": c}) for t, c in by_batch[b]
+            )
+        )
+        paths.append(p)
+    _stamp_order(paths)
+    stream = (
+        spark.readStream.schema("t long, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.timestamp_micros(F.col("t")))
+    )
+    return _run_stream(spark, tmp_path, windowed(stream), name)
+
+
+def test_tumbling_watermark_e2e_matches_replay(spark, tmp_path):
+    """The REAL withWatermark('2 days') + window('1 day') engine, fed
+    the replay's exact batches in the replay's batch order, emits
+    exactly the replay query's closed windows with the replay's
+    kept-row aggregates — pinning the modelled semantics (drop iff
+    window end <= prior-batch watermark; append-emit iff end <= final
+    watermark) to Spark's own."""
+    from pyspark.sql import functions as F
+
+    from files_kraken_spark.queries.streaming_replay import (
+        t_tumbling_watermark_replay,
+    )
+
+    def windowed(stream):
+        return (
+            stream.withWatermark("ts", "2 days")
+            .groupBy(F.window("ts", "1 day"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("value_sum_cents"),
+            )
+        )
+
+    got = {
+        (
+            int(r["window"]["start"].timestamp() * 1_000_000),
+            r["n_events"],
+            r["value_sum_cents"],
+        )
+        for r in _run_windowed_stream(spark, tmp_path, "tumb_e2e", windowed)
+    }
+    want = {
+        (r["window_start_us"], r["n_events"], r["value_sum_cents"])
+        for r in t_tumbling_watermark_replay(spark, SF).collect()
+    }
+    assert got == want
+    assert len(want) > 5  # real windows closed, not a vacuous pass
+
+
+def test_sliding_watermark_e2e_matches_replay(spark, tmp_path):
+    """Sliding twin: window('2 days', '1 day') — the per-window
+    eviction nuance (a late row dropped from its older window but
+    kept in the newer) must match the replay row-for-row."""
+    from pyspark.sql import functions as F
+
+    from files_kraken_spark.queries.streaming_replay import (
+        t_sliding_window_replay,
+    )
+
+    def windowed(stream):
+        return (
+            stream.withWatermark("ts", "2 days")
+            .groupBy(F.window("ts", "2 days", "1 day"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("value_sum_cents"),
+            )
+        )
+
+    got = {
+        (
+            int(r["window"]["start"].timestamp() * 1_000_000),
+            r["n_events"],
+            r["value_sum_cents"],
+        )
+        for r in _run_windowed_stream(spark, tmp_path, "slide_e2e", windowed)
+    }
+    want = {
+        (r["window_start_us"], r["n_events"], r["value_sum_cents"])
+        for r in t_sliding_window_replay(spark, SF).collect()
+    }
+    assert got == want
+    assert len(want) > 5
+
+
+def test_kmv_anotb_theta_and_exact_degradation(spark):
+    """t_kmv_anotb invariants on the real corpus: under-k pairs
+    degrade to EXACT set difference of the full hash sets, and the
+    directional estimates are consistent with the sketch counts."""
+    from files_kraken_spark.queries.pipeline import t_kmv_anotb
+
+    rows = t_kmv_anotb(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_anotb_hashes"] >= 0 and r["n_bnota_hashes"] >= 0
+        assert r["est_anotb"] >= r["n_anotb_hashes"]  # scale factor >= 1
+        assert r["est_bnota"] >= r["n_bnota_hashes"]
