@@ -59,6 +59,7 @@ from . import streaming_replay  # noqa: E402,F401
 from . import ann_maintenance  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import graph_maintenance  # noqa: E402,F401
+from . import index_maintenance  # noqa: E402,F401
 
 # A budget-capped correctness pass walks the registry in order and may
 # only reach a prefix. Round-10 order (round-9 verdict item 2): the
@@ -71,7 +72,21 @@ from . import graph_maintenance  # noqa: E402,F401
 # for re-measurement). Names and semantics of existing queries are
 # byte-stable — only the iteration order changes.
 _SAMPLE_PRIORITY = [
-    # -- NEW this round: incremental ANN index maintenance (train on
+    # -- NEW round 11: graph maintenance (delta-PageRank / incremental
+    # CC with from-scratch-union oracles), streaming-semantics replays
+    # (tumbling watermark, sliding windows), KMV A-not-B --
+    "g_pagerank_incremental", "g_pagerank_delta_frontier",
+    "g_cc_incremental", "g_cc_merge_audit",
+    "t_tumbling_watermark_replay", "t_sliding_window_replay",
+    "t_kmv_anotb",
+    # -- NEW round 11: incremental BM25 text-index maintenance
+    # (merged-equals-retrained vs t_bm25_topk's own SQL) --
+    "t_index_incremental_bm25", "t_index_rank_shift",
+    "t_index_df_drift", "t_index_delta_cost",
+    # -- changed round 11: t_bm25_topk now composes the shared
+    # operators/text_index.py builders (same plan, one formula source) --
+    "t_bm25_topk",
+    # -- NEW round 10: incremental ANN index maintenance (train on
     # the vec_id%10<8 base, merge the rest against frozen structures) --
     "sim_ivf_incremental_assign", "sim_ivfpq_incremental_recode",
     "sim_ivf_merge_occupancy", "sim_ivf_merged_topk",
@@ -157,7 +172,7 @@ _SAMPLE_PRIORITY = [
     "q_gap_fill_ffill", "q_linear_interpolate", "q_rolling_zscore",
     "q_ewma_halflife", "q_fuzzy_match_blocked",
     "q_market_basket_lift", "q_funnel_conversion_window", "mm_scene_cuts",
-    "t_quality_terciles", "t_rare_trigram_ratio", "t_bm25_topk",
+    "t_quality_terciles", "t_rare_trigram_ratio",
     "q_scd2_intervals", "sem_dedup_incremental", "t_winsorize",
     "t_pii_scrub", "t_pii_stats",
     "q_sequential_pattern", "t_cross_dup_overlap", "t_robust_scale",

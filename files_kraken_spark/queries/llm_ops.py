@@ -2277,7 +2277,18 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_sql(terms: tuple[str, ...] = ("spark", "table", "window")) -> str:
+def _bm25_ctes(
+    terms: tuple[str, ...] = ("spark", "table", "window"),
+    where: str = "",
+    p: str = "",
+) -> str:
+    """BM25 CTE block over ``documents`` (optionally filtered), with
+    CTE names prefixed by ``p`` so two instances (e.g. base index vs
+    merged index) compose in one oracle. ``{p}s`` ends as
+    ``(doc_id, bm25)`` for every document in scope. Shared by
+    t_bm25_topk and the t_index_* maintenance family — one source of
+    truth for the scoring formula (mirrors
+    operators/text_index.bm25_score_col)."""
     tk = _SQL_TOKENS.format(col="text")
     tf_cols = ", ".join(
         f"len(list_filter(tk, x -> x = '{t}')) AS tf{i}"
@@ -2293,17 +2304,25 @@ def _bm25_sql(terms: tuple[str, ...] = ("spark", "table", "window")) -> str:
         f" + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))"
         for i in range(1, len(terms) + 1)
     )
-    return f"""
-WITH m AS (
+    return f"""{p}m AS (
   SELECT doc_id, len(tk) AS dl, {tf_cols}
-  FROM (SELECT doc_id, {tk} AS tk FROM documents)
+  FROM (SELECT doc_id, {tk} AS tk FROM documents{where})
 ),
-g AS (
+{p}g AS (
   SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl, {df_cols}
-  FROM m
-)
-SELECT doc_id, round({parts}, 6) AS bm25
-FROM m, g
+  FROM {p}m
+),
+{p}s AS (
+  SELECT doc_id, round({parts}, 6) AS bm25
+  FROM {p}m, {p}g
+)"""
+
+
+def _bm25_sql(terms: tuple[str, ...] = ("spark", "table", "window")) -> str:
+    return f"""
+WITH {_bm25_ctes(terms)}
+SELECT doc_id, bm25
+FROM s
 ORDER BY bm25 DESC, doc_id
 LIMIT 10
 """
@@ -2324,43 +2343,14 @@ LIMIT 10
     "broadcast row; the top-10 is a sort-limit.",
 )
 def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text_index as TI
+
     terms = ("spark", "table", "window")
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
-    )
-    def tf_of(term):
-        # NB: a two-arg lambda would be bound as (element, index) by the
-        # HOF API — the default-arg closure trick silently breaks
-        return F.size(F.filter(toks, lambda x: x == term))
-
-    m = docs.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(terms, 1)],
-    )
-    g = m.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dl").alias("sdl"),
-        *[
-            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
-            for i in range(1, len(terms) + 1)
-        ],
-    )
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    avg_dl = d("sdl") / d("n")
-    score = None
-    for i in range(1, len(terms) + 1):
-        idf = (d("n") - d(f"df{i}") + F.lit(0.5)) / (d(f"df{i}") + F.lit(0.5))
-        sat = (
-            d(f"tf{i}") * F.lit(2.2)
-            / (d(f"tf{i}") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (d("dl") / avg_dl)))
-        )
-        part = idf * sat
-        score = part if score is None else score + part
+    m = TI.doc_term_stats(docs, terms)
+    g = TI.index_stats(m, len(terms))
     return (
-        m.crossJoin(F.broadcast(g))
-        .select("doc_id", F.round(score, 6).alias("bm25"))
+        TI.bm25_scores(m, g, len(terms))
         .orderBy(F.col("bm25").desc(), F.col("doc_id"))
         .limit(10)
     )

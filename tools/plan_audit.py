@@ -73,6 +73,7 @@ ALLOWED_NESTED_LOOP = {
     "sim_ivfpq_incremental_recode",  # m·ksub frozen-codebook broadcast (pq trainer shape)
     "sim_ivf_tombstone_topk",  # centroid probe broadcast (sim_ivf_merged_topk shape)
     "t_kmv_union_jaccard",  # 20-source pair grid (inequality self-join of the source list)
+    "t_kmv_anotb",  # same 20-source pair grid as t_kmv_union_jaccard
 }
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "part": 6}
