@@ -910,3 +910,155 @@ def scene_cuts(energies: DataFrame, threshold: int = 150) -> DataFrame:
         .filter(F.col("delta") >= threshold)
         .select("media_id", "frame_no", "delta")
     )
+
+
+# ---------------------------------------------------------------------------
+# pHash: DCT-based perceptual hash (the second classic perceptual-hash
+# family next to dHash) in EXACT integer arithmetic.
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for the DCT basis — 1e4 keeps the largest
+#: coefficient |F| <= 255 * 1e4 * 1e4 * 128 ≈ 3.3e12 and the mean
+#: comparison 31*F <= 1e14, both far inside int64 AND inside double's
+#: 2^53 integer range (so either engine may route through DOUBLE
+#: without losing a bit)
+DCT_SCALE = 10_000
+#: raster shape shared with mm_image_dhash: 16 wide x 8 tall
+PHASH_W, PHASH_H = 16, 8
+#: retained low-frequency block: u in 0..3 (vertical), v in 0..7
+#: (horizontal) — 32 coefficients, 31 bits after dropping DC
+PHASH_U, PHASH_V = 4, 8
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def dct_basis(n_out: int, n_in: int, scale: int = DCT_SCALE) -> list[list[int]]:
+    """Fixed-point DCT-II basis: C[k][x] = round(cos(pi*(2x+1)*k/(2n)) *
+    scale) as plain ints. Computed ONCE here and embedded verbatim into
+    both the Spark side and the DuckDB oracle, so no libm call happens
+    at query time on either engine — the basis is four lists of int
+    constants, bit-identical by construction."""
+    import math
+
+    return [
+        [
+            int(round(math.cos(math.pi * (2 * x + 1) * k / (2 * n_in)) * scale))
+            for x in range(n_in)
+        ]
+        for k in range(n_out)
+    ]
+
+
+#: the two shared bases: vertical (u over rows, N=8), horizontal
+#: (v over cols, N=16)
+DCT_CY = dct_basis(PHASH_U, PHASH_H)
+DCT_CX = dct_basis(PHASH_V, PHASH_W)
+
+
+def image_phash_dct(media: DataFrame) -> DataFrame:
+    """REAL DCT perceptual hash (pHash) over decoded Netpbm payloads:
+    decode (`decode_netpbm`), grayscale by integer-floor channel mean,
+    2D DCT-II of the 8x16 raster in EXACT int64 fixed-point (the basis
+    is the module-level integer table `DCT_CY`/`DCT_CX` — no float, no
+    libm, so the transform replays bit-for-bit in SQL), keep the 4x8
+    low-frequency block, and set bit (u*8+v) iff 31*F(u,v) exceeds the
+    sum of the 31 non-DC coefficients — the all-integer spelling of
+    pHash's mean threshold (no division, no median interpolation).
+    Returns one BIGINT per image (31 bits used).
+
+    dHash sees pixel-adjacent gradients; pHash sees the global
+    low-frequency structure, so it survives brightness shifts and
+    high-frequency noise that flip dHash bits — running both and
+    intersecting their near-dup pairs is the standard precision play.
+    Arrow-batched `mapInPandas`; the per-image transform is two small
+    integer matrix products (4x8 @ 8x16 @ 16x8) in numpy."""
+    import numpy as np
+
+    cy = np.array(DCT_CY, dtype=np.int64)
+    cx = np.array(DCT_CX, dtype=np.int64)
+    n_bits = PHASH_U * PHASH_V - 1
+
+    def _phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "phash": []}
+            for mid, raw in zip(pdf["media_id"], pdf["data"]):
+                data = bytes(raw)
+                if data[:2] not in (b"P5", b"P6"):
+                    continue
+                decoded = decode_netpbm(data)
+                arr = decoded.astype(np.int64)
+                gray = arr.sum(axis=2) // arr.shape[2]  # integer-floor mean
+                if gray.shape != (PHASH_H, PHASH_W):
+                    continue
+                f = cy @ gray @ cx.T  # exact int64 2D DCT-II
+                s = int(f.sum()) - int(f[0, 0])  # non-DC coefficient sum
+                h = 0
+                for u in range(PHASH_U):
+                    for v in range(PHASH_V):
+                        if u == 0 and v == 0:
+                            continue
+                        if n_bits * int(f[u, v]) > s:
+                            h |= 1 << (u * PHASH_V + v)
+                out["media_id"].append(mid)
+                out["phash"].append(h)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_phash, schema=PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs from pHash values: band the 32-bit
+    hash into 4x8-bit keys, bucket-join on (band, key), verify with an
+    exact XOR popcount. Pigeonhole: <= 3 bit flips across 4 bands
+    leave at least one band untouched, so recall at the default
+    threshold is total. Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Same cost model as `dhash_neardup_pairs` / MinHash-LSH: a 4-row
+    band fan-out, a bucket join that shuffles candidates only, integer
+    verify on the pair rows. The 8-bit keys collide more than dHash's
+    16-bit bands (p ≈ 2^-8 per band) — the price of a 32-bit hash;
+    at 100 TB prepend a cheap exact-duplicate pass so band buckets
+    hold near-dups, not exact-dup floods."""
+    bands = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("phash"), b * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "media_id", "phash",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

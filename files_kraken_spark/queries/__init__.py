@@ -83,6 +83,9 @@ _SAMPLE_PRIORITY = [
     # (merged-equals-retrained vs t_bm25_topk's own SQL) --
     "t_index_incremental_bm25", "t_index_rank_shift",
     "t_index_df_drift", "t_index_delta_cost",
+    # -- NEW round 11: DCT perceptual hash (exact-integer 2D DCT-II,
+    # the second perceptual-hash family next to dHash) --
+    "mm_image_phash", "mm_phash_neardup",
     # -- changed round 11: t_bm25_topk now composes the shared
     # operators/text_index.py builders (same plan, one formula source) --
     "t_bm25_topk",

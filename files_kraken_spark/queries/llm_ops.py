@@ -8111,3 +8111,123 @@ def t_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("rbo_at_10"), F.lit(0.0)).alias("rbo_at_10"),
         )
     )
+
+
+def _phash_ctes() -> str:
+    """DCT-pHash oracle CTEs: the px/co/st chain over the same 8x16
+    ascii raster as mm_image_dhash, with the fixed-point DCT basis
+    embedded as VALUES rows FROM THE SAME Python tables the Spark
+    operator compiles in (operators/multimodal.DCT_CY/DCT_CX) — one
+    source of truth, no libm on either engine."""
+    from ..operators.multimodal import DCT_CX, DCT_CY, PHASH_U, PHASH_V
+
+    cy_rows = ", ".join(
+        f"({u}, {y}, {c})" for u, row in enumerate(DCT_CY) for y, c in enumerate(row)
+    )
+    cx_rows = ", ".join(
+        f"({v}, {x}, {c})" for v, row in enumerate(DCT_CX) for x, c in enumerate(row)
+    )
+    n_bits = PHASH_U * PHASH_V - 1
+    return f"""cy(u, y, c) AS (SELECT * FROM (VALUES {cy_rows})),
+cx(v, x, c) AS (SELECT * FROM (VALUES {cx_rows})),
+px AS (
+  SELECT doc_id, y, x,
+         CAST(ascii(substr(text, y * 16 + x + 1, 1)) AS BIGINT) AS p
+  FROM documents, range(0, 8) yy(y), range(0, 16) xx(x)
+  WHERE n_chars >= 128
+),
+co AS (
+  SELECT doc_id, cy.u, cx.v,
+         CAST(sum(p * cy.c * cx.c) AS BIGINT) AS f
+  FROM px JOIN cy ON cy.y = px.y JOIN cx ON cx.x = px.x
+  GROUP BY 1, 2, 3
+),
+st AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN NOT (u = 0 AND v = 0) THEN f END) AS BIGINT) AS s
+  FROM co GROUP BY doc_id
+),
+ph AS (
+  SELECT co.doc_id AS media_id,
+         CAST(sum(CASE WHEN NOT (u = 0 AND v = 0) AND {n_bits} * f > s
+                       THEN CAST(1 AS BIGINT) << (u * {PHASH_V} + v)
+                       ELSE 0 END) AS BIGINT) AS phash
+  FROM co JOIN st ON st.doc_id = co.doc_id
+  GROUP BY 1
+)"""
+
+
+@register(
+    "mm_image_phash",
+    oracle="WITH " + _phash_ctes() + "\nSELECT media_id, phash FROM ph",
+    doc="REAL DCT perceptual hash (pHash) through the actual Netpbm "
+    "decode path: each doc's first 128 ASCII bytes become the same "
+    "16x8 P5 raster as mm_image_dhash, decode_netpbm reconstructs the "
+    "pixels, and a 2D DCT-II runs in EXACT int64 fixed-point — the "
+    "cosine basis is a module-level integer table embedded verbatim "
+    "into both engines (no libm at query time anywhere), the retained "
+    "4x8 low-frequency block thresholds against the all-integer mean "
+    "comparison 31*F(u,v) > sum(non-DC F), and the 31 bits pack into "
+    "one BIGINT. pHash captures global low-frequency structure where "
+    "dHash sees local gradients — brightness shifts and high-frequency "
+    "noise that flip dHash bits leave pHash stable, so corpus dedup "
+    "runs both and intersects. The oracle replays decode (ascii = "
+    "grayscale for P5), transform, threshold and packing bit-for-bit. "
+    "Plan: Arrow-batched mapInPandas, two small integer matrix "
+    "products per image; the SQL side is the same transform as a "
+    "basis-table join + (doc,u,v) aggregation.",
+)
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary, image_phash_dct
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 128)
+    pgm = docs.select(
+        "doc_id",
+        F.concat(F.lit("P5\n16 8\n255\n"), F.substring("text", 1, 128)).alias(
+            "payload"
+        ),
+    )
+    media = attach_binary(pgm, "doc_id", "payload", "image")
+    return image_phash_dct(media)
+
+
+@register(
+    "mm_phash_neardup",
+    oracle="WITH "
+    + _phash_ctes()
+    + """,
+bands AS (
+  SELECT media_id, phash, b.band,
+         (phash >> (b.band * 8)) & 255 AS key
+  FROM ph, range(0, 4) b(band)
+)
+SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+""",
+    doc="Image near-duplicate pairs on the DCT hash end-to-end: pHash "
+    "(real Netpbm decode + exact-integer DCT) -> 4x8-bit band keys -> "
+    "bucket join (candidates only, never corpus x corpus) -> exact "
+    "XOR-popcount Hamming verify <= 3. Pigeonhole makes recall total "
+    "at the threshold: 3 flips across 4 bands leave one band intact. "
+    "The MinHash-LSH cost model on the second perceptual-hash family; "
+    "every stage integer-exact and replayed by the oracle.",
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_binary,
+        image_phash_dct,
+        phash_neardup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 128)
+    pgm = docs.select(
+        "doc_id",
+        F.concat(F.lit("P5\n16 8\n255\n"), F.substring("text", 1, 128)).alias(
+            "payload"
+        ),
+    )
+    media = attach_binary(pgm, "doc_id", "payload", "image")
+    return phash_neardup_pairs(image_phash_dct(media), max_hamming=3)
