@@ -586,3 +586,72 @@ def pagerank_incremental(
         .join(upd.select("node"), "node", "left_anti")
         .unionByName(upd)
     )
+
+
+def pagerank_maintain(
+    edges: DataFrame,
+    delta_edges: DataFrame,
+    history: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    frontier_threshold_pct: int = 50,
+    mode: str = "auto",
+) -> DataFrame:
+    """Stats-driven routing entry point for PageRank maintenance —
+    the graph analogue of ``cooccurrence_edges``' auto probe: both
+    paths return BIT-IDENTICAL ranks (merged-equals-retrained is
+    exact), so the choice is pure cost, and the cost depends on a
+    DATA property no caller should have to know — the one-hop dirty
+    fraction.
+
+    Measured (sf0.1 supply graph, SCALING.md round-11): on a dense
+    bipartite graph (diameter ~2) even a 0.2% edge batch dirties
+    >99.9% of nodes in ONE hop, and the frontier-local merge costs
+    6-8x a plain retrain at EVERY batch size — the frontier
+    bookkeeping is pure overhead once D_t saturates. On sparse graphs
+    (road networks, citation DAGs) whose k-hop out-cones stay small,
+    the merge is the win the docstring of
+    :func:`pagerank_incremental` describes.
+
+    ``mode='auto'`` (default) probes ``|D_1| / |V|`` — two bounded
+    jobs at construction time (one semi-join count over the edge
+    table, one distinct-node count; both column-pruned scans, no
+    iteration) — and picks the retrain when the fraction exceeds
+    ``frontier_threshold_pct``. D_1 is computed by the same
+    :func:`dirty_frontiers` recurrence the merge itself uses, and the
+    dirty sequence is monotone (D_1 ⊆ D_t), so a saturated D_1 PROVES
+    every round recomputes ~everything and retrain is safe to pick;
+    an unsaturated D_1 under-estimates later rounds, which only makes
+    'merge' mildly conservative. ``mode='merge'`` / ``mode='retrain'``
+    force a path with zero probe jobs (plan-only contexts)."""
+    if mode not in ("auto", "merge", "retrain"):
+        raise ValueError(f"mode must be auto|merge|retrain, got {mode!r}")
+    if mode == "merge":
+        return pagerank_incremental(
+            edges, delta_edges, history, iters=iters, damping_pct=damping_pct
+        )
+    if mode == "retrain":
+        return pagerank(edges, iters=iters, damping_pct=damping_pct)
+
+    base_nodes = history.filter(F.col("round") == 0).select("node")
+    n_dirty = dirty_frontiers(edges, delta_edges, base_nodes, iters=1)[0].count()
+    n_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .count()
+    )
+    if 100 * n_dirty > frontier_threshold_pct * n_nodes:
+        import warnings
+
+        warnings.warn(
+            f"pagerank_maintain: one-hop dirty fraction "
+            f"{n_dirty}/{n_nodes} exceeds {frontier_threshold_pct}% — "
+            "routing to full retrain (frontier-local merge would cost "
+            "more than it saves on this graph/batch)",
+            stacklevel=2,
+        )
+        return pagerank(edges, iters=iters, damping_pct=damping_pct)
+    return pagerank_incremental(
+        edges, delta_edges, history, iters=iters, damping_pct=damping_pct
+    )

@@ -85,7 +85,7 @@ _SAMPLE_PRIORITY = [
     "t_index_df_drift", "t_index_delta_cost",
     # -- NEW round 11: DCT perceptual hash (exact-integer 2D DCT-II,
     # the second perceptual-hash family next to dHash) --
-    "mm_image_phash", "mm_phash_neardup",
+    "mm_image_phash", "mm_phash_neardup", "mm_phash_dhash_consensus",
     # -- changed round 11: t_bm25_topk now composes the shared
     # operators/text_index.py builders (same plan, one formula source) --
     "t_bm25_topk",

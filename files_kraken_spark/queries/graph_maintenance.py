@@ -283,3 +283,72 @@ def g_cc_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_new_docs"),
         )
     )
+
+
+@register(
+    "g_pagerank_maintain_route",
+    oracle="WITH "
+    + _SQL_SUPPLY_SPLIT
+    + """,
+bnodes AS (SELECT sk AS n FROM pbase UNION SELECT 10000000 + ck FROM pbase),
+dn AS (SELECT src AS n FROM dedges UNION SELECT dst FROM dedges),
+newn AS (SELECT n FROM dn EXCEPT SELECT n FROM bnodes),
+seed AS (SELECT DISTINCT src AS n FROM dedges UNION SELECT n FROM newn),
+d1 AS (
+  SELECT n FROM newn
+  UNION
+  SELECT e.dst FROM edges e JOIN seed s ON s.n = e.src
+),
+vn AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+c AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM d1) AS n_dirty_d1,
+         (SELECT CAST(count(*) AS BIGINT) FROM vn) AS n_nodes
+)
+SELECT n_nodes, n_dirty_d1,
+       CAST((n_dirty_d1 * 1000000) // n_nodes AS BIGINT) AS dirty_ppm,
+       CASE WHEN 100 * n_dirty_d1 > 50 * n_nodes
+            THEN 'retrain' ELSE 'merge' END AS route
+FROM c""",
+    doc="The pagerank_maintain routing decision as data: the one-hop "
+    "dirty fraction |D_1|/|V| the auto mode probes (exact BIGINT "
+    "counts, ppm via truncating integer division) and the route it "
+    "implies at the default 50% threshold. Measured round 11 "
+    "(SCALING.md): on this dense bipartite supply graph even a 0.2% "
+    "edge batch dirties >99.9% of nodes in one hop and the frontier-"
+    "local merge costs 6-8x a retrain at every batch size — so the "
+    "correct route here is 'retrain', and because D_t is monotone a "
+    "saturated D_1 PROVES it. Both routes return bit-identical ranks "
+    "(g_pagerank_incremental's hash-green is that proof), making the "
+    "router a pure cost decision driven by this one number. Probe "
+    "cost: one semi-join count + one distinct-node count, both "
+    "column-pruned bounded jobs.",
+)
+def g_pagerank_maintain_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import dirty_frontiers
+
+    base_e, delta_e, union_e = _supply_split(spark, sf_dir)
+    base_nodes = (
+        base_e.select(F.col("src").alias("node"))
+        .unionByName(base_e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    d1 = dirty_frontiers(union_e, delta_e, base_nodes, iters=1)[0]
+    nd = d1.agg(F.count(F.lit(1)).cast("long").alias("n_dirty_d1"))
+    nn = (
+        union_e.select(F.col("src").alias("node"))
+        .unionByName(union_e.select(F.col("dst").alias("node")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    return nn.crossJoin(nd).select(
+        "n_nodes",
+        "n_dirty_d1",
+        F.expr("CAST((n_dirty_d1 * 1000000) DIV n_nodes AS BIGINT)").alias(
+            "dirty_ppm"
+        ),
+        F.when(
+            100 * F.col("n_dirty_d1") > 50 * F.col("n_nodes"), F.lit("retrain")
+        )
+        .otherwise(F.lit("merge"))
+        .alias("route"),
+    )

@@ -8231,3 +8231,92 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = attach_binary(pgm, "doc_id", "payload", "image")
     return phash_neardup_pairs(image_phash_dct(media), max_hamming=3)
+
+
+@register(
+    "mm_phash_dhash_consensus",
+    oracle="WITH "
+    + _phash_ctes()
+    + """,
+pbands AS (
+  SELECT media_id, phash, b.band, (phash >> (b.band * 8)) & 255 AS key
+  FROM ph, range(0, 4) b(band)
+),
+ppairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS p_hamming
+  FROM pbands a JOIN pbands b
+    ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+),
+dpx AS (
+  SELECT doc_id, i, j,
+         ascii(substr(text, i * 16 + (j * 16) // 9 + 1, 1)) AS p,
+         ascii(substr(text, i * 16 + ((j + 1) * 16) // 9 + 1, 1)) AS pn
+  FROM documents, range(0, 8) r1(i), range(0, 8) r2(j)
+  WHERE n_chars >= 128
+),
+dh AS (
+  SELECT doc_id AS media_id,
+         CAST(sum(CASE WHEN i < 4 AND p > pn
+                       THEN (CAST(1 AS BIGINT) << (i * 8 + j)) ELSE 0 END)
+              AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN i >= 4 AND p > pn
+                       THEN (CAST(1 AS BIGINT) << ((i - 4) * 8 + j)) ELSE 0 END)
+              AS BIGINT) AS lo
+  FROM dpx GROUP BY doc_id
+),
+dbands AS (
+  SELECT media_id, hi, lo, b.band,
+         CASE WHEN b.band < 2 THEN (hi >> (b.band % 2 * 16)) & 65535
+              ELSE (lo >> (b.band % 2 * 16)) & 65535 END AS key
+  FROM dh, range(0, 4) b(band)
+),
+dpairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+              AS BIGINT) AS d_hamming
+  FROM dbands a JOIN dbands b
+    ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id
+  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+)
+SELECT p.id_a, p.id_b, d.d_hamming, p.p_hamming
+FROM ppairs p JOIN dpairs d ON d.id_a = p.id_a AND d.id_b = p.id_b
+""",
+    doc="Consensus image near-dup pairs: the intersection of the dHash "
+    "pair set (local gradients, Hamming <= 6) and the pHash pair set "
+    "(global DCT structure, Hamming <= 3) — the standard precision "
+    "play, since the two families fail on DIFFERENT perturbations "
+    "(dHash flips under brightness/noise, pHash under local texture "
+    "swaps), so a pair both confirm is near-certain. Both hash builds "
+    "share the one decoded-raster pass upstream; the consensus itself "
+    "is an equi-join of two already-candidate-sized pair sets — at "
+    "100 TB its cost is the two band joins the individual families "
+    "already pay, plus epsilon.",
+)
+def mm_phash_dhash_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_binary,
+        dhash_neardup_pairs,
+        image_dhash,
+        image_phash_dct,
+        phash_neardup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 128)
+    pgm = docs.select(
+        "doc_id",
+        F.concat(F.lit("P5\n16 8\n255\n"), F.substring("text", 1, 128)).alias(
+            "payload"
+        ),
+    )
+    media = attach_binary(pgm, "doc_id", "payload", "image")
+    dp = dhash_neardup_pairs(image_dhash(media), max_hamming=6).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("d_hamming")
+    )
+    pp = phash_neardup_pairs(image_phash_dct(media), max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").alias("p_hamming")
+    )
+    return pp.join(dp, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "d_hamming", "p_hamming"
+    )

@@ -152,3 +152,55 @@ def test_cc_incremental_chain_of_merges_via_label_graph(spark):
     comp = {r["doc_id"]: r["component"] for r in merged.collect()}
     assert comp[40] == 20 and comp[41] == 20 and comp[30] == 20
     assert comp[10] == 10 and comp[11] == 10
+
+
+def test_pagerank_maintain_routes_and_equality(spark, recwarn):
+    import warnings
+
+    from files_kraken_spark.operators.graph import (
+        pagerank,
+        pagerank_history,
+        pagerank_maintain,
+    )
+
+    # sparse chain: a leaf batch dirties only its short out-cone
+    chain = [(i, i + 1) for i in range(1, 30)]
+    chain_delta = [(30, 31)]  # appends past the tail: D_1 = {30's dst, new}
+    # dense bipartite: every left node hits every right node — one
+    # batch edge dirties everything in one hop
+    dense = [(l, 100 + r) for l in range(1, 6) for r in range(1, 6)]
+    dense += [(100 + r, l) for l in range(1, 6) for r in range(1, 6)]
+    dense_delta = [(1, 106), (106, 1)]
+
+    for base, delta, expect_route in [
+        (chain, chain_delta, "merge"),
+        (dense, dense_delta, "retrain"),
+    ]:
+        base_df = spark.createDataFrame(base, ["src", "dst"])
+        delta_df = spark.createDataFrame(delta, ["src", "dst"])
+        union_df = base_df.unionByName(delta_df)
+        hist = pagerank_history(base_df, iters=2)
+
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            auto = pagerank_maintain(union_df, delta_df, hist, iters=2)
+            routed_retrain = any(
+                "routing to full retrain" in str(w.message) for w in caught
+            )
+        assert routed_retrain == (expect_route == "retrain")
+        # whatever the route, ranks are bit-identical to from-scratch
+        assert _pr_map(auto) == _pr_map(pagerank(union_df, iters=2))
+
+    # forced modes never probe (no jobs beyond the plan) and agree too
+    base_df = spark.createDataFrame(chain, ["src", "dst"])
+    delta_df = spark.createDataFrame(chain_delta, ["src", "dst"])
+    union_df = base_df.unionByName(delta_df)
+    hist = pagerank_history(base_df, iters=2)
+    m = pagerank_maintain(union_df, delta_df, hist, iters=2, mode="merge")
+    r = pagerank_maintain(union_df, delta_df, hist, iters=2, mode="retrain")
+    assert _pr_map(m) == _pr_map(r)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pagerank_maintain(union_df, delta_df, hist, mode="bogus")
