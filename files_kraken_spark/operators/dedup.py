@@ -955,3 +955,62 @@ def cc_incremental(
         "doc_id",
         F.coalesce("__merged", F.col("component")).alias("component"),
     )
+
+
+def cc_decremental(
+    state: DataFrame,
+    post_pairs: DataFrame,
+    retracted_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Merge a pair RETRACTION batch into persisted connected-components
+    state — the tombstone half that closes :func:`cc_incremental`'s
+    append-only contract. Returns ``(doc_id, component)`` EXACTLY equal
+    to from-scratch :func:`connected_components` on ``post_pairs``.
+
+    A retraction can SPLIT a component, and no label algebra can
+    decide a split without looking at the surviving pairs — so this is
+    a COMPONENT-LOCAL rebuild: the only components whose structure can
+    have changed are those containing a retracted pair's endpoint
+    (deletion never merges components, and a component none of whose
+    pairs died keeps its exact min-id label). The merge therefore
+
+    1. looks up the affected component labels (endpoints of the
+       retracted batch against ``state`` — a broadcast of the small
+       batch side),
+    2. re-runs CC on the surviving pairs of THOSE components only
+       (a pair's endpoints share a component by construction, so one
+       endpoint membership test selects exactly the affected pairs),
+    3. serves every other component's labels from ``state`` untouched.
+
+    Docs whose last surviving pair died leave the output — same
+    node-set semantics as the from-scratch build on ``post_pairs``
+    (and the CC analogue of :func:`~..graph.pagerank_decremental`'s
+    node retirement).
+
+    Scale shape: state is read once and shuffled never; the CC rounds
+    run over the affected components' pairs only — a daily tombstone
+    batch rebuilds its own dedup groups, not the corpus's. Worst case
+    (a retraction inside the corpus's one giant boilerplate component)
+    degrades to that component's size, which is the same component the
+    append path's cc_incremental would have built — the cost is
+    bounded by the damage, never by the lake."""
+    affected = (
+        retracted_pairs.select(F.col(id_a).alias("doc_id"))
+        .unionByName(retracted_pairs.select(F.col(id_b).alias("doc_id")))
+        .distinct()
+        .join(state, "doc_id")
+        .select("component")
+        .distinct()
+    )
+    member = state.join(F.broadcast(affected), "component", "left_semi").select(
+        F.col("doc_id").alias("__m")
+    )
+    # a pair lives inside one component, so one endpoint test suffices
+    touched = post_pairs.join(
+        member.withColumnRenamed("__m", id_a), id_a, "left_semi"
+    )
+    rebuilt = connected_components(touched, id_a=id_a, id_b=id_b)
+    kept = state.join(F.broadcast(affected), "component", "left_anti")
+    return kept.unionByName(rebuilt)

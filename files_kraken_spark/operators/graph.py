@@ -655,3 +655,103 @@ def pagerank_maintain(
     return pagerank_incremental(
         edges, delta_edges, history, iters=iters, damping_pct=damping_pct
     )
+
+
+def pagerank_decremental(
+    edges: DataFrame,
+    retracted_edges: DataFrame,
+    history: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Merge an edge RETRACTION batch into a persisted PageRank
+    trajectory — the tombstone half of graph maintenance
+    (:func:`pagerank_incremental` is the append half; together they
+    close the contract its docstring left open). Returns the final
+    ``(node, pr)`` over the post-delete graph, bit-identical to
+    re-running :func:`pagerank` from scratch on ``edges``.
+
+    ``edges`` is the POST-DELETE edge list (as the store holds it
+    after the tombstones apply), ``retracted_edges`` the removed batch
+    (must be a subset of the base edge list), ``history`` the base
+    trajectory from :func:`pagerank_history`.
+
+    Dirty recurrence: a retraction changes a node's round-t value iff
+    an in-contribution changed — the in-edge was removed (dst of a
+    retracted edge), the in-neighbor's out-degree shrank (post-delete
+    out-neighbors of retracted srcs), or the in-neighbor was dirty at
+    t-1. Both direct cases are out-neighbors of the retracted srcs
+    over ``edges ∪ retracted``, so the frontiers come from the SAME
+    :func:`dirty_frontiers` recurrence probed on that union table —
+    propagation over the union over-approximates the dirty set
+    (retracted edges no longer carry influence), which only recomputes
+    extra nodes to their unchanged values, never misses a dirty one.
+    Nodes with no remaining edges leave the graph: frontiers and the
+    stored trajectory are restricted to the post-delete node set.
+
+    Scale shape: identical to the append path — per round one
+    frontier-bounded edge probe, one trajectory-slice lookup, one
+    groupBy(dst) on frontier rows. The same density caveat applies
+    (see :func:`pagerank_maintain`): on dense graphs the frontier
+    saturates and a retrain is cheaper."""
+    e = edges.select("src", "dst").persist()
+    re_ = retracted_edges.select("src", "dst").persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    v_post = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    base_nodes = history.filter(F.col("round") == 0).select("node")
+    # probe table = post ∪ retracted: out_(∪)(srcs of retracted) covers
+    # both direct dirty cases; seed inside dirty_frontiers is exactly
+    # src(retracted) since retracted nodes are never new
+    probe_e = e.unionByName(re_)
+    frontiers = [
+        d.join(v_post, "node", "left_semi")
+        for d in dirty_frontiers(probe_e, re_, base_nodes, iters=iters)
+    ]
+    base = (100 - damping_pct) * UNIT // 100
+    # no new nodes under retraction: D_0 overlay starts empty
+    upd = v_post.select(
+        "node", F.lit(UNIT).cast("long").alias("pr")
+    ).filter(F.lit(False)).localCheckpoint(eager=True)
+    for t in range(1, iters + 1):
+        d_t = frontiers[t - 1]
+        prev = (
+            history.filter(F.col("round") == t - 1)
+            .select("node", "pr")
+            .join(v_post, "node", "left_semi")
+            .join(upd.select("node"), "node", "left_anti")
+            .unionByName(upd)
+        )
+        e_in = e.join(d_t.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        contrib = (
+            e_in.join(deg, "src")
+            .join(prev.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("pr DIV deg").alias("c"))
+        )
+        agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        upd = (
+            d_t.join(agg.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) DIV 100"
+                    )
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        history.filter(F.col("round") == iters)
+        .select("node", "pr")
+        .join(v_post, "node", "left_semi")
+        .join(upd.select("node"), "node", "left_anti")
+        .unionByName(upd)
+    )

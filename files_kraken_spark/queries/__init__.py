@@ -86,6 +86,10 @@ _SAMPLE_PRIORITY = [
     # -- NEW round 11: DCT perceptual hash (exact-integer 2D DCT-II,
     # the second perceptual-hash family next to dHash) --
     "mm_image_phash", "mm_phash_neardup", "mm_phash_dhash_consensus",
+    # -- NEW round 11: tombstone (retraction) maintenance closing the
+    # append-only contracts, + the measured-density auto router --
+    "g_pagerank_decremental", "g_cc_decremental",
+    "g_pagerank_maintain_route",
     # -- changed round 11: t_bm25_topk now composes the shared
     # operators/text_index.py builders (same plan, one formula source) --
     "t_bm25_topk",

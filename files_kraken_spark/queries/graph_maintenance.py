@@ -352,3 +352,97 @@ def g_pagerank_maintain_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("merge"))
         .alias("route"),
     )
+
+
+def _pagerank_base_oracle_sql(iters: int = 3, damping: int = 85) -> str:
+    """Unrolled integer PageRank over the BASE supply graph (pbase) —
+    the from-scratch target the tombstone merge must hit when the
+    late-order pairs are RETRACTED from a full-graph trajectory.
+    Same micro-unit/DIV contract as analytics._pagerank_oracle_sql."""
+    base = (100 - damping) * 1_000_000 // 100
+    rounds = []
+    for n in range(iters):
+        rounds.append(
+            f"""gr{n + 1} AS (
+  SELECT n.node,
+         CAST({base} + ({damping} * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+  FROM gnodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.pr // d.deg) AS s
+    FROM gedges e JOIN gdeg d ON d.src = e.src JOIN gr{n} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+        )
+    return (
+        "WITH "
+        + _SQL_SUPPLY_SPLIT
+        + """,
+gedges AS (
+  SELECT sk AS src, 10000000 + ck AS dst FROM pbase
+  UNION ALL
+  SELECT 10000000 + ck AS src, sk AS dst FROM pbase
+),
+gdeg AS (SELECT src, count(*) AS deg FROM gedges GROUP BY src),
+gnodes AS (SELECT src AS node FROM gedges UNION SELECT dst FROM gedges),
+gr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM gnodes),
+"""
+        + ",\n".join(rounds)
+        + f"\nSELECT node, pr FROM gr{iters}"
+    )
+
+
+@register(
+    "g_pagerank_decremental",
+    oracle=_pagerank_base_oracle_sql(3, 85),
+    doc="Tombstone PageRank maintenance — the retraction half that "
+    "closes pagerank_incremental's append-only contract: the FULL "
+    "supply graph is ranked once with its trajectory persisted; the "
+    "late-order pair batch (o_orderkey%10>=8 exclusives) is then "
+    "RETRACTED, and pagerank_decremental serves the post-delete ranks "
+    "by recomputing only the dirty cone of the retracted srcs "
+    "(removed in-contributions + shrunk out-degrees + k-hop "
+    "propagation, probed over post∪retracted so both direct cases "
+    "fall out of the same dirty_frontiers recurrence; nodes whose "
+    "last edge died leave the node set). The oracle is the "
+    "FROM-SCRATCH unrolled build on the post-delete graph — the "
+    "hash-compare is the tombstoned-equals-rebuilt proof, exact via "
+    "BIGINT micro-units + DIV truncation. Scale shape: identical to "
+    "the append merge, and the same pagerank_maintain density caveat "
+    "applies.",
+)
+def g_pagerank_decremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_decremental
+
+    base_e, delta_e, union_e = _supply_split(spark, sf_dir)
+    hist = pagerank_history(union_e, iters=3, damping_pct=85)
+    return pagerank_decremental(base_e, delta_e, hist, iters=3, damping_pct=85)
+
+
+@register(
+    "g_cc_decremental",
+    oracle=_SQL_CC_UNION + _SQL_CC_BASE + "\nSELECT doc_id, component FROM bcomp",
+    doc="Tombstone dedup-group maintenance — the retraction half that "
+    "closes g_cc_incremental's append-only contract: the FULL corpus "
+    "pair graph's CC labels are the persisted state; every pair "
+    "touching a late doc (doc_id%10>=8) is then RETRACTED, and "
+    "dedup.cc_decremental serves the post-delete labels by rebuilding "
+    "ONLY the affected components from their surviving pairs "
+    "(deletions can split a component — no label algebra decides a "
+    "split without the surviving pairs — but they never merge, so "
+    "untouched components serve from state verbatim; docs whose last "
+    "pair died leave the output). Oracle = from-scratch transitive "
+    "closure on the base pair set, so the hash-compare is the "
+    "tombstoned-equals-rebuilt proof. Scale shape: one broadcast "
+    "affected-label lookup, CC rounds over the affected components' "
+    "pairs only, state never shuffled — the cost is bounded by the "
+    "damage, not the lake.",
+)
+def g_cc_decremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    pairs = pairs.select("id_a", "id_b").persist()
+    both_base = (F.col("id_a") % 10 < 8) & (F.col("id_b") % 10 < 8)
+    state = DD.connected_components(pairs)
+    return DD.cc_decremental(
+        state, pairs.filter(both_base), pairs.filter(~both_base)
+    )

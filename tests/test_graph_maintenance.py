@@ -204,3 +204,87 @@ def test_pagerank_maintain_routes_and_equality(spark, recwarn):
 
     with pytest.raises(ValueError):
         pagerank_maintain(union_df, delta_df, hist, mode="bogus")
+
+
+def test_pagerank_decremental_equals_from_scratch(spark):
+    from files_kraken_spark.operators.graph import (
+        pagerank,
+        pagerank_decremental,
+        pagerank_history,
+    )
+
+    # full graph: two clusters bridged, a sink (6), a leaf node 7
+    full = [
+        (1, 2), (2, 3), (3, 1), (1, 3),
+        (4, 5), (5, 4), (3, 4),
+        (2, 6), (7, 1), (5, 7), (1, 5),
+    ]
+    # retract: the bridge (3,4), node 7 ENTIRELY (both its edges —
+    # it must leave the node set), and one of 1's out-edges (1's
+    # out-degree shrinks, diluting... concentrating its contributions)
+    retracted = [(3, 4), (7, 1), (5, 7), (1, 5)]
+    post = [e for e in full if e not in retracted]
+
+    full_df = spark.createDataFrame(full, ["src", "dst"])
+    re_df = spark.createDataFrame(retracted, ["src", "dst"])
+    post_df = spark.createDataFrame(post, ["src", "dst"])
+
+    for iters in (1, 3):
+        hist = pagerank_history(full_df, iters=iters)
+        merged = pagerank_decremental(post_df, re_df, hist, iters=iters)
+        scratch = pagerank(post_df, iters=iters)
+        assert _pr_map(merged) == _pr_map(scratch)
+        # node 7 left the graph with its last edge
+        assert 7 not in _pr_map(merged)
+        assert merged.count() == merged.select("node").distinct().count()
+
+
+def test_pagerank_decremental_noop_batch(spark):
+    from files_kraken_spark.operators.graph import (
+        pagerank,
+        pagerank_decremental,
+        pagerank_history,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1)]
+    full_df = spark.createDataFrame(edges, ["src", "dst"])
+    empty = full_df.filter(F.lit(False))
+    hist = pagerank_history(full_df, iters=2)
+    out = pagerank_decremental(full_df, empty, hist, iters=2)
+    assert _pr_map(out) == _pr_map(pagerank(full_df, iters=2))
+
+
+def test_cc_decremental_split_and_retire(spark):
+    from files_kraken_spark.operators.dedup import (
+        cc_decremental,
+        connected_components,
+    )
+
+    def cc_map(df):
+        return {r["doc_id"]: r["component"] for r in df.collect()}
+
+    # two components: a chain 1-2-3-4 and an untouched pair 10-11
+    full = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    # retract the chain's middle link -> {1,2} and {3,4} split;
+    # also retract (10,11) entirely -> both docs leave the pair graph
+    for retracted in ([(2, 3)], [(2, 3), (10, 11)]):
+        post = [p for p in full if p not in retracted]
+        full_df = spark.createDataFrame(full, ["id_a", "id_b"])
+        post_df = spark.createDataFrame(post, ["id_a", "id_b"])
+        re_df = spark.createDataFrame(retracted, ["id_a", "id_b"])
+        state = connected_components(full_df)
+        merged = cc_decremental(state, post_df, re_df)
+        scratch = connected_components(post_df)
+        assert cc_map(merged) == cc_map(scratch)
+
+    # untouched component served from state verbatim (no recompute
+    # needed to get this right, but the VALUES must also match)
+    state = connected_components(spark.createDataFrame(full, ["id_a", "id_b"]))
+    merged = cc_decremental(
+        state,
+        spark.createDataFrame([(1, 2), (3, 4), (10, 11)], ["id_a", "id_b"]),
+        spark.createDataFrame([(2, 3)], ["id_a", "id_b"]),
+    )
+    m = cc_map(merged)
+    assert m[10] == 10 and m[11] == 10
+    assert m[1] == 1 and m[2] == 1 and m[3] == 3 and m[4] == 3
