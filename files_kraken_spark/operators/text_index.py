@@ -97,6 +97,38 @@ def merge_index_stats(base_g: DataFrame, new_g: DataFrame, n_terms: int) -> Data
     )
 
 
+def retract_index_stats(
+    full_g: DataFrame, retracted_g: DataFrame, n_terms: int
+) -> DataFrame:
+    """Retract a document batch from the global index counters by
+    SUBTRACTION — the tombstone half of the index state merge
+    (:func:`merge_index_stats` is the append half). Exact for the
+    same reason the append is: every field is an additive BIGINT
+    counter, so full - batch == rebuilt-on-survivors, bit for bit.
+    The per-doc half of a retraction is an anti-join (rows are
+    independent); empty-batch aggregates contribute NULLs, which
+    coalesce to 0 rather than poisoning the difference."""
+    f = full_g.select(
+        F.col("n").alias("__fn"),
+        F.col("sdl").alias("__fsdl"),
+        *[F.col(f"df{i}").alias(f"__fdf{i}") for i in range(1, n_terms + 1)],
+    )
+    r = retracted_g.select(
+        F.col("n").alias("__rn"),
+        F.col("sdl").alias("__rsdl"),
+        *[F.col(f"df{i}").alias(f"__rdf{i}") for i in range(1, n_terms + 1)],
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    return f.crossJoin(r).select(
+        (z("__fn") - z("__rn")).cast("long").alias("n"),
+        (z("__fsdl") - z("__rsdl")).cast("long").alias("sdl"),
+        *[
+            (z(f"__fdf{i}") - z(f"__rdf{i}")).cast("long").alias(f"df{i}")
+            for i in range(1, n_terms + 1)
+        ],
+    )
+
+
 def bm25_score_col(n_terms: int, k1: float = 1.2, b: float = 0.75) -> Column:
     """The BM25 scoring expression over a per-doc × global-stats row:
     log-free rational idf ``(N - df + 0.5) / (df + 0.5)`` (rank-

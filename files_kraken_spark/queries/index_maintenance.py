@@ -302,3 +302,44 @@ def t_index_delta_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((n_terms_touched * 1000000) DIV n_terms_union AS BIGINT)"
         ).alias("touched_ppm"),
     )
+
+
+@register(
+    "t_index_decremental_bm25",
+    oracle=f"""
+WITH {_bm25_ctes(_TERMS, where=_BASE_WHERE)}
+SELECT doc_id, bm25
+FROM s
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+""",
+    doc="Tombstone BM25 index maintenance — the retraction half that "
+    "completes the index's append contract (and the text sibling of "
+    "g_pagerank_decremental / g_cc_decremental): the FULL corpus is "
+    "indexed once; the late docs (doc_id%10>=8) are then RETRACTED by "
+    "anti-joining their per-doc rows out and SUBTRACTING their counter "
+    "row from the global stats (operators/text_index."
+    "retract_index_stats — exact, every field an additive BIGINT "
+    "counter), and the shrunken index serves the top-10. Oracle = "
+    "from-scratch rebuild on the surviving docs via the shared "
+    "_bm25_ctes (one formula source), so the hash-compare is the "
+    "tombstoned-equals-rebuilt proof. Scale shape: the retraction "
+    "touches the batch rows and one 2-row counter subtraction — the "
+    "surviving corpus is never rescanned.",
+)
+def t_index_decremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m_full = TI.doc_term_stats(docs, _TERMS)
+    g_full = TI.index_stats(m_full, len(_TERMS))
+    retracted = docs.filter(~(F.col("doc_id") % 10 < 8)).select("doc_id")
+    m_re = TI.doc_term_stats(
+        docs.filter(~(F.col("doc_id") % 10 < 8)), _TERMS
+    )
+    g_re = TI.index_stats(m_re, len(_TERMS))
+    m_post = m_full.join(retracted, "doc_id", "left_anti")
+    g_post = TI.retract_index_stats(g_full, g_re, len(_TERMS))
+    return (
+        TI.bm25_scores(m_post, g_post, len(_TERMS))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(10)
+    )

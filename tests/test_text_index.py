@@ -100,3 +100,28 @@ def test_vocab_merge_counts_and_new_terms(spark):
     assert merged["beta"] == (2, 1, 1)
     assert merged["delta"] == (1, 0, 1)  # minted by the batch
     assert merged["gamma"] == (1, 1, 0)
+
+
+def test_retracted_stats_equal_rebuilt(spark):
+    docs = _docs(spark, CORPUS)
+    survivors = docs.filter(F.col("doc_id") <= 5)
+    gone = docs.filter(F.col("doc_id") > 5)
+
+    g_post = TI.retract_index_stats(
+        TI.index_stats(TI.doc_term_stats(docs, TERMS), 3),
+        TI.index_stats(TI.doc_term_stats(gone, TERMS), 3),
+        3,
+    )
+    g_rebuilt = TI.index_stats(TI.doc_term_stats(survivors, TERMS), 3)
+    assert g_post.collect() == g_rebuilt.collect()
+
+    # empty tombstone batch: identity, NULL empty-agg sums coalesce
+    empty = docs.filter(F.lit(False))
+    g_noop = TI.retract_index_stats(
+        TI.index_stats(TI.doc_term_stats(docs, TERMS), 3),
+        TI.index_stats(TI.doc_term_stats(empty, TERMS), 3),
+        3,
+    )
+    assert g_noop.collect() == TI.index_stats(
+        TI.doc_term_stats(docs, TERMS), 3
+    ).collect()
