@@ -89,7 +89,10 @@ _SAMPLE_PRIORITY = [
     # -- NEW round 11: tombstone (retraction) maintenance closing the
     # append-only contracts, + the measured-density auto router --
     "g_pagerank_decremental", "g_cc_decremental",
-    "g_pagerank_maintain_route",
+    "g_pagerank_maintain_route", "t_index_decremental_bm25",
+    # -- NEW round 11: personalized PageRank (the operator's seeds
+    # branch, previously un-evidenced) --
+    "q_ppr_supply",
     # -- changed round 11: t_bm25_topk now composes the shared
     # operators/text_index.py builders (same plan, one formula source) --
     "t_bm25_topk",

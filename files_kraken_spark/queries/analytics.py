@@ -5793,3 +5793,91 @@ def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bounce_rate"),
     )
+
+
+def _ppr_oracle_sql(iters: int = 3, damping: int = 85) -> str:
+    """Unrolled PERSONALIZED PageRank over the supply graph — seeds
+    get the initial mass and the teleport term, everyone else starts
+    (and teleports) at zero. Mirrors operators.graph.pagerank's
+    ``seeds`` branch exactly (same BIGINT micro-units / DIV)."""
+    base = (100 - damping) * 1_000_000 // 100
+    rounds = []
+    for n in range(iters):
+        rounds.append(
+            f"""pr{n + 1} AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.seed = 1 THEN {base} ELSE 0 END
+              + ({damping} * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+  FROM pnodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.pr // d.deg) AS s
+    FROM edges e JOIN deg d ON d.src = e.src JOIN pr{n} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+        )
+    return (
+        """WITH pairs AS (
+  SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT sk AS src, 10000000 + ck AS dst FROM pairs
+  UNION ALL
+  SELECT 10000000 + ck AS src, sk AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+pnodes AS (
+  SELECT node, CASE WHEN node < 5 THEN 1 ELSE 0 END AS seed
+  FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+),
+pr0 AS (
+  SELECT node, CAST(CASE WHEN seed = 1 THEN 1000000 ELSE 0 END AS BIGINT) AS pr
+  FROM pnodes
+),
+"""
+        + ",\n".join(rounds)
+        + f"""
+SELECT node, pr FROM pr{iters} WHERE pr > 0"""
+    )
+
+
+@register(
+    "q_ppr_supply",
+    oracle=_ppr_oracle_sql(3, 85),
+    doc="PERSONALIZED PageRank (3 rounds, d=0.85) over the supply "
+    "graph, seeded at suppliers 0-4: initial mass AND the teleport "
+    "term go only to the seeds, so rank concentrates in their "
+    "neighborhoods — topic-sensitive importance ('which customers and "
+    "suppliers matter relative to THESE suppliers'), the building "
+    "block behind personalized recommendations and trust propagation "
+    "(and the retrieval-expansion trick of seeding at a query's "
+    "matched nodes). Same all-integer micro-unit arithmetic as "
+    "q_pagerank_supply — bit-exact under any partitioning; nodes the "
+    "seed mass never reached (pr = 0 exactly, integer math) are "
+    "filtered, which at scale keeps the output proportional to the "
+    "reached neighborhood, not the graph. Plan: per round one "
+    "rank-to-edges join on src + one contribution shuffle on dst; the "
+    "seed column rides the persisted node frame.",
+)
+def q_ppr_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("l_suppkey").alias("sk"), F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("sk").alias("src"), (F.lit(10_000_000) + F.col("ck")).alias("dst")
+    ).unionByName(
+        pairs.select(
+            (F.lit(10_000_000) + F.col("ck")).alias("src"),
+            F.col("sk").alias("dst"),
+        )
+    )
+    seeds = spark.createDataFrame([(i,) for i in range(5)], ["node"])
+    return pagerank(edges, iters=3, damping_pct=85, seeds=seeds).filter(
+        F.col("pr") > 0
+    )
