@@ -73,6 +73,15 @@ EXTRA = [
     "t_curation_pipeline",
     "t_kmv_distinct_tokens",
     "q_hist_quantile_sketch",
+    # round-11 operator families: the cheap representatives (the g_*
+    # graph-maintenance queries are deliberately absent — they rebuild
+    # split+state+merge end-to-end and cost 15-30s each; their scale
+    # evidence lives in SCALING.md's round-11 sweep table instead)
+    "t_index_incremental_bm25",
+    "mm_image_phash",
+    "mm_phash_neardup",
+    "t_tumbling_watermark_replay",
+    "t_kmv_anotb",
 ]
 
 

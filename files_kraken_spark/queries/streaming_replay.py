@@ -566,3 +566,160 @@ def t_sliding_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("value_sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join replay (round 11): the remaining
+# Structured Streaming surface. Two event streams (impressions = even
+# event_id, clicks = odd) join on user within [imp, imp + JOIN_US].
+# Spark buffers both sides; with this condition the LEFT state
+# watermark is (global watermark - JOIN_US) and the RIGHT's is the
+# global watermark itself, so a pair survives iff, at the LATER of the
+# two arrival batches, imp_t >= W - JOIN_US and clk_t >= W — one rule
+# covering input-filtering of the later row and state-eviction of the
+# earlier (the earlier row's own-batch acceptance is implied by
+# watermark monotonicity). W is the lag-2 global watermark: the MIN
+# over the two sources' prior-prior-batch running maxima, minus the
+# delay — multi-input watermarks take the slowest source (Spark's
+# default min policy), measured here like the window replays' lag was.
+# Inner joins emit immediately in append mode: no final-watermark
+# filter on the output. The pytest twin feeds the REAL engine one
+# file per source per trigger in batch order and pins equality.
+# ---------------------------------------------------------------------------
+
+#: interval-join width: clicks within 12h after the impression
+JOIN_US = 12 * 3600 * 1_000_000
+
+#: the window replays' low-bit batch hash would correlate batch parity
+#: with the event_id parity that SPLITS the two streams (the Knuth
+#: multiplier is odd, so `% 16` preserves the id's low bit) — every
+#: impression would land in an even batch and every click in an odd
+#: one. The join replay deals by the hash's TOP 4 bits instead.
+_JOIN_BATCH = "((event_id * 2654435761) % 4294967296) // 268435456"
+
+_SQL_JOIN_EVENTS = f"""
+ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         {_JOIN_BATCH} AS batch
+  FROM events
+),
+imp AS (SELECT user_id, t, batch FROM ev WHERE event_id % 2 = 0),
+clk AS (SELECT user_id, t, batch FROM ev WHERE event_id % 2 = 1),
+bmi AS (SELECT batch, max(t) AS mx FROM imp GROUP BY batch),
+bmc AS (SELECT batch, max(t) AS mx FROM clk GROUP BY batch),
+pmi AS (
+  SELECT r.b AS batch, max(a.mx) AS mx
+  FROM bmi a, range(0, {N_BATCHES}) r(b) WHERE a.batch <= r.b - 2
+  GROUP BY r.b
+),
+pmc AS (
+  SELECT r.b AS batch, max(a.mx) AS mx
+  FROM bmc a, range(0, {N_BATCHES}) r(b) WHERE a.batch <= r.b - 2
+  GROUP BY r.b
+),
+wm AS (
+  SELECT pmi.batch, least(pmi.mx, pmc.mx) - {DELAY_US} AS w
+  FROM pmi JOIN pmc ON pmc.batch = pmi.batch
+)"""
+
+
+@register(
+    "t_stream_join_replay",
+    oracle="WITH "
+    + _SQL_JOIN_EVENTS
+    + f""",
+pairs AS (
+  SELECT i.user_id, i.t AS imp_us, c.t AS clk_us,
+         i.batch AS bi, greatest(i.batch, c.batch) AS lb
+  FROM imp i JOIN clk c
+    ON c.user_id = i.user_id AND c.t >= i.t AND c.t <= i.t + {JOIN_US}
+)
+SELECT p.user_id, p.imp_us, p.clk_us
+FROM pairs p
+LEFT JOIN wm wi ON wi.batch = p.bi
+LEFT JOIN wm wl ON wl.batch = p.lb
+WHERE (wi.w IS NULL OR p.imp_us >= wi.w)
+  AND (wl.w IS NULL
+       OR (p.clk_us >= wl.w AND p.imp_us >= wl.w - {JOIN_US}))
+""",
+    doc="Batch replay of Spark's OWN watermarked stream-stream "
+    "interval join (impressions joined to clicks on user within 12h, "
+    "both sides watermarked 2 days, inner/append): events split by "
+    "event_id parity into the two streams, dealt into 16 deterministic "
+    "Knuth-hash micro-batches; the global watermark is the MIN of the "
+    "two sources' lag-2 running maxima minus the delay (multi-input "
+    "watermarks take the slowest source); a pair survives iff at the "
+    "LATER arrival batch imp_t >= W - 12h (left state not yet evicted "
+    "/ left row not late, since left state TTL is W minus the join "
+    "width) and clk_t >= W (right state TTL is W itself) — one rule "
+    "covering late-input drops and state eviction on both sides. "
+    "Inner joins emit at match time, so no final-watermark output "
+    "filter exists (unlike the window replays). The pytest twin runs "
+    "the REAL two-source engine in the same batch order and pins "
+    "equality row-for-row. Scale shape: the pair join shuffles on "
+    "user_id once; the watermark table is 16 rows broadcast; at 100 "
+    "TB the replay is the at-rest audit of what the live join kept.",
+)
+def t_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("t"),
+        F.expr(
+            f"((event_id * 2654435761) % 4294967296) div 268435456"
+        ).alias("batch"),
+    )
+    imp = ev.filter(F.col("event_id") % 2 == 0).select("user_id", "t", "batch")
+    clk = ev.filter(F.col("event_id") % 2 == 1).select("user_id", "t", "batch")
+
+    def prefix_max(side):
+        bm = side.groupBy("batch").agg(F.max("t").alias("mx"))
+        last = F.lit(N_BATCHES - 1).cast("long")
+        return (
+            bm.filter(F.col("batch") + 2 <= last)
+            .select(
+                F.explode(
+                    F.sequence((F.col("batch") + 2).cast("long"), last)
+                ).alias("batch"),
+                "mx",
+            )
+            .groupBy("batch")
+            .agg(F.max("mx").alias("mx"))
+        )
+
+    pmi = prefix_max(imp).withColumnRenamed("mx", "mxi")
+    pmc = prefix_max(clk).withColumnRenamed("mx", "mxc")
+    wm = pmi.join(pmc, "batch").select(
+        "batch", (F.least("mxi", "mxc") - F.lit(DELAY_US)).alias("w")
+    )
+    i = imp.select(
+        F.col("user_id"), F.col("t").alias("imp_us"), F.col("batch").alias("bi")
+    )
+    c = clk.select(
+        F.col("user_id").alias("c_uid"),
+        F.col("t").alias("clk_us"),
+        F.col("batch").alias("bc"),
+    )
+    pairs = i.join(
+        c,
+        (F.col("c_uid") == F.col("user_id"))
+        & (F.col("clk_us") >= F.col("imp_us"))
+        & (F.col("clk_us") <= F.col("imp_us") + F.lit(JOIN_US)),
+    ).select("user_id", "imp_us", "clk_us", "bi", F.greatest("bi", "bc").alias("lb"))
+    wi = wm.select(F.col("batch").alias("bi"), F.col("w").alias("w_in"))
+    wl = wm.select(F.col("batch").alias("lb"), F.col("w").alias("w_late"))
+    kept = (
+        F.col("w_in").isNull() | (F.col("imp_us") >= F.col("w_in"))
+    ) & (
+        F.col("w_late").isNull()
+        | (
+            (F.col("clk_us") >= F.col("w_late"))
+            & (F.col("imp_us") >= F.col("w_late") - F.lit(JOIN_US))
+        )
+    )
+    return (
+        pairs.join(F.broadcast(wi), "bi", "left")
+        .join(F.broadcast(wl), "lb", "left")
+        .filter(kept)
+        .select("user_id", "imp_us", "clk_us")
+    )
