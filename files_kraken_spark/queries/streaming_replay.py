@@ -723,3 +723,111 @@ def t_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(kept)
         .select("user_id", "imp_us", "clk_us")
     )
+
+
+@register(
+    "t_stream_left_join_replay",
+    oracle="WITH "
+    + _SQL_JOIN_EVENTS
+    + f""",
+pairs AS (
+  SELECT i.user_id, i.t AS imp_us, c.t AS clk_us,
+         i.batch AS bi, greatest(i.batch, c.batch) AS lb
+  FROM imp i JOIN clk c
+    ON c.user_id = i.user_id AND c.t >= i.t AND c.t <= i.t + {JOIN_US}
+),
+kept AS (
+  SELECT p.user_id, p.imp_us, p.clk_us
+  FROM pairs p
+  LEFT JOIN wm wi ON wi.batch = p.bi
+  LEFT JOIN wm wl ON wl.batch = p.lb
+  WHERE (wi.w IS NULL OR p.imp_us >= wi.w)
+    AND (wl.w IS NULL
+         OR (p.clk_us >= wl.w AND p.imp_us >= wl.w - {JOIN_US}))
+),
+wfin AS (SELECT max(w) AS w FROM wm),
+nulls AS (
+  SELECT i.user_id, i.t AS imp_us, CAST(NULL AS BIGINT) AS clk_us
+  FROM imp i
+  LEFT JOIN wm wi ON wi.batch = i.batch, wfin
+  WHERE (wi.w IS NULL OR i.t >= wi.w)
+    AND i.t < wfin.w - {JOIN_US}
+    AND NOT EXISTS (
+      SELECT 1 FROM kept k
+      WHERE k.user_id = i.user_id AND k.imp_us = i.t
+    )
+)
+SELECT user_id, imp_us, clk_us FROM kept
+UNION ALL
+SELECT user_id, imp_us, clk_us FROM nulls
+""",
+    doc="Batch replay of the watermarked stream-stream LEFT OUTER "
+    "interval join — the subtlest streaming-join semantics: matched "
+    "pairs emit at match time exactly as the inner replay's rule "
+    "(plain-W input filter at the impression's own batch, W at the "
+    "later batch for the click, interval-relaxed W-12h eviction "
+    "bound), while an UNMATCHED impression emits its NULL row only "
+    "when its state is EVICTED — the engine must prove no future "
+    "click can match, which happens once the watermark passes "
+    "imp + 12h. An accepted impression with no surviving pair whose "
+    "eviction threshold passed during the run (imp < final W - 12h, "
+    "monotone so the final watermark decides) emits with a NULL "
+    "click; one still in state when availableNow drains never emits — "
+    "the replay models both. Same lag-2 min-of-sources watermark "
+    "table; the pytest twin pins the whole rule set to the real "
+    "engine row-for-row, NULLs included. Scale shape: the inner "
+    "replay's pair join plus one anti-join of accepted impressions "
+    "against the kept pairs.",
+)
+def t_stream_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inner = t_stream_join_replay(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("t"),
+        F.expr(
+            "((event_id * 2654435761) % 4294967296) div 268435456"
+        ).alias("batch"),
+    )
+    imp = ev.filter(F.col("event_id") % 2 == 0).select("user_id", "t", "batch")
+    clk = ev.filter(F.col("event_id") % 2 == 1).select("user_id", "t", "batch")
+
+    def prefix_max(side):
+        bm = side.groupBy("batch").agg(F.max("t").alias("mx"))
+        last = F.lit(N_BATCHES - 1).cast("long")
+        return (
+            bm.filter(F.col("batch") + 2 <= last)
+            .select(
+                F.explode(
+                    F.sequence((F.col("batch") + 2).cast("long"), last)
+                ).alias("batch"),
+                "mx",
+            )
+            .groupBy("batch")
+            .agg(F.max("mx").alias("mx"))
+        )
+
+    pmi = prefix_max(imp).withColumnRenamed("mx", "mxi")
+    pmc = prefix_max(clk).withColumnRenamed("mx", "mxc")
+    wm = pmi.join(pmc, "batch").select(
+        "batch", (F.least("mxi", "mxc") - F.lit(DELAY_US)).alias("w")
+    )
+    wfin = wm.agg(F.max("w").alias("wf"))
+    accepted = (
+        imp.join(F.broadcast(wm), "batch", "left")
+        .filter(F.col("w").isNull() | (F.col("t") >= F.col("w")))
+        .select("user_id", F.col("t").alias("imp_us"))
+    )
+    nulls = (
+        accepted.crossJoin(F.broadcast(wfin))
+        .filter(F.col("imp_us") < F.col("wf") - F.lit(JOIN_US))
+        .join(
+            inner.select("user_id", "imp_us").distinct(),
+            ["user_id", "imp_us"],
+            "left_anti",
+        )
+        .select(
+            "user_id", "imp_us", F.lit(None).cast("long").alias("clk_us")
+        )
+    )
+    return inner.unionByName(nulls)
