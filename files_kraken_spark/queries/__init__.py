@@ -96,6 +96,7 @@ _SAMPLE_PRIORITY = [
     # -- NEW round 11: stream-stream interval-join replay (the last
     # Structured Streaming surface; real-engine twin pins the model) --
     "t_stream_join_replay", "t_stream_left_join_replay",
+    "t_stream_full_join_replay",
     # -- changed round 11: t_bm25_topk now composes the shared
     # operators/text_index.py builders (same plan, one formula source) --
     "t_bm25_topk",

@@ -831,3 +831,119 @@ def t_stream_left_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return inner.unionByName(nulls)
+
+
+@register(
+    "t_stream_full_join_replay",
+    oracle="WITH "
+    + _SQL_JOIN_EVENTS
+    + f""",
+pairs AS (
+  SELECT i.user_id, i.t AS imp_us, c.t AS clk_us,
+         i.batch AS bi, greatest(i.batch, c.batch) AS lb
+  FROM imp i JOIN clk c
+    ON c.user_id = i.user_id AND c.t >= i.t AND c.t <= i.t + {JOIN_US}
+),
+kept AS (
+  SELECT p.user_id, p.imp_us, p.clk_us
+  FROM pairs p
+  LEFT JOIN wm wi ON wi.batch = p.bi
+  LEFT JOIN wm wl ON wl.batch = p.lb
+  WHERE (wi.w IS NULL OR p.imp_us >= wi.w)
+    AND (wl.w IS NULL
+         OR (p.clk_us >= wl.w AND p.imp_us >= wl.w - {JOIN_US}))
+),
+wfin AS (SELECT max(w) AS w FROM wm),
+lnulls AS (
+  SELECT i.user_id, i.t AS imp_us, CAST(NULL AS BIGINT) AS clk_us
+  FROM imp i
+  LEFT JOIN wm wi ON wi.batch = i.batch, wfin
+  WHERE (wi.w IS NULL OR i.t >= wi.w)
+    AND i.t < wfin.w - {JOIN_US}
+    AND NOT EXISTS (
+      SELECT 1 FROM kept k
+      WHERE k.user_id = i.user_id AND k.imp_us = i.t
+    )
+),
+rnulls AS (
+  SELECT c.user_id, CAST(NULL AS BIGINT) AS imp_us, c.t AS clk_us
+  FROM clk c
+  LEFT JOIN wm wc ON wc.batch = c.batch, wfin
+  WHERE (wc.w IS NULL OR c.t >= wc.w)
+    AND c.t < wfin.w
+    AND NOT EXISTS (
+      SELECT 1 FROM kept k
+      WHERE k.user_id = c.user_id AND k.clk_us = c.t
+    )
+)
+SELECT user_id, imp_us, clk_us FROM kept
+UNION ALL SELECT user_id, imp_us, clk_us FROM lnulls
+UNION ALL SELECT user_id, imp_us, clk_us FROM rnulls
+""",
+    doc="Batch replay of the FULL OUTER watermarked stream-stream "
+    "interval join — both eviction-time NULL surfaces at once: "
+    "matched pairs emit at match time (inner rule), an unmatched "
+    "impression's (imp, NULL) emits when the watermark passes "
+    "imp + 12h (left state TTL is interval-relaxed), and an unmatched "
+    "click's (NULL, clk) emits when the watermark passes the click "
+    "time itself (right state TTL is plain W — the asymmetry falls "
+    "straight out of the join condition's bounds, and the replay "
+    "encodes it). Rows still in state at availableNow drain never "
+    "emit. The pytest twin pins all three surfaces to the real "
+    "engine row-for-row. Scale shape: the inner pair join plus two "
+    "accepted-minus-kept anti-joins.",
+)
+def t_stream_full_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = t_stream_left_join_replay(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("t"),
+        F.expr(
+            "((event_id * 2654435761) % 4294967296) div 268435456"
+        ).alias("batch"),
+    )
+    imp = ev.filter(F.col("event_id") % 2 == 0).select("user_id", "t", "batch")
+    clk = ev.filter(F.col("event_id") % 2 == 1).select("user_id", "t", "batch")
+
+    def prefix_max(side):
+        bm = side.groupBy("batch").agg(F.max("t").alias("mx"))
+        last = F.lit(N_BATCHES - 1).cast("long")
+        return (
+            bm.filter(F.col("batch") + 2 <= last)
+            .select(
+                F.explode(
+                    F.sequence((F.col("batch") + 2).cast("long"), last)
+                ).alias("batch"),
+                "mx",
+            )
+            .groupBy("batch")
+            .agg(F.max("mx").alias("mx"))
+        )
+
+    pmi = prefix_max(imp).withColumnRenamed("mx", "mxi")
+    pmc = prefix_max(clk).withColumnRenamed("mx", "mxc")
+    wm = pmi.join(pmc, "batch").select(
+        "batch", (F.least("mxi", "mxc") - F.lit(DELAY_US)).alias("w")
+    )
+    wfin = wm.agg(F.max("w").alias("wf"))
+    accepted_clk = (
+        clk.join(F.broadcast(wm), "batch", "left")
+        .filter(F.col("w").isNull() | (F.col("t") >= F.col("w")))
+        .select("user_id", F.col("t").alias("clk_us"))
+    )
+    rnulls = (
+        accepted_clk.crossJoin(F.broadcast(wfin))
+        .filter(F.col("clk_us") < F.col("wf"))
+        .join(
+            left.filter(F.col("clk_us").isNotNull())
+            .select("user_id", "clk_us")
+            .distinct(),
+            ["user_id", "clk_us"],
+            "left_anti",
+        )
+        .select(
+            "user_id", F.lit(None).cast("long").alias("imp_us"), "clk_us"
+        )
+    )
+    return left.unionByName(rnulls)

@@ -704,3 +704,77 @@ def test_stream_left_join_e2e_matches_replay(spark, tmp_path):
     assert got == want
     n_nulls = sum(1 for (_, _, c) in want if c is None)
     assert n_nulls > 5 and len(want) - n_nulls > 5  # both surfaces real
+
+
+def test_stream_full_join_e2e_matches_replay(spark, tmp_path):
+    """Full-outer twin: matched pairs + BOTH eviction-time NULL
+    surfaces (left TTL = W - 12h, right TTL = plain W) must match the
+    real engine row-for-row."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from files_kraken_spark.queries.streaming_replay import (
+        JOIN_US,
+        N_BATCHES,
+        t_stream_full_join_replay,
+    )
+
+    by_batch: dict[int, dict[str, list]] = {
+        b: {"imp": [], "clk": []} for b in range(N_BATCHES)
+    }
+    for r in _events(spark):
+        b = ((r["event_id"] * 2654435761) % 4294967296) // 268435456
+        side = "imp" if r["event_id"] % 2 == 0 else "clk"
+        by_batch[b][side].append(
+            {"uid": int(r["user_id"]), "t": int(r["ts"]) // 1000}
+        )
+    dirs = {}
+    for side in ("imp", "clk"):
+        d = tmp_path / side
+        d.mkdir()
+        paths = []
+        for b in range(N_BATCHES):
+            p = d / f"b{b:02d}.json"
+            p.write_text(
+                "\n".join(json.dumps(row) for row in by_batch[b][side])
+            )
+            paths.append(p)
+        _stamp_order(paths)
+        dirs[side] = d
+
+    def src(side, prefix):
+        return (
+            spark.readStream.schema("uid long, t long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(dirs[side]))
+            .withColumn("ts", F.timestamp_micros(F.col("t")))
+            .withWatermark("ts", "2 days")
+            .selectExpr(
+                f"uid AS {prefix}_uid", f"t AS {prefix}_us", f"ts AS {prefix}_ts"
+            )
+        )
+
+    joined = src("imp", "i").join(
+        src("clk", "c"),
+        F.expr(
+            f"c_uid = i_uid AND c_us >= i_us AND c_us <= i_us + {JOIN_US} "
+            "AND c_ts >= i_ts AND c_ts <= i_ts + interval 12 hours"
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce("i_uid", "c_uid").alias("uid"), "i_us", "c_us"
+    )
+
+    got = {
+        (r["uid"], r["i_us"], r["c_us"])
+        for r in _run_stream(spark, tmp_path, joined, "fjoin_e2e")
+    }
+    want = {
+        (int(r["user_id"]), r["imp_us"], r["clk_us"])
+        for r in t_stream_full_join_replay(spark, SF).collect()
+    }
+    assert got == want
+    n_ln = sum(1 for (_, i, c) in want if c is None)
+    n_rn = sum(1 for (_, i, c) in want if i is None)
+    assert n_ln > 5 and n_rn > 5 and len(want) - n_ln - n_rn > 5
