@@ -512,6 +512,10 @@ def pagerank_incremental(
     re-running :func:`pagerank`/:func:`pagerank_history` from scratch
     on the union edge list, at frontier-local cost.
 
+    Thin wrapper over the shared merge core (see
+    :func:`pagerank_apply_changes` for the general mixed-changefeed
+    form; :func:`pagerank_decremental` is the retraction half).
+
     ``edges`` is the union edge list (base ∪ batch, as the store holds
     it after the append), ``delta_edges`` just the batch, ``history``
     the base trajectory from :func:`pagerank_history`. Per round t the
@@ -533,26 +537,96 @@ def pagerank_incremental(
     lookup join against the O(nodes) round slice, one groupBy(dst) on
     frontier-bounded rows. A daily batch touches its k-hop out-cone,
     not the corpus."""
+    return _pagerank_merge_core(
+        edges,
+        added_edges=delta_edges,
+        retracted_edges=None,
+        history=history,
+        iters=iters,
+        damping_pct=damping_pct,
+    )
+
+
+def _pagerank_merge_core(
+    edges: DataFrame,
+    added_edges: DataFrame | None,
+    retracted_edges: DataFrame | None,
+    history: DataFrame,
+    iters: int,
+    damping_pct: int,
+) -> DataFrame:
+    """Shared frontier-bounded merge loop behind
+    :func:`pagerank_incremental` (adds only),
+    :func:`pagerank_decremental` (retractions only) and
+    :func:`pagerank_apply_changes` (mixed changefeed).
+
+    ``edges`` is always the POST-CHANGE edge list. Frontier seeds come
+    from BOTH batches' srcs plus the added batch's new nodes; frontier
+    probes run over ``edges ∪ retracted`` so removed in-contributions
+    and shrunk out-degrees fall out of the same
+    :func:`dirty_frontiers` recurrence (propagating over retracted
+    edges only over-approximates the dirty set — extra nodes recompute
+    to their unchanged values). When retractions are possible, the
+    node set may shrink: frontiers, history slices and the final
+    assembly are then restricted to the post-change node set (a pure
+    no-op when there are none, so the append-only wrapper skips the
+    extra semi-joins)."""
     e = edges.select("src", "dst").persist()
-    de = delta_edges.select("src", "dst").persist()
+    added = (
+        added_edges.select("src", "dst").persist()
+        if added_edges is not None
+        else None
+    )
+    retracted = (
+        retracted_edges.select("src", "dst").persist()
+        if retracted_edges is not None
+        else None
+    )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     base_nodes = history.filter(F.col("round") == 0).select("node")
-    frontiers = dirty_frontiers(e, de, base_nodes, iters=iters)
-    new_nodes = (
-        de.select(F.col("src").alias("node"))
-        .unionByName(de.select(F.col("dst").alias("node")))
-        .distinct()
-        .join(base_nodes, "node", "left_anti")
-    )
+
+    if added is not None and retracted is not None:
+        delta = added.unionByName(retracted)
+    else:
+        delta = added if added is not None else retracted
+    probe_e = e if retracted is None else e.unionByName(retracted)
+    frontiers = dirty_frontiers(probe_e, delta, base_nodes, iters=iters)
+
+    restrict = retracted is not None
+    if restrict:
+        v_post = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        frontiers = [d.join(v_post, "node", "left_semi") for d in frontiers]
+
+    def _slice(t: int) -> DataFrame:
+        s = history.filter(F.col("round") == t).select("node", "pr")
+        return s.join(v_post, "node", "left_semi") if restrict else s
+
     base = (100 - damping_pct) * UNIT // 100
-    upd = new_nodes.select(
-        "node", F.lit(UNIT).cast("long").alias("pr")
-    ).localCheckpoint(eager=True)  # D_0 rows: new nodes start at UNIT
+    if added is not None:
+        new_nodes = (
+            added.select(F.col("src").alias("node"))
+            .unionByName(added.select(F.col("dst").alias("node")))
+            .distinct()
+            .join(base_nodes, "node", "left_anti")
+        )
+        upd = new_nodes.select(
+            "node", F.lit(UNIT).cast("long").alias("pr")
+        ).localCheckpoint(eager=True)  # D_0 rows: new nodes start at UNIT
+    else:  # pure retraction: no new nodes, empty D_0 overlay
+        upd = (
+            base_nodes.select("node", F.lit(UNIT).cast("long").alias("pr"))
+            .filter(F.lit(False))
+            .localCheckpoint(eager=True)
+        )
     for t in range(1, iters + 1):
         d_t = frontiers[t - 1]
         prev = (
-            history.filter(F.col("round") == t - 1)
-            .select("node", "pr")
+            _slice(t - 1)
             .join(upd.select("node"), "node", "left_anti")
             .unionByName(upd)
         )
@@ -581,10 +655,40 @@ def pagerank_incremental(
             .localCheckpoint(eager=True)  # same planning-depth cut
         )
     return (
-        history.filter(F.col("round") == iters)
-        .select("node", "pr")
+        _slice(iters)
         .join(upd.select("node"), "node", "left_anti")
         .unionByName(upd)
+    )
+
+
+def pagerank_apply_changes(
+    edges: DataFrame,
+    added_edges: DataFrame,
+    retracted_edges: DataFrame,
+    history: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Apply a MIXED changefeed (edge appends AND retractions in one
+    batch — the shape a CDC feed actually delivers) to a persisted
+    PageRank trajectory, returning the post-change ``(node, pr)``
+    bit-identical to a from-scratch :func:`pagerank` on ``edges``.
+
+    Generalizes :func:`pagerank_incremental` (``retracted = ∅``) and
+    :func:`pagerank_decremental` (``added = ∅``) through one shared
+    core: the dirty seed is the union of both batches' srcs plus the
+    added batch's new nodes, probes run over ``edges ∪ retracted``,
+    and nodes whose last edge died retire from the node set. Same
+    exactness argument (BIGINT micro-units, DIV truncation, induction
+    over clean in-cones) and the same dense-graph caveat as
+    :func:`pagerank_maintain`."""
+    return _pagerank_merge_core(
+        edges,
+        added_edges=added_edges,
+        retracted_edges=retracted_edges,
+        history=history,
+        iters=iters,
+        damping_pct=damping_pct,
     )
 
 
@@ -694,64 +798,11 @@ def pagerank_decremental(
     groupBy(dst) on frontier rows. The same density caveat applies
     (see :func:`pagerank_maintain`): on dense graphs the frontier
     saturates and a retrain is cheaper."""
-    e = edges.select("src", "dst").persist()
-    re_ = retracted_edges.select("src", "dst").persist()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    v_post = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    base_nodes = history.filter(F.col("round") == 0).select("node")
-    # probe table = post ∪ retracted: out_(∪)(srcs of retracted) covers
-    # both direct dirty cases; seed inside dirty_frontiers is exactly
-    # src(retracted) since retracted nodes are never new
-    probe_e = e.unionByName(re_)
-    frontiers = [
-        d.join(v_post, "node", "left_semi")
-        for d in dirty_frontiers(probe_e, re_, base_nodes, iters=iters)
-    ]
-    base = (100 - damping_pct) * UNIT // 100
-    # no new nodes under retraction: D_0 overlay starts empty
-    upd = v_post.select(
-        "node", F.lit(UNIT).cast("long").alias("pr")
-    ).filter(F.lit(False)).localCheckpoint(eager=True)
-    for t in range(1, iters + 1):
-        d_t = frontiers[t - 1]
-        prev = (
-            history.filter(F.col("round") == t - 1)
-            .select("node", "pr")
-            .join(v_post, "node", "left_semi")
-            .join(upd.select("node"), "node", "left_anti")
-            .unionByName(upd)
-        )
-        e_in = e.join(d_t.withColumnRenamed("node", "dst"), "dst", "left_semi")
-        contrib = (
-            e_in.join(deg, "src")
-            .join(prev.withColumnRenamed("node", "src"), "src")
-            .select("dst", F.expr("pr DIV deg").alias("c"))
-        )
-        agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        upd = (
-            d_t.join(agg.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) DIV 100"
-                    )
-                )
-                .cast("long")
-                .alias("pr"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return (
-        history.filter(F.col("round") == iters)
-        .select("node", "pr")
-        .join(v_post, "node", "left_semi")
-        .join(upd.select("node"), "node", "left_anti")
-        .unionByName(upd)
+    return _pagerank_merge_core(
+        edges,
+        added_edges=None,
+        retracted_edges=retracted_edges,
+        history=history,
+        iters=iters,
+        damping_pct=damping_pct,
     )

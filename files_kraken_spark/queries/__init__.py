@@ -62,15 +62,15 @@ from . import graph_maintenance  # noqa: E402,F401
 from . import index_maintenance  # noqa: E402,F401
 
 # A budget-capped correctness pass walks the registry in order and may
-# only reach a prefix. Round-10 order (round-9 verdict item 2): the
-# driver union reached 327/327 in round 9, so growth resumes — the 8
-# NEW names this round come first (incremental ANN maintenance,
-# composite curation pipeline, KMV theta sketches), then every query
-# whose code path changed this round (the micros-convention gap
-# sessionizer replay; the seven graph queries now on the auto-probed
-# cooccurrence_edges builder; the four round-9 bench drifts flagged
-# for re-measurement). Names and semantics of existing queries are
-# byte-stable — only the iteration order changes.
+# only reach a prefix. Round-11 order (continuing the round-9 verdict
+# item-2 policy): the 22 NEW names come first — graph maintenance and
+# its tombstone halves, the streaming-semantics replays (watermarked
+# windows + the inner/left/full stream-stream join matrix), the
+# incremental/decremental BM25 text index, the DCT perceptual-hash
+# family, KMV A-not-B, personalized PageRank — then t_bm25_topk
+# (whose code path now composes operators/text_index.py). Names and
+# semantics of existing queries are byte-stable — only the iteration
+# order changes.
 _SAMPLE_PRIORITY = [
     # -- NEW round 11: graph maintenance (delta-PageRank / incremental
     # CC with from-scratch-union oracles), streaming-semantics replays
@@ -97,6 +97,9 @@ _SAMPLE_PRIORITY = [
     # Structured Streaming surface; real-engine twin pins the model) --
     "t_stream_join_replay", "t_stream_left_join_replay",
     "t_stream_full_join_replay",
+    # -- NEW round 11: mixed CDC changefeed through the unified
+    # PageRank merge core (also re-proves both specialized halves) --
+    "g_pagerank_changefeed",
     # -- changed round 11: t_bm25_topk now composes the shared
     # operators/text_index.py builders (same plan, one formula source) --
     "t_bm25_topk",

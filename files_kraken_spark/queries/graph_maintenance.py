@@ -446,3 +446,98 @@ def g_cc_decremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.cc_decremental(
         state, pairs.filter(both_base), pairs.filter(~both_base)
     )
+
+
+def _pagerank_post_oracle_sql(iters: int = 3, damping: int = 85) -> str:
+    """Unrolled integer PageRank over the POST-CHANGEFEED supply graph
+    (orders classes 0-7 and 9: class 8's exclusive pairs were
+    retracted, class 9's exclusives added relative to the class 0-8
+    base) — the from-scratch target g_pagerank_changefeed must hit."""
+    base = (100 - damping) * 1_000_000 // 100
+    rounds = []
+    for n in range(iters):
+        rounds.append(
+            f"""fr{n + 1} AS (
+  SELECT n.node,
+         CAST({base} + ({damping} * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+  FROM fnodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.pr // d.deg) AS s
+    FROM fedges e JOIN fdeg d ON d.src = e.src JOIN fr{n} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+        )
+    return (
+        """WITH ppost AS (
+  SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderkey % 10 < 8 OR o_orderkey % 10 = 9
+),
+fedges AS (
+  SELECT sk AS src, 10000000 + ck AS dst FROM ppost
+  UNION ALL
+  SELECT 10000000 + ck AS src, sk AS dst FROM ppost
+),
+fdeg AS (SELECT src, count(*) AS deg FROM fedges GROUP BY src),
+fnodes AS (SELECT src AS node FROM fedges UNION SELECT dst FROM fedges),
+fr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM fnodes),
+"""
+        + ",\n".join(rounds)
+        + f"\nSELECT node, pr FROM fr{iters}"
+    )
+
+
+@register(
+    "g_pagerank_changefeed",
+    oracle=_pagerank_post_oracle_sql(3, 85),
+    doc="MIXED-changefeed PageRank maintenance — appends and "
+    "retractions in ONE batch, the shape a CDC feed actually "
+    "delivers: the base supply graph (order classes 0-8) is ranked "
+    "with its trajectory persisted; one batch then retracts class 8's "
+    "exclusive pairs and adds class 9's, and pagerank_apply_changes "
+    "merges both through the shared frontier core (dirty seed = both "
+    "batches' srcs + the added batch's new nodes; probes over "
+    "post ∪ retracted; nodes whose last edge died retire). Oracle = "
+    "the from-scratch unrolled build on the post-change graph, so the "
+    "hash-compare proves the general core — and therefore both "
+    "specialized halves it now backs (g_pagerank_incremental / "
+    "g_pagerank_decremental are its retracted=∅ / added=∅ cases). "
+    "Same BIGINT micro-unit exactness; same pagerank_maintain density "
+    "caveat at scale.",
+)
+def g_pagerank_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_apply_changes
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _pairs(o):
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .select(F.col("l_suppkey").alias("sk"), F.col("o_custkey").alias("ck"))
+            .distinct()
+        )
+
+    def _sym(p):
+        fwd = p.select(
+            F.col("sk").alias("src"), (F.lit(10_000_000) + F.col("ck")).alias("dst")
+        )
+        return fwd.unionByName(
+            p.select(
+                (F.lit(10_000_000) + F.col("ck")).alias("src"),
+                F.col("sk").alias("dst"),
+            )
+        )
+
+    p_base = _pairs(orders.filter(F.col("o_orderkey") % 10 < 9)).persist()
+    p_post = _pairs(
+        orders.filter(
+            (F.col("o_orderkey") % 10 < 8) | (F.col("o_orderkey") % 10 == 9)
+        )
+    ).persist()
+    added = _sym(p_post.join(p_base, ["sk", "ck"], "left_anti"))
+    retracted = _sym(p_base.join(p_post, ["sk", "ck"], "left_anti"))
+    hist = pagerank_history(_sym(p_base), iters=3, damping_pct=85)
+    return pagerank_apply_changes(
+        _sym(p_post), added, retracted, hist, iters=3, damping_pct=85
+    )

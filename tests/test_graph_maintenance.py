@@ -288,3 +288,33 @@ def test_cc_decremental_split_and_retire(spark):
     m = cc_map(merged)
     assert m[10] == 10 and m[11] == 10
     assert m[1] == 1 and m[2] == 1 and m[3] == 3 and m[4] == 3
+
+
+def test_pagerank_apply_changes_mixed_batch(spark):
+    from files_kraken_spark.operators.graph import (
+        pagerank,
+        pagerank_apply_changes,
+        pagerank_history,
+    )
+
+    base = [
+        (1, 2), (2, 3), (3, 1), (1, 3),
+        (4, 5), (5, 4), (3, 4),
+        (2, 6), (7, 1), (5, 7),
+    ]
+    added = [(6, 2), (8, 3), (4, 8)]     # sink gains out-edge; new node 8
+    retracted = [(3, 4), (7, 1), (5, 7)]  # bridge dies; node 7 retires
+    post = [e for e in base if e not in retracted] + added
+
+    base_df = spark.createDataFrame(base, ["src", "dst"])
+    add_df = spark.createDataFrame(added, ["src", "dst"])
+    re_df = spark.createDataFrame(retracted, ["src", "dst"])
+    post_df = spark.createDataFrame(post, ["src", "dst"])
+
+    for iters in (1, 3):
+        hist = pagerank_history(base_df, iters=iters)
+        merged = pagerank_apply_changes(post_df, add_df, re_df, hist, iters=iters)
+        scratch = pagerank(post_df, iters=iters)
+        assert _pr_map(merged) == _pr_map(scratch)
+        m = _pr_map(merged)
+        assert 7 not in m and 8 in m  # retirement and birth in one batch
