@@ -1014,3 +1014,33 @@ def cc_decremental(
     rebuilt = connected_components(touched, id_a=id_a, id_b=id_b)
     kept = state.join(F.broadcast(affected), "component", "left_anti")
     return kept.unionByName(rebuilt)
+
+
+def cc_apply_changes(
+    state: DataFrame,
+    post_pairs: DataFrame,
+    added_pairs: DataFrame,
+    retracted_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Apply a MIXED near-dup pair changefeed (appends AND
+    retractions in one batch) to persisted connected-components
+    state — exactly equal to from-scratch :func:`connected_components`
+    on ``post_pairs``, by composing the two exact halves: the
+    retraction's component-local rebuild runs first on the
+    pre-addition survivors (``post_pairs`` minus the added batch, so
+    the rebuild sees exactly the base-minus-retracted pair set), then
+    the append's label-graph merge folds the added pairs in. Deletion
+    can only split, addition can only merge, and both halves are
+    individually exact against their own from-scratch targets, so the
+    composition is exact against the post-change target. Cost: the
+    affected components' pairs (retraction half) + |added| label
+    edges (append half) — state shuffles never."""
+    mid_pairs = post_pairs.join(
+        added_pairs.select(id_a, id_b), [id_a, id_b], "left_anti"
+    )
+    mid_state = cc_decremental(
+        state, mid_pairs, retracted_pairs, id_a=id_a, id_b=id_b
+    )
+    return cc_incremental(mid_state, added_pairs, id_a=id_a, id_b=id_b)

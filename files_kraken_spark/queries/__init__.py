@@ -97,9 +97,9 @@ _SAMPLE_PRIORITY = [
     # Structured Streaming surface; real-engine twin pins the model) --
     "t_stream_join_replay", "t_stream_left_join_replay",
     "t_stream_full_join_replay",
-    # -- NEW round 11: mixed CDC changefeed through the unified
-    # PageRank merge core (also re-proves both specialized halves) --
-    "g_pagerank_changefeed",
+    # -- NEW round 11: mixed CDC changefeeds (appends + retractions in
+    # one batch) for both graph state families --
+    "g_pagerank_changefeed", "g_cc_changefeed",
     # -- changed round 11: t_bm25_topk now composes the shared
     # operators/text_index.py builders (same plan, one formula source) --
     "t_bm25_topk",

@@ -541,3 +541,50 @@ def g_pagerank_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_apply_changes(
         _sym(p_post), added, retracted, hist, iters=3, damping_pct=85
     )
+
+
+_SQL_CC_POST = f"""WITH RECURSIVE {_SQL_SHINGLES.strip().rstrip()},
+jpairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+fpairs AS (
+  SELECT id_a, id_b FROM jpairs
+  WHERE id_a % 10 <> 8 AND id_b % 10 <> 8
+),
+fedges AS (SELECT id_a AS a, id_b AS b FROM fpairs
+           UNION ALL SELECT id_b, id_a FROM fpairs),
+freach(n, m) AS (
+  SELECT DISTINCT a, a FROM fedges
+  UNION
+  SELECT e.b, r.m FROM freach r JOIN fedges e ON e.a = r.n
+),
+fcomp AS (SELECT n AS doc_id, min(m) AS component FROM freach GROUP BY n)"""
+
+
+@register(
+    "g_cc_changefeed",
+    oracle=_SQL_CC_POST + "\nSELECT doc_id, component FROM fcomp",
+    doc="MIXED-changefeed dedup-group maintenance: the persisted CC "
+    "state covers the class 0-8 docs' pair graph; one batch then "
+    "RETRACTS every pair touching a class-8 doc and ADDS every pair "
+    "touching a class-9 doc (endpoint-class membership defines the "
+    "pair sets, so the split is pure integer modulo on both engines), "
+    "and dedup.cc_apply_changes composes the two exact halves — "
+    "component-local rebuild for the splits, label-graph merge for "
+    "the joins. Deletion only splits, addition only merges, each half "
+    "is individually exact, so the composition hash-matches the "
+    "from-scratch transitive closure on the post-change pair set "
+    "(docs in classes 0-7 and 9). Cost stays bounded by the damage: "
+    "affected components' pairs + |added| label edges.",
+)
+def g_cc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    pairs = pairs.select("id_a", "id_b").persist()
+    in_base = (F.col("id_a") % 10 != 9) & (F.col("id_b") % 10 != 9)
+    in_post = (F.col("id_a") % 10 != 8) & (F.col("id_b") % 10 != 8)
+    state = DD.connected_components(pairs.filter(in_base))
+    return DD.cc_apply_changes(
+        state,
+        pairs.filter(in_post),
+        added_pairs=pairs.filter(in_post & ~in_base),
+        retracted_pairs=pairs.filter(in_base & ~in_post),
+    )

@@ -318,3 +318,31 @@ def test_pagerank_apply_changes_mixed_batch(spark):
         assert _pr_map(merged) == _pr_map(scratch)
         m = _pr_map(merged)
         assert 7 not in m and 8 in m  # retirement and birth in one batch
+
+
+def test_cc_apply_changes_mixed_batch(spark):
+    from files_kraken_spark.operators.dedup import (
+        cc_apply_changes,
+        connected_components,
+    )
+
+    def cc_map(df):
+        return {r["doc_id"]: r["component"] for r in df.collect()}
+
+    base = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)]
+    retracted = [(2, 3), (20, 21)]  # split the chain; retire 20/21
+    added = [(4, 10), (30, 31)]     # bridge to 10-11; new component
+    post = [p for p in base if p not in retracted] + added
+
+    base_df = spark.createDataFrame(base, ["id_a", "id_b"])
+    post_df = spark.createDataFrame(post, ["id_a", "id_b"])
+    add_df = spark.createDataFrame(added, ["id_a", "id_b"])
+    re_df = spark.createDataFrame(retracted, ["id_a", "id_b"])
+
+    state = connected_components(base_df)
+    merged = cc_apply_changes(state, post_df, add_df, re_df)
+    scratch = connected_components(post_df)
+    m = cc_map(merged)
+    assert m == cc_map(scratch)
+    assert 20 not in m and 30 in m           # retire + birth, one batch
+    assert m[1] == 1 and m[3] == m[10] == 3  # split half bridged onward
