@@ -99,7 +99,7 @@ _SAMPLE_PRIORITY = [
     "t_stream_full_join_replay",
     # -- NEW round 11: mixed CDC changefeeds (appends + retractions in
     # one batch) for both graph state families --
-    "g_pagerank_changefeed", "g_cc_changefeed",
+    "g_pagerank_changefeed", "g_cc_changefeed", "t_index_changefeed_bm25",
     # -- changed round 11: t_bm25_topk now composes the shared
     # operators/text_index.py builders (same plan, one formula source) --
     "t_bm25_topk",

@@ -343,3 +343,50 @@ def t_index_decremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id"))
         .limit(10)
     )
+
+
+@register(
+    "t_index_changefeed_bm25",
+    oracle=f"""
+WITH {_bm25_ctes(_TERMS, where=" WHERE doc_id % 10 <> 8")}
+SELECT doc_id, bm25
+FROM s
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+""",
+    doc="MIXED-changefeed BM25 index maintenance — the text sibling "
+    "of g_pagerank_changefeed / g_cc_changefeed: the class 0-8 corpus "
+    "is indexed as the base state; one batch then RETRACTS the "
+    "class-8 docs (per-doc anti-join + counter subtraction) and ADDS "
+    "the class-9 docs (per-doc append + counter sum) — both counter "
+    "updates compose into the same exact BIGINT algebra, applied in "
+    "one pass here (base + added - retracted). Oracle = from-scratch "
+    "rebuild on the post-change corpus (classes 0-7 and 9) via the "
+    "shared _bm25_ctes. Scale shape: both batch scans are "
+    "batch-sized; the surviving corpus is never rescanned.",
+)
+def t_index_changefeed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cls = F.col("doc_id") % 10
+    base = docs.filter(cls != 9)
+    added = docs.filter(cls == 9)
+    retracted = docs.filter(cls == 8)
+
+    m_b = TI.doc_term_stats(base, _TERMS)
+    g_b = TI.index_stats(m_b, len(_TERMS))
+    m_a = TI.doc_term_stats(added, _TERMS)
+    g_a = TI.index_stats(m_a, len(_TERMS))
+    m_r = TI.doc_term_stats(retracted, _TERMS)
+    g_r = TI.index_stats(m_r, len(_TERMS))
+
+    m_post = m_b.join(
+        retracted.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(m_a)
+    g_post = TI.retract_index_stats(
+        TI.merge_index_stats(g_b, g_a, len(_TERMS)), g_r, len(_TERMS)
+    )
+    return (
+        TI.bm25_scores(m_post, g_post, len(_TERMS))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(10)
+    )
