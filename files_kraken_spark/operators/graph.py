@@ -700,6 +700,7 @@ def pagerank_maintain(
     damping_pct: int = 85,
     frontier_threshold_pct: int = 50,
     mode: str = "auto",
+    retracted_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Stats-driven routing entry point for PageRank maintenance —
     the graph analogue of ``cooccurrence_edges``' auto probe: both
@@ -727,18 +728,42 @@ def pagerank_maintain(
     every round recomputes ~everything and retrain is safe to pick;
     an unsaturated D_1 under-estimates later rounds, which only makes
     'merge' mildly conservative. ``mode='merge'`` / ``mode='retrain'``
-    force a path with zero probe jobs (plan-only contexts)."""
+    force a path with zero probe jobs (plan-only contexts).
+
+    ``retracted_edges`` extends routing to MIXED changefeeds: the
+    merge path becomes :func:`pagerank_apply_changes`, and the probe's
+    dirty seed covers both batches' srcs (frontier probed over
+    ``edges ∪ retracted``, the same union the merge itself uses)."""
     if mode not in ("auto", "merge", "retrain"):
         raise ValueError(f"mode must be auto|merge|retrain, got {mode!r}")
-    if mode == "merge":
-        return pagerank_incremental(
-            edges, delta_edges, history, iters=iters, damping_pct=damping_pct
+
+    def _merge() -> DataFrame:
+        if retracted_edges is None:
+            return pagerank_incremental(
+                edges, delta_edges, history, iters=iters, damping_pct=damping_pct
+            )
+        return pagerank_apply_changes(
+            edges,
+            delta_edges,
+            retracted_edges,
+            history,
+            iters=iters,
+            damping_pct=damping_pct,
         )
+
+    if mode == "merge":
+        return _merge()
     if mode == "retrain":
         return pagerank(edges, iters=iters, damping_pct=damping_pct)
 
     base_nodes = history.filter(F.col("round") == 0).select("node")
-    n_dirty = dirty_frontiers(edges, delta_edges, base_nodes, iters=1)[0].count()
+    if retracted_edges is None:
+        probe_e, probe_delta = edges, delta_edges
+    else:
+        re_ = retracted_edges.select("src", "dst")
+        probe_e = edges.select("src", "dst").unionByName(re_)
+        probe_delta = delta_edges.select("src", "dst").unionByName(re_)
+    n_dirty = dirty_frontiers(probe_e, probe_delta, base_nodes, iters=1)[0].count()
     n_nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -756,9 +781,7 @@ def pagerank_maintain(
             stacklevel=2,
         )
         return pagerank(edges, iters=iters, damping_pct=damping_pct)
-    return pagerank_incremental(
-        edges, delta_edges, history, iters=iters, damping_pct=damping_pct
-    )
+    return _merge()
 
 
 def pagerank_decremental(

@@ -346,3 +346,37 @@ def test_cc_apply_changes_mixed_batch(spark):
     assert m == cc_map(scratch)
     assert 20 not in m and 30 in m           # retire + birth, one batch
     assert m[1] == 1 and m[3] == m[10] == 3  # split half bridged onward
+
+
+def test_pagerank_maintain_mixed_changefeed_routes(spark):
+    import warnings
+
+    from files_kraken_spark.operators.graph import (
+        pagerank,
+        pagerank_history,
+        pagerank_maintain,
+    )
+
+    # sparse chain with a tail retraction + a tail append: frontier
+    # stays local -> auto routes to the changefeed merge
+    chain = [(i, i + 1) for i in range(1, 30)]
+    added = [(30, 31)]
+    retracted = [(1, 2)]
+    post = [e for e in chain if e not in retracted] + added
+
+    base_df = spark.createDataFrame(chain, ["src", "dst"])
+    add_df = spark.createDataFrame(added, ["src", "dst"])
+    re_df = spark.createDataFrame(retracted, ["src", "dst"])
+    post_df = spark.createDataFrame(post, ["src", "dst"])
+    hist = pagerank_history(base_df, iters=2)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        auto = pagerank_maintain(
+            post_df, add_df, hist, iters=2, retracted_edges=re_df
+        )
+        routed_retrain = any(
+            "routing to full retrain" in str(w.message) for w in caught
+        )
+    assert not routed_retrain
+    assert _pr_map(auto) == _pr_map(pagerank(post_df, iters=2))
