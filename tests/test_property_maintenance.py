@@ -1,0 +1,147 @@
+"""Property tests for the round-11 maintenance algebra: on randomized
+inputs, every merge path must equal its from-scratch rebuild EXACTLY
+(the maintain-vs-retrain contract, generalized beyond the handpicked
+fixtures). Hypothesis profile is derandomized in conftest (ci)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_EDGE = st.tuples(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+).filter(lambda e: e[0] != e[1])
+
+_SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.data_too_large,
+    ],
+)
+
+
+@given(
+    base=st.sets(_EDGE, min_size=2, max_size=18),
+    extra=st.sets(_EDGE, min_size=1, max_size=6),
+    data=st.data(),
+)
+@_SLOW
+def test_pagerank_apply_changes_random(spark, base, extra, data):
+    from files_kraken_spark.operators.graph import (
+        pagerank,
+        pagerank_apply_changes,
+        pagerank_history,
+    )
+
+    added = sorted(extra - base)
+    retractable = sorted(base)
+    n_re = data.draw(
+        st.integers(min_value=0, max_value=min(4, len(retractable)))
+    )
+    retracted = retractable[:n_re]
+    post = sorted((base - set(retracted)) | set(added))
+    if not post:
+        return
+
+    base_df = spark.createDataFrame(sorted(base), ["src", "dst"])
+    post_df = spark.createDataFrame(post, ["src", "dst"])
+    add_df = (
+        spark.createDataFrame(added, ["src", "dst"])
+        if added
+        else base_df.filter(F.lit(False))
+    )
+    re_df = (
+        spark.createDataFrame(retracted, ["src", "dst"])
+        if retracted
+        else base_df.filter(F.lit(False))
+    )
+    hist = pagerank_history(base_df, iters=2)
+    merged = pagerank_apply_changes(post_df, add_df, re_df, hist, iters=2)
+    scratch = pagerank(post_df, iters=2)
+    assert {
+        (r["node"], r["pr"]) for r in merged.collect()
+    } == {(r["node"], r["pr"]) for r in scratch.collect()}
+
+
+@given(
+    base=st.sets(_EDGE, min_size=1, max_size=14),
+    extra=st.sets(_EDGE, min_size=0, max_size=5),
+    data=st.data(),
+)
+@_SLOW
+def test_cc_apply_changes_random(spark, base, extra, data):
+    from files_kraken_spark.operators.dedup import (
+        cc_apply_changes,
+        connected_components,
+    )
+
+    # pairs are undirected: canonicalize a<b and drop mirrored dups
+    def canon(pairs):
+        return {(min(a, b), max(a, b)) for a, b in pairs}
+
+    base_p = canon(base)
+    added = sorted(canon(extra) - base_p)
+    retractable = sorted(base_p)
+    n_re = data.draw(
+        st.integers(min_value=0, max_value=min(3, len(retractable)))
+    )
+    retracted = retractable[:n_re]
+    post = sorted((base_p - set(retracted)) | set(added))
+    if not post:
+        return
+
+    base_df = spark.createDataFrame(sorted(base_p), ["id_a", "id_b"])
+    post_df = spark.createDataFrame(post, ["id_a", "id_b"])
+    add_df = (
+        spark.createDataFrame(added, ["id_a", "id_b"])
+        if added
+        else base_df.filter(F.lit(False))
+    )
+    re_df = (
+        spark.createDataFrame(retracted, ["id_a", "id_b"])
+        if retracted
+        else base_df.filter(F.lit(False))
+    )
+    state = connected_components(base_df)
+    merged = cc_apply_changes(state, post_df, add_df, re_df)
+    scratch = connected_components(post_df)
+    assert {
+        (r["doc_id"], r["component"]) for r in merged.collect()
+    } == {(r["doc_id"], r["component"]) for r in scratch.collect()}
+
+
+@given(split=st.integers(min_value=0, max_value=7), st_seed=st.integers(0, 3))
+@_SLOW
+def test_index_counter_algebra_random(spark, split, st_seed):
+    from files_kraken_spark.operators import text_index as TI
+
+    terms = ("spark", "table", "window")
+    rows = [
+        (i, f"w{(i * 7 + st_seed) % 5} " * (i % 3 + 1)
+         + ("spark table " if i % 2 else "window ") * (i % 4))
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = docs.filter(F.col("doc_id") <= split)
+    b = docs.filter(F.col("doc_id") > split)
+
+    g_merged = TI.merge_index_stats(
+        TI.index_stats(TI.doc_term_stats(a, terms), 3),
+        TI.index_stats(TI.doc_term_stats(b, terms), 3),
+        3,
+    )
+    g_full = TI.index_stats(TI.doc_term_stats(docs, terms), 3)
+    assert g_merged.collect() == g_full.collect()
+
+    # subtraction inverts the merge: (a+b) - b == a
+    g_back = TI.retract_index_stats(
+        g_full, TI.index_stats(TI.doc_term_stats(b, terms), 3), 3
+    )
+    assert g_back.collect() == TI.index_stats(
+        TI.doc_term_stats(a, terms), 3
+    ).collect()
