@@ -100,6 +100,9 @@ _SAMPLE_PRIORITY = [
     # -- NEW round 11: mixed CDC changefeeds (appends + retractions in
     # one batch) for both graph state families --
     "g_pagerank_changefeed", "g_cc_changefeed", "t_index_changefeed_bm25",
+    # -- NEW round 11: measurement-as-data observability (the router's
+    # calibration curve; the join's per-batch drop accounting) --
+    "g_pagerank_frontier_curve", "t_stream_join_drop_audit",
     # -- changed round 11: t_bm25_topk now composes the shared
     # operators/text_index.py builders (same plan, one formula source) --
     "t_bm25_topk",

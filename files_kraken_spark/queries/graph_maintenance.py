@@ -588,3 +588,141 @@ def g_cc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         added_pairs=pairs.filter(in_post & ~in_base),
         retracted_pairs=pairs.filter(in_base & ~in_post),
     )
+
+
+def _frontier_split_sql(p: str, mod: int, lim: int) -> str:
+    """One batch-size split's D_1 stats CTE block (prefix ``p``):
+    base = orders with o_orderkey % mod < lim, delta = the rest's
+    exclusive pairs — the same dirty recurrence as
+    g_pagerank_maintain_route at a parametrized batch fraction."""
+    return f"""{p}pb AS (
+  SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderkey % {mod} < {lim}
+),
+{p}pd AS (SELECT sk, ck FROM pall EXCEPT SELECT sk, ck FROM {p}pb),
+{p}de AS (
+  SELECT sk AS src, 10000000 + ck AS dst FROM {p}pd
+  UNION ALL
+  SELECT 10000000 + ck AS src, sk AS dst FROM {p}pd
+),
+{p}bn AS (SELECT sk AS n FROM {p}pb UNION SELECT 10000000 + ck FROM {p}pb),
+{p}dn AS (SELECT src AS n FROM {p}de UNION SELECT dst FROM {p}de),
+{p}nn AS (SELECT n FROM {p}dn EXCEPT SELECT n FROM {p}bn),
+{p}sd AS (SELECT DISTINCT src AS n FROM {p}de UNION SELECT n FROM {p}nn),
+{p}d1 AS (
+  SELECT n FROM {p}nn
+  UNION
+  SELECT e.dst FROM edges e JOIN {p}sd s ON s.n = e.src
+),
+{p}row AS (
+  SELECT '{p}' AS split,
+         (SELECT CAST(count(*) AS BIGINT) FROM {p}de) AS n_delta_edges,
+         (SELECT CAST(count(*) AS BIGINT) FROM {p}d1) AS n_dirty_d1
+)"""
+
+
+@register(
+    "g_pagerank_frontier_curve",
+    oracle="WITH "
+    + """pall AS (
+  SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT sk AS src, 10000000 + ck AS dst FROM pall
+  UNION ALL
+  SELECT 10000000 + ck AS src, sk AS dst FROM pall
+),
+vn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM
+       (SELECT src AS n FROM edges UNION SELECT dst FROM edges)),
+"""
+    + ",\n".join(
+        _frontier_split_sql(p, m, l)
+        for p, m, l in [("b20", 10, 8), ("b2", 100, 98), ("b02", 1000, 998)]
+    )
+    + """
+SELECT r.split, r.n_delta_edges, r.n_dirty_d1, vn.n_nodes,
+       CAST((r.n_dirty_d1 * 1000000) // vn.n_nodes AS BIGINT) AS dirty_ppm
+FROM (SELECT * FROM b20row UNION ALL SELECT * FROM b2row
+      UNION ALL SELECT * FROM b02row) r, vn""",
+    doc="The frontier-saturation curve as driver-verified data — the "
+    "measurement behind pagerank_maintain's routing default, "
+    "registered: one-hop dirty-set size at THREE batch fractions "
+    "(20%, 2%, 0.2% of orders as the late batch) over the same "
+    "supply graph. On this dense bipartite graph dirty_ppm stays at "
+    "~10^6 (total saturation) even at the 0.2% batch — the "
+    "oracle-checked witness that frontier-local maintenance cannot "
+    "win here at ANY batch size, which is exactly why the router "
+    "measures instead of assuming. Exact BIGINT counts, ppm by "
+    "truncating division; the three splits share the pall/edges "
+    "build, so the query costs one pair scan + three bounded "
+    "frontier probes.",
+)
+def g_pagerank_frontier_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import dirty_frontiers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pall = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("l_suppkey").alias("sk"), F.col("o_custkey").alias("ck"))
+        .distinct()
+        .persist()
+    )
+
+    def _sym(p):
+        fwd = p.select(
+            F.col("sk").alias("src"), (F.lit(10_000_000) + F.col("ck")).alias("dst")
+        )
+        return fwd.unionByName(
+            p.select(
+                (F.lit(10_000_000) + F.col("ck")).alias("src"),
+                F.col("sk").alias("dst"),
+            )
+        )
+
+    union_e = _sym(pall).persist()
+    nn = (
+        union_e.select(F.col("src").alias("node"))
+        .unionByName(union_e.select(F.col("dst").alias("node")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    out = None
+    for label, mod, lim in [("b20", 10, 8), ("b2", 100, 98), ("b02", 1000, 998)]:
+        pbase = (
+            li.join(
+                orders.filter(F.col("o_orderkey") % mod < lim),
+                li["l_orderkey"] == orders["o_orderkey"],
+            )
+            .select(F.col("l_suppkey").alias("sk"), F.col("o_custkey").alias("ck"))
+            .distinct()
+        )
+        delta_e = _sym(pall.join(pbase, ["sk", "ck"], "left_anti"))
+        base_nodes = (
+            _sym(pbase)
+            .select(F.col("src").alias("node"))
+            .unionByName(_sym(pbase).select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        d1 = dirty_frontiers(union_e, delta_e, base_nodes, iters=1)[0]
+        row = (
+            delta_e.agg(F.count(F.lit(1)).cast("long").alias("n_delta_edges"))
+            .crossJoin(
+                d1.agg(F.count(F.lit(1)).cast("long").alias("n_dirty_d1"))
+            )
+            .select(
+                F.lit(label).alias("split"), "n_delta_edges", "n_dirty_d1"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.crossJoin(F.broadcast(nn)).select(
+        "split",
+        "n_delta_edges",
+        "n_dirty_d1",
+        "n_nodes",
+        F.expr("CAST((n_dirty_d1 * 1000000) DIV n_nodes AS BIGINT)").alias(
+            "dirty_ppm"
+        ),
+    )

@@ -947,3 +947,137 @@ def t_stream_full_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return left.unionByName(rnulls)
+
+
+@register(
+    "t_stream_join_drop_audit",
+    oracle="WITH "
+    + _SQL_JOIN_EVENTS
+    + f""",
+pairs AS (
+  SELECT i.user_id, i.t AS imp_us, c.t AS clk_us,
+         i.batch AS bi, greatest(i.batch, c.batch) AS lb
+  FROM imp i JOIN clk c
+    ON c.user_id = i.user_id AND c.t >= i.t AND c.t <= i.t + {JOIN_US}
+),
+tagged AS (
+  SELECT p.lb,
+         CASE
+           WHEN wi.w IS NOT NULL AND p.imp_us < wi.w THEN 'late_imp'
+           WHEN wl.w IS NOT NULL AND p.clk_us < wl.w THEN 'late_clk'
+           WHEN wl.w IS NOT NULL AND p.imp_us < wl.w - {JOIN_US}
+             THEN 'evicted_imp'
+           ELSE 'kept'
+         END AS outcome
+  FROM pairs p
+  LEFT JOIN wm wi ON wi.batch = p.bi
+  LEFT JOIN wm wl ON wl.batch = p.lb
+)
+SELECT lb AS batch,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) FILTER (WHERE outcome = 'kept') AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE outcome = 'late_imp') AS BIGINT)
+         AS n_late_imp,
+       CAST(count(*) FILTER (WHERE outcome = 'late_clk') AS BIGINT)
+         AS n_late_clk,
+       CAST(count(*) FILTER (WHERE outcome = 'evicted_imp') AS BIGINT)
+         AS n_evicted_imp
+FROM tagged GROUP BY lb""",
+    doc="Per-batch drop accounting for the stream-stream join — the "
+    "observability surface an operator actually watches (Spark's own "
+    "numDroppedRows metrics, replayed as queryable data): every "
+    "would-be interval pair tagged by its fate under the replay's "
+    "pinned rules, with DISJOINT precedence (impression late at its "
+    "own arrival batch -> click late at the later batch -> buffered "
+    "impression evicted), grouped by the later arrival batch. "
+    "kept-counts here sum to exactly t_stream_join_replay's row "
+    "count; a late_clk/evicted spike in one batch is the signal to "
+    "widen the watermark delay or fix the producer skew that batch. "
+    "Same watermark table and pair join as the replay — the audit is "
+    "one extra CASE + group-by on rows the replay already builds.",
+)
+def t_stream_join_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000").alias("t"),
+        F.expr(
+            "((event_id * 2654435761) % 4294967296) div 268435456"
+        ).alias("batch"),
+    )
+    imp = ev.filter(F.col("event_id") % 2 == 0).select("user_id", "t", "batch")
+    clk = ev.filter(F.col("event_id") % 2 == 1).select("user_id", "t", "batch")
+
+    def prefix_max(side):
+        bm = side.groupBy("batch").agg(F.max("t").alias("mx"))
+        last = F.lit(N_BATCHES - 1).cast("long")
+        return (
+            bm.filter(F.col("batch") + 2 <= last)
+            .select(
+                F.explode(
+                    F.sequence((F.col("batch") + 2).cast("long"), last)
+                ).alias("batch"),
+                "mx",
+            )
+            .groupBy("batch")
+            .agg(F.max("mx").alias("mx"))
+        )
+
+    pmi = prefix_max(imp).withColumnRenamed("mx", "mxi")
+    pmc = prefix_max(clk).withColumnRenamed("mx", "mxc")
+    wm = pmi.join(pmc, "batch").select(
+        "batch", (F.least("mxi", "mxc") - F.lit(DELAY_US)).alias("w")
+    )
+    i = imp.select(
+        "user_id", F.col("t").alias("imp_us"), F.col("batch").alias("bi")
+    )
+    c = clk.select(
+        F.col("user_id").alias("c_uid"),
+        F.col("t").alias("clk_us"),
+        F.col("batch").alias("bc"),
+    )
+    pairs = i.join(
+        c,
+        (F.col("c_uid") == F.col("user_id"))
+        & (F.col("clk_us") >= F.col("imp_us"))
+        & (F.col("clk_us") <= F.col("imp_us") + F.lit(JOIN_US)),
+    ).select("imp_us", "clk_us", "bi", F.greatest("bi", "bc").alias("lb"))
+    wi = wm.select(F.col("batch").alias("bi"), F.col("w").alias("w_in"))
+    wl = wm.select(F.col("batch").alias("lb"), F.col("w").alias("w_late"))
+    outcome = (
+        F.when(
+            F.col("w_in").isNotNull() & (F.col("imp_us") < F.col("w_in")),
+            F.lit("late_imp"),
+        )
+        .when(
+            F.col("w_late").isNotNull() & (F.col("clk_us") < F.col("w_late")),
+            F.lit("late_clk"),
+        )
+        .when(
+            F.col("w_late").isNotNull()
+            & (F.col("imp_us") < F.col("w_late") - F.lit(JOIN_US)),
+            F.lit("evicted_imp"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        pairs.join(F.broadcast(wi), "bi", "left")
+        .join(F.broadcast(wl), "lb", "left")
+        .select(F.col("lb").alias("batch"), outcome.alias("outcome"))
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count(F.when(F.col("outcome") == "kept", 1))
+            .cast("long")
+            .alias("n_kept"),
+            F.count(F.when(F.col("outcome") == "late_imp", 1))
+            .cast("long")
+            .alias("n_late_imp"),
+            F.count(F.when(F.col("outcome") == "late_clk", 1))
+            .cast("long")
+            .alias("n_late_clk"),
+            F.count(F.when(F.col("outcome") == "evicted_imp", 1))
+            .cast("long")
+            .alias("n_evicted_imp"),
+        )
+    )

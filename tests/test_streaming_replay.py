@@ -778,3 +778,24 @@ def test_stream_full_join_e2e_matches_replay(spark, tmp_path):
     n_ln = sum(1 for (_, i, c) in want if c is None)
     n_rn = sum(1 for (_, i, c) in want if i is None)
     assert n_ln > 5 and n_rn > 5 and len(want) - n_ln - n_rn > 5
+
+
+def test_join_drop_audit_reconciles_with_replay(spark):
+    """The audit's kept-count must equal the replay's emitted rows,
+    and its per-batch totals must cover every interval pair."""
+    from pyspark.sql import functions as F
+
+    from files_kraken_spark.queries.streaming_replay import (
+        t_stream_join_drop_audit,
+        t_stream_join_replay,
+    )
+
+    audit = t_stream_join_drop_audit(spark, SF).collect()
+    n_kept = sum(r["n_kept"] for r in audit)
+    n_pairs = sum(r["n_pairs"] for r in audit)
+    n_drops = sum(
+        r["n_late_imp"] + r["n_late_clk"] + r["n_evicted_imp"] for r in audit
+    )
+    assert n_kept == t_stream_join_replay(spark, SF).count()
+    assert n_kept + n_drops == n_pairs
+    assert n_drops > 0  # the corpus genuinely exercises every surface
