@@ -103,6 +103,7 @@ _SAMPLE_PRIORITY = [
     # -- NEW round 11: measurement-as-data observability (the router's
     # calibration curve; the join's per-batch drop accounting) --
     "g_pagerank_frontier_curve", "t_stream_join_drop_audit",
+    "g_cc_damage_curve",
     # -- changed round 11: t_bm25_topk now composes the shared
     # operators/text_index.py builders (same plan, one formula source) --
     "t_bm25_topk",

@@ -726,3 +726,97 @@ def g_pagerank_frontier_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dirty_ppm"
         ),
     )
+
+
+@register(
+    "g_cc_damage_curve",
+    oracle=_SQL_CC_UNION
+    + """,
+comps AS (SELECT CAST(count(DISTINCT component) AS BIGINT) AS n_components,
+                 CAST(count(*) AS BIGINT) AS n_docs FROM ucomp),
+spl(split, m, l) AS (VALUES ('b20', 10, 8), ('b2', 100, 98), ('b02', 1000, 998)),
+touched AS (
+  SELECT s.split, u.component
+  FROM spl s
+  JOIN jpairs p ON p.id_a % s.m >= s.l OR p.id_b % s.m >= s.l
+  JOIN ucomp u ON u.doc_id = p.id_a OR u.doc_id = p.id_b
+  GROUP BY 1, 2
+),
+aff AS (
+  SELECT t.split,
+         CAST(count(DISTINCT t.component) AS BIGINT) AS n_affected,
+         CAST((SELECT count(*) FROM ucomp u2
+               WHERE u2.component IN
+                 (SELECT component FROM touched t2 WHERE t2.split = t.split))
+              AS BIGINT) AS n_docs_affected
+  FROM touched t GROUP BY t.split
+)
+SELECT s.split, c.n_components, c.n_docs,
+       CAST(coalesce(a.n_affected, 0) AS BIGINT) AS n_affected,
+       CAST(coalesce(a.n_docs_affected, 0) AS BIGINT) AS n_docs_affected,
+       CAST((coalesce(a.n_docs_affected, 0) * 1000000) // c.n_docs
+            AS BIGINT) AS damage_ppm
+FROM spl s CROSS JOIN comps c
+LEFT JOIN aff a ON a.split = s.split""",
+    doc="The CC tombstone DAMAGE curve — the contrast datum to "
+    "g_pagerank_frontier_curve, registered as oracle-paired data: at "
+    "three retraction fractions (pairs touching the late 20% / 2% / "
+    "0.2% of docs), how many dedup components — and what share of "
+    "member docs — would cc_decremental's component-local rebuild "
+    "actually touch. Where the dense supply graph's PageRank frontier "
+    "saturates at EVERY batch size (retrain wins), the near-dup pair "
+    "graph's components are small and scattered, so the damage share "
+    "falls with the batch — the measured reason the CC merge path is "
+    "worth keeping while the PageRank router defaults to retrain on "
+    "graphs like these. Exact BIGINT counts, ppm by truncating "
+    "division; the three splits share the one pair build and the one "
+    "transitive closure.",
+)
+def g_cc_damage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    pairs = pairs.select("id_a", "id_b").persist()
+    state = DD.connected_components(pairs).persist()
+    totals = state.agg(
+        F.countDistinct("component").cast("long").alias("n_components"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    out = None
+    for label, m, l in [("b20", 10, 8), ("b2", 100, 98), ("b02", 1000, 998)]:
+        late = (F.col("id_a") % m >= l) | (F.col("id_b") % m >= l)
+        ends = (
+            pairs.filter(late)
+            .select(F.col("id_a").alias("doc_id"))
+            .unionByName(pairs.filter(late).select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        affected = (
+            ends.join(state, "doc_id").select("component").distinct()
+        )
+        members = state.join(
+            F.broadcast(affected), "component", "left_semi"
+        )
+        row = (
+            affected.agg(F.count(F.lit(1)).cast("long").alias("n_affected"))
+            .crossJoin(
+                members.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_docs_affected")
+                )
+            )
+            .select(
+                F.lit(label).alias("split"), "n_affected", "n_docs_affected"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.crossJoin(F.broadcast(totals)).select(
+        "split",
+        "n_components",
+        "n_docs",
+        F.coalesce("n_affected", F.lit(0)).cast("long").alias("n_affected"),
+        F.coalesce("n_docs_affected", F.lit(0))
+        .cast("long")
+        .alias("n_docs_affected"),
+        F.expr(
+            "CAST((coalesce(n_docs_affected, 0) * 1000000) DIV n_docs AS BIGINT)"
+        ).alias("damage_ppm"),
+    )
