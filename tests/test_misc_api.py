@@ -204,3 +204,25 @@ def test_cosine_zero_vector_is_null_not_error(spark):
     )
     got = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
     assert got[0] == 1.0 and got[1] is None
+
+
+def test_queries_md_in_sync_with_registry():
+    """QUERIES.md is generated from the live registry; a stale count
+    means someone registered a query without re-running
+    tools/gen_queries_md.py (this round's recurring footgun)."""
+    import pathlib
+    import re
+
+    from files_kraken_spark.queries import REGISTRY
+
+    md = pathlib.Path(__file__).resolve().parents[1] / "QUERIES.md"
+    text = md.read_text()
+    m = re.search(r"(\d+) queries: (\d+) DuckDB-oracle-checked, (\d+) rows-only", text)
+    assert m, "QUERIES.md header format changed"
+    total, oracled, rows_only = map(int, m.groups())
+    assert total == len(REGISTRY)
+    assert oracled == sum(1 for s in REGISTRY.values() if s.oracle)
+    assert rows_only == sum(1 for s in REGISTRY.values() if not s.oracle)
+    # every registered name has its row
+    names_in_md = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M))
+    assert names_in_md == set(REGISTRY)
