@@ -1044,3 +1044,107 @@ def cc_apply_changes(
         state, mid_pairs, retracted_pairs, id_a=id_a, id_b=id_b
     )
     return cc_incremental(mid_state, added_pairs, id_a=id_a, id_b=id_b)
+
+
+def cc_maintain(
+    state: DataFrame,
+    post_pairs: DataFrame,
+    added_pairs: DataFrame | None = None,
+    retracted_pairs: DataFrame | None = None,
+    damage_threshold_pct: int = 50,
+    mode: str = "auto",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Stats-driven routing entry point for connected-components
+    maintenance — the CC sibling of ``graph.pagerank_maintain``
+    (round-12, closing the round-11 asymmetry): every path returns
+    ``(doc_id, component)`` EXACTLY equal to from-scratch
+    :func:`connected_components` on ``post_pairs``, so the route is a
+    pure cost decision, and the cost depends on a DATA property no
+    caller should have to know — the retraction DAMAGE fraction (the
+    share of corpus docs living in components a retracted pair
+    touches, the signal ``g_cc_damage_curve`` registers as
+    oracle-paired data).
+
+    Why the probe looks at retractions only: the APPEND half
+    (:func:`cc_incremental`) runs CC over at most ``|added|`` label
+    edges plus one broadcast relabel — bounded by the batch, it
+    cannot lose to a corpus-wide retrain, so a pure-append batch
+    routes to the merge with ZERO probe jobs. The RETRACTION half
+    (:func:`cc_decremental`) rebuilds the affected components from
+    their surviving pairs — cost bounded by the damage, and when the
+    damage fraction approaches the corpus (one giant boilerplate
+    component, or a tombstone wave touching most groups) the rebuild
+    IS a retrain plus the bookkeeping to find that out. Measured at
+    sf0.1 (SCALING.md round 11): at a 20% tombstone batch the
+    component-local path costs 1.58s vs 0.87s for a from-scratch CC —
+    which is exactly the regime the threshold catches.
+
+    ``mode='auto'`` (default) probes the damage fraction with two
+    bounded jobs at construction time — one broadcast lookup of the
+    retracted endpoints' components and a members count, one state
+    count; no CC rounds — and picks the retrain (with a warning, so
+    silent plan changes can't happen) when
+    ``100 * n_docs_affected > damage_threshold_pct * n_docs``. The
+    damage fraction is exactly the share of state the decremental
+    path would rebuild, so the probe measures the merge's own cost
+    bound, not a proxy. ``mode='merge'`` / ``mode='retrain'`` force a
+    path with zero probe jobs (plan-only contexts).
+
+    Batch shapes: both ``added_pairs`` and ``retracted_pairs`` given
+    → the merge path is :func:`cc_apply_changes`; retractions only →
+    :func:`cc_decremental`; appends only → :func:`cc_incremental`
+    (``post_pairs`` is still required — it is what the retrain path
+    and the retraction rebuild read, and the exactness contract is
+    stated against it)."""
+    if mode not in ("auto", "merge", "retrain"):
+        raise ValueError(f"mode must be auto|merge|retrain, got {mode!r}")
+    if added_pairs is None and retracted_pairs is None:
+        raise ValueError("cc_maintain: need added_pairs and/or retracted_pairs")
+
+    def _merge() -> DataFrame:
+        if added_pairs is not None and retracted_pairs is not None:
+            return cc_apply_changes(
+                state, post_pairs, added_pairs, retracted_pairs,
+                id_a=id_a, id_b=id_b,
+            )
+        if retracted_pairs is not None:
+            return cc_decremental(
+                state, post_pairs, retracted_pairs, id_a=id_a, id_b=id_b
+            )
+        return cc_incremental(state, added_pairs, id_a=id_a, id_b=id_b)
+
+    if mode == "merge":
+        return _merge()
+    if mode == "retrain":
+        return connected_components(post_pairs, id_a=id_a, id_b=id_b)
+    if retracted_pairs is None:
+        # pure append: the label-graph merge is batch-bounded by
+        # construction — no data property can make retrain cheaper
+        return _merge()
+
+    affected = (
+        retracted_pairs.select(F.col(id_a).alias("doc_id"))
+        .unionByName(retracted_pairs.select(F.col(id_b).alias("doc_id")))
+        .distinct()
+        .join(state, "doc_id")
+        .select("component")
+        .distinct()
+    )
+    n_affected_docs = (
+        state.join(F.broadcast(affected), "component", "left_semi").count()
+    )
+    n_docs = state.count()
+    if n_docs and 100 * n_affected_docs > damage_threshold_pct * n_docs:
+        import warnings
+
+        warnings.warn(
+            f"cc_maintain: damage fraction {n_affected_docs}/{n_docs} "
+            f"exceeds {damage_threshold_pct}% — routing to full retrain "
+            "(the component-local rebuild would touch most of the state "
+            "anyway, and the retrain skips its bookkeeping)",
+            stacklevel=2,
+        )
+        return connected_components(post_pairs, id_a=id_a, id_b=id_b)
+    return _merge()

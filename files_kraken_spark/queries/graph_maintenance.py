@@ -820,3 +820,73 @@ def g_cc_damage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((coalesce(n_docs_affected, 0) * 1000000) DIV n_docs AS BIGINT)"
         ).alias("damage_ppm"),
     )
+
+
+@register(
+    "g_cc_maintain_route",
+    oracle=_SQL_CC_UNION
+    + """,
+late AS (
+  SELECT id_a, id_b FROM jpairs WHERE id_a % 10 >= 8 OR id_b % 10 >= 8
+),
+lends AS (SELECT id_a AS doc_id FROM late UNION SELECT id_b FROM late),
+aff AS (
+  SELECT DISTINCT u.component FROM ucomp u JOIN lends e ON e.doc_id = u.doc_id
+),
+c AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM ucomp) AS n_docs,
+         (SELECT CAST(count(*) AS BIGINT) FROM ucomp
+          WHERE component IN (SELECT component FROM aff)) AS n_docs_affected
+)
+SELECT n_docs, n_docs_affected,
+       CAST((n_docs_affected * 1000000) // n_docs AS BIGINT) AS damage_ppm,
+       CASE WHEN 100 * n_docs_affected > 50 * n_docs
+            THEN 'retrain' ELSE 'merge' END AS route
+FROM c""",
+    doc="The cc_maintain routing decision as data — the CC sibling of "
+    "g_pagerank_maintain_route (round-12, closing the round-11 "
+    "asymmetry): the tombstone DAMAGE fraction dedup.cc_maintain's "
+    "auto mode probes (share of corpus docs living in components a "
+    "retracted pair touches — exactly the state share the "
+    "component-local rebuild would recompute) and the route it "
+    "implies at the default 50% threshold, over the same 20% "
+    "tombstone split as g_cc_decremental. Exact BIGINT counts, ppm "
+    "via truncating integer division. Both routes return identical "
+    "labels (g_cc_decremental's hash-green is that proof), so this "
+    "one number IS the decision; g_cc_damage_curve shows how it "
+    "moves with batch size. Probe cost: one broadcast endpoint-label "
+    "lookup + a members count + a state count — no CC rounds.",
+)
+def g_cc_maintain_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    pairs = pairs.select("id_a", "id_b").persist()
+    late = (F.col("id_a") % 10 >= 8) | (F.col("id_b") % 10 >= 8)
+    state = DD.connected_components(pairs).persist()
+    affected = (
+        pairs.filter(late)
+        .select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.filter(late).select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .join(state, "doc_id")
+        .select("component")
+        .distinct()
+    )
+    nd = state.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    na = (
+        state.join(F.broadcast(affected), "component", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_affected"))
+    )
+    return nd.crossJoin(na).select(
+        "n_docs",
+        "n_docs_affected",
+        F.expr("CAST((n_docs_affected * 1000000) DIV n_docs AS BIGINT)").alias(
+            "damage_ppm"
+        ),
+        F.when(
+            100 * F.col("n_docs_affected") > 50 * F.col("n_docs"),
+            F.lit("retrain"),
+        )
+        .otherwise(F.lit("merge"))
+        .alias("route"),
+    )

@@ -145,3 +145,105 @@ def test_index_counter_algebra_random(spark, split, st_seed):
     assert g_back.collect() == TI.index_stats(
         TI.doc_term_stats(a, terms), 3
     ).collect()
+
+
+@given(
+    base=st.sets(_EDGE, min_size=2, max_size=18),
+    extra=st.sets(_EDGE, min_size=0, max_size=5),
+    data=st.data(),
+)
+@_SLOW
+def test_cc_maintain_routes_agree_random(spark, base, extra, data):
+    """cc_maintain's routes are interchangeable: merge, retrain and
+    auto (at both a force-merge and a force-retrain threshold) must
+    return the SAME labels as from-scratch CC on the post set — the
+    bit-identical-either-path contract that makes the router a pure
+    cost decision."""
+    import warnings
+
+    from files_kraken_spark.operators.dedup import (
+        cc_maintain,
+        connected_components,
+    )
+
+    def canon(pairs):
+        return {(min(a, b), max(a, b)) for a, b in pairs}
+
+    base_p = canon(base)
+    added = sorted(canon(extra) - base_p)
+    retractable = sorted(base_p)
+    n_re = data.draw(
+        st.integers(min_value=0, max_value=min(3, len(retractable)))
+    )
+    retracted = retractable[:n_re]
+    if not added and not retracted:
+        retracted = retractable[:1]
+    post = sorted((base_p - set(retracted)) | set(added))
+    if not post:
+        return
+
+    base_df = spark.createDataFrame(sorted(base_p), ["id_a", "id_b"])
+    post_df = spark.createDataFrame(post, ["id_a", "id_b"])
+    add_df = spark.createDataFrame(added, ["id_a", "id_b"]) if added else None
+    re_df = (
+        spark.createDataFrame(retracted, ["id_a", "id_b"])
+        if retracted
+        else None
+    )
+    state = connected_components(base_df)
+    scratch = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(post_df).collect()
+    }
+    # thresholds 100 / 0 force auto's two branches deterministically
+    # (damage can't exceed 100%, and any retraction damages > 0%)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for kw in (
+            {"mode": "merge"},
+            {"mode": "retrain"},
+            {"mode": "auto", "damage_threshold_pct": 100},
+            {"mode": "auto", "damage_threshold_pct": 0},
+        ):
+            got = cc_maintain(
+                state, post_df, added_pairs=add_df, retracted_pairs=re_df, **kw
+            )
+            assert {
+                (r["doc_id"], r["component"]) for r in got.collect()
+            } == scratch, kw
+
+
+def test_cc_maintain_warns_on_retrain_route(spark):
+    """The auto retrain route must WARN (silent plan changes are the
+    round-10 truncation lesson) and the pure-append batch must route
+    to the merge with no probe or warning."""
+    import warnings
+
+    from files_kraken_spark.operators.dedup import (
+        cc_maintain,
+        connected_components,
+    )
+
+    base_df = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    state = connected_components(base_df)
+    # retract (1,2): component {1,2,3} is damaged -> 3/5 docs = 60% > 50
+    post_df = spark.createDataFrame([(2, 3), (4, 5)], ["id_a", "id_b"])
+    re_df = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cc_maintain(state, post_df, retracted_pairs=re_df).collect()
+    assert any("routing to full retrain" in str(x.message) for x in w)
+
+    # pure append: no warning, no probe, merge path
+    add_df = spark.createDataFrame([(3, 4)], ["id_a", "id_b"])
+    post2 = base_df.unionByName(add_df)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = cc_maintain(state, post2, added_pairs=add_df)
+        scratch = connected_components(post2)
+        assert {
+            (r["doc_id"], r["component"]) for r in got.collect()
+        } == {(r["doc_id"], r["component"]) for r in scratch.collect()}
+    assert not [x for x in w if "cc_maintain" in str(x.message)]
