@@ -37,6 +37,7 @@ def cooccurrence_edges(
     max_group_size: int = 10_000,
     join_path_threshold: int | None | str = "auto",
     warn_on_drop: bool = True,
+    lazy: bool = False,
 ) -> DataFrame:
     """Distinct co-occurrence edges (items sharing a group are
     adjacent) via one groupBy + map-side pair expansion: collect the
@@ -120,7 +121,24 @@ def cooccurrence_edges(
     ``directed=True``: both (u, v) and (v, u), u != v — the layout
     label-prop/BFS/assortativity expect. ``directed=False``: u < v
     once (triangle/k-core layout).
+
+    ``lazy=True`` (round-12 guardrail) is the one-flag opt-out bundle
+    for callers composing plans lazily: it REQUIRES an explicit
+    ``join_path_threshold`` (``None`` or ``int`` — passing ``"auto"``
+    raises, because the probe is a construction-time Spark job) and
+    forces ``warn_on_drop=False``, guaranteeing ZERO jobs run until
+    the returned frame is acted on (test-pinned via a job-group
+    listener). The default stays eager: interactive callers get skew
+    routing and drop audits without knowing the kwargs exist.
     """
+    if lazy:
+        if join_path_threshold == "auto":
+            raise ValueError(
+                "cooccurrence_edges: lazy=True requires an explicit "
+                "join_path_threshold (None or int) — the 'auto' probe "
+                "runs Spark jobs at DataFrame-construction time"
+            )
+        warn_on_drop = False
     if join_path_threshold == "auto":
         # Two-stage profile, cheapest-first. Stage 1: max ROW count per
         # group — a plain count partial-aggregates map-side to one row
@@ -191,9 +209,12 @@ def cooccurrence_edges(
         profiled = False
 
     sets = df.groupBy(group_col).agg(F.collect_set(item_col).alias("__ps"))
-    if join_path_threshold is not None:
+    if join_path_threshold is not None and not lazy:
         # Pin BEFORE the cap filter so the explicit-mode drop audit
         # below reads the pinned materialization, not a second groupBy.
+        # Skipped in lazy mode (the pin write is itself a construction-
+        # time job): the lazy trade is both hybrid branches recomputing
+        # the groupBy when the plan finally runs.
         from .ranks import pin_frame
 
         sets = pin_frame(sets)

@@ -76,3 +76,49 @@ def test_cooccurrence_cap_is_exact_group_filter(spark, rows, cap):
         if len({i for gg, i in rows if gg == g}) <= cap
     ]
     assert got == _naive(kept, False)
+
+
+def test_cooccurrence_lazy_mode_runs_zero_jobs_at_construction(spark):
+    """lazy=True is the composed-plan guardrail (round-12 verdict item
+    6): construction must schedule NO Spark job — no auto probe, no
+    drop audit, no hybrid pin write — for any explicit threshold;
+    'auto' must raise instead of silently probing. Job counts pinned
+    via a job group on the status tracker."""
+    import pytest
+
+    from files_kraken_spark.operators.graph import cooccurrence_edges
+
+    sc = spark.sparkContext
+    df = spark.createDataFrame(
+        [(g, i) for g in range(4) for i in range(g + 2)], ["g", "it"]
+    )
+
+    with pytest.raises(ValueError, match="lazy=True requires"):
+        cooccurrence_edges(df, "g", "it", lazy=True)
+
+    for thr in (None, 2):
+        group = f"lazy-cooc-{thr}"
+        sc.setJobGroup(group, "construction must be job-free")
+        lazy_df = cooccurrence_edges(
+            df, "g", "it", join_path_threshold=thr, lazy=True
+        )
+        sc.setJobGroup("lazy-cooc-after", "")
+        assert (
+            list(sc.statusTracker().getJobIdsForGroup(group)) == []
+        ), f"lazy construction ran jobs (threshold={thr})"
+        # the frame still computes the right edges when acted on
+        got = {(r["u"], r["v"]) for r in lazy_df.collect()}
+        eager = {
+            (r["u"], r["v"])
+            for r in cooccurrence_edges(
+                df, "g", "it", join_path_threshold=thr
+            ).collect()
+        }
+        assert got == eager
+
+    # contrast pin: the default auto mode DOES probe at construction
+    group = "eager-cooc"
+    sc.setJobGroup(group, "auto probe runs here")
+    cooccurrence_edges(df, "g", "it")
+    sc.setJobGroup("eager-cooc-after", "")
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) != []
