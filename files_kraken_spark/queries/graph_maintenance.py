@@ -890,3 +890,72 @@ def g_cc_maintain_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("merge"))
         .alias("route"),
     )
+
+
+def _pagerank_serve_state(spark: SparkSession, sf_dir: str):
+    """Deployment-shaped PageRank state: the post-append edge table,
+    the batch, and the base trajectory — what the store holds AFTER
+    the append lands and BEFORE the rank merge runs."""
+    from ._serve_state import serve_state
+
+    def _build(spark, sf_dir):
+        base_e, delta_e, union_e = _supply_split(spark, sf_dir)
+        return {
+            "union_edges": union_e,
+            "delta_edges": delta_e,
+            "history": pagerank_history(base_e, iters=3, damping_pct=85),
+        }
+
+    return serve_state(spark, sf_dir, "pagerank", _build)
+
+
+@register(
+    "g_pagerank_serve_merged",
+    oracle=_pagerank_oracle_sql(3, 85),
+    doc="SERVE-ONLY delta-PageRank (round-12 verdict item 2 — the "
+    "sim_*_topk_serve precedent applied to graph maintenance): the "
+    "base trajectory, the post-append edge table and the batch are "
+    "persisted ONCE per session to scratch parquet (the state a "
+    "deployment's store already holds), and the query reads them and "
+    "runs ONLY pagerank_incremental's frontier-bounded merge — so "
+    "repeated runs measure the deployment-shaped merge cost, where "
+    "g_pagerank_incremental's 9-16s is dominated by rebuilding the "
+    "split and trajectory it then maintains. Same oracle as the "
+    "end-to-end query (from-scratch unrolled build on the union), "
+    "same BIGINT exactness — only the measurement boundary moved. "
+    "Scale shape per round: one edge probe against a small frontier, "
+    "one trajectory-slice lookup, one frontier-bounded groupBy, all "
+    "against parquet state reads.",
+)
+def g_pagerank_serve_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _pagerank_serve_state(spark, sf_dir)
+    return pagerank_incremental(
+        st["union_edges"], st["delta_edges"], st["history"],
+        iters=3, damping_pct=85,
+    )
+
+
+@register(
+    "g_cc_serve_merged",
+    oracle=_SQL_CC_UNION + "\nSELECT doc_id, component FROM ucomp",
+    doc="SERVE-ONLY incremental CC (round-12 verdict item 2): the base "
+    "docs' component labels and the late-doc pair batch are persisted "
+    "ONCE per session to scratch parquet, and the query reads them "
+    "and runs ONLY cc_incremental's label-graph merge — one endpoint "
+    "label lookup, CC over at most |batch| label edges, one broadcast "
+    "relabel join — so repeated runs measure the merge a deployment "
+    "pays per batch, where g_cc_incremental's wall is dominated by "
+    "re-finding the corpus's near-dup pairs and re-running corpus CC "
+    "to rebuild the state it then maintains. Same oracle as the "
+    "end-to-end query (from-scratch transitive closure on the union "
+    "pair set).",
+)
+def g_cc_serve_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._serve_state import serve_state
+
+    def _build(spark, sf_dir):
+        state, new_pairs = _cc_state_and_batch(spark, sf_dir)
+        return {"state": state, "new_pairs": new_pairs}
+
+    st = serve_state(spark, sf_dir, "cc", _build)
+    return DD.cc_incremental(st["state"], st["new_pairs"])

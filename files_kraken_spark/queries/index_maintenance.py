@@ -390,3 +390,41 @@ def t_index_changefeed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id"))
         .limit(10)
     )
+
+
+@register(
+    "t_index_serve_merged",
+    oracle=_bm25_sql(_TERMS),
+    doc="SERVE-ONLY incremental BM25 (round-12 verdict item 2): the "
+    "base corpus's per-doc (dl, tf) rows and its (n, sdl, df) counter "
+    "row are persisted ONCE per session to scratch parquet — the "
+    "stored index — and the query scans ONLY the arriving batch for "
+    "its stats, appends (shuffle-free union), sums the two counter "
+    "rows, and serves the top-10. Repeated runs therefore measure "
+    "the per-batch serve cost a deployment pays — batch scan + "
+    "|batch-vocab|-bounded merge + scoring — where "
+    "t_index_incremental_bm25 re-scans the 80% base corpus each run "
+    "to rebuild the state it then merges. Same oracle (from-scratch "
+    "rebuild on the full corpus via the shared _bm25_sql), same "
+    "additive-BIGINT exactness — only the measurement boundary "
+    "moved.",
+)
+def t_index_serve_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._serve_state import serve_state
+
+    def _build(spark, sf_dir):
+        base, _ = _split(spark, sf_dir)
+        m_b = TI.doc_term_stats(base, _TERMS)
+        return {"m_base": m_b, "g_base": TI.index_stats(m_b, len(_TERMS))}
+
+    st = serve_state(spark, sf_dir, "bm25", _build)
+    _, batch = _split(spark, sf_dir)
+    m_n = TI.doc_term_stats(batch, _TERMS)
+    g_n = TI.index_stats(m_n, len(_TERMS))
+    m_u = st["m_base"].unionByName(m_n)
+    g_u = TI.merge_index_stats(st["g_base"], g_n, len(_TERMS))
+    return (
+        TI.bm25_scores(m_u, g_u, len(_TERMS))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(10)
+    )
