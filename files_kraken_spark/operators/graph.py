@@ -850,3 +850,147 @@ def pagerank_decremental(
         iters=iters,
         damping_pct=damping_pct,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental label-propagation maintenance (round-12): the remaining
+# fixed-round graph analytic without a maintain path. Synchronous LP
+# with the (count desc, min label) tie rule is deterministic and
+# round-local — a node's round-t label is a pure function of its
+# in-neighbors' round-(t-1) labels — so the SAME dirty-frontier
+# recurrence as PageRank applies, and merged-equals-retrained is
+# exact (all-integer winner selection, no accumulation order at all).
+# ---------------------------------------------------------------------------
+
+
+def _lp_winner(cnt: DataFrame) -> DataFrame:
+    """(n, lab, c) -> per-n winning label under (count desc, min
+    label): max(struct(c, -lab)) — partial-aggregable, sort-free, the
+    same winner an ORDER BY c DESC, lab row_number picks."""
+    return (
+        cnt.groupBy("n")
+        .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias("m"))
+        .select("n", (-F.col("m.nl")).alias("lab"))
+    )
+
+
+def label_prop_history(
+    edges: DataFrame,
+    rounds: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Fixed-``rounds`` synchronous label propagation returning the
+    FULL per-round trajectory ``(node, round, lab)`` for rounds
+    0..rounds — the state an incremental maintainer needs (the LP
+    analogue of :func:`pagerank_history`). Edge (u, v) means "u
+    adopts from v": per round every node u takes the most frequent
+    round-(t-1) label among its neighbors v, ties broken by MIN label
+    — the determinism fix that makes the iteration bit-replayable
+    (same rule as ``q_label_prop_communities``). Round 0: every node
+    labels itself. The node set is the distinct ``u`` side — on the
+    symmetric co-occurrence graphs LP runs on, that is every node.
+
+    State cost: (rounds+1)·16 bytes per node. Per round: one
+    edge-label join shuffled on the adopt-from key, one (n, lab)
+    count, one per-n winner agg; ``localCheckpoint`` per round cuts
+    the deep-tiny-frame Catalyst trap (see :func:`pagerank_history`).
+    """
+    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v")).persist()
+    nodes = e.select(F.col("u").alias("n")).distinct().persist()
+    labels = nodes.select("n", F.col("n").alias("lab"))
+    out = [labels.select("n", F.lit(0).alias("round"), "lab")]
+    for t in range(rounds):
+        cnt = (
+            e.join(labels.withColumnRenamed("n", "v"), "v")
+            .groupBy(F.col("u").alias("n"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = _lp_winner(cnt).localCheckpoint(eager=True)
+        out.append(labels.select("n", F.lit(t + 1).alias("round"), "lab"))
+    hist = out[0]
+    for frame in out[1:]:
+        hist = hist.unionByName(frame)
+    return hist
+
+
+def label_prop_incremental(
+    edges: DataFrame,
+    delta_edges: DataFrame,
+    history: DataFrame,
+    rounds: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Merge an APPEND-ONLY edge batch into a persisted label-prop
+    trajectory and return the final ``(n, lab)`` — bit-identical to
+    re-running :func:`label_prop_history` from scratch on the union
+    edge list, at frontier-local cost (the LP leg of graph
+    maintenance, next to :func:`pagerank_incremental`).
+
+    Dirty recurrence: u's round-t label changed only if u gained a
+    neighbor (u-side of a delta edge), u is new, or some neighbor v
+    was dirty at t-1. Influence flows v→u along edge (u, v), i.e.
+    along the REVERSED edge — so the frontiers come from the same
+    :func:`dirty_frontiers` recurrence probed on the reversed union
+    edge list (on the symmetric graphs LP runs on the reversal is a
+    no-op, but the operator doesn't assume symmetry). The seed
+    over-approximates (all union-neighbors of delta-v nodes, a
+    superset of the delta-u side) — extra nodes recompute to their
+    unchanged labels, never a miss.
+
+    Exactness (induction on t): a clean node's neighbor SET is
+    unchanged (no delta edge on its u side) and all its neighbors
+    were clean at t-1, so its stored winner IS the union winner; the
+    winner selection is integer max(struct) — no accumulation order,
+    no floats. The oracle replays the from-scratch unrolled build and
+    the driver hash-compares.
+
+    Contract: append-only (an edge retraction shrinks a neighbor
+    multiset, needing the same machinery seeded by the retracted
+    u-side — the :func:`pagerank_decremental` pattern; not
+    implemented). ``history`` must hold rounds 0..rounds of THIS rule
+    on the base edge list. Scale shape per round: one probe of the
+    edge table against a small frontier, one lookup join against the
+    O(nodes) round slice, one frontier-bounded (n, lab) count."""
+    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v")).persist()
+    d = delta_edges.select(
+        F.col(u_col).alias("u"), F.col(v_col).alias("v")
+    ).persist()
+    base_nodes = history.filter(F.col("round") == 0).select(
+        F.col("n").alias("node")
+    )
+    e_rev = e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    d_rev = d.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    frontiers = dirty_frontiers(e_rev, d_rev, base_nodes, iters=rounds)
+
+    new_nodes = (
+        d.select(F.col("u").alias("n"))
+        .unionByName(d.select(F.col("v").alias("n")))
+        .distinct()
+        .join(base_nodes.withColumnRenamed("node", "n"), "n", "left_anti")
+    )
+    upd = new_nodes.select("n", F.col("n").alias("lab")).localCheckpoint(
+        eager=True
+    )
+    for t in range(1, rounds + 1):
+        d_t = frontiers[t - 1].withColumnRenamed("node", "n")
+        prev = (
+            history.filter(F.col("round") == t - 1)
+            .select("n", "lab")
+            .join(upd.select("n"), "n", "left_anti")
+            .unionByName(upd)
+        )
+        e_in = e.join(d_t.withColumnRenamed("n", "u"), "u", "left_semi")
+        cnt = (
+            e_in.join(prev.withColumnRenamed("n", "v"), "v")
+            .groupBy(F.col("u").alias("n"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        upd = _lp_winner(cnt).localCheckpoint(eager=True)
+    return (
+        history.filter(F.col("round") == rounds)
+        .select("n", "lab")
+        .join(upd.select("n"), "n", "left_anti")
+        .unionByName(upd)
+    )

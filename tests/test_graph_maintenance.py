@@ -380,3 +380,64 @@ def test_pagerank_maintain_mixed_changefeed_routes(spark):
         )
     assert not routed_retrain
     assert _pr_map(auto) == _pr_map(pagerank(post_df, iters=2))
+
+
+def test_label_prop_incremental_equals_from_scratch(spark):
+    """LP maintenance must be bit-identical to the from-scratch union
+    build on adversarial shapes: new nodes, gained neighbors, tie
+    flips (the (count desc, min label) winner changing because a new
+    neighbor breaks a tie), multi-hop propagation."""
+    from files_kraken_spark.operators.graph import (
+        label_prop_history,
+        label_prop_incremental,
+    )
+
+    def sym(pairs):
+        return sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+
+    # base: a triangle {1,2,3}, a pair {4,5}, a chain 5-6
+    base = sym([(1, 2), (2, 3), (1, 3), (4, 5), (5, 6)])
+    # batch: bridge 3-4 (flips 4's winner), new node 7 hanging off 6,
+    # and a new intra-cluster edge 2-4 (degree change, no new node)
+    delta_pairs = [(3, 4), (6, 7), (2, 4)]
+    delta = sorted(set(sym(delta_pairs)) - set(base))
+    union = sorted(set(base) | set(delta))
+
+    base_df = spark.createDataFrame(base, ["u", "v"])
+    delta_df = spark.createDataFrame(delta, ["u", "v"])
+    union_df = spark.createDataFrame(union, ["u", "v"])
+
+    for rounds in (1, 3):
+        hist = label_prop_history(base_df, rounds=rounds)
+        merged = label_prop_incremental(
+            union_df, delta_df, hist, rounds=rounds
+        )
+        scratch = (
+            label_prop_history(union_df, rounds=rounds)
+            .filter(F.col("round") == rounds)
+            .select("n", "lab")
+        )
+        got = {(r["n"], r["lab"]) for r in merged.collect()}
+        want = {(r["n"], r["lab"]) for r in scratch.collect()}
+        assert got == want, f"rounds={rounds}"
+        assert merged.count() == merged.select("n").distinct().count()
+
+
+def test_label_prop_incremental_empty_delta_is_identity(spark):
+    from files_kraken_spark.operators.graph import (
+        label_prop_history,
+        label_prop_incremental,
+    )
+
+    base_df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], ["u", "v"]
+    )
+    hist = label_prop_history(base_df, rounds=2)
+    merged = label_prop_incremental(
+        base_df, base_df.filter(F.lit(False)), hist, rounds=2
+    )
+    want = {
+        (r["n"], r["lab"])
+        for r in hist.filter(F.col("round") == 2).collect()
+    }
+    assert {(r["n"], r["lab"]) for r in merged.collect()} == want
