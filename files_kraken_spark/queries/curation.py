@@ -33,18 +33,21 @@ from . import register
 
 #: shared CTE block: per-doc fingerprint/rep, logistic quality prob,
 #: per-source sampling rate and the doc's uniform draw — every flag
-#: the funnel conjoins, computed side-by-side.
-_FLAGS_SQL = """
+#: the funnel conjoins, computed side-by-side. ``_flags_sql(where)``
+#: restricts every documents scan (round-12: the retraction oracle is
+#: the same funnel from scratch over the SURVIVING docs).
+def _flags_sql(where: str = "") -> str:
+    return """
 norm AS (
   SELECT doc_id, source, lang,
          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-  FROM documents
+  FROM documents{w}
 ),
 reps AS (SELECT fp, min(doc_id) AS rep_id FROM norm GROUP BY 1),
 tok AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(trim(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '')) AS tk
-  FROM documents
+  FROM documents{w}
 ),
 tf AS (SELECT doc_id, tk, count(*) AS n FROM tok GROUP BY 1, 2),
 feat AS (
@@ -65,7 +68,7 @@ zq AS (
 rated AS (
   SELECT source,
          0.05 + 0.90 * ((CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 1000) / 1000.0) AS rate
-  FROM (SELECT DISTINCT source FROM documents)
+  FROM (SELECT DISTINCT source FROM documents{w})
 ),
 flags AS (
   SELECT n.doc_id, n.source, n.lang,
@@ -78,7 +81,10 @@ flags AS (
   JOIN reps r USING (fp)
   JOIN zq z USING (doc_id)
   JOIN rated rt ON rt.source = n.source
-)"""
+)""".replace("{w}", where)
+
+
+_FLAGS_SQL = _flags_sql("")
 
 
 def _flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,5 +337,119 @@ def t_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id", "source", "lang", F.round(prob, 6).alias("quality_prob")
+        )
+    )
+
+
+@register(
+    "t_curation_decremental",
+    oracle="WITH "
+    + _flags_sql(" WHERE doc_id % 10 < 8")
+    + """
+SELECT doc_id, source, lang, round(prob, 6) AS quality_prob
+FROM flags
+WHERE is_rep AND keep_q AND keep_s""",
+    doc="Tombstone curation maintenance — the retraction half that "
+    "completes the funnel's batch contract (round-12, the curation "
+    "sibling of t_index_decremental_bm25 / g_cc_decremental): the "
+    "FULL corpus's fused flag frame (doc_id, fp, is_rep, prob, "
+    "keep_q, keep_s) is the persisted curation state; the late docs "
+    "(doc_id%10>=8) are then RETRACTED, and the merge recomputes "
+    "ONLY what a tombstone can change — the dedup representative. "
+    "Quality and sampling flags are per-doc pure functions (features "
+    "from the doc's own text, the draw from its own key), so "
+    "survivors keep them verbatim; the representative flag changes "
+    "only in fingerprint groups that LOST a member (a dead rep "
+    "promotes the min surviving doc_id), so the merge is one "
+    "tombstone-fp lookup (broadcast — bounded by the batch), a "
+    "min-id regroup over THOSE groups' survivors, and a verbatim "
+    "serve of every untouched group. Oracle = the from-scratch "
+    "funnel over the surviving docs (shared _flags_sql, one formula "
+    "source) — the hash-compare is the tombstoned-equals-rebuilt "
+    "proof. Scale shape: state is read once and shuffled never; the "
+    "regroup touches affected fingerprint groups only — a daily "
+    "tombstone batch re-elects its own groups' reps, not the lake's.",
+)
+def t_curation_decremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # persisted state: the full-corpus flag frame, carrying fp so the
+    # retraction can find the groups a tombstone touches
+    norm = docs.select(
+        "doc_id", "source", "lang", T.fingerprint(F.col("text")).alias("fp")
+    )
+    reps = norm.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(T.tokens(T.normalize_text(F.col("text")))).alias("tk"),
+    )
+    tf = tok.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("n"))
+    feat = tf.groupBy("doc_id").agg(
+        F.sum("n").cast("double").alias("n_tok"),
+        F.count(F.lit(1)).cast("double").alias("n_types"),
+        F.sum(F.length("tk") * F.col("n")).cast("double").alias("sum_len"),
+    )
+    z = (
+        F.lit(-6.0)
+        + F.lit(0.9) * F.log(F.lit(1.0) + F.col("n_tok"))
+        + F.lit(2.5) * (F.col("n_types") / F.col("n_tok"))
+        + F.lit(0.4) * (F.col("sum_len") / F.col("n_tok"))
+    )
+    zq = feat.select("doc_id", z.alias("z"))
+    rated = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                F.lit(0.05)
+                + F.lit(0.90)
+                * ((md5_hash64(F.col("source")) % 1000) / F.lit(1000.0))
+            ).alias("rate"),
+        )
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+    u = md5_hash64(
+        F.concat_ws("|", F.col("doc_id").cast("string"), F.col("source"))
+    ) / F.lit(4294967296.0)
+    state = (
+        norm.join(reps, "fp")
+        .join(zq, "doc_id")
+        .join(F.broadcast(rated), "source")
+        .select(
+            "doc_id",
+            "fp",
+            "source",
+            "lang",
+            (F.col("doc_id") == F.col("rep_id")).alias("is_rep"),
+            prob.alias("prob"),
+            (prob >= F.lit(0.5)).alias("keep_q"),
+            (u < F.col("rate")).alias("keep_s"),
+        )
+        .persist()
+    )
+
+    late = F.col("doc_id") % 10 >= 8
+    affected_fp = state.filter(late).select("fp").distinct()
+    survivors = state.filter(~late)
+    untouched = survivors.join(F.broadcast(affected_fp), "fp", "left_anti")
+    touched = survivors.join(F.broadcast(affected_fp), "fp", "left_semi")
+    new_reps = touched.groupBy("fp").agg(F.min("doc_id").alias("new_rep"))
+    relabeled = (
+        touched.drop("is_rep")
+        .join(new_reps, "fp")
+        .select(
+            "fp", "doc_id", "source", "lang",
+            (F.col("doc_id") == F.col("new_rep")).alias("is_rep"),
+            "prob", "keep_q", "keep_s",
+        )
+    )
+    return (
+        untouched.unionByName(relabeled)
+        .filter(F.col("is_rep") & F.col("keep_q") & F.col("keep_s"))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.round(F.col("prob"), 6).alias("quality_prob"),
         )
     )
