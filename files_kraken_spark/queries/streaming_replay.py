@@ -1081,3 +1081,200 @@ def t_stream_join_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_evicted_imp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12: event-time SESSION windows with watermark + late data —
+# the third window shape, completing the tumbling/sliding trio. Unlike
+# fixed windows, sessions MERGE as events arrive and a watermark
+# eviction can permanently SPLIT what a from-scratch sessionization
+# would join (an evicted session's state is gone when a late-but-kept
+# event lands next to it, so the engine emits two sessions) — so the
+# replay is the exact SEQUENTIAL model, not a from-scratch
+# gaps-and-islands: per user, batches apply in order, each batch
+# late-filters on its own watermark (initial window end t+gap at or
+# below w drops), merges (strictly overlapping [t, t+gap) intervals
+# join), then evicts sessions whose end is at or below w. The oracle
+# unrolls the same 16 steps in SQL (open-session state CTE per step);
+# the pytest twin pins the model to the real session_window engine.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6h gap: ~q25-q50 of per-user deltas
+
+
+def _session_oracle_sql() -> str:
+    """Unrolled 16-step sequential session replay (DuckDB): state CTE
+    s{b} holds the open sessions after batch b; each step merges the
+    batch's kept events into state via one gaps-and-islands pass
+    (strict-overlap islands: a row starts a new island iff its start
+    is at or past the running max end) and splits the result into
+    evicted (end <= w_b) and still-open rows."""
+    gap = SESSION_GAP_US
+    s = f"""
+WITH sev AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         ((event_id * 2654435761) % 4294967296) % {N_BATCHES} AS batch
+  FROM events
+),
+sbm AS (SELECT batch, max(t) AS mx FROM sev GROUP BY batch),
+swm AS (
+  SELECT a.batch, max(b.mx) - {DELAY_US} AS w
+  FROM sbm a JOIN sbm b ON b.batch <= a.batch - 2 GROUP BY a.batch
+),
+swf AS (SELECT max(t) - {DELAY_US} AS w FROM sev),
+kept AS (
+  SELECT e.user_id, e.t, e.cents, e.batch
+  FROM sev e LEFT JOIN swm ON swm.batch = e.batch
+  WHERE swm.w IS NULL OR e.t + {gap} > swm.w
+),
+s_init(user_id, s_start, s_end, n, cents) AS (
+  SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) WHERE FALSE
+)"""
+    prev = "s_init"
+    emits = []
+    for b in range(N_BATCHES):
+        s += f""",
+a{b} AS (
+  SELECT user_id, s_start, s_end, n, cents FROM {prev}
+  UNION ALL
+  SELECT user_id, t, t + {gap}, CAST(1 AS BIGINT), cents
+  FROM kept WHERE batch = {b}
+),
+o{b} AS (
+  SELECT *, max(s_end) OVER (
+    PARTITION BY user_id ORDER BY s_start, s_end
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM a{b}
+),
+i{b} AS (
+  SELECT *, sum(CASE WHEN pmax IS NULL OR s_start >= pmax THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY s_start, s_end
+          ROWS UNBOUNDED PRECEDING) AS isl
+  FROM o{b}
+),
+g{b} AS (
+  SELECT user_id, min(s_start) AS s_start, max(s_end) AS s_end,
+         CAST(sum(n) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+  FROM i{b} GROUP BY user_id, isl
+),
+m{b} AS (
+  SELECT g.*, (SELECT w FROM swm WHERE batch = {b}) AS w FROM g{b} g
+),
+e{b} AS (
+  SELECT user_id, s_start, s_end, n, cents FROM m{b}
+  WHERE w IS NOT NULL AND s_end <= w
+),
+s{b} AS MATERIALIZED (
+  SELECT user_id, s_start, s_end, n, cents FROM m{b}
+  WHERE w IS NULL OR s_end > w
+)"""
+        emits.append(f"SELECT * FROM e{b}")
+        prev = f"s{b}"
+    emits.append(
+        f"SELECT user_id, s_start, s_end, n, cents FROM {prev}, swf "
+        f"WHERE s_end <= swf.w"
+    )
+    s += (
+        "\nSELECT user_id, s_start AS session_start_us, "
+        "s_end AS session_end_us, n AS n_events, cents AS value_sum_cents "
+        "FROM (" + " UNION ALL ".join(emits) + ")"
+    )
+    return s
+
+
+@register(
+    "t_session_watermark_replay",
+    oracle=_session_oracle_sql(),
+    doc="Batch replay of Spark's watermarked SESSION-window "
+    "aggregation (withWatermark '2 days' + session_window '6 hours' "
+    "per user, append mode) — the third window shape, and the one "
+    "where late data does more than drop: sessions MERGE as events "
+    "arrive, and state eviction can permanently SPLIT what a "
+    "from-scratch sessionization would join (a kept-but-late event "
+    "whose mergeable neighbor-session was already emitted starts a "
+    "fresh session — the engine's output is not a pure function of "
+    "the kept set, it depends on arrival order). The replay is "
+    "therefore the exact SEQUENTIAL model: per user, the 16 "
+    "deterministic Knuth batches apply in order — late-filter on the "
+    "batch watermark (initial window end t+gap at or below w), merge "
+    "strictly-overlapping [t, t+gap) intervals, evict sessions whose "
+    "end is at or below w — with a final eviction at the stream-end "
+    "watermark. Implemented as one Arrow-batched applyInPandas over "
+    "user_id (keys are independent; per-key state is the open-session "
+    "list, bounded by active-span/gap — the applyInPandasWithState "
+    "shape at rest) after a vectorized JVM-side late filter; the "
+    "16-row watermark table is collected driver-side (bounded, the "
+    "same table the window replays broadcast). The oracle unrolls the "
+    "identical 16 steps in SQL; the pytest twin pins the model "
+    "row-for-row to the real session_window engine over the same "
+    "batch order.",
+)
+def t_session_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000").alias("t"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.expr(
+            f"((event_id * 2654435761) % 4294967296) % {N_BATCHES}"
+        ).alias("batch"),
+    )
+    bm = ev.groupBy("batch").agg(F.max("t").alias("mx"))
+    wm = _batch_watermarks(bm)
+    # bounded driver traffic: <= N_BATCHES rows + 1 scalar, the same
+    # watermark table the fixed-window replays broadcast — here the
+    # per-batch eviction loop runs inside the pandas group, so the
+    # closure needs the values, not a join
+    wm_by_batch = {r["batch"]: r["w"] for r in wm.collect()}
+    wf = ev.agg((F.max("t") - F.lit(DELAY_US)).alias("w")).first()["w"]
+    gap = SESSION_GAP_US
+
+    kept = ev.join(F.broadcast(wm), "batch", "left").filter(
+        F.col("w").isNull() | (F.col("t") + gap > F.col("w"))
+    )
+
+    def sim(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = int(pdf["user_id"].iloc[0])
+        open_s: list[list[int]] = []  # [start, end, n, cents]
+        out: list[list[int]] = []
+        for b in range(N_BATCHES):
+            rows = pdf[pdf["batch"] == b]
+            if len(rows):
+                for t, c in zip(rows["t"], rows["cents"]):
+                    open_s.append([int(t), int(t) + gap, 1, int(c)])
+                open_s.sort(key=lambda x: (x[0], x[1]))
+                merged: list[list[int]] = []
+                for x in open_s:
+                    if merged and x[0] < merged[-1][1]:
+                        m = merged[-1]
+                        m[1] = max(m[1], x[1])
+                        m[2] += x[2]
+                        m[3] += x[3]
+                    else:
+                        merged.append(x)
+                open_s = merged
+            w = wm_by_batch.get(b)
+            if w is not None:
+                out.extend(x for x in open_s if x[1] <= w)
+                open_s = [x for x in open_s if x[1] > w]
+        out.extend(x for x in open_s if x[1] <= wf)
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(out),
+                "session_start_us": [x[0] for x in out],
+                "session_end_us": [x[1] for x in out],
+                "n_events": [x[2] for x in out],
+                "value_sum_cents": [x[3] for x in out],
+            }
+        )
+
+    return kept.select("user_id", "t", "cents", "batch").groupBy(
+        "user_id"
+    ).applyInPandas(
+        sim,
+        "user_id long, session_start_us long, session_end_us long, "
+        "n_events long, value_sum_cents long",
+    )

@@ -799,3 +799,80 @@ def test_join_drop_audit_reconciles_with_replay(spark):
     assert n_kept == t_stream_join_replay(spark, SF).count()
     assert n_kept + n_drops == n_pairs
     assert n_drops > 0  # the corpus genuinely exercises every surface
+
+
+def test_session_watermark_e2e_matches_replay(spark, tmp_path):
+    """The REAL withWatermark('2 days') + session_window('6 hours')
+    engine keyed by user, fed the replay's exact batches in the
+    replay's batch order, emits exactly the replay's sessions — this
+    pins the sequential model's THREE rules to Spark's own: the
+    late-drop rule (initial window end t+gap at or below the
+    prior-batch watermark), the strict-overlap merge rule, and the
+    eviction-split behavior (a late-but-kept event next to an
+    already-evicted session starts a NEW session — the output is not
+    a pure function of the kept set)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from files_kraken_spark.queries.streaming_replay import (
+        N_BATCHES,
+        t_session_watermark_replay,
+    )
+
+    by_batch: dict[int, list[tuple[int, int, int]]] = {}
+    for r in _events(spark):
+        b = ((r["event_id"] * 2654435761) % 4294967296) % N_BATCHES
+        t_us = int(r["ts"]) // 1000
+        cents = int(__import__("math").floor(r["value"] * 100 + 0.5))
+        by_batch.setdefault(b, []).append((int(r["user_id"]), t_us, cents))
+
+    src = tmp_path / "src_sess_e2e"
+    src.mkdir()
+    paths = []
+    for b in sorted(by_batch):
+        p = src / f"b{b:02d}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"user_id": u, "t": t, "cents": c})
+                for u, t, c in by_batch[b]
+            )
+        )
+        paths.append(p)
+    _stamp_order(paths)
+    stream = (
+        spark.readStream.schema("user_id long, t long, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.timestamp_micros(F.col("t")))
+    )
+    out = (
+        stream.withWatermark("ts", "2 days")
+        .groupBy("user_id", F.session_window("ts", "6 hours"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("value_sum_cents"),
+        )
+    )
+    got = {
+        (
+            r["user_id"],
+            int(r["session_window"]["start"].timestamp() * 1_000_000),
+            int(r["session_window"]["end"].timestamp() * 1_000_000),
+            r["n_events"],
+            r["value_sum_cents"],
+        )
+        for r in _run_stream(spark, tmp_path, out, "sess_e2e")
+    }
+    want = {
+        (
+            r["user_id"],
+            r["session_start_us"],
+            r["session_end_us"],
+            r["n_events"],
+            r["value_sum_cents"],
+        )
+        for r in t_session_watermark_replay(spark, SF).collect()
+    }
+    assert got == want
+    assert len(want) > 20  # real sessions closed, not a vacuous pass
