@@ -994,3 +994,196 @@ def label_prop_incremental(
         .join(upd.select("n"), "n", "left_anti")
         .unionByName(upd)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental k-core maintenance (round-12): fixed-round peeling is a
+# 1-hop recurrence — alive_r(v) = alive_{r-1}(v) AND |{neighbors u :
+# alive_{r-1}(u)}| >= k — so the dirty-frontier machinery applies a
+# third time (PageRank, label-prop, now k-core). Pure set membership +
+# integer counts: merged-equals-retrained is exact by induction.
+# ---------------------------------------------------------------------------
+
+
+def _sym(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> DataFrame:
+    """Canonical undirected edge list -> both directions (src, dst)."""
+    fwd = edges.select(F.col(u_col).alias("src"), F.col(v_col).alias("dst"))
+    return fwd.unionByName(
+        edges.select(F.col(v_col).alias("src"), F.col(u_col).alias("dst"))
+    )
+
+
+def kcore_history(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Fixed-``rounds`` k-core peeling over a canonical undirected
+    edge list (u < v once), returning the FULL per-round alive
+    trajectory ``(node, round)`` for rounds 0..rounds (a row = the
+    node survives that round) — the state an incremental maintainer
+    needs (the k-core analogue of :func:`pagerank_history`). Round 0:
+    every node. Round r: survivors of r-1 with at least ``k``
+    surviving neighbors — the same peeling ``q_kcore_parts`` runs on
+    the induced edge set, expressed on the ALIVE side (both are the
+    same recurrence; degrees here count alive neighbors over the
+    full edge list instead of filtering edges first).
+
+    Scale shape per round: one semi-join of the symmetrized edge list
+    against the alive set + one groupBy(dst) count; localCheckpoint
+    per round cuts the deep-lineage trap. State cost: at most
+    (rounds+1) rows per node, shrinking per round."""
+    es = _sym(edges, u_col, v_col).persist()
+    alive = es.select(F.col("src").alias("node")).distinct().persist()
+    out = [alive.select("node", F.lit(0).alias("round"))]
+    for r in range(rounds):
+        deg = (
+            es.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        alive = (
+            deg.filter(F.col("c") >= k)
+            .select(F.col("dst").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        out.append(alive.select("node", F.lit(r + 1).alias("round")))
+    hist = out[0]
+    for frame in out[1:]:
+        hist = hist.unionByName(frame)
+    return hist
+
+
+def kcore_apply_changes(
+    edges: DataFrame,
+    history: DataFrame,
+    added_edges: DataFrame | None = None,
+    retracted_edges: DataFrame | None = None,
+    k: int = 3,
+    rounds: int = 8,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Apply an edge changefeed (appends and/or retractions) to a
+    persisted k-core alive trajectory and return the final
+    ``(node, core_degree)`` — bit-identical to from-scratch
+    :func:`kcore_history`'s last round on the post-change edge list,
+    with degrees over the final induced subgraph (the
+    ``q_kcore_parts`` output shape).
+
+    ``edges`` is the POST-CHANGE canonical edge list. Dirty
+    recurrence: alive_r(v) flips only if v's neighbor set changed
+    (endpoint of a changed edge), v is new, or a neighbor's
+    alive_{r-1} flipped — the same :func:`dirty_frontiers` recurrence,
+    probed over the symmetrized ``edges ∪ retracted`` so removed
+    adjacency propagates too (over-approximation recomputes extra
+    nodes to their unchanged verdicts, never misses). Per round the
+    merge recomputes the alive verdict ONLY for dirty nodes — one
+    frontier-bounded neighbor count against the overlaid round-(r-1)
+    alive set, where the overlay REMOVES the whole dirty set from the
+    stored slice and adds back the dirty survivors (membership, not
+    values: a dead dirty node must disappear).
+
+    Exactness (induction on r): a clean node's neighbor set and its
+    neighbors' round-(r-1) verdicts are unchanged, so its stored
+    verdict IS the post-change verdict; counts are integers. The
+    final degree pass is one semi-joined groupBy over the post-change
+    edge list — the retrain's LAST round, without its first
+    ``rounds-1``. Contract: ``history`` holds rounds 0..rounds of
+    THIS k on the pre-change edge list; retracted ⊆ pre-change edges.
+    """
+    e_post = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    es = _sym(e_post).persist()
+    parts = []
+    if added_edges is not None:
+        parts.append(_sym(added_edges.select(u_col, v_col), u_col, v_col))
+    if retracted_edges is not None:
+        parts.append(_sym(retracted_edges.select(u_col, v_col), u_col, v_col))
+    if not parts:
+        raise ValueError("kcore_apply_changes: need added and/or retracted")
+    d_sym = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    probe_e = (
+        es
+        if retracted_edges is None
+        else es.unionByName(_sym(retracted_edges.select(u_col, v_col), u_col, v_col))
+    )
+    base_nodes = history.filter(F.col("round") == 0).select("node")
+    frontiers = dirty_frontiers(probe_e, d_sym, base_nodes, iters=rounds)
+
+    v_post = es.select(F.col("src").alias("node")).distinct().persist()
+    restrict = retracted_edges is not None
+    if restrict:
+        frontiers = [d.join(v_post, "node", "left_semi") for d in frontiers]
+
+    def _slice(r: int) -> DataFrame:
+        s = history.filter(F.col("round") == r).select("node")
+        return s.join(v_post, "node", "left_semi") if restrict else s
+
+    # D_0 = new nodes (all alive at round 0)
+    d_prev = (
+        d_sym.select(F.col("src").alias("node"))
+        .distinct()
+        .join(base_nodes, "node", "left_anti")
+        .persist()
+    )
+    upd = d_prev
+    for r in range(1, rounds + 1):
+        d_r = frontiers[r - 1]
+        prev_alive = (
+            _slice(r - 1).join(d_prev, "node", "left_anti").unionByName(upd)
+        )
+        cand = d_r.join(prev_alive, "node", "left_semi")
+        cnt = (
+            es.join(
+                prev_alive.withColumnRenamed("node", "src"), "src", "left_semi"
+            )
+            .join(cand.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        upd = (
+            cnt.filter(F.col("c") >= k)
+            .select(F.col("dst").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        d_prev = d_r
+    final_alive = (
+        _slice(rounds).join(d_prev, "node", "left_anti").unionByName(upd)
+    )
+    return (
+        es.join(final_alive.withColumnRenamed("node", "src"), "src", "left_semi")
+        .join(final_alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        .groupBy("dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        # the (rounds+1)-th keep: q_kcore_parts and its oracle both
+        # filter the FINAL degrees at >= k once more after the loop
+        .filter(F.col("core_degree") >= k)
+        .select(F.col("dst").alias("node"), "core_degree")
+    )
+
+
+def kcore_incremental(
+    edges: DataFrame,
+    delta_edges: DataFrame,
+    history: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Append-only wrapper over :func:`kcore_apply_changes` — merge an
+    edge batch into a persisted k-core trajectory; see the core for
+    the recurrence, exactness argument and cost shape."""
+    return kcore_apply_changes(
+        edges,
+        history,
+        added_edges=delta_edges,
+        retracted_edges=None,
+        k=k,
+        rounds=rounds,
+        u_col=u_col,
+        v_col=v_col,
+    )

@@ -45,7 +45,7 @@ from ..operators.graph import (
 )
 from ..sources.tables import load_table
 from . import register
-from .analytics import _pagerank_oracle_sql
+from .analytics import _kcore_oracle_sql, _pagerank_oracle_sql
 from .llm_ops import _SQL_SHINGLES
 
 # Supply-graph split: orders with o_orderkey % 10 >= 8 arrive as the
@@ -1040,4 +1040,57 @@ def g_labelprop_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = label_prop_history(base_e, rounds=4)
     return label_prop_incremental(union_e, delta_e, hist, rounds=4).select(
         F.col("n").alias("node"), F.col("lab").alias("community")
+    )
+
+
+@register(
+    "g_kcore_incremental",
+    oracle=_kcore_oracle_sql(3, 8),
+    doc="Incremental K-CORE maintenance (round-12 — the third "
+    "fixed-round graph analytic gains a maintain path, completing "
+    "PageRank / label-prop / k-core symmetry): the base co-purchase "
+    "graph (parts sharing an early order, l_orderkey%10<8) is peeled "
+    "once with its full per-round ALIVE trajectory persisted "
+    "(graph.kcore_history — at most (rounds+1) rows per node, "
+    "shrinking); the late orders' exclusive edges then merge via "
+    "kcore_incremental, which re-evaluates the alive verdict ONLY "
+    "for the dirty frontier per round (endpoints of new edges, new "
+    "nodes, and nodes whose neighbor's verdict flipped — peeling is "
+    "the 1-hop recurrence alive_r(v) = alive_{r-1}(v) AND "
+    "|alive neighbors| >= k, so the same dirty_frontiers recurrence "
+    "applies) and serves every clean node's verdict from the stored "
+    "trajectory; one final semi-joined degree pass emits the "
+    "q_kcore_parts output shape. Oracle = the FROM-SCRATCH 8-round "
+    "unrolled peeling on the union graph (q_kcore_parts' exact "
+    "registered SQL, one formula source) — exact because verdicts "
+    "are set membership and counts are integers. A batch edge can "
+    "RESCUE peeled nodes (degree crosses k) and cascade — the "
+    "trajectory overlay handles both (pytest-pinned).",
+)
+def g_kcore_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import (
+        cooccurrence_edges,
+        kcore_history,
+        kcore_incremental,
+    )
+    from ..operators.ranks import pin_frame
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    union_e = pin_frame(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey", directed=False)
+    )
+    base_e = pin_frame(
+        cooccurrence_edges(
+            li.filter(F.col("l_orderkey") % 10 < 8),
+            "l_orderkey",
+            "l_partkey",
+            directed=False,
+        )
+    )
+    delta_e = union_e.join(base_e, ["u", "v"], "left_anti")
+    hist = kcore_history(base_e, k=3, rounds=8)
+    return kcore_incremental(union_e, delta_e, hist, k=3, rounds=8).select(
+        F.col("node").alias("part_id"), "core_degree"
     )

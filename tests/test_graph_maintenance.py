@@ -441,3 +441,88 @@ def test_label_prop_incremental_empty_delta_is_identity(spark):
         for r in hist.filter(F.col("round") == 2).collect()
     }
     assert {(r["n"], r["lab"]) for r in merged.collect()} == want
+
+
+def _kcore_scratch(spark, edges_df, k, rounds):
+    """From-scratch fixed-round peeling in the q_kcore_parts shape."""
+    from files_kraken_spark.operators.graph import kcore_history, _sym
+
+    hist = kcore_history(edges_df, k=k, rounds=rounds)
+    alive = hist.filter(F.col("round") == rounds).select("node")
+    es = _sym(edges_df)
+    return (
+        es.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
+        .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        .groupBy("dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+        .select(F.col("dst").alias("node"), "core_degree")
+    )
+
+
+def test_kcore_incremental_equals_from_scratch(spark):
+    """k-core maintenance on adversarial shapes: a batch edge that
+    RESCUES a previously-peeled node (its degree crosses k), a new
+    node, and a cascade (the rescue re-qualifies a neighbor next
+    round)."""
+    from files_kraken_spark.operators.graph import (
+        kcore_history,
+        kcore_incremental,
+    )
+
+    # base: K4 on {1,2,3,4} (3-core) + path 5-6-7 hanging off 4
+    base = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6), (6, 7),
+    ]
+    # batch: densify {4,5,6,7} so the peeled tail joins the 3-core,
+    # plus new node 8 attached thrice (immediately 3-core-eligible)
+    delta = [(4, 6), (4, 7), (5, 7), (1, 8), (2, 8), (3, 8)]
+    base_df = spark.createDataFrame(base, ["u", "v"])
+    delta_df = spark.createDataFrame(delta, ["u", "v"])
+    union_df = base_df.unionByName(delta_df)
+
+    for k, rounds in ((3, 4), (2, 2)):
+        hist = kcore_history(base_df, k=k, rounds=rounds)
+        merged = kcore_incremental(union_df, delta_df, hist, k=k, rounds=rounds)
+        want = {
+            (r["node"], r["core_degree"])
+            for r in _kcore_scratch(spark, union_df, k, rounds).collect()
+        }
+        got = {(r["node"], r["core_degree"]) for r in merged.collect()}
+        assert got == want, f"k={k} rounds={rounds}"
+
+
+def test_kcore_changefeed_equals_from_scratch(spark):
+    """Mixed feed: retracting an edge UNRAVELS part of the core
+    (peeling cascade) while an append rescues elsewhere — both must
+    compose exactly."""
+    from files_kraken_spark.operators.graph import (
+        kcore_apply_changes,
+        kcore_history,
+    )
+
+    base = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (3, 5), (4, 5), (5, 6),
+    ]
+    retracted = [(3, 4)]  # K4 loses an edge: 3 and 4 drop to deg 3
+    added = [(5, 7), (6, 7), (4, 6)]
+    post = sorted((set(base) - set(retracted)) | set(added))
+    base_df = spark.createDataFrame(base, ["u", "v"])
+    post_df = spark.createDataFrame(post, ["u", "v"])
+    add_df = spark.createDataFrame(added, ["u", "v"])
+    re_df = spark.createDataFrame(retracted, ["u", "v"])
+
+    for k, rounds in ((3, 4), (2, 3)):
+        hist = kcore_history(base_df, k=k, rounds=rounds)
+        merged = kcore_apply_changes(
+            post_df, hist, added_edges=add_df, retracted_edges=re_df,
+            k=k, rounds=rounds,
+        )
+        want = {
+            (r["node"], r["core_degree"])
+            for r in _kcore_scratch(spark, post_df, k, rounds).collect()
+        }
+        got = {(r["node"], r["core_degree"]) for r in merged.collect()}
+        assert got == want, f"k={k} rounds={rounds}"
