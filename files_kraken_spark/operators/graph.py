@@ -946,38 +946,117 @@ def label_prop_incremental(
     no floats. The oracle replays the from-scratch unrolled build and
     the driver hash-compares.
 
-    Contract: append-only (an edge retraction shrinks a neighbor
-    multiset, needing the same machinery seeded by the retracted
-    u-side — the :func:`pagerank_decremental` pattern; not
-    implemented). ``history`` must hold rounds 0..rounds of THIS rule
-    on the base edge list. Scale shape per round: one probe of the
-    edge table against a small frontier, one lookup join against the
-    O(nodes) round slice, one frontier-bounded (n, lab) count."""
+    ``history`` must hold rounds 0..rounds of THIS rule on the base
+    edge list. Scale shape per round: one probe of the edge table
+    against a small frontier, one lookup join against the O(nodes)
+    round slice, one frontier-bounded (n, lab) count. Thin wrapper
+    over the shared merge core; :func:`label_prop_decremental` is the
+    retraction half and :func:`label_prop_apply_changes` the mixed
+    form."""
+    return _label_prop_merge_core(
+        edges,
+        added_edges=delta_edges,
+        retracted_edges=None,
+        history=history,
+        rounds=rounds,
+        u_col=u_col,
+        v_col=v_col,
+    )
+
+
+def _label_prop_merge_core(
+    edges: DataFrame,
+    added_edges: DataFrame | None,
+    retracted_edges: DataFrame | None,
+    history: DataFrame,
+    rounds: int,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Shared frontier-bounded LP merge behind
+    :func:`label_prop_incremental` (adds only),
+    :func:`label_prop_decremental` (retractions only) and
+    :func:`label_prop_apply_changes` (mixed changefeed) — the exact
+    analogue of :func:`_pagerank_merge_core`.
+
+    ``edges`` is always the POST-CHANGE adopt-from edge list. Dirty
+    seeds come from both batches (a retraction shrinks the u-side's
+    neighbor multiset exactly as an append grows it); frontier probes
+    run over the REVERSED ``edges ∪ retracted`` so removed influence
+    propagates too. When retractions are possible the node set may
+    shrink (a node whose last u-side edge died leaves the label
+    frame, matching the from-scratch build): frontiers and history
+    slices are then restricted to the post-change u-side node set.
+    Every restricted dirty node has ≥1 post u-edge, hence a winner
+    row — so the overlay (slice anti-join upd ∪ upd) stays complete."""
     e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v")).persist()
-    d = delta_edges.select(
-        F.col(u_col).alias("u"), F.col(v_col).alias("v")
-    ).persist()
+    added = (
+        added_edges.select(
+            F.col(u_col).alias("u"), F.col(v_col).alias("v")
+        ).persist()
+        if added_edges is not None
+        else None
+    )
+    retracted = (
+        retracted_edges.select(
+            F.col(u_col).alias("u"), F.col(v_col).alias("v")
+        ).persist()
+        if retracted_edges is not None
+        else None
+    )
+    if added is None and retracted is None:
+        raise ValueError("label-prop merge: need added and/or retracted edges")
     base_nodes = history.filter(F.col("round") == 0).select(
         F.col("n").alias("node")
     )
-    e_rev = e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    d_rev = d.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    frontiers = dirty_frontiers(e_rev, d_rev, base_nodes, iters=rounds)
 
-    new_nodes = (
-        d.select(F.col("u").alias("n"))
-        .unionByName(d.select(F.col("v").alias("n")))
-        .distinct()
-        .join(base_nodes.withColumnRenamed("node", "n"), "n", "left_anti")
+    def _rev(d: DataFrame) -> DataFrame:
+        return d.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+
+    if added is not None and retracted is not None:
+        delta_rev = _rev(added).unionByName(_rev(retracted))
+    else:
+        delta_rev = _rev(added if added is not None else retracted)
+    probe_rev = _rev(e) if retracted is None else _rev(e).unionByName(
+        _rev(retracted)
     )
-    upd = new_nodes.select("n", F.col("n").alias("lab")).localCheckpoint(
-        eager=True
-    )
+    frontiers = dirty_frontiers(probe_rev, delta_rev, base_nodes, iters=rounds)
+
+    restrict = retracted is not None
+    if restrict:
+        v_post = e.select(F.col("u").alias("node")).distinct().persist()
+        frontiers = [d.join(v_post, "node", "left_semi") for d in frontiers]
+
+    def _slice(t: int) -> DataFrame:
+        s = history.filter(F.col("round") == t).select("n", "lab")
+        return (
+            s.join(v_post.withColumnRenamed("node", "n"), "n", "left_semi")
+            if restrict
+            else s
+        )
+
+    if added is not None:
+        new_nodes = (
+            added.select(F.col("u").alias("n"))
+            .unionByName(added.select(F.col("v").alias("n")))
+            .distinct()
+            .join(base_nodes.withColumnRenamed("node", "n"), "n", "left_anti")
+        )
+        upd = new_nodes.select("n", F.col("n").alias("lab")).localCheckpoint(
+            eager=True
+        )
+    else:
+        upd = (
+            base_nodes.select(
+                F.col("node").alias("n"), F.col("node").alias("lab")
+            )
+            .filter(F.lit(False))
+            .localCheckpoint(eager=True)
+        )
     for t in range(1, rounds + 1):
         d_t = frontiers[t - 1].withColumnRenamed("node", "n")
         prev = (
-            history.filter(F.col("round") == t - 1)
-            .select("n", "lab")
+            _slice(t - 1)
             .join(upd.select("n"), "n", "left_anti")
             .unionByName(upd)
         )
@@ -989,10 +1068,63 @@ def label_prop_incremental(
         )
         upd = _lp_winner(cnt).localCheckpoint(eager=True)
     return (
-        history.filter(F.col("round") == rounds)
-        .select("n", "lab")
+        _slice(rounds)
         .join(upd.select("n"), "n", "left_anti")
         .unionByName(upd)
+    )
+
+
+def label_prop_decremental(
+    edges: DataFrame,
+    retracted_edges: DataFrame,
+    history: DataFrame,
+    rounds: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Merge an edge RETRACTION batch into a persisted label-prop
+    trajectory — the tombstone half closing
+    :func:`label_prop_incremental`'s append-only contract (the LP
+    sibling of :func:`pagerank_decremental`). ``edges`` is the
+    POST-DELETE adopt-from edge list; returns the final ``(n, lab)``
+    bit-identical to from-scratch :func:`label_prop_history` on it.
+    A retraction shrinks the u-side's neighbor multiset (its winner
+    can flip) and removes influence paths; both fall out of the same
+    reversed-edge dirty recurrence probed over ``edges ∪ retracted``.
+    Nodes whose last u-side edge died leave the label frame."""
+    return _label_prop_merge_core(
+        edges,
+        added_edges=None,
+        retracted_edges=retracted_edges,
+        history=history,
+        rounds=rounds,
+        u_col=u_col,
+        v_col=v_col,
+    )
+
+
+def label_prop_apply_changes(
+    edges: DataFrame,
+    added_edges: DataFrame,
+    retracted_edges: DataFrame,
+    history: DataFrame,
+    rounds: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Apply a MIXED edge changefeed (appends AND retractions in one
+    batch) to a persisted label-prop trajectory — the LP sibling of
+    :func:`pagerank_apply_changes`, through the same shared core.
+    ``edges`` is the post-change adopt-from edge list; exactness and
+    cost shape as :func:`label_prop_incremental`."""
+    return _label_prop_merge_core(
+        edges,
+        added_edges=added_edges,
+        retracted_edges=retracted_edges,
+        history=history,
+        rounds=rounds,
+        u_col=u_col,
+        v_col=v_col,
     )
 
 

@@ -961,16 +961,18 @@ def g_cc_serve_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.cc_incremental(st["state"], st["new_pairs"])
 
 
-def _labelprop_union_oracle_sql(rounds: int = 4) -> str:
-    """Unrolled synchronous label propagation over the FULL parts
-    co-purchase graph, per-node output — the from-scratch target the
-    LP merge must hit (same rule/conventions as
-    analytics._label_prop_oracle_sql, which outputs the histogram)."""
-    s = """
+def _labelprop_union_oracle_sql(rounds: int = 4, where: str = "") -> str:
+    """Unrolled synchronous label propagation over the parts
+    co-purchase graph (optionally order-filtered), per-node output —
+    the from-scratch target the LP merges must hit (same
+    rule/conventions as analytics._label_prop_oracle_sql, which
+    outputs the histogram)."""
+    s = f"""
 WITH eraw AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  {where}
 ),
 l0 AS MATERIALIZED (SELECT DISTINCT u AS n, u AS lab FROM eraw)"""
     prev = "l0"
@@ -1094,3 +1096,49 @@ def g_kcore_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_incremental(union_e, delta_e, hist, k=3, rounds=8).select(
         F.col("node").alias("part_id"), "core_degree"
     )
+
+
+@register(
+    "g_labelprop_changefeed",
+    oracle=_labelprop_union_oracle_sql(4, "WHERE a.l_orderkey % 10 <> 8"),
+    doc="MIXED-changefeed label-prop maintenance — completes the LP "
+    "symmetry with PageRank/CC/k-core (round-12): the class 0-8 "
+    "co-purchase graph is the base state (4-round trajectory "
+    "persisted); one batch then RETRACTS the class-8 orders' "
+    "exclusive edges and ADDS the class-9 exclusives, and "
+    "label_prop_apply_changes serves the post-change communities by "
+    "recomputing only the dirty cone — retraction-shrunk neighbor "
+    "multisets (winners can flip back) and append-grown ones fall "
+    "out of the same reversed-edge dirty_frontiers recurrence probed "
+    "over post∪retracted; nodes whose last edge died leave the "
+    "frame. Oracle = the FROM-SCRATCH 4-round unrolled build on the "
+    "post-change graph (orders with key%10<>8) — exact via the "
+    "integer (count desc, min label) winner. Scale shape identical "
+    "to g_labelprop_incremental.",
+)
+def g_labelprop_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import (
+        cooccurrence_edges,
+        label_prop_apply_changes,
+        label_prop_history,
+    )
+    from ..operators.ranks import pin_frame
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    cls = F.col("l_orderkey") % 10
+
+    def _edges(flt):
+        return cooccurrence_edges(
+            li.filter(flt), "l_orderkey", "l_partkey", directed=True
+        )
+
+    base_e = pin_frame(_edges(cls != 9))
+    post_e = pin_frame(_edges(cls != 8))
+    added_e = post_e.join(base_e, ["u", "v"], "left_anti")
+    retracted_e = base_e.join(post_e, ["u", "v"], "left_anti")
+    hist = label_prop_history(base_e, rounds=4)
+    return label_prop_apply_changes(
+        post_e, added_e, retracted_e, hist, rounds=4
+    ).select(F.col("n").alias("node"), F.col("lab").alias("community"))

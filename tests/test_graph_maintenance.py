@@ -526,3 +526,55 @@ def test_kcore_changefeed_equals_from_scratch(spark):
         }
         got = {(r["node"], r["core_degree"]) for r in merged.collect()}
         assert got == want, f"k={k} rounds={rounds}"
+
+
+def test_label_prop_apply_changes_equals_from_scratch(spark):
+    """Mixed LP changefeed: a retraction that flips a winner (losing
+    the tie-making neighbor) + an append elsewhere + a node whose last
+    edge dies (leaves the frame) — all must match from-scratch."""
+    from files_kraken_spark.operators.graph import (
+        label_prop_apply_changes,
+        label_prop_decremental,
+        label_prop_history,
+    )
+
+    def sym(pairs):
+        return sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+
+    base = sym([(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (6, 1)])
+    retracted = sym([(4, 5), (6, 1)])
+    added = sym([(2, 7)])
+    post = sorted((set(base) - set(retracted)) | set(added))
+
+    base_df = spark.createDataFrame(base, ["u", "v"])
+    post_df = spark.createDataFrame(post, ["u", "v"])
+    add_df = spark.createDataFrame(added, ["u", "v"])
+    re_df = spark.createDataFrame(retracted, ["u", "v"])
+
+    for rounds in (1, 3):
+        hist = label_prop_history(base_df, rounds=rounds)
+        merged = label_prop_apply_changes(
+            post_df, add_df, re_df, hist, rounds=rounds
+        )
+        scratch = (
+            label_prop_history(post_df, rounds=rounds)
+            .filter(F.col("round") == rounds)
+            .select("n", "lab")
+        )
+        got = {(r["n"], r["lab"]) for r in merged.collect()}
+        want = {(r["n"], r["lab"]) for r in scratch.collect()}
+        assert got == want, f"rounds={rounds}"
+
+    # pure retraction path: node 5 loses one of two edges, node 7 absent
+    post2 = sorted(set(base) - set(retracted))
+    post2_df = spark.createDataFrame(post2, ["u", "v"])
+    hist = label_prop_history(base_df, rounds=2)
+    merged = label_prop_decremental(post2_df, re_df, hist, rounds=2)
+    scratch = (
+        label_prop_history(post2_df, rounds=2)
+        .filter(F.col("round") == 2)
+        .select("n", "lab")
+    )
+    assert {(r["n"], r["lab"]) for r in merged.collect()} == {
+        (r["n"], r["lab"]) for r in scratch.collect()
+    }
