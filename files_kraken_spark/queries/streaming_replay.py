@@ -1102,13 +1102,15 @@ def t_stream_join_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6h gap: ~q25-q50 of per-user deltas
 
 
-def _session_oracle_sql() -> str:
-    """Unrolled 16-step sequential session replay (DuckDB): state CTE
-    s{b} holds the open sessions after batch b; each step merges the
-    batch's kept events into state via one gaps-and-islands pass
-    (strict-overlap islands: a row starts a new island iff its start
-    is at or past the running max end) and splits the result into
-    evicted (end <= w_b) and still-open rows."""
+def _session_state_ctes() -> tuple[str, list[str]]:
+    """Shared unrolled 16-step sequential session state (DuckDB):
+    state CTE s{b} holds the open sessions after batch b; each step
+    merges the batch's kept events into state via one
+    gaps-and-islands pass (strict-overlap islands: a row starts a new
+    island iff its start is at or past the running max end) and
+    splits the result into evicted (end <= w_b) and still-open rows.
+    Returns (cte_block, emitted-session SELECTs) so both the replay
+    and the split audit compose from one state machine."""
     gap = SESSION_GAP_US
     s = f"""
 WITH sev AS (
@@ -1176,12 +1178,61 @@ s{b} AS MATERIALIZED (
         f"SELECT user_id, s_start, s_end, n, cents FROM {prev}, swf "
         f"WHERE s_end <= swf.w"
     )
-    s += (
-        "\nSELECT user_id, s_start AS session_start_us, "
+    return s, emits
+
+
+def _session_oracle_sql() -> str:
+    """The replay oracle: every emitted session, in the driver's
+    canonical column names."""
+    ctes, emits = _session_state_ctes()
+    return (
+        ctes
+        + "\nSELECT user_id, s_start AS session_start_us, "
         "s_end AS session_end_us, n AS n_events, cents AS value_sum_cents "
         "FROM (" + " UNION ALL ".join(emits) + ")"
     )
-    return s
+
+
+def _session_split_oracle_sql() -> str:
+    """The split-audit oracle: sequential emitted-session count vs a
+    from-scratch gaps-and-islands over the same kept events."""
+    ctes, emits = _session_state_ctes()
+    return (
+        ctes
+        + f""",
+fs AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, cents)
+                   IS NULL
+              OR t >= lag(t) OVER (PARTITION BY user_id ORDER BY t, cents)
+                      + {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM kept
+),
+fsi AS (
+  SELECT user_id, t,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS isl
+  FROM fs
+),
+fsg AS (
+  SELECT user_id, isl, max(t) + {SESSION_GAP_US} AS s_end
+  FROM fsi GROUP BY user_id, isl
+),
+fs_n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM fsg, swf WHERE s_end <= swf.w
+),
+seq_n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM ("""
+        + " UNION ALL ".join(emits)
+        + """)
+)
+SELECT seq_n.n AS n_sessions_sequential,
+       fs_n.n AS n_sessions_fromscratch,
+       seq_n.n - fs_n.n AS n_eviction_splits
+FROM seq_n, fs_n"""
+    )
 
 
 @register(
@@ -1277,4 +1328,133 @@ def t_session_watermark_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim,
         "user_id long, session_start_us long, session_end_us long, "
         "n_events long, value_sum_cents long",
+    )
+
+
+@register(
+    "t_session_drop_audit",
+    oracle=f"""
+WITH sev AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         ((event_id * 2654435761) % 4294967296) % {N_BATCHES} AS batch
+  FROM events
+),
+sbm AS (SELECT batch, max(t) AS mx FROM sev GROUP BY batch),
+swm AS (
+  SELECT a.batch, max(b.mx) - {DELAY_US} AS w
+  FROM sbm a JOIN sbm b ON b.batch <= a.batch - 2 GROUP BY a.batch
+)
+SELECT e.batch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE swm.w IS NOT NULL
+                             AND e.t + {SESSION_GAP_US} <= swm.w)
+            AS BIGINT) AS n_late_dropped,
+       CAST(count(*) FILTER (WHERE swm.w IS NULL
+                             OR e.t + {SESSION_GAP_US} > swm.w)
+            AS BIGINT) AS n_kept
+FROM sev e LEFT JOIN swm ON swm.batch = e.batch
+GROUP BY e.batch""",
+    doc="Per-batch drop accounting for the session replay — the "
+    "session sibling of t_stream_join_drop_audit: for each of the 16 "
+    "deterministic micro-batches, how many events arrived, how many "
+    "were dropped late (initial window end t+gap at or below the "
+    "batch watermark) and how many reached session state. The "
+    "decorrelated Knuth batching makes the watermark race to the "
+    "timeline's end by batch 2, so late traffic is heavy by design — "
+    "this audit is what an operator reads to see it (and the "
+    "kept-sum reconciles with t_session_watermark_replay's event "
+    "total, pytest-pinned). One broadcast of the 16-row watermark "
+    "table + one groupBy(batch).",
+)
+def t_session_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts div 1000").alias("t"),
+        F.expr(
+            f"((event_id * 2654435761) % 4294967296) % {N_BATCHES}"
+        ).alias("batch"),
+    )
+    bm = ev.groupBy("batch").agg(F.max("t").alias("mx"))
+    wm = _batch_watermarks(bm)
+    kept = F.col("w").isNull() | (F.col("t") + SESSION_GAP_US > F.col("w"))
+    return (
+        ev.join(F.broadcast(wm), "batch", "left")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count(F.when(~kept, 1)).cast("long").alias("n_late_dropped"),
+            F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+@register(
+    "t_session_split_audit",
+    oracle=_session_split_oracle_sql(),
+    doc="The eviction-SPLIT count as data — the honest measurement "
+    "behind the session replay's sequential model: how many sessions "
+    "the engine emits (sequential replay, state evicted per batch) "
+    "vs how many emit-eligible sessions (end at or below the final "
+    "watermark) a from-scratch sessionization of the SAME kept events "
+    "would form (pure gaps-and-islands), and the difference — "
+    "each split is a late-but-kept event whose mergeable neighbor "
+    "session was already emitted. Nonzero at sf0.01 (the driver's "
+    "hash-green on this row is the proof the split path is really "
+    "exercised, not a modeling artifact); if this were zero "
+    "everywhere the cheap from-scratch replay would suffice. "
+    "Sequential side reuses the 16-step unrolled state CTEs; "
+    "from-scratch side is one lag() islands pass over kept events.",
+)
+def t_session_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000").alias("t"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.expr(
+            f"((event_id * 2654435761) % 4294967296) % {N_BATCHES}"
+        ).alias("batch"),
+    )
+    bm = ev.groupBy("batch").agg(F.max("t").alias("mx"))
+    wm = _batch_watermarks(bm)
+    kept = ev.join(F.broadcast(wm), "batch", "left").filter(
+        F.col("w").isNull() | (F.col("t") + SESSION_GAP_US > F.col("w"))
+    )
+    wf = ev.agg((F.max("t") - F.lit(DELAY_US)).alias("w")).first()["w"]
+    wo = Window.partitionBy("user_id").orderBy("t", "cents")
+    fs = (
+        kept.withColumn("pt", F.lag("t").over(wo))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("pt").isNull()
+                | (F.col("t") >= F.col("pt") + SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "isl",
+            F.sum("is_new").over(
+                Window.partitionBy("user_id")
+                .orderBy("t", "cents")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "isl")
+        .agg((F.max("t") + F.lit(SESSION_GAP_US)).alias("s_end"))
+        # from-scratch counts only EMIT-ELIGIBLE sessions (end at or
+        # below the final watermark) — the comparable universe: every
+        # sequential emitted session has end <= wf, and each eligible
+        # from-scratch island decomposes into >=1 emitted sequential
+        # segments, so the delta is a true (nonnegative) split count
+        .filter(F.col("s_end") <= F.lit(wf))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_fs"))
+    )
+    seq = t_session_watermark_replay(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_seq")
+    )
+    return seq.crossJoin(fs).select(
+        F.col("n_seq").alias("n_sessions_sequential"),
+        F.col("n_fs").alias("n_sessions_fromscratch"),
+        (F.col("n_seq") - F.col("n_fs")).alias("n_eviction_splits"),
     )

@@ -876,3 +876,83 @@ def test_session_watermark_e2e_matches_replay(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 20  # real sessions closed, not a vacuous pass
+
+
+def test_session_audits_reconcile_with_pure_fold(spark):
+    """The session drop audit and split audit must reconcile with a
+    pure-python sequential fold of the same events: per-batch dropped
+    counts match, the replay's emitted event total equals kept minus
+    the never-emitted open-state remainder, and the split count is
+    exactly sequential-minus-fromscratch."""
+    from files_kraken_spark.queries.streaming_replay import (
+        DELAY_US,
+        N_BATCHES,
+        SESSION_GAP_US,
+        t_session_drop_audit,
+        t_session_split_audit,
+        t_session_watermark_replay,
+    )
+
+    gap = SESSION_GAP_US
+    by_batch: dict[int, list[tuple[int, int]]] = {}
+    for r in _events(spark):
+        b = ((r["event_id"] * 2654435761) % 4294967296) % N_BATCHES
+        by_batch.setdefault(b, []).append((int(r["user_id"]), int(r["ts"]) // 1000))
+
+    mx = {b: max(t for _, t in rows) for b, rows in by_batch.items()}
+    wm = {}
+    for b in range(N_BATCHES):
+        prior = [mx[x] for x in mx if x <= b - 2]
+        if prior:
+            wm[b] = max(prior) - DELAY_US
+    wf = max(mx.values()) - DELAY_US
+
+    # pure fold
+    opens: dict[int, list[list[int]]] = {}
+    emitted = []
+    dropped = {b: 0 for b in by_batch}
+    for b in range(N_BATCHES):
+        for u, t in by_batch.get(b, []):
+            if b in wm and t + gap <= wm[b]:
+                dropped[b] += 1
+                continue
+            opens.setdefault(u, []).append([t, t + gap, 1])
+        for u, ss in opens.items():
+            ss.sort()
+            merged = []
+            for s in ss:
+                if merged and s[0] < merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], s[1])
+                    merged[-1][2] += s[2]
+                else:
+                    merged.append(s)
+            if b in wm:
+                emitted.extend(s for s in merged if s[1] <= wm[b])
+                merged = [s for s in merged if s[1] > wm[b]]
+            opens[u] = merged
+    open_left = [s for ss in opens.values() for s in ss]
+    emitted.extend(s for s in open_left if s[1] <= wf)
+    open_left = [s for s in open_left if s[1] > wf]
+
+    audit = {
+        r["batch"]: (r["n_events"], r["n_late_dropped"], r["n_kept"])
+        for r in t_session_drop_audit(spark, SF).collect()
+    }
+    for b, rows in by_batch.items():
+        assert audit[b][0] == len(rows)
+        assert audit[b][1] == dropped[b], f"batch {b}"
+    kept_sum = sum(a[2] for a in audit.values())
+
+    replay = t_session_watermark_replay(spark, SF).collect()
+    emitted_events = sum(r["n_events"] for r in replay)
+    assert emitted_events == sum(s[2] for s in emitted)
+    open_events = sum(s[2] for s in open_left)
+    assert kept_sum == emitted_events + open_events
+
+    split = t_session_split_audit(spark, SF).first()
+    assert split["n_sessions_sequential"] == len(replay)
+    assert (
+        split["n_eviction_splits"]
+        == split["n_sessions_sequential"] - split["n_sessions_fromscratch"]
+    )
+    assert split["n_eviction_splits"] >= 0
