@@ -62,16 +62,28 @@ from . import graph_maintenance  # noqa: E402,F401
 from . import index_maintenance  # noqa: E402,F401
 
 # A budget-capped correctness pass walks the registry in order and may
-# only reach a prefix. Round-11 order (continuing the round-9 verdict
-# item-2 policy): the 22 NEW names come first — graph maintenance and
-# its tombstone halves, the streaming-semantics replays (watermarked
-# windows + the inner/left/full stream-stream join matrix), the
-# incremental/decremental BM25 text index, the DCT perceptual-hash
-# family, KMV A-not-B, personalized PageRank — then t_bm25_topk
-# (whose code path now composes operators/text_index.py). Names and
-# semantics of existing queries are byte-stable — only the iteration
-# order changes.
+# only reach a prefix. Round-12 order (continuing the round-9 verdict
+# item-2 policy): the 11 NEW names come first — the CC maintenance
+# router decision, the serve-only maintenance variants (persisted
+# state, merge-only measurement), label-prop and k-core maintenance
+# (the last two fixed-round graph analytics gain maintain paths, plus
+# the LP mixed changefeed), the curation tombstone leg, and the
+# event-time SESSION window replay with its drop/split audits — then
+# the round-11 block. Names and semantics of existing queries are
+# byte-stable — only the iteration order changes.
 _SAMPLE_PRIORITY = [
+    # -- NEW round 12: CC router decision + serve-only maintenance --
+    "g_cc_maintain_route",
+    "g_pagerank_serve_merged", "g_cc_serve_merged", "t_index_serve_merged",
+    # -- NEW round 12: label-prop + k-core maintenance legs --
+    "g_labelprop_incremental", "g_labelprop_changefeed",
+    "g_kcore_incremental",
+    # -- NEW round 12: curation tombstone leg --
+    "t_curation_decremental",
+    # -- NEW round 12: event-time session windows (sequential model
+    # with eviction splits) + measurement-as-data audits --
+    "t_session_watermark_replay", "t_session_drop_audit",
+    "t_session_split_audit",
     # -- NEW round 11: graph maintenance (delta-PageRank / incremental
     # CC with from-scratch-union oracles), streaming-semantics replays
     # (tumbling watermark, sliding windows), KMV A-not-B --
