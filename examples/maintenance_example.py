@@ -17,7 +17,8 @@ Walks four maintained-state families:
    always does — SCALING.md round-11 has the measured table).
 2. Connected components over the near-dup pair graph — incremental
    label merge for an append batch, component-local rebuild for a
-   tombstone batch.
+   tombstone batch, and (round 12) `cc_maintain`'s damage-fraction
+   router picking merge-vs-retrain from the data.
 3. BM25 text index — counters sum for appends, subtract for
    retractions; serving reads the merged state, never rescans the
    surviving corpus.
@@ -109,6 +110,15 @@ def main() -> None:
     )
     print("[cc] components after tombstone rebuild:",
           shrunk.select("component").distinct().count())
+
+    # round-12: the CC router measures the tombstone DAMAGE fraction
+    # (share of docs in components the retraction touches) and picks
+    # merge vs retrain — bit-identical labels either way
+    routed_cc = DD.cc_maintain(
+        full_state, pr.filter(both_base),
+        retracted_pairs=pr.filter(~both_base),
+    )
+    print("[cc] routed tombstone result rows:", routed_cc.count())
 
     # ---- 3. BM25 index: counters sum on append, subtract on retract
     base = docs.filter(F.col("doc_id") % 10 < 8)
