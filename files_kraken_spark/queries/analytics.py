@@ -1072,21 +1072,24 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
+def _kcore_oracle_sql(k: int = 3, rounds: int = 8, where: str = "") -> str:
     """Unrolled k-core peeling replay: each round recomputes degrees on
     the surviving subgraph and drops nodes below k — the same
     fixed-round contract as the PageRank / power-iteration oracles
     (both engines run EXACTLY ``rounds`` rounds; the graph here
-    converges in far fewer)."""
+    converges in far fewer). ``where`` filters the order universe
+    (round-12: the k-core changefeed oracle is the same peeling from
+    scratch over the post-change graph)."""
     # AS MATERIALIZED: each round references its predecessor three
     # times (two degree legs + the edge filter); DuckDB's default CTE
     # inlining would blow the plan up 3^rounds-fold (observed as a
     # too-many-open-files parquet-scan storm)
-    s = """
+    s = f"""
 WITH e0 AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  {where}
 )"""
     prev = "e0"
     for r in range(1, rounds + 1):

@@ -1142,3 +1142,49 @@ def g_labelprop_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_prop_apply_changes(
         post_e, added_e, retracted_e, hist, rounds=4
     ).select(F.col("n").alias("node"), F.col("lab").alias("community"))
+
+
+@register(
+    "g_kcore_changefeed",
+    oracle=_kcore_oracle_sql(3, 8, "WHERE a.l_orderkey % 10 <> 8"),
+    doc="MIXED-changefeed k-core maintenance — completes the k-core "
+    "symmetry with PageRank/CC/LP (round-12): the class 0-8 "
+    "co-purchase graph's alive trajectory is the base state; one "
+    "batch then RETRACTS the class-8 orders' exclusive edges (peeled "
+    "regions can unravel — degree drops cascade) and ADDS the "
+    "class-9 exclusives (peeled nodes can be rescued), and "
+    "kcore_apply_changes serves the post-change core by re-evaluating "
+    "only the dirty cone, probed over the symmetrized post∪retracted "
+    "edges; nodes whose last edge died leave the node set. Oracle = "
+    "the FROM-SCRATCH 8-round unrolled peeling on the post-change "
+    "graph (q_kcore_parts' SQL with the order filter — one formula "
+    "source). Exact via integer degree thresholds and membership "
+    "overlays.",
+)
+def g_kcore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import (
+        cooccurrence_edges,
+        kcore_apply_changes,
+        kcore_history,
+    )
+    from ..operators.ranks import pin_frame
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    cls = F.col("l_orderkey") % 10
+
+    def _edges(flt):
+        return cooccurrence_edges(
+            li.filter(flt), "l_orderkey", "l_partkey", directed=False
+        )
+
+    base_e = pin_frame(_edges(cls != 9))
+    post_e = pin_frame(_edges(cls != 8))
+    added_e = post_e.join(base_e, ["u", "v"], "left_anti")
+    retracted_e = base_e.join(post_e, ["u", "v"], "left_anti")
+    hist = kcore_history(base_e, k=3, rounds=8)
+    return kcore_apply_changes(
+        post_e, hist, added_edges=added_e, retracted_edges=retracted_e,
+        k=3, rounds=8,
+    ).select(F.col("node").alias("part_id"), "core_degree")
