@@ -161,6 +161,14 @@ def main():
         mid-benchmark."""
         spec = REGISTRY["q1_pricing_summary"]
         spark.catalog.clearCache()
+        # GC barrier (round-12): after ~300 timed runs the closing
+        # sentinel was consistently 1.4-1.5x the opening one (0.30 ->
+        # 0.43/0.55 on an otherwise idle box) — JVM garbage backlog,
+        # not machine load. The sentinel exists to measure the BOX, so
+        # drain collector debt before timing it; per-query timings are
+        # untouched (GC pressure is part of a query's real cost).
+        spark._jvm.System.gc()
+        time.sleep(1.0)
         t0 = time.time()
         spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
