@@ -1319,3 +1319,191 @@ def kcore_incremental(
         u_col=u_col,
         v_col=v_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12: shared frontier-saturation router. pagerank_maintain
+# (round 11) and cc_maintain (dedup.py, round 12) established the
+# pattern — both merge paths are exact, so routing is pure cost, and
+# the cost signal is a data property probed in O(1) bounded jobs.
+# label-prop and k-core merges share PageRank's failure mode (a dense
+# graph saturates D_1 and the "frontier-local" merge recomputes
+# everything plus bookkeeping), so they get the same |D_1|/|V| probe.
+# ---------------------------------------------------------------------------
+
+
+def one_hop_dirty_fraction(
+    probe_edges: DataFrame,
+    delta_edges: DataFrame,
+    base_nodes: DataFrame,
+    all_nodes: DataFrame,
+) -> tuple[int, int]:
+    """(|D_1|, |V|) — the one-hop dirty set of ``delta_edges`` under
+    the :func:`dirty_frontiers` recurrence over ``probe_edges``, and
+    the node universe size. Two bounded column-pruned jobs; the dirty
+    sequence is monotone, so a saturated D_1 PROVES every round
+    recomputes ~everything (routing to retrain is safe), while an
+    unsaturated D_1 only under-estimates later rounds (routing to
+    merge is mildly conservative). Callers pass REVERSED edges for
+    label-prop (influence flows v→u) and symmetrized edges for
+    k-core."""
+    d1 = dirty_frontiers(probe_edges, delta_edges, base_nodes, iters=1)[0]
+    return d1.count(), all_nodes.count()
+
+
+def labelprop_maintain(
+    edges: DataFrame,
+    delta_edges: DataFrame,
+    history: DataFrame,
+    rounds: int = 4,
+    frontier_threshold_pct: int = 50,
+    mode: str = "auto",
+    retracted_edges: DataFrame | None = None,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Stats-driven routing entry point for label-prop maintenance —
+    the LP sibling of :func:`pagerank_maintain`: both paths return
+    IDENTICAL labels (merged-equals-retrained is exact), so ``auto``
+    probes the one-hop dirty fraction over the REVERSED edge list and
+    retrains past ``frontier_threshold_pct`` (with a warning). The
+    retrain is :func:`label_prop_history`'s final round on ``edges``;
+    the merge is the shared core behind
+    :func:`label_prop_incremental` / :func:`label_prop_apply_changes`.
+    ``mode='merge'`` / ``'retrain'`` force a path with zero probe
+    jobs."""
+    if mode not in ("auto", "merge", "retrain"):
+        raise ValueError(f"mode must be auto|merge|retrain, got {mode!r}")
+
+    def _merge() -> DataFrame:
+        return _label_prop_merge_core(
+            edges,
+            added_edges=delta_edges,
+            retracted_edges=retracted_edges,
+            history=history,
+            rounds=rounds,
+            u_col=u_col,
+            v_col=v_col,
+        )
+
+    def _retrain() -> DataFrame:
+        return (
+            label_prop_history(edges, rounds=rounds, u_col=u_col, v_col=v_col)
+            .filter(F.col("round") == rounds)
+            .select("n", "lab")
+        )
+
+    if mode == "merge":
+        return _merge()
+    if mode == "retrain":
+        return _retrain()
+
+    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    d = delta_edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+
+    def _rev(x):
+        return x.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+
+    probe = _rev(e)
+    delta_rev = _rev(d)
+    if retracted_edges is not None:
+        r = retracted_edges.select(
+            F.col(u_col).alias("u"), F.col(v_col).alias("v")
+        )
+        probe = probe.unionByName(_rev(r))
+        delta_rev = delta_rev.unionByName(_rev(r))
+    base_nodes = history.filter(F.col("round") == 0).select(
+        F.col("n").alias("node")
+    )
+    nodes = e.select(F.col("u").alias("node")).distinct()
+    n_dirty, n_nodes = one_hop_dirty_fraction(
+        probe, delta_rev, base_nodes, nodes
+    )
+    if n_nodes and 100 * n_dirty > frontier_threshold_pct * n_nodes:
+        import warnings
+
+        warnings.warn(
+            f"labelprop_maintain: one-hop dirty fraction "
+            f"{n_dirty}/{n_nodes} exceeds {frontier_threshold_pct}% — "
+            "routing to full retrain (frontier-local merge would cost "
+            "more than it saves on this graph/batch)",
+            stacklevel=2,
+        )
+        return _retrain()
+    return _merge()
+
+
+def kcore_maintain(
+    edges: DataFrame,
+    delta_edges: DataFrame,
+    history: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    frontier_threshold_pct: int = 50,
+    mode: str = "auto",
+    retracted_edges: DataFrame | None = None,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Stats-driven routing entry point for k-core maintenance — same
+    contract as :func:`labelprop_maintain` with symmetrized probes
+    (peeling influence is undirected). The retrain is
+    :func:`kcore_history`'s final round + degree pass on ``edges``;
+    the merge is :func:`kcore_apply_changes`. Both emit the
+    ``q_kcore_parts`` output shape ``(node, core_degree)``."""
+    if mode not in ("auto", "merge", "retrain"):
+        raise ValueError(f"mode must be auto|merge|retrain, got {mode!r}")
+
+    def _merge() -> DataFrame:
+        return kcore_apply_changes(
+            edges,
+            history,
+            added_edges=delta_edges,
+            retracted_edges=retracted_edges,
+            k=k,
+            rounds=rounds,
+            u_col=u_col,
+            v_col=v_col,
+        )
+
+    def _retrain() -> DataFrame:
+        hist = kcore_history(edges, k=k, rounds=rounds, u_col=u_col, v_col=v_col)
+        alive = hist.filter(F.col("round") == rounds).select("node")
+        es = _sym(edges.select(u_col, v_col), u_col, v_col)
+        return (
+            es.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .groupBy("dst")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+            .filter(F.col("core_degree") >= k)
+            .select(F.col("dst").alias("node"), "core_degree")
+        )
+
+    if mode == "merge":
+        return _merge()
+    if mode == "retrain":
+        return _retrain()
+
+    probe = _sym(edges.select(u_col, v_col), u_col, v_col)
+    delta_sym = _sym(delta_edges.select(u_col, v_col), u_col, v_col)
+    if retracted_edges is not None:
+        r_sym = _sym(retracted_edges.select(u_col, v_col), u_col, v_col)
+        probe = probe.unionByName(r_sym)
+        delta_sym = delta_sym.unionByName(r_sym)
+    base_nodes = history.filter(F.col("round") == 0).select("node")
+    nodes = probe.select(F.col("src").alias("node")).distinct()
+    n_dirty, n_nodes = one_hop_dirty_fraction(
+        probe, delta_sym, base_nodes, nodes
+    )
+    if n_nodes and 100 * n_dirty > frontier_threshold_pct * n_nodes:
+        import warnings
+
+        warnings.warn(
+            f"kcore_maintain: one-hop dirty fraction "
+            f"{n_dirty}/{n_nodes} exceeds {frontier_threshold_pct}% — "
+            "routing to full retrain (frontier-local merge would cost "
+            "more than it saves on this graph/batch)",
+            stacklevel=2,
+        )
+        return _retrain()
+    return _merge()

@@ -63,7 +63,7 @@ from . import index_maintenance  # noqa: E402,F401
 
 # A budget-capped correctness pass walks the registry in order and may
 # only reach a prefix. Round-12 order (continuing the round-9 verdict
-# item-2 policy): the 12 NEW names come first — the CC maintenance
+# item-2 policy): the 13 NEW names come first — the CC maintenance
 # router decision, the serve-only maintenance variants (persisted
 # state, merge-only measurement), label-prop and k-core maintenance
 # (the last two fixed-round graph analytics gain maintain paths, plus
@@ -77,7 +77,7 @@ _SAMPLE_PRIORITY = [
     "g_pagerank_serve_merged", "g_cc_serve_merged", "t_index_serve_merged",
     # -- NEW round 12: label-prop + k-core maintenance legs --
     "g_labelprop_incremental", "g_labelprop_changefeed",
-    "g_kcore_incremental", "g_kcore_changefeed",
+    "g_kcore_incremental", "g_kcore_changefeed", "g_kcore_maintain_route",
     # -- NEW round 12: curation tombstone leg --
     "t_curation_decremental",
     # -- NEW round 12: event-time session windows (sequential model

@@ -1188,3 +1188,100 @@ def g_kcore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         post_e, hist, added_edges=added_e, retracted_edges=retracted_e,
         k=3, rounds=8,
     ).select(F.col("node").alias("part_id"), "core_degree")
+
+
+@register(
+    "g_kcore_maintain_route",
+    oracle="""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+eb AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 10 < 8
+),
+ed AS (SELECT u, v FROM e0 EXCEPT SELECT u, v FROM eb),
+esym AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+dn AS (SELECT u AS n FROM ed UNION SELECT v FROM ed),
+bn AS (SELECT u AS n FROM eb UNION SELECT v FROM eb),
+newn AS (SELECT n FROM dn EXCEPT SELECT n FROM bn),
+d1 AS (
+  SELECT n FROM newn
+  UNION
+  SELECT e.dst FROM esym e JOIN dn s ON s.n = e.src
+),
+vn AS (SELECT src AS n FROM esym UNION SELECT dst FROM esym),
+c AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM d1) AS n_dirty_d1,
+         (SELECT CAST(count(*) AS BIGINT) FROM vn) AS n_nodes
+)
+SELECT n_nodes, n_dirty_d1,
+       CAST((n_dirty_d1 * 1000000) // n_nodes AS BIGINT) AS dirty_ppm,
+       CASE WHEN 100 * n_dirty_d1 > 50 * n_nodes
+            THEN 'retrain' ELSE 'merge' END AS route
+FROM c""",
+    doc="The kcore_maintain (and, on this symmetric graph, "
+    "labelprop_maintain — both probe the same one-hop dirty set here) "
+    "routing decision as data — the parts-co-purchase contrast datum "
+    "to g_pagerank_maintain_route's supply graph: the one-hop dirty "
+    "fraction |D_1|/|V| of the late-order edge batch (symmetrized "
+    "probe, since peeling influence is undirected; the dirty-set "
+    "seed is all delta endpoints, which on a symmetric edge list "
+    "equals dirty_frontiers' src-side seed) and the route at the "
+    "default 50% threshold. All router paths return identical "
+    "results (pytest-pinned), so this one number IS the decision. "
+    "Exact BIGINT counts, ppm by truncating division; probe cost two "
+    "bounded jobs.",
+)
+def g_kcore_maintain_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import (
+        _sym,
+        cooccurrence_edges,
+        dirty_frontiers,
+    )
+    from ..operators.ranks import pin_frame
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    union_e = pin_frame(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey", directed=False)
+    )
+    base_e = pin_frame(
+        cooccurrence_edges(
+            li.filter(F.col("l_orderkey") % 10 < 8),
+            "l_orderkey",
+            "l_partkey",
+            directed=False,
+        )
+    )
+    delta_e = union_e.join(base_e, ["u", "v"], "left_anti")
+    probe = _sym(union_e)
+    delta_sym = _sym(delta_e)
+    base_nodes = (
+        _sym(base_e).select(F.col("src").alias("node")).distinct()
+    )
+    d1 = dirty_frontiers(probe, delta_sym, base_nodes, iters=1)[0]
+    nd = d1.agg(F.count(F.lit(1)).cast("long").alias("n_dirty_d1"))
+    nn = (
+        probe.select(F.col("src").alias("node"))
+        .unionByName(probe.select(F.col("dst").alias("node")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    return nn.crossJoin(nd).select(
+        "n_nodes",
+        "n_dirty_d1",
+        F.expr("CAST((n_dirty_d1 * 1000000) DIV n_nodes AS BIGINT)").alias(
+            "dirty_ppm"
+        ),
+        F.when(
+            100 * F.col("n_dirty_d1") > 50 * F.col("n_nodes"), F.lit("retrain")
+        )
+        .otherwise(F.lit("merge"))
+        .alias("route"),
+    )

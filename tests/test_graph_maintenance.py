@@ -578,3 +578,73 @@ def test_label_prop_apply_changes_equals_from_scratch(spark):
     assert {(r["n"], r["lab"]) for r in merged.collect()} == {
         (r["n"], r["lab"]) for r in scratch.collect()
     }
+
+
+def test_labelprop_and_kcore_maintain_routes_agree(spark):
+    """The LP and k-core routers' paths are interchangeable — merge,
+    retrain and both forced-auto branches return identical results —
+    and the retrain route warns."""
+    import warnings
+
+    from files_kraken_spark.operators.graph import (
+        kcore_history,
+        kcore_maintain,
+        label_prop_history,
+        labelprop_maintain,
+    )
+
+    def sym(pairs):
+        return sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+
+    base = sym([(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    delta = sym([(5, 6), (2, 5)])
+    union = sorted(set(base) | set(delta))
+    base_df = spark.createDataFrame(base, ["u", "v"])
+    delta_df = spark.createDataFrame(delta, ["u", "v"])
+    union_df = spark.createDataFrame(union, ["u", "v"])
+
+    hist = label_prop_history(base_df, rounds=2)
+    outs = {}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        for key, kw in (
+            ("merge", {"mode": "merge"}),
+            ("retrain", {"mode": "retrain"}),
+            ("auto_hi", {"mode": "auto", "frontier_threshold_pct": 100}),
+            ("auto_lo", {"mode": "auto", "frontier_threshold_pct": 0}),
+        ):
+            outs[key] = {
+                (r["n"], r["lab"])
+                for r in labelprop_maintain(
+                    union_df, delta_df, hist, rounds=2, **kw
+                ).collect()
+            }
+    assert outs["merge"] == outs["retrain"] == outs["auto_hi"] == outs["auto_lo"]
+    assert any("labelprop_maintain" in str(x.message) for x in w)
+
+    # k-core: canonical undirected edges
+    kb = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    kd = [(3, 5), (4, 6), (5, 6), (3, 6)]
+    kbase = spark.createDataFrame(kb, ["u", "v"])
+    kdelta = spark.createDataFrame(kd, ["u", "v"])
+    kunion = spark.createDataFrame(sorted(set(kb) | set(kd)), ["u", "v"])
+    khist = kcore_history(kbase, k=3, rounds=3)
+    kouts = {}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        for key, kw in (
+            ("merge", {"mode": "merge"}),
+            ("retrain", {"mode": "retrain"}),
+            ("auto_hi", {"mode": "auto", "frontier_threshold_pct": 100}),
+            ("auto_lo", {"mode": "auto", "frontier_threshold_pct": 0}),
+        ):
+            kouts[key] = {
+                (r["node"], r["core_degree"])
+                for r in kcore_maintain(
+                    kunion, kdelta, khist, k=3, rounds=3, **kw
+                ).collect()
+            }
+    assert (
+        kouts["merge"] == kouts["retrain"] == kouts["auto_hi"] == kouts["auto_lo"]
+    )
+    assert any("kcore_maintain" in str(x.message) for x in w)
