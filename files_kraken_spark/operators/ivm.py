@@ -1,0 +1,240 @@
+"""Incremental view maintenance (IVM) for join-aggregate views —
+the RELATIONAL leg of the maintain-vs-retrain story (round 12).
+
+Every other analytics family already carries a maintenance contract
+(graph trajectories, BM25 counters, IVF assignments, curation flags,
+dedup clusters); this module gives the same contract to the oldest
+shape in the book: a materialized ``SELECT key, aggs FROM fact JOIN
+dim GROUP BY key`` view kept current under inserts AND retractions,
+using the classic delta-join expansion
+
+    Δ(O ⋈ L) = ΔO ⋈ L  ∪  O ⋈ ΔL  ∪  ΔO ⋈ ΔL
+
+(three |Δ|-bounded joins — the base⋈base term is the persisted view
+and is never recomputed) and split aggregate handling:
+
+- **Subtractable aggregates** (COUNT / SUM over exact integers):
+  maintained as additive BIGINT counters — insert adds, retraction
+  subtracts, a group whose count reaches zero leaves the view. Exact
+  by construction: integer addition is associative and commutative,
+  so merge order and partitioning cannot change a bit.
+- **Non-subtractable aggregates** (MIN / MAX): a retraction may have
+  removed the extreme, so affected groups are RE-ELECTED by
+  rescanning only their surviving fact rows — a semi-join-bounded
+  rescan, the same re-election design ``t_curation_decremental``
+  uses for dedup representatives. Insert-only merges never rescan
+  (``least``/``greatest`` against the delta suffices).
+
+Exactness discipline (house rule, see operators/graph.py): every
+measure is fixed-point BIGINT — quantities as integers, prices in
+cents, revenue in cent-percent micro-units (price_cents × (100 −
+discount_pct)) — so merged-equals-retrained is bit-identical and the
+DuckDB oracle replays it with integer arithmetic only. Float division
+happens once, in fixed shape, at presentation.
+
+Scale shape at 100 TB: the view state is |groups| rows (bucketed by
+the group key in the store); an insert batch costs three
+|Δ|-broadcast joins plus one |Δ-groups|-bounded outer-join merge; a
+retraction batch adds one rescan bounded by the AFFECTED groups'
+fact rows (orders bucketed by group key ⇒ partition-pruned). The
+router probe (two bounded aggregates) reads the affected-group
+fraction and falls back to a full retrain past the configured
+threshold — the ``pagerank_maintain`` design applied to SQL views.
+
+Reference parity note: the reference engine (files-kraken,
+/root/reference/src — a TinyDB file watcher) has no materialized
+views; this family is part of the beyond-reference surface (SURVEY
+§6), motivated by continuous-aggregate maintenance in stream
+processors (Flink's retract streams, Materialize/DBSP deltas) —
+public designs, re-expressed as Spark DataFrame algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "fact_rows",
+    "view_aggregate",
+    "merge_insert",
+    "apply_changes",
+    "present_view",
+]
+
+#: group key of the maintained view
+KEY = "o_custkey"
+
+_COUNTERS = ("n_items", "sum_qty", "sum_rev_c100")
+_MINMAX = ("min_price_c", "max_qty")
+
+
+def _micro(col: str, scale: int) -> Column:
+    """Exact fixed-point lift: round(col * scale) as BIGINT. The
+    synthetic TPC-H doubles carry ≤2 decimal digits, so round() at
+    cent scale is exact on both engines."""
+    return F.round(F.col(col) * scale).cast("long")
+
+
+def fact_rows(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The view's fact rows: orders ⋈ lineitem on the order key,
+    projected to the group key + exact integer measures. Column
+    pruning happens here (two joins of 3- and 4-column projections,
+    never full rows); at scale both sides are bucketed by
+    l_orderkey so this join is co-located."""
+    o = orders.select("o_orderkey", KEY)
+    l = lineitem.select(
+        "l_orderkey",
+        F.round("l_quantity").cast("long").alias("qty"),
+        _micro("l_extendedprice", 100).alias("price_c"),
+        (
+            _micro("l_extendedprice", 100)
+            * (F.lit(100) - _micro("l_discount", 100))
+        ).alias("rev_c100"),
+    )
+    return l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        KEY, "o_orderkey", "qty", "price_c", "rev_c100"
+    )
+
+
+def view_aggregate(facts: DataFrame) -> DataFrame:
+    """From-scratch aggregation of fact rows into view state — also
+    the shape of each delta-side partial aggregate. All BIGINT."""
+    return facts.groupBy(KEY).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("qty").cast("long").alias("sum_qty"),
+        F.sum("rev_c100").cast("long").alias("sum_rev_c100"),
+        F.min("price_c").cast("long").alias("min_price_c"),
+        F.max("qty").cast("long").alias("max_qty"),
+    )
+
+
+def merge_insert(state: DataFrame, delta_facts: DataFrame) -> DataFrame:
+    """Insert-only merge: counters add, MIN/MAX fold with least/
+    greatest — no rescan anywhere. One outer join bounded by
+    |state ∪ Δ-groups| (AQE broadcasts the delta side)."""
+    d = view_aggregate(delta_facts)
+    s = state.select(
+        KEY, *[F.col(c).alias(f"s_{c}") for c in _COUNTERS + _MINMAX]
+    )
+    d = d.select(KEY, *[F.col(c).alias(f"d_{c}") for c in _COUNTERS + _MINMAX])
+    j = s.join(d, KEY, "full_outer")
+    cols = [F.col(KEY)]
+    for c in _COUNTERS:
+        cols.append(
+            (
+                F.coalesce(f"s_{c}", F.lit(0)) + F.coalesce(f"d_{c}", F.lit(0))
+            )
+            .cast("long")
+            .alias(c)
+        )
+    cols.append(F.least("s_min_price_c", "d_min_price_c").alias("min_price_c"))
+    cols.append(F.greatest("s_max_qty", "d_max_qty").alias("max_qty"))
+    return j.select(*cols)
+
+
+def apply_changes(
+    state: DataFrame,
+    ins_facts: DataFrame | None,
+    del_facts: DataFrame | None,
+    survivor_facts: DataFrame | None = None,
+) -> DataFrame:
+    """General changefeed merge (inserts + retractions in one batch).
+
+    Counters: one full-outer merge of three partial aggregates —
+    O(|state| ∪ |Δ-groups|), delta sides broadcast. Groups whose
+    count reaches zero leave the view (a retracted-empty group has
+    no row, exactly like k-core's membership overlay).
+
+    MIN/MAX: groups with NO retraction fold with least/greatest;
+    groups WITH a retraction re-elect from ``survivor_facts``
+    restricted to those groups (left-semi bounded rescan).
+    ``survivor_facts`` must be the post-change fact rows (base minus
+    retracted, plus inserted) — the caller owns that definition
+    because it knows which store the survivors live in.
+    """
+    sides = {"s": state}
+    if ins_facts is not None:
+        sides["i"] = view_aggregate(ins_facts)
+    if del_facts is not None:
+        sides["d"] = view_aggregate(del_facts)
+
+    j = None
+    for tag, df in sides.items():
+        named = df.select(
+            KEY, *[F.col(c).alias(f"{tag}_{c}") for c in _COUNTERS + _MINMAX]
+        )
+        j = named if j is None else j.join(named, KEY, "full_outer")
+
+    def _ctr(c: str) -> Column:
+        out = F.coalesce(F.col(f"s_{c}"), F.lit(0))
+        if "i" in sides:
+            out = out + F.coalesce(F.col(f"i_{c}"), F.lit(0))
+        if "d" in sides:
+            out = out - F.coalesce(F.col(f"d_{c}"), F.lit(0))
+        return out.cast("long").alias(c)
+
+    if "i" in sides:
+        fold_min = F.least("s_min_price_c", "i_min_price_c")
+        fold_max = F.greatest("s_max_qty", "i_max_qty")
+    else:  # least/greatest need two args; with no insert side the
+        # fold is the state value itself
+        fold_min = F.col("s_min_price_c")
+        fold_max = F.col("s_max_qty")
+    merged = j.select(
+        F.col(KEY),
+        *[_ctr(c) for c in _COUNTERS],
+        fold_min.alias("fold_min_price_c"),
+        fold_max.alias("fold_max_qty"),
+        (
+            F.col("d_n_items").isNotNull()
+            if "d" in sides
+            else F.lit(False)
+        ).alias("had_retraction"),
+    ).filter(F.col("n_items") > 0)
+
+    if "d" not in sides:
+        return merged.select(
+            KEY,
+            *_COUNTERS,
+            F.col("fold_min_price_c").alias("min_price_c"),
+            F.col("fold_max_qty").alias("max_qty"),
+        )
+
+    if survivor_facts is None:
+        raise ValueError("retractions require survivor_facts for re-election")
+
+    affected = merged.filter("had_retraction").select(KEY)
+    reelected = (
+        survivor_facts.join(F.broadcast(affected), KEY, "left_semi")
+        .groupBy(KEY)
+        .agg(
+            F.min("price_c").cast("long").alias("re_min_price_c"),
+            F.max("qty").cast("long").alias("re_max_qty"),
+        )
+    )
+    return merged.join(reelected, KEY, "left").select(
+        KEY,
+        *_COUNTERS,
+        F.when(F.col("had_retraction"), F.col("re_min_price_c"))
+        .otherwise(F.col("fold_min_price_c"))
+        .alias("min_price_c"),
+        F.when(F.col("had_retraction"), F.col("re_max_qty"))
+        .otherwise(F.col("fold_max_qty"))
+        .alias("max_qty"),
+    )
+
+
+def present_view(state: DataFrame) -> DataFrame:
+    """Presentation projection: micro-units truncate to cents with
+    integer DIV (house rule — no float rounding, whose half-way ties
+    the two engines break differently), then ONE exact-integer/100.0
+    division, identical IEEE result on both engines."""
+    return state.select(
+        KEY,
+        "n_items",
+        "sum_qty",
+        (F.expr("sum_rev_c100 DIV 100") / 100.0).alias("revenue"),
+        (F.col("min_price_c") / 100.0).alias("min_price"),
+        "max_qty",
+    )

@@ -1062,3 +1062,119 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def phash_bands(hashes: DataFrame) -> DataFrame:
+    """Band fan-out shared by the from-scratch pair builder and the
+    index-maintenance merge: 4 x 8-bit keys per hash, one row per
+    (media_id, band). In a deployment this IS the persisted index —
+    a (band, key) -> postings table — so "re-banding" stored hashes
+    below is a projection of state, never an image rescan."""
+    return hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("phash"), b * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "media_id", "phash",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+
+
+def _phash_verify(cand: DataFrame, max_hamming: int) -> DataFrame:
+    return cand.distinct().filter(F.col("hamming") <= max_hamming)
+
+
+def phash_index_apply(
+    base_pairs: DataFrame,
+    base_hashes: DataFrame,
+    batch_hashes: DataFrame | None = None,
+    tombstone_ids: DataFrame | None = None,
+    max_hamming: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Maintain a pHash near-dup PAIR index under appends and
+    retractions — the multimodal leg of the maintain-vs-retrain
+    story (round 12), same contract as ``text_index.merge_vocab_df``
+    and the graph trajectory merges:
+
+    - **retractions**: a tombstoned image can only REMOVE pairs it
+      participates in (pair membership is a pure function of the two
+      endpoint hashes), so the merge is two broadcast anti-joins on
+      the endpoints plus dropping the hash row — no re-verification
+      anywhere, O(|pairs| scan, |tombstones| broadcast).
+    - **appends**: every NEW pair has >= 1 batch endpoint, so only
+      batch images are hashed (the expensive mapInPandas decode+DCT
+      runs over the batch alone) and candidates come from two band
+      joins — batch x surviving-base and batch x batch — never
+      base x base, which the persisted pairs already cover. The two
+      candidate sets and the carried pairs are mutually disjoint
+      (0/1/2 batch endpoints respectively), so the merge union needs
+      no dedup.
+
+    Returns ``(pairs, hashes)`` after the batch. Exact by
+    construction: pairs are set-valued, every stage is an integer
+    join/filter, so merged == from-scratch on the surviving corpus
+    bit-for-bit (the oracle-paired mm_phash_* queries prove it).
+    At 100 TB the base side is the stored (band, key) postings table
+    (bucketed by key); the batch probes it with a |batch|-bounded
+    join — the same cost model as dedup_incremental's
+    batch-vs-corpus MinHash join."""
+    pairs, hashes = base_pairs, base_hashes
+    if tombstone_ids is not None:
+        t = tombstone_ids.select(
+            F.col(tombstone_ids.columns[0]).alias("media_id")
+        )
+        pairs = pairs.join(
+            F.broadcast(t.select(F.col("media_id").alias("id_a"))),
+            "id_a",
+            "left_anti",
+        ).join(
+            F.broadcast(t.select(F.col("media_id").alias("id_b"))),
+            "id_b",
+            "left_anti",
+        )
+        hashes = hashes.join(F.broadcast(t), "media_id", "left_anti")
+    if batch_hashes is not None:
+        nb, ob = phash_bands(batch_hashes), phash_bands(hashes)
+        a, b = nb.alias("a"), ob.alias("b")
+        cross = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        ).select(
+            F.least("a.media_id", "b.media_id").alias("id_a"),
+            F.greatest("a.media_id", "b.media_id").alias("id_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        a2, b2 = nb.alias("a"), nb.alias("b")
+        within = a2.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        ).select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        new_pairs = _phash_verify(cross, max_hamming).unionByName(
+            _phash_verify(within, max_hamming)
+        )
+        pairs = pairs.select("id_a", "id_b", "hamming").unionByName(new_pairs)
+        hashes = hashes.unionByName(batch_hashes)
+    return pairs, hashes

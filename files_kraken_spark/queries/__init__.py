@@ -60,6 +60,8 @@ from . import ann_maintenance  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import graph_maintenance  # noqa: E402,F401
 from . import index_maintenance  # noqa: E402,F401
+from . import view_maintenance  # noqa: E402,F401
+from . import phash_maintenance  # noqa: E402,F401
 
 # A budget-capped correctness pass walks the registry in order and may
 # only reach a prefix. Round-12 order (continuing the round-9 verdict
@@ -72,6 +74,14 @@ from . import index_maintenance  # noqa: E402,F401
 # the round-11 block. Names and semantics of existing queries are
 # byte-stable — only the iteration order changes.
 _SAMPLE_PRIORITY = [
+    # -- NEW round 12: relational IVM — join-aggregate views under
+    # inserts AND retractions (delta-join expansion, subtractable
+    # counters, MIN/MAX re-election, router, serve-only split) --
+    "v_ivm_incremental", "v_ivm_decremental", "v_ivm_changefeed",
+    "v_ivm_maintain_route", "v_ivm_serve_merged", "v_ivm_delta_cost",
+    # -- NEW round 12: pHash near-dup index maintenance (every
+    # near-dup family now carries a maintain path) --
+    "mm_phash_incremental", "mm_phash_decremental", "mm_phash_changefeed",
     # -- NEW round 12: CC router decision + serve-only maintenance --
     "g_cc_maintain_route",
     "g_pagerank_serve_merged", "g_cc_serve_merged", "t_index_serve_merged",

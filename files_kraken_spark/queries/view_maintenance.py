@@ -1,0 +1,350 @@
+"""Incremental view maintenance queries (round 12) — the RELATIONAL
+leg of the maintain-vs-retrain story, next to graph
+(``queries/graph_maintenance``), text-index
+(``queries/index_maintenance``), ANN (``queries/ann_maintenance``),
+curation (``t_curation_*``) and dedup (``dedup_incremental``):
+
+- ``v_ivm_incremental`` — merge an insert batch into a persisted
+  join-aggregate view via the classic delta-join expansion
+  ΔO⋈L ∪ O⋈ΔL ∪ ΔO⋈ΔL (three |Δ|-bounded joins, base⋈base never
+  recomputed); oracle = the from-scratch view on the full union.
+- ``v_ivm_decremental`` — retract a tombstoned-order batch:
+  COUNT/SUM subtract as BIGINT counters, emptied groups leave the
+  view, MIN/MAX re-elect over ONLY the affected groups' survivors
+  (the non-subtractable aggregates' rescan, semi-join bounded).
+- ``v_ivm_changefeed`` — inserts and retractions in ONE batch
+  through the shared merge core (``operators/ivm.apply_changes``).
+- ``v_ivm_delta_cost`` — the maintenance cost model as data: how
+  many fact rows / groups the batch actually touches vs view totals.
+- ``v_ivm_maintain_route`` — the routing decision as data: the
+  deletion-affected-group fraction (the rescan-cost driver) and the
+  merge-vs-retrain route it implies — notably the first family on
+  this corpus where the probe picks MERGE (~2.5% of orders tombstone
+  → ~22% of customer groups affected, well under the 50% bar), the
+  regime the graph routers' dense corpora never reached.
+- ``v_ivm_serve_merged`` — the deployment-shaped cost: view state
+  persisted once per session (``_serve_state``), the query reads it
+  and applies only the batch.
+
+View: ``SELECT o_custkey, count, sum(qty), sum(revenue), min(price),
+max(qty) FROM orders ⋈ lineitem GROUP BY o_custkey`` — a fact⋈dim
+join-aggregate with both subtractable and non-subtractable
+aggregates, which is what makes the retraction leg non-trivial.
+
+Splits are pure integer predicates, identical on both engines:
+orders ``o_orderkey % 10 < 8`` = base, rest = ΔO; lineitems
+``(l_orderkey*7 + l_linenumber) % 5 <> 0`` = base, rest = ΔL
+(independent of the order split, so ALL THREE delta-join terms are
+non-empty — base lineitems of new orders, new lineitems of base
+orders, and new⋈new); tombstones ``o_orderkey % 40 = 1`` (⊂ base).
+Measures are fixed-point BIGINT (qty integral, price in cents,
+revenue in cent-percent micro-units), so merged-equals-retrained is
+bit-identical; the single presentation division is the same fixed
+expression in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import ivm as IVM
+from ..sources.tables import load_table
+from . import register
+
+def _o_base():  # column exprs built lazily — no session at import
+    return F.col("o_orderkey") % 10 < 8
+
+
+def _l_base():
+    return (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 5 != 0
+
+
+def _tomb():
+    return F.col("o_orderkey") % 40 == 1
+
+_SQL_O_BASE = "o.o_orderkey % 10 < 8"
+_SQL_L_BASE = "(l.l_orderkey * 7 + l.l_linenumber) % 5 <> 0"
+_SQL_TOMB = "o.o_orderkey % 40 = 1"
+
+
+def _view_sql(where: str = "") -> str:
+    """From-scratch join-aggregate view over an optionally restricted
+    fact set — the single formula source every leg's oracle reuses
+    (the retrain target the merges must hit bit-for-bit)."""
+    return f"""
+WITH f AS (
+  SELECT o.o_custkey,
+         CAST(round(l.l_quantity) AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_c100
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  {where}
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       (sum(rev_c100) // 100) / 100.0 AS revenue,
+       min(price_c) / 100.0 AS min_price,
+       CAST(max(qty) AS BIGINT) AS max_qty
+FROM f GROUP BY 1"""
+
+
+def _tables(spark: SparkSession, sf_dir: str):
+    return (
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _splits(spark: SparkSession, sf_dir: str):
+    orders, lineitem = _tables(spark, sf_dir)
+    return (
+        orders.filter(_o_base()),
+        orders.filter(~_o_base()),
+        lineitem.filter(_l_base()),
+        lineitem.filter(~_l_base()),
+    )
+
+
+def _delta_join_facts(o_base, o_delta, l_base, l_delta) -> DataFrame:
+    """Δ(O⋈L) as three |Δ|-bounded joins — disjoint by construction
+    (each fact row's (order-side, line-side) membership is unique),
+    so the union needs no dedup. The base⋈base term is the persisted
+    view; it is never recomputed."""
+    return (
+        IVM.fact_rows(o_delta, l_base)
+        .unionByName(IVM.fact_rows(o_base, l_delta))
+        .unionByName(IVM.fact_rows(o_delta, l_delta))
+    )
+
+
+@register(
+    "v_ivm_incremental",
+    oracle=_view_sql(),
+    doc="Incremental JOIN-AGGREGATE view maintenance, insert leg: the "
+    "base view (orders%10<8 ⋈ base lineitems, grouped by customer) "
+    "is the persisted state; the batch merges via the classic "
+    "delta-join expansion ΔO⋈L ∪ O⋈ΔL ∪ ΔO⋈ΔL — three joins bounded "
+    "by the delta (AQE broadcasts the small sides), one partial "
+    "aggregate over their union, one |Δ-groups|-bounded outer-join "
+    "merge where COUNT/SUM add as BIGINT counters and MIN/MAX fold "
+    "with least/greatest (insert-only ⇒ no rescan anywhere). The "
+    "oracle is the from-scratch view on the full union, so the "
+    "hash-compare IS the merged-equals-retrained proof — exact "
+    "because every measure is fixed-point BIGINT. Scale shape: the "
+    "base fact scan never reruns; at 100 TB the three delta joins "
+    "probe bucketed base tables and the state merge touches only "
+    "batch groups. The relational sibling of t_index_incremental_bm25.",
+)
+def v_ivm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_base, o_delta, l_base, l_delta = _splits(spark, sf_dir)
+    state = IVM.view_aggregate(IVM.fact_rows(o_base, l_base))
+    delta = _delta_join_facts(o_base, o_delta, l_base, l_delta)
+    return IVM.present_view(IVM.merge_insert(state, delta))
+
+
+@register(
+    "v_ivm_decremental",
+    oracle=_view_sql(
+        f"WHERE {_SQL_O_BASE} AND {_SQL_L_BASE} AND NOT ({_SQL_TOMB})"
+    ),
+    doc="Decremental view maintenance — the retraction leg: orders "
+    "with o_orderkey%40=1 tombstone out of the base view. COUNT/SUM "
+    "subtract as additive BIGINT counters (one |tombstone-groups| "
+    "outer join); a group whose count reaches zero leaves the view; "
+    "MIN/MAX are NOT subtractable, so the affected groups (those "
+    "with ≥1 retracted row — ~22% of customers at a 2.5% order "
+    "tombstone rate) re-elect by rescanning ONLY their surviving "
+    "fact rows via a broadcast left-semi restriction — the "
+    "re-election design t_curation_decremental uses for dedup reps, "
+    "applied to SQL aggregates. Oracle = the from-scratch view over "
+    "the survivors. Scale shape: counter pass O(|batch|); rescan "
+    "bounded by affected groups' rows (orders bucketed by customer "
+    "⇒ partition-pruned), never the full fact table.",
+)
+def v_ivm_decremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_base, _, l_base, _ = _splits(spark, sf_dir)
+    state = IVM.view_aggregate(IVM.fact_rows(o_base, l_base))
+    del_facts = IVM.fact_rows(o_base.filter(_tomb()), l_base)
+    survivors = IVM.fact_rows(o_base.filter(~_tomb()), l_base)
+    merged = IVM.apply_changes(state, None, del_facts, survivors)
+    return IVM.present_view(merged)
+
+
+@register(
+    "v_ivm_changefeed",
+    oracle=_view_sql(f"WHERE NOT ({_SQL_TOMB})"),
+    doc="Mixed-changefeed view maintenance: ONE batch carrying both "
+    "the insert delta (all three delta-join terms, minus rows of "
+    "concurrently tombstoned orders) and the retraction of "
+    "o_orderkey%40=1 orders, applied through the shared merge core "
+    "(operators/ivm.apply_changes) — counters resolve insert-minus-"
+    "retract in a single three-way outer join, emptied groups drop, "
+    "retraction-affected groups re-elect MIN/MAX from survivors "
+    "(which include the batch's own inserts: a group can lose its "
+    "min to a tombstone and regain a smaller one from the insert "
+    "side in the same batch). Oracle = the from-scratch view over "
+    "everything except tombstoned orders. The relational sibling of "
+    "g_pagerank_changefeed / t_index_changefeed_bm25.",
+)
+def v_ivm_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_base, o_delta, l_base, l_delta = _splits(spark, sf_dir)
+    state = IVM.view_aggregate(IVM.fact_rows(o_base, l_base))
+    ins = _delta_join_facts(o_base, o_delta, l_base, l_delta).filter(
+        F.col("o_orderkey") % 40 != 1
+    )
+    del_facts = IVM.fact_rows(o_base.filter(_tomb()), l_base)
+    survivors = IVM.fact_rows(o_base.filter(~_tomb()), l_base).unionByName(ins)
+    merged = IVM.apply_changes(state, ins, del_facts, survivors)
+    return IVM.present_view(merged)
+
+
+@register(
+    "v_ivm_delta_cost",
+    oracle=f"""
+WITH bf AS (
+  SELECT o.o_custkey
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE {_SQL_O_BASE} AND {_SQL_L_BASE}
+),
+df AS (
+  SELECT o.o_custkey
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE NOT ({_SQL_O_BASE} AND {_SQL_L_BASE})
+),
+c AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM bf) AS n_base_rows,
+         (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM bf)
+           AS n_groups,
+         (SELECT CAST(count(*) AS BIGINT) FROM df) AS n_delta_rows,
+         (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM df)
+           AS n_delta_groups
+)
+SELECT n_base_rows, n_groups, n_delta_rows, n_delta_groups,
+       CAST((n_delta_rows * 1000000) // n_base_rows AS BIGINT)
+         AS delta_row_ppm,
+       CAST((n_delta_groups * 1000000) // n_groups AS BIGINT)
+         AS touched_group_ppm
+FROM c""",
+    doc="The IVM cost model as data (the relational analogue of "
+    "t_index_delta_cost / g_pagerank_delta_frontier): how many fact "
+    "rows the delta-join terms actually produce and how many view "
+    "groups they touch, vs the base view's totals — the numbers that "
+    "decide whether maintaining beats retraining (delta rows ≈ the "
+    "merge's scan cost; touched groups ≈ the state-merge width). "
+    "Exact BIGINT counts, ppm via truncating integer division.",
+)
+def v_ivm_delta_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_base, o_delta, l_base, l_delta = _splits(spark, sf_dir)
+    base = IVM.fact_rows(o_base, l_base)
+    delta = _delta_join_facts(o_base, o_delta, l_base, l_delta)
+    b = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_base_rows"),
+        F.countDistinct(IVM.KEY).cast("long").alias("n_groups"),
+    )
+    d = delta.agg(
+        F.count(F.lit(1)).cast("long").alias("n_delta_rows"),
+        F.countDistinct(IVM.KEY).cast("long").alias("n_delta_groups"),
+    )
+    return b.crossJoin(d).select(
+        "n_base_rows",
+        "n_groups",
+        "n_delta_rows",
+        "n_delta_groups",
+        F.expr(
+            "CAST((n_delta_rows * 1000000) DIV n_base_rows AS BIGINT)"
+        ).alias("delta_row_ppm"),
+        F.expr(
+            "CAST((n_delta_groups * 1000000) DIV n_groups AS BIGINT)"
+        ).alias("touched_group_ppm"),
+    )
+
+
+@register(
+    "v_ivm_maintain_route",
+    oracle=f"""
+WITH bf AS (
+  SELECT o.o_custkey, o.o_orderkey
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE {_SQL_O_BASE} AND {_SQL_L_BASE}
+),
+c AS (
+  SELECT (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM bf)
+           AS n_groups,
+         (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM bf
+          WHERE o_orderkey % 40 = 1) AS n_affected
+)
+SELECT n_groups, n_affected,
+       CAST((n_affected * 1000000) // n_groups AS BIGINT) AS affected_ppm,
+       CASE WHEN 100 * n_affected > 50 * n_groups
+            THEN 'retrain' ELSE 'merge' END AS route
+FROM c""",
+    doc="The IVM routing decision as data — the pagerank_maintain / "
+    "cc_maintain probe applied to view maintenance: retractions are "
+    "what makes a view merge expensive (the MIN/MAX re-election "
+    "rescans every affected group), so the probe reads the "
+    "DELETION-affected-group fraction (two bounded aggregates over "
+    "the batch's group keys vs the state's) and routes at the 50% "
+    "bar. On this corpus the 2.5% order-tombstone batch touches "
+    "~22% of customer groups → route = MERGE — the first family "
+    "where the probe lands on the maintain side, the regime the "
+    "dense graph corpora never reached (their one-hop frontiers "
+    "saturate; a view's damage is capped by the batch's own group "
+    "keys). Both paths are bit-identical (v_ivm_decremental's "
+    "hash-green is that proof), so this one number IS the decision.",
+)
+def v_ivm_maintain_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_base, _, l_base, _ = _splits(spark, sf_dir)
+    base = IVM.fact_rows(o_base, l_base)
+    g = base.agg(F.countDistinct(IVM.KEY).cast("long").alias("n_groups"))
+    a = base.filter(F.col("o_orderkey") % 40 == 1).agg(
+        F.countDistinct(IVM.KEY).cast("long").alias("n_affected")
+    )
+    return g.crossJoin(a).select(
+        "n_groups",
+        "n_affected",
+        F.expr("CAST((n_affected * 1000000) DIV n_groups AS BIGINT)").alias(
+            "affected_ppm"
+        ),
+        F.when(
+            100 * F.col("n_affected") > 50 * F.col("n_groups"),
+            F.lit("retrain"),
+        )
+        .otherwise(F.lit("merge"))
+        .alias("route"),
+    )
+
+
+@register(
+    "v_ivm_serve_merged",
+    oracle=_view_sql(f"WHERE NOT ({_SQL_TOMB})"),
+    doc="SERVE-ONLY view maintenance (the sim_*_topk_serve / "
+    "g_pagerank_serve_merged measurement split): the base view state "
+    "is persisted ONCE per session to scratch parquet — the "
+    "materialized view a deployment's store already holds — and the "
+    "query reads it and applies only the mixed changefeed batch "
+    "(delta joins + counter merge + affected-group re-election), so "
+    "repeated runs measure the per-batch merge cost, where "
+    "v_ivm_changefeed's wall is dominated by rebuilding the very "
+    "state it then maintains. Same oracle as the end-to-end "
+    "changefeed (from-scratch view over everything except tombstoned "
+    "orders) — only the measurement boundary moved.",
+)
+def v_ivm_serve_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._serve_state import serve_state
+
+    def _build(spark, sf_dir):
+        o_base, _, l_base, _ = _splits(spark, sf_dir)
+        return {"state": IVM.view_aggregate(IVM.fact_rows(o_base, l_base))}
+
+    state = serve_state(spark, sf_dir, "ivm", _build)["state"]
+    o_base, o_delta, l_base, l_delta = _splits(spark, sf_dir)
+    ins = _delta_join_facts(o_base, o_delta, l_base, l_delta).filter(
+        F.col("o_orderkey") % 40 != 1
+    )
+    del_facts = IVM.fact_rows(o_base.filter(_tomb()), l_base)
+    survivors = IVM.fact_rows(o_base.filter(~_tomb()), l_base).unionByName(ins)
+    merged = IVM.apply_changes(state, ins, del_facts, survivors)
+    return IVM.present_view(merged)

@@ -1,0 +1,164 @@
+"""Round-12 relational IVM: merging insert/retraction batches into a
+join-aggregate view must be BIT-IDENTICAL to the from-scratch build —
+the same maintain-vs-retrain contract the graph
+(test_graph_maintenance), BM25 (test_text_index) and curation
+families carry. queries/view_maintenance.py holds the oracle
+evidence; these pin the operator-level equalities on adversarial
+shapes: a group emptied by retraction, a MIN held by a retracted row,
+a group losing its min to a tombstone and regaining a smaller one
+from the same batch's inserts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from files_kraken_spark.operators import ivm as IVM
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(rows, ["o_orderkey", "o_custkey"])
+
+
+def _lines(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_discount double",
+    )
+
+
+def _vmap(df):
+    return {
+        r["o_custkey"]: (
+            r["n_items"],
+            r["sum_qty"],
+            r["sum_rev_c100"],
+            r["min_price_c"],
+            r["max_qty"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_insert_merge_equals_from_scratch(spark):
+    o_base = _orders(spark, [(1, 10), (2, 10), (3, 20)])
+    o_delta = _orders(spark, [(4, 20), (5, 30)])  # 30 is a NEW group
+    l_base = _lines(
+        spark,
+        [
+            (1, 1, 5.0, 100.00, 0.05),
+            (2, 1, 7.0, 50.00, 0.00),
+            (3, 1, 2.0, 999.99, 0.10),
+            (4, 1, 9.0, 10.00, 0.02),  # base line of a DELTA order
+        ],
+    )
+    l_delta = _lines(
+        spark,
+        [
+            (2, 2, 1.0, 5.00, 0.00),  # delta line of a base order
+            (5, 1, 3.0, 77.77, 0.07),  # delta ⋈ delta
+        ],
+    )
+    state = IVM.view_aggregate(IVM.fact_rows(o_base, l_base))
+    delta = (
+        IVM.fact_rows(o_delta, l_base)
+        .unionByName(IVM.fact_rows(o_base, l_delta))
+        .unionByName(IVM.fact_rows(o_delta, l_delta))
+    )
+    merged = IVM.merge_insert(state, delta)
+    scratch = IVM.view_aggregate(
+        IVM.fact_rows(
+            o_base.unionByName(o_delta), l_base.unionByName(l_delta)
+        )
+    )
+    assert _vmap(merged) == _vmap(scratch)
+
+
+def test_retraction_reelects_min_and_drops_empty_group(spark):
+    # group 10: order 1 holds BOTH the min price and the max qty;
+    # group 20: its only order tombstones -> group must vanish
+    o = _orders(spark, [(1, 10), (2, 10), (3, 20)])
+    l = _lines(
+        spark,
+        [
+            (1, 1, 9.0, 10.00, 0.00),  # min price AND max qty holder
+            (2, 1, 4.0, 200.00, 0.00),
+            (3, 1, 1.0, 5.00, 0.00),
+        ],
+    )
+    state = IVM.view_aggregate(IVM.fact_rows(o, l))
+    tomb = o.filter(F.col("o_orderkey").isin(1, 3))
+    keep = o.filter(~F.col("o_orderkey").isin(1, 3))
+    merged = IVM.apply_changes(
+        state,
+        None,
+        IVM.fact_rows(tomb, l),
+        IVM.fact_rows(keep, l),
+    )
+    got = _vmap(merged)
+    assert set(got) == {10}  # group 20 emptied -> dropped
+    # re-election found order 2's values, not stale least/greatest
+    assert got[10] == (1, 4, 200_00 * 100, 200_00, 4)
+    scratch = IVM.view_aggregate(IVM.fact_rows(keep, l))
+    assert got == _vmap(scratch)
+
+
+def test_changefeed_min_lost_and_regained_smaller(spark):
+    # group 10 loses its min (order 1, $10) to a tombstone and gains
+    # an even smaller one ($3) from the SAME batch's insert side —
+    # folding state-min with insert-min without re-election would
+    # wrongly keep $10
+    o_base = _orders(spark, [(1, 10), (2, 10)])
+    l_base = _lines(
+        spark, [(1, 1, 2.0, 10.00, 0.00), (2, 1, 6.0, 500.00, 0.00)]
+    )
+    o_ins = _orders(spark, [(9, 10)])
+    l_ins = _lines(spark, [(9, 1, 1.0, 3.00, 0.00)])
+
+    state = IVM.view_aggregate(IVM.fact_rows(o_base, l_base))
+    ins = IVM.fact_rows(o_ins, l_ins)
+    tomb = o_base.filter(F.col("o_orderkey") == 1)
+    keep = o_base.filter(F.col("o_orderkey") != 1)
+    survivors = IVM.fact_rows(keep, l_base).unionByName(ins)
+    merged = IVM.apply_changes(state, ins, IVM.fact_rows(tomb, l_base), survivors)
+    scratch = IVM.view_aggregate(survivors)
+    assert _vmap(merged) == _vmap(scratch)
+    assert _vmap(merged)[10][3] == 3_00  # the batch's own $3 min won
+
+
+def test_empty_delta_is_identity(spark):
+    o = _orders(spark, [(1, 10), (2, 20)])
+    l = _lines(
+        spark, [(1, 1, 2.0, 10.00, 0.01), (2, 1, 3.0, 20.00, 0.02)]
+    )
+    state = IVM.view_aggregate(IVM.fact_rows(o, l))
+    none_o = o.filter(F.lit(False))
+    none_l = l.filter(F.lit(False))
+    merged = IVM.merge_insert(state, IVM.fact_rows(none_o, none_l))
+    assert _vmap(merged) == _vmap(state)
+
+
+def test_delta_join_terms_are_disjoint_and_complete(spark):
+    # the three delta-join terms partition (union-facts minus
+    # base-facts) — no row lost, none double-counted
+    o = _orders(spark, [(i, i % 3) for i in range(1, 9)])
+    l = _lines(
+        spark,
+        [(i, j, float(i + j), 10.0 * i + j, 0.01 * (j % 5))
+         for i in range(1, 9) for j in (1, 2)],
+    )
+    o_b = o.filter(F.col("o_orderkey") % 2 == 0)
+    o_d = o.filter(F.col("o_orderkey") % 2 == 1)
+    l_b = l.filter(F.col("l_linenumber") == 1)
+    l_d = l.filter(F.col("l_linenumber") == 2)
+    terms = [
+        IVM.fact_rows(o_d, l_b),
+        IVM.fact_rows(o_b, l_d),
+        IVM.fact_rows(o_d, l_d),
+    ]
+    n_terms = sum(t.count() for t in terms)
+    full = IVM.fact_rows(o, l).count()
+    base = IVM.fact_rows(o_b, l_b).count()
+    assert n_terms == full - base
+    u = terms[0].unionByName(terms[1]).unionByName(terms[2])
+    assert u.distinct().count() == n_terms
