@@ -90,6 +90,12 @@ EXTRA = [
     # its serve-vs-end-to-end evidence lives in SCALING.md round 12.
     "g_cc_serve_merged",
     "t_index_serve_merged",
+    # round-12: relational IVM + pHash index maintenance — the serve
+    # variant (state persisted once, min-of-5 = merge cost) plus the
+    # cheap end-to-end changefeed and the batch-only pHash append
+    "v_ivm_serve_merged",
+    "v_ivm_changefeed",
+    "mm_phash_incremental",
 ]
 
 

@@ -82,6 +82,9 @@ _SAMPLE_PRIORITY = [
     # -- NEW round 12: pHash near-dup index maintenance (every
     # near-dup family now carries a maintain path) --
     "mm_phash_incremental", "mm_phash_decremental", "mm_phash_changefeed",
+    # -- NEW round 12: LP/k-core serve splits (every maintained
+    # family now has a deployment-shaped serve-only measurement) --
+    "g_labelprop_serve_merged", "g_kcore_serve_merged",
     # -- NEW round 12: CC router decision + serve-only maintenance --
     "g_cc_maintain_route",
     "g_pagerank_serve_merged", "g_cc_serve_merged", "t_index_serve_merged",
