@@ -247,3 +247,142 @@ def test_cc_maintain_warns_on_retrain_route(spark):
             (r["doc_id"], r["component"]) for r in got.collect()
         } == {(r["doc_id"], r["component"]) for r in scratch.collect()}
     assert not [x for x in w if "cc_maintain" in str(x.message)]
+
+
+# --- round 12: relational IVM + pHash index maintenance ------------
+
+_ORDER = st.tuples(
+    st.integers(min_value=1, max_value=20),  # o_orderkey
+    st.integers(min_value=1, max_value=5),   # o_custkey
+)
+_LINE = st.tuples(
+    st.integers(min_value=1, max_value=20),      # l_orderkey
+    st.integers(min_value=1, max_value=3),       # l_linenumber
+    st.integers(min_value=1, max_value=50),      # qty (integral)
+    st.integers(min_value=1, max_value=99_999),  # price in cents
+    st.integers(min_value=0, max_value=10),      # discount pct
+)
+
+
+@given(
+    orders=st.dictionaries(
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=1, max_value=5),
+        min_size=2,
+        max_size=10,
+    ),
+    lines=st.sets(_LINE, min_size=2, max_size=20),
+    data=st.data(),
+)
+@_SLOW
+def test_ivm_apply_changes_random(spark, orders, lines, data):
+    """Random order/line tables, random order-key split into
+    base/insert, random tombstones among base: the changefeed merge
+    must equal the from-scratch view over the survivors, including
+    MIN/MAX re-election and emptied-group drops."""
+    from files_kraken_spark.operators import ivm as IVM
+
+    okeys = sorted(orders)
+    n_ins = data.draw(st.integers(min_value=0, max_value=len(okeys) - 1))
+    ins_keys = set(okeys[:n_ins])
+    base_keys = [k for k in okeys if k not in ins_keys]
+    n_tomb = data.draw(
+        st.integers(min_value=0, max_value=min(3, len(base_keys)))
+    )
+    tomb_keys = set(base_keys[:n_tomb])
+
+    o_df = spark.createDataFrame(
+        sorted(orders.items()), ["o_orderkey", "o_custkey"]
+    )
+    l_df = spark.createDataFrame(
+        [
+            (ok, ln, float(q), pc / 100.0, d / 100.0)
+            for ok, ln, q, pc, d in sorted(lines)
+        ],
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double, l_discount double",
+    )
+    o_base = o_df.filter(~F.col("o_orderkey").isin(*ins_keys) if ins_keys else F.lit(True))
+    o_ins = o_df.filter(F.col("o_orderkey").isin(*ins_keys) if ins_keys else F.lit(False))
+    keep = (
+        o_base.filter(~F.col("o_orderkey").isin(*tomb_keys))
+        if tomb_keys
+        else o_base
+    )
+    tomb = (
+        o_base.filter(F.col("o_orderkey").isin(*tomb_keys))
+        if tomb_keys
+        else o_base.filter(F.lit(False))
+    )
+
+    state = IVM.view_aggregate(IVM.fact_rows(o_base, l_df))
+    ins_facts = IVM.fact_rows(o_ins, l_df)
+    del_facts = IVM.fact_rows(tomb, l_df)
+    survivors = IVM.fact_rows(keep, l_df).unionByName(ins_facts)
+    merged = IVM.apply_changes(state, ins_facts, del_facts, survivors)
+    scratch = IVM.view_aggregate(survivors)
+
+    def vm(df):
+        return {
+            r["o_custkey"]: (
+                r["n_items"], r["sum_qty"], r["sum_rev_c100"],
+                r["min_price_c"], r["max_qty"],
+            )
+            for r in df.collect()
+        }
+
+    assert vm(merged) == vm(scratch)
+
+
+@given(
+    hashes=st.dictionaries(
+        st.integers(min_value=1, max_value=16),
+        st.integers(min_value=0, max_value=(1 << 31) - 1),
+        min_size=2,
+        max_size=12,
+    ),
+    data=st.data(),
+)
+@_SLOW
+def test_phash_index_apply_random(spark, hashes, data):
+    """Random 31-bit hash tables, random id split into base/batch,
+    random tombstones among base: the index merge must equal the
+    from-scratch banded build over the survivors."""
+    from files_kraken_spark.operators.multimodal import (
+        phash_index_apply,
+        phash_neardup_pairs,
+    )
+
+    ids = sorted(hashes)
+    n_batch = data.draw(st.integers(min_value=0, max_value=len(ids) - 1))
+    batch_ids = set(ids[:n_batch])
+    base_ids = [i for i in ids if i not in batch_ids]
+    n_tomb = data.draw(
+        st.integers(min_value=0, max_value=min(3, len(base_ids)))
+    )
+    tomb_ids = base_ids[:n_tomb]
+
+    all_df = spark.createDataFrame(
+        sorted(hashes.items()), "media_id long, phash long"
+    )
+    base = all_df.filter(
+        ~F.col("media_id").isin(*batch_ids) if batch_ids else F.lit(True)
+    )
+    batch = all_df.filter(
+        F.col("media_id").isin(*batch_ids) if batch_ids else F.lit(False)
+    )
+    tomb = spark.createDataFrame([(i,) for i in tomb_ids] or [], "media_id long")
+
+    base_pairs = phash_neardup_pairs(base, max_hamming=3)
+    merged, _ = phash_index_apply(
+        base_pairs, base, batch_hashes=batch,
+        tombstone_ids=tomb if tomb_ids else None,
+    )
+    keep = (
+        base.filter(~F.col("media_id").isin(*tomb_ids))
+        if tomb_ids
+        else base
+    )
+    scratch = phash_neardup_pairs(keep.unionByName(batch), max_hamming=3)
+    ps = lambda df: {(r["id_a"], r["id_b"], r["hamming"]) for r in df.collect()}
+    assert ps(merged) == ps(scratch)

@@ -162,3 +162,49 @@ def test_delta_join_terms_are_disjoint_and_complete(spark):
     assert n_terms == full - base
     u = terms[0].unionByName(terms[1]).unionByName(terms[2])
     assert u.distinct().count() == n_terms
+
+
+def test_multi_batch_fold_equals_from_scratch(spark):
+    # the deployment shape: state folds forward across a SEQUENCE of
+    # changefeeds (each with inserts and retractions), the fact store
+    # advancing alongside; after every batch the view must equal the
+    # from-scratch aggregate over the store
+    o_all = _orders(
+        spark, [(i, 10 + (i % 3) * 10) for i in range(1, 10)]
+    )
+    l_all = _lines(
+        spark,
+        [
+            (i, j, float(i + j), 10.0 * i + j, 0.01 * (j % 5))
+            for i in range(1, 10)
+            for j in (1, 2)
+        ],
+    )
+    # batch b inserts orders {3b+1..3b+3}; batch b>0 also tombstones
+    # order 3b-2 (inserted two batches earlier)
+    live = o_all.filter(F.lit(False))
+    state = IVM.view_aggregate(IVM.fact_rows(live, l_all))
+    for b in range(3):
+        ins_o = o_all.filter(
+            F.col("o_orderkey").between(3 * b + 1, 3 * b + 3)
+        )
+        tomb_o = (
+            live.filter(F.col("o_orderkey") == 3 * b - 2)
+            if b > 0
+            else live.filter(F.lit(False))
+        )
+        next_live = live.join(tomb_o, "o_orderkey", "left_anti").unionByName(
+            ins_o
+        )
+        state = IVM.apply_changes(
+            state,
+            IVM.fact_rows(ins_o, l_all),
+            IVM.fact_rows(tomb_o, l_all),
+            IVM.fact_rows(next_live, l_all),
+        )
+        # cut lineage so the fold doesn't stack plans batch-over-batch
+        state = state.localCheckpoint(eager=True)
+        live = next_live.localCheckpoint(eager=True)
+        assert _vmap(state) == _vmap(
+            IVM.view_aggregate(IVM.fact_rows(live, l_all))
+        )
