@@ -208,3 +208,91 @@ def test_multi_batch_fold_equals_from_scratch(spark):
         assert _vmap(state) == _vmap(
             IVM.view_aggregate(IVM.fact_rows(live, l_all))
         )
+
+
+def test_ivm_is_a_foreachbatch_body(spark, tmp_path):
+    # Structured Streaming wiring: a changefeed file stream (op=+1
+    # order rows) folds into the view via foreachBatch running
+    # apply_changes per micro-batch — the deployment's actual loop.
+    # maxFilesPerTrigger=1 forces one micro-batch per changefeed file,
+    # so the merge path runs three times, not once over the union.
+    import json
+    import os
+
+    l_all = _lines(
+        spark,
+        [
+            (i, j, float(i + j), 10.0 * i + j, 0.01 * (j % 5))
+            for i in range(1, 10)
+            for j in (1, 2)
+        ],
+    ).localCheckpoint(eager=True)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for b in range(3):
+        rows = [
+            {"op": 1, "o_orderkey": k, "o_custkey": 10 + (k % 3) * 10}
+            for k in range(3 * b + 1, 3 * b + 4)
+        ]
+        if b > 0:  # retract an order inserted two batches earlier
+            rows.append(
+                {
+                    "op": -1,
+                    "o_orderkey": 3 * b - 2,
+                    "o_custkey": 10 + ((3 * b - 2) % 3) * 10,
+                }
+            )
+        p = feed / f"batch_{b}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        # FileStreamSource orders micro-batches by mtime; the three
+        # files land within the same clock tick, so pin an increasing
+        # mtime to make the changefeed sequence deterministic
+        os.utime(p, (1_700_000_000 + b, 1_700_000_000 + b))
+
+    holder = {
+        "state": IVM.view_aggregate(
+            IVM.fact_rows(
+                spark.createDataFrame([], "o_orderkey long, o_custkey long"),
+                l_all,
+            )
+        ).localCheckpoint(eager=True),
+        "live": spark.createDataFrame([], "o_orderkey long, o_custkey long"),
+        "batches": 0,
+    }
+
+    def _on_batch(cdc, _bid):
+        cdc = cdc.localCheckpoint(eager=True)  # pin the micro-batch
+        ins_o = cdc.filter(F.col("op") == 1).select("o_orderkey", "o_custkey")
+        tomb_o = cdc.filter(F.col("op") == -1).select(
+            "o_orderkey", "o_custkey"
+        )
+        next_live = (
+            holder["live"]
+            .join(tomb_o, "o_orderkey", "left_anti")
+            .unionByName(ins_o)
+            .localCheckpoint(eager=True)
+        )
+        holder["state"] = IVM.apply_changes(
+            holder["state"],
+            IVM.fact_rows(ins_o, l_all),
+            IVM.fact_rows(tomb_o, l_all),
+            IVM.fact_rows(next_live, l_all),
+        ).localCheckpoint(eager=True)
+        holder["live"] = next_live
+        holder["batches"] += 1
+
+    (
+        spark.readStream.schema("op int, o_orderkey long, o_custkey long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .writeStream.foreachBatch(_on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+
+    assert holder["batches"] == 3
+    scratch = IVM.view_aggregate(IVM.fact_rows(holder["live"], l_all))
+    assert _vmap(holder["state"]) == _vmap(scratch)
