@@ -141,6 +141,25 @@ def main() -> None:
 
     REGISTRY["g_pagerank_frontier_curve"].spark(spark, sf_dir).show()
 
+    # ---- 5. Round-12: relational IVM — a join-aggregate view kept
+    # current under a mixed changefeed (delta-join inserts, counter
+    # subtraction, MIN/MAX re-election over affected groups only)
+    from files_kraken_spark.operators import ivm as IVM
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    o_base = orders.filter(F.col("o_orderkey") % 10 < 8)
+    o_ins = orders.filter(~(F.col("o_orderkey") % 10 < 8))
+    tomb = o_base.filter(F.col("o_orderkey") % 40 == 1)
+    keep = o_base.filter(F.col("o_orderkey") % 40 != 1)
+    state = IVM.view_aggregate(IVM.fact_rows(o_base, lineitem))
+    ins = IVM.fact_rows(o_ins, lineitem)
+    survivors = IVM.fact_rows(keep, lineitem).unionByName(ins)
+    view = IVM.apply_changes(
+        state, ins, IVM.fact_rows(tomb, lineitem), survivors
+    )
+    print("[ivm] view groups after changefeed:", view.count())
+
     spark.stop()
 
 
