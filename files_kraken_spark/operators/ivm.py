@@ -238,3 +238,130 @@ def present_view(state: DataFrame) -> DataFrame:
         (F.col("min_price_c") / 100.0).alias("min_price"),
         "max_qty",
     )
+
+
+# --- COUNT(DISTINCT) maintenance: the auxiliary-multiset trick -----
+
+def distinct_support(facts: DataFrame, value_col: str) -> DataFrame:
+    """Auxiliary multiset state making COUNT(DISTINCT value) SUBTRACTABLE:
+    one (group, value, cnt) row per distinct pair, cnt a BIGINT
+    multiplicity counter (the classic IVM support-table / DBSP reduce
+    design). COUNT(DISTINCT) itself is not subtractable — retracting a
+    row can't tell you whether another row still supports the value —
+    but the multiset is: insert adds to cnt, retraction subtracts, the
+    value leaves the group when cnt reaches 0, and the view is one
+    cnt>0 count per group. State is |distinct (group, value)| rows,
+    bucketed by group at the store."""
+    return facts.groupBy(KEY, value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def merge_distinct_support(
+    state: DataFrame,
+    ins_facts: DataFrame | None,
+    del_facts: DataFrame | None,
+    value_col: str,
+) -> DataFrame:
+    """Fold insert/retraction batches into the support multiset — one
+    outer join bounded by the batch's (group, value) pairs; rows at
+    cnt 0 drop. Pure counter algebra: exact, order-free."""
+    j = state.select(KEY, value_col, F.col("cnt").alias("s_cnt"))
+    keys = [KEY, value_col]
+    if ins_facts is not None:
+        i = distinct_support(ins_facts, value_col).select(
+            KEY, value_col, F.col("cnt").alias("i_cnt")
+        )
+        j = j.join(i, keys, "full_outer")
+    else:
+        j = j.withColumn("i_cnt", F.lit(None).cast("long"))
+    if del_facts is not None:
+        d = distinct_support(del_facts, value_col).select(
+            KEY, value_col, F.col("cnt").alias("d_cnt")
+        )
+        j = j.join(d, keys, "full_outer")
+    else:
+        j = j.withColumn("d_cnt", F.lit(None).cast("long"))
+    return (
+        j.select(
+            KEY,
+            value_col,
+            (
+                F.coalesce("s_cnt", F.lit(0))
+                + F.coalesce("i_cnt", F.lit(0))
+                - F.coalesce("d_cnt", F.lit(0))
+            )
+            .cast("long")
+            .alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+
+
+def distinct_view(support: DataFrame) -> DataFrame:
+    """Serve COUNT(DISTINCT) from the support multiset."""
+    return support.groupBy(KEY).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )
+
+
+# --- top-k ranked-view maintenance: k-bounded re-election ----------
+
+def topk_view(facts: DataFrame, k: int = 3) -> DataFrame:
+    """Per-group top-k fact rows by (price_c desc, o_orderkey, qty) —
+    the ranked-view shape (a per-key leaderboard). The tiebreak chain
+    is total, so the view is deterministic on both engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(KEY).orderBy(
+        F.col("price_c").desc(), F.col("o_orderkey"), F.col("qty")
+    )
+    return (
+        facts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        # qty stays in the view: stored rows carry their FULL sort key,
+        # so a later fold re-ranks ties exactly as from-scratch would
+        .select(KEY, "rnk", "price_c", "o_orderkey", "qty")
+    )
+
+
+def merge_topk(
+    state: DataFrame,
+    ins_facts: DataFrame | None,
+    del_facts: DataFrame | None,
+    survivor_facts: DataFrame | None,
+    k: int = 3,
+) -> DataFrame:
+    """Maintain the top-k view: a stored top-k row can only be
+    displaced by an INSERT ranking above it (re-rank the stored k
+    rows plus the group's inserts — k+|Δgroup| rows, no rescan) or
+    vacated by a RETRACTION of a stored row, in which case row k+1 is
+    unknown and the group re-elects from its surviving fact rows
+    (broadcast-left-semi-bounded rescan — MIN/MAX re-election
+    generalized to k). Groups a retraction touches only below their
+    stored top-k serve verbatim — but since "below" can't be decided
+    without the retracted row's rank, any group with a retraction
+    re-elects (the same conservative affected-set the aggregate core
+    uses; the delta-cost probe prices it)."""
+    affected = None
+    if del_facts is not None:
+        affected = del_facts.select(KEY).distinct()
+    # fold inserts against the stored k rows: any base row outside the
+    # stored top-k is dominated by k pooled rows, so top-k(state ∪ Δ)
+    # = top-k(base ∪ Δ) for groups without a retraction
+    pool = state.select(KEY, "price_c", "o_orderkey", "qty")
+    if ins_facts is not None:
+        pool = pool.unionByName(
+            ins_facts.select(KEY, "price_c", "o_orderkey", "qty")
+        )
+    folded = topk_view(pool, k)
+    if affected is None:
+        return folded
+    if survivor_facts is None:
+        raise ValueError("retractions require survivor_facts for re-election")
+    reelected = topk_view(
+        survivor_facts.join(F.broadcast(affected), KEY, "left_semi"), k
+    )
+    return folded.join(
+        F.broadcast(affected), KEY, "left_anti"
+    ).unionByName(reelected)

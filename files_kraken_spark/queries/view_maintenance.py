@@ -348,3 +348,100 @@ def v_ivm_serve_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = IVM.fact_rows(o_base.filter(~_tomb()), l_base).unionByName(ins)
     merged = IVM.apply_changes(state, ins, del_facts, survivors)
     return IVM.present_view(merged)
+
+
+def _distinct_facts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    o = orders.select("o_orderkey", IVM.KEY)
+    l = lineitem.select("l_orderkey", "l_partkey")
+    return l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        IVM.KEY, "o_orderkey", "l_partkey"
+    )
+
+
+@register(
+    "v_ivm_distinct_changefeed",
+    oracle=f"""
+SELECT o.o_custkey, CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_distinct
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE NOT ({_SQL_TOMB})
+GROUP BY 1""",
+    doc="COUNT(DISTINCT) view maintenance under a mixed changefeed — "
+    "the classic support-multiset design (IVM literature / DBSP "
+    "reduce): COUNT(DISTINCT part) per customer is NOT subtractable "
+    "(a retraction can't tell whether another row still supports the "
+    "value), so the persisted state is the auxiliary multiset "
+    "(customer, part, multiplicity) where multiplicity IS a "
+    "subtractable BIGINT counter — insert adds, retraction subtracts, "
+    "the (customer, part) row leaves at zero, and the view is one "
+    "cnt>0 count per customer. One outer-join merge bounded by the "
+    "batch's (group, value) pairs, no rescan ever — contrast MIN/MAX, "
+    "which re-elect. Oracle = from-scratch COUNT(DISTINCT) over "
+    "everything except tombstoned orders. State is "
+    "|distinct (customer, part)| rows, bucketed by customer at the "
+    "store — the space-for-subtractability trade stated as data.",
+)
+def v_ivm_distinct_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _tables(spark, sf_dir)
+    o_base = orders.filter(_o_base())
+    o_delta = orders.filter(~_o_base())
+    l_base = lineitem.filter(_l_base())
+    l_delta = lineitem.filter(~_l_base())
+    base = _distinct_facts(o_base, l_base)
+    ins = (
+        _distinct_facts(o_delta, l_base)
+        .unionByName(_distinct_facts(o_base, l_delta))
+        .unionByName(_distinct_facts(o_delta, l_delta))
+        .filter(F.col("o_orderkey") % 40 != 1)
+    )
+    dels = _distinct_facts(o_base.filter(_tomb()), l_base)
+    state = IVM.distinct_support(base, "l_partkey")
+    merged = IVM.merge_distinct_support(state, ins, dels, "l_partkey")
+    return IVM.distinct_view(merged)
+
+
+@register(
+    "v_ivm_topk_changefeed",
+    oracle=f"""
+WITH f AS (
+  SELECT o.o_custkey, o.o_orderkey,
+         CAST(round(l.l_quantity) AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE NOT ({_SQL_TOMB})
+),
+r AS (
+  SELECT o_custkey, o_orderkey, qty, price_c,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY price_c DESC, o_orderkey, qty
+         ) AS rnk
+  FROM f
+)
+SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, price_c, o_orderkey, qty
+FROM r WHERE rnk <= 3""",
+    doc="TOP-K ranked-view maintenance under a mixed changefeed — the "
+    "per-customer top-3 lineitems by price (leaderboard shape): an "
+    "INSERT can only displace stored rows, so groups without a "
+    "retraction re-rank just their k stored rows plus the group's "
+    "inserts (any base row outside the stored top-k is dominated by "
+    "k pooled rows — no rescan); a RETRACTION of a stored row leaves "
+    "rank k+1 unknown, so retraction-touched groups re-elect from "
+    "their surviving fact rows (broadcast-left-semi bounded — MIN/MAX "
+    "re-election generalized to k; the stored rows keep their FULL "
+    "sort key so fold ties break exactly as from-scratch). Oracle = "
+    "the from-scratch window top-3 over everything except tombstoned "
+    "orders, total order via the (price desc, orderkey, qty) chain.",
+)
+def v_ivm_topk_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_base, o_delta, l_base, l_delta = _splits(spark, sf_dir)
+    state = IVM.topk_view(IVM.fact_rows(o_base, l_base), k=3)
+    ins = _delta_join_facts(o_base, o_delta, l_base, l_delta).filter(
+        F.col("o_orderkey") % 40 != 1
+    )
+    dels = IVM.fact_rows(o_base.filter(_tomb()), l_base)
+    survivors = IVM.fact_rows(o_base.filter(~_tomb()), l_base).unionByName(ins)
+    merged = IVM.merge_topk(state, ins, dels, survivors, k=3)
+    return merged.select(
+        IVM.KEY, F.col("rnk").cast("long").alias("rnk"),
+        "price_c", "o_orderkey", "qty",
+    )

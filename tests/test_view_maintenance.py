@@ -296,3 +296,68 @@ def test_ivm_is_a_foreachbatch_body(spark, tmp_path):
     assert holder["batches"] == 3
     scratch = IVM.view_aggregate(IVM.fact_rows(holder["live"], l_all))
     assert _vmap(holder["state"]) == _vmap(scratch)
+
+
+def test_distinct_support_zero_crossing(spark):
+    # part 77 supported TWICE in group 10 (orders 1 and 2): retracting
+    # order 1 must keep the distinct count; retracting both must drop it
+    o = _orders(spark, [(1, 10), (2, 10)])
+    l = spark.createDataFrame(
+        [(1, 77), (2, 77), (2, 88)], ["l_orderkey", "l_partkey"]
+    )
+    def facts(oo):
+        return l.join(oo, l["l_orderkey"] == oo["o_orderkey"]).select(
+            "o_custkey", "o_orderkey", "l_partkey"
+        )
+    state = IVM.distinct_support(facts(o), "l_partkey")
+    one = IVM.merge_distinct_support(
+        state, None, facts(o.filter(F.col("o_orderkey") == 1)), "l_partkey"
+    )
+    assert {r["n_distinct"] for r in IVM.distinct_view(one).collect()} == {2}
+    both = IVM.merge_distinct_support(state, None, facts(o), "l_partkey")
+    assert IVM.distinct_view(both).count() == 0
+
+
+def test_topk_retraction_promotes_rank_k_plus_1(spark):
+    # group 10 has 4 rows; stored top-3 loses its #1 to a tombstone ->
+    # the unstored 4th row must enter at rank 3 via re-election
+    o = _orders(spark, [(i, 10) for i in (1, 2, 3, 4)])
+    l = _lines(
+        spark,
+        [(i, 1, float(i), 100.0 - i, 0.0) for i in (1, 2, 3, 4)],
+    )  # prices 99, 98, 97, 96 -> top-3 = orders 1,2,3
+    facts = IVM.fact_rows(o, l)
+    state = IVM.topk_view(facts, k=3)
+    tomb = o.filter(F.col("o_orderkey") == 1)
+    keep = o.filter(F.col("o_orderkey") != 1)
+    merged = IVM.merge_topk(
+        state, None, IVM.fact_rows(tomb, l), IVM.fact_rows(keep, l), k=3
+    )
+    got = {(r["rnk"], r["o_orderkey"]) for r in merged.collect()}
+    assert got == {(1, 2), (2, 3), (3, 4)}
+    scratch = IVM.topk_view(IVM.fact_rows(keep, l), k=3)
+    assert got == {(r["rnk"], r["o_orderkey"]) for r in scratch.collect()}
+
+
+def test_topk_insert_only_fold_no_rescan_needed(spark):
+    # insert displaces rank 2: fold of stored k + inserts must equal
+    # from-scratch without touching survivor facts (passed as None)
+    o_base = _orders(spark, [(1, 10), (2, 10), (3, 10)])
+    l_base = _lines(
+        spark, [(i, 1, float(i), 100.0 - i, 0.0) for i in (1, 2, 3)]
+    )
+    o_ins = _orders(spark, [(9, 10)])
+    l_ins = _lines(spark, [(9, 1, 1.0, 98.5, 0.0)])
+    state = IVM.topk_view(IVM.fact_rows(o_base, l_base), k=3)
+    merged = IVM.merge_topk(
+        state, IVM.fact_rows(o_ins, l_ins), None, None, k=3
+    )
+    scratch = IVM.topk_view(
+        IVM.fact_rows(
+            o_base.unionByName(o_ins), l_base.unionByName(l_ins)
+        ),
+        k=3,
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in scratch.collect()
+    }
