@@ -7,7 +7,7 @@ is even worth it.
 
 (defaults to /root/testdata/sf0.001; finishes in ~2 min on local[*])
 
-Walks four maintained-state families:
+Walks five maintained-state families:
 
 1. PageRank over the supply graph — trajectory persisted, then a
    mixed changefeed (late-order pairs retracted AND added) applied
@@ -24,6 +24,9 @@ Walks four maintained-state families:
    surviving corpus.
 4. The observability row an operator watches: the frontier-saturation
    curve that calibrates the router.
+5. (round 12) A relational join-aggregate view under a mixed
+   changefeed — delta-join inserts, counter subtraction, MIN/MAX
+   re-election over only the retraction-affected groups.
 """
 
 from __future__ import annotations

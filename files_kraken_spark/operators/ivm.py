@@ -112,25 +112,11 @@ def view_aggregate(facts: DataFrame) -> DataFrame:
 def merge_insert(state: DataFrame, delta_facts: DataFrame) -> DataFrame:
     """Insert-only merge: counters add, MIN/MAX fold with least/
     greatest — no rescan anywhere. One outer join bounded by
-    |state ∪ Δ-groups| (AQE broadcasts the delta side)."""
-    d = view_aggregate(delta_facts)
-    s = state.select(
-        KEY, *[F.col(c).alias(f"s_{c}") for c in _COUNTERS + _MINMAX]
-    )
-    d = d.select(KEY, *[F.col(c).alias(f"d_{c}") for c in _COUNTERS + _MINMAX])
-    j = s.join(d, KEY, "full_outer")
-    cols = [F.col(KEY)]
-    for c in _COUNTERS:
-        cols.append(
-            (
-                F.coalesce(f"s_{c}", F.lit(0)) + F.coalesce(f"d_{c}", F.lit(0))
-            )
-            .cast("long")
-            .alias(c)
-        )
-    cols.append(F.least("s_min_price_c", "d_min_price_c").alias("min_price_c"))
-    cols.append(F.greatest("s_max_qty", "d_max_qty").alias("max_qty"))
-    return j.select(*cols)
+    |state ∪ Δ-groups| (AQE broadcasts the delta side). Delegates to
+    :func:`apply_changes`' insert path — ONE implementation of the
+    counter/fold algebra; this stays a named entrypoint because the
+    insert-only contract needs no survivor table."""
+    return apply_changes(state, delta_facts, None)
 
 
 def apply_changes(
@@ -204,7 +190,12 @@ def apply_changes(
     if survivor_facts is None:
         raise ValueError("retractions require survivor_facts for re-election")
 
-    affected = merged.filter("had_retraction").select(KEY)
+    # |Δ|-bounded probe side: the retraction batch's own group keys
+    # (filtering the merged frame would recompute the O(|state|)
+    # three-way merge a second time just to build the broadcast side;
+    # the extra keys this set may carry — groups the batch emptied —
+    # have no survivor rows and re-elect to nothing)
+    affected = del_facts.select(KEY).distinct()
     reelected = (
         survivor_facts.join(F.broadcast(affected), KEY, "left_semi")
         .groupBy(KEY)

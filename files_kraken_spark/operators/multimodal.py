@@ -1024,26 +1024,7 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     16-bit bands (p ≈ 2^-8 per band) — the price of a 32-bit hash;
     at 100 TB prepend a cheap exact-duplicate pass so band buckets
     hold near-dups, not exact-dup floods."""
-    bands = hashes.select(
-        "media_id",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("phash"), b * 8)
-                        .bitwiseAND(F.lit(0xFF))
-                        .alias("key"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select(
-        "media_id", "phash",
-        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
-    )
+    bands = phash_bands(hashes)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -1159,22 +1140,9 @@ def phash_index_apply(
             .cast("long")
             .alias("hamming"),
         )
-        a2, b2 = nb.alias("a"), nb.alias("b")
-        within = a2.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        ).select(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
-            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
-            .cast("long")
-            .alias("hamming"),
-        )
-        new_pairs = _phash_verify(cross, max_hamming).unionByName(
-            _phash_verify(within, max_hamming)
-        )
+        # batch × batch IS the from-scratch builder on the batch alone
+        within = phash_neardup_pairs(batch_hashes, max_hamming)
+        new_pairs = _phash_verify(cross, max_hamming).unionByName(within)
         pairs = pairs.select("id_a", "id_b", "hamming").unionByName(new_pairs)
         hashes = hashes.unionByName(batch_hashes)
     return pairs, hashes

@@ -381,11 +381,7 @@ GROUP BY 1""",
     "store — the space-for-subtractability trade stated as data.",
 )
 def v_ivm_distinct_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders, lineitem = _tables(spark, sf_dir)
-    o_base = orders.filter(_o_base())
-    o_delta = orders.filter(~_o_base())
-    l_base = lineitem.filter(_l_base())
-    l_delta = lineitem.filter(~_l_base())
+    o_base, o_delta, l_base, l_delta = _splits(spark, sf_dir)
     base = _distinct_facts(o_base, l_base)
     ins = (
         _distinct_facts(o_delta, l_base)

@@ -8,10 +8,11 @@ top-decade exponent).
         [--runs 2]
 
 The 10x dir is built by tools/synth_tenx.py. Each (query, dir) point
-clears the Spark cache and runs the query to completion (count()),
-reporting the min over --runs runs; serve_state-backed queries pay
-their state build on run 1 and report the warm serve cost, matching
-the bench harness's min-of-5 semantics.
+clears the Spark cache and materializes the result through the noop
+sink (bench.py's technique — count() would let Catalyst prune the
+projections and under-measure), reporting the min over --runs runs;
+serve_state-backed queries pay their state build on run 1 and report
+the warm serve cost, matching the bench harness's min-of-N semantics.
 """
 
 from __future__ import annotations
@@ -58,7 +59,9 @@ def main() -> int:
             for _ in range(args.runs):
                 spark.catalog.clearCache()
                 t0 = time.time()
-                spec.spark(spark, d).count()
+                spec.spark(spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 best = min(best, time.time() - t0)
             out[name][d] = round(best, 2)
             print(f"{name} @ {d}: {out[name][d]}s", flush=True)
