@@ -60,6 +60,11 @@ __all__ = [
     "merge_insert",
     "apply_changes",
     "present_view",
+    "distinct_support",
+    "merge_distinct_support",
+    "distinct_view",
+    "topk_view",
+    "merge_topk",
 ]
 
 #: group key of the maintained view
