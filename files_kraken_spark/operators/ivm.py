@@ -65,6 +65,7 @@ __all__ = [
     "distinct_view",
     "topk_view",
     "merge_topk",
+    "rollup_state",
 ]
 
 #: group key of the maintained view
@@ -81,13 +82,16 @@ def _micro(col: str, scale: int) -> Column:
     return F.round(F.col(col) * scale).cast("long")
 
 
-def fact_rows(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+def fact_rows(
+    orders: DataFrame, lineitem: DataFrame, dims: tuple[str, ...] = ()
+) -> DataFrame:
     """The view's fact rows: orders ⋈ lineitem on the order key,
-    projected to the group key + exact integer measures. Column
-    pruning happens here (two joins of 3- and 4-column projections,
-    never full rows); at scale both sides are bucketed by
-    l_orderkey so this join is co-located."""
-    o = orders.select("o_orderkey", KEY)
+    projected to the group key (+ any extra order-side ``dims``, for
+    multi-grain views) + exact integer measures. Column pruning
+    happens here (two joins of narrow projections, never full rows);
+    at scale both sides are bucketed by l_orderkey so this join is
+    co-located."""
+    o = orders.select("o_orderkey", KEY, *dims)
     l = lineitem.select(
         "l_orderkey",
         F.round("l_quantity").cast("long").alias("qty"),
@@ -98,14 +102,16 @@ def fact_rows(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         ).alias("rev_c100"),
     )
     return l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
-        KEY, "o_orderkey", "qty", "price_c", "rev_c100"
+        KEY, *dims, "o_orderkey", "qty", "price_c", "rev_c100"
     )
 
 
-def view_aggregate(facts: DataFrame) -> DataFrame:
+def view_aggregate(facts: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """From-scratch aggregation of fact rows into view state — also
-    the shape of each delta-side partial aggregate. All BIGINT."""
-    return facts.groupBy(KEY).agg(
+    the shape of each delta-side partial aggregate. All BIGINT.
+    ``keys`` generalizes the group key to a composite (multi-grain
+    views maintain their FINEST grain through the same algebra)."""
+    return facts.groupBy(*(keys or [KEY])).agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.sum("qty").cast("long").alias("sum_qty"),
         F.sum("rev_c100").cast("long").alias("sum_rev_c100"),
@@ -129,6 +135,7 @@ def apply_changes(
     ins_facts: DataFrame | None,
     del_facts: DataFrame | None,
     survivor_facts: DataFrame | None = None,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """General changefeed merge (inserts + retractions in one batch).
 
@@ -144,18 +151,19 @@ def apply_changes(
     retracted, plus inserted) — the caller owns that definition
     because it knows which store the survivors live in.
     """
+    ks = keys or [KEY]
     sides = {"s": state}
     if ins_facts is not None:
-        sides["i"] = view_aggregate(ins_facts)
+        sides["i"] = view_aggregate(ins_facts, ks)
     if del_facts is not None:
-        sides["d"] = view_aggregate(del_facts)
+        sides["d"] = view_aggregate(del_facts, ks)
 
     j = None
     for tag, df in sides.items():
         named = df.select(
-            KEY, *[F.col(c).alias(f"{tag}_{c}") for c in _COUNTERS + _MINMAX]
+            *ks, *[F.col(c).alias(f"{tag}_{c}") for c in _COUNTERS + _MINMAX]
         )
-        j = named if j is None else j.join(named, KEY, "full_outer")
+        j = named if j is None else j.join(named, ks, "full_outer")
 
     def _ctr(c: str) -> Column:
         out = F.coalesce(F.col(f"s_{c}"), F.lit(0))
@@ -173,7 +181,7 @@ def apply_changes(
         fold_min = F.col("s_min_price_c")
         fold_max = F.col("s_max_qty")
     merged = j.select(
-        F.col(KEY),
+        *[F.col(k) for k in ks],
         *[_ctr(c) for c in _COUNTERS],
         fold_min.alias("fold_min_price_c"),
         fold_max.alias("fold_max_qty"),
@@ -186,7 +194,7 @@ def apply_changes(
 
     if "d" not in sides:
         return merged.select(
-            KEY,
+            *ks,
             *_COUNTERS,
             F.col("fold_min_price_c").alias("min_price_c"),
             F.col("fold_max_qty").alias("max_qty"),
@@ -200,17 +208,17 @@ def apply_changes(
     # three-way merge a second time just to build the broadcast side;
     # the extra keys this set may carry — groups the batch emptied —
     # have no survivor rows and re-elect to nothing)
-    affected = del_facts.select(KEY).distinct()
+    affected = del_facts.select(*ks).distinct()
     reelected = (
-        survivor_facts.join(F.broadcast(affected), KEY, "left_semi")
-        .groupBy(KEY)
+        survivor_facts.join(F.broadcast(affected), ks, "left_semi")
+        .groupBy(*ks)
         .agg(
             F.min("price_c").cast("long").alias("re_min_price_c"),
             F.max("qty").cast("long").alias("re_max_qty"),
         )
     )
-    return merged.join(reelected, KEY, "left").select(
-        KEY,
+    return merged.join(reelected, ks, "left").select(
+        *ks,
         *_COUNTERS,
         F.when(F.col("had_retraction"), F.col("re_min_price_c"))
         .otherwise(F.col("fold_min_price_c"))
@@ -361,3 +369,21 @@ def merge_topk(
     return folded.join(
         F.broadcast(affected), KEY, "left_anti"
     ).unionByName(reelected)
+
+
+def rollup_state(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Coarsen maintained view state to a shorter key list WITHOUT
+    touching fact rows: every stored aggregate re-aggregates exactly
+    (COUNT/SUM add as BIGINTs; MIN of MINs, MAX of MAXes) — the
+    rollup-lattice property that makes multi-grain serving a pure
+    function of the finest maintained grain. One changefeed merge at
+    the finest grain keeps EVERY grain current; the coarser grains
+    cost one |state|-bounded aggregation each, never a fact scan."""
+    g = state.groupBy(*keys) if keys else state.groupBy()
+    return g.agg(
+        F.sum("n_items").cast("long").alias("n_items"),
+        F.sum("sum_qty").cast("long").alias("sum_qty"),
+        F.sum("sum_rev_c100").cast("long").alias("sum_rev_c100"),
+        F.min("min_price_c").cast("long").alias("min_price_c"),
+        F.max("max_qty").cast("long").alias("max_qty"),
+    )

@@ -80,6 +80,7 @@ _SAMPLE_PRIORITY = [
     "v_ivm_incremental", "v_ivm_decremental", "v_ivm_changefeed",
     "v_ivm_maintain_route", "v_ivm_serve_merged", "v_ivm_delta_cost",
     "v_ivm_distinct_changefeed", "v_ivm_topk_changefeed",
+    "v_ivm_rollup_changefeed",
     # -- NEW round 12: pHash near-dup index maintenance (every
     # near-dup family now carries a maintain path) --
     "mm_phash_incremental", "mm_phash_decremental", "mm_phash_changefeed",

@@ -441,3 +441,74 @@ def v_ivm_topk_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         IVM.KEY, F.col("rnk").cast("long").alias("rnk"),
         "price_c", "o_orderkey", "qty",
     )
+
+
+@register(
+    "v_ivm_rollup_changefeed",
+    oracle=f"""
+WITH f AS (
+  SELECT CAST(o.o_custkey AS VARCHAR) AS ck, o.o_orderpriority AS pr,
+         CAST(round(l.l_quantity) AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_c100
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE NOT ({_SQL_TOMB})
+)
+SELECT coalesce(ck, 'ALL') AS custkey, coalesce(pr, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(rev_c100) AS BIGINT) AS sum_rev_c100,
+       CAST(min(price_c) AS BIGINT) AS min_price_c,
+       CAST(max(qty) AS BIGINT) AS max_qty
+FROM f GROUP BY ROLLUP(ck, pr)""",
+    doc="MULTI-GRAIN rollup view maintenance under a mixed changefeed "
+    "— q_incremental_rollup's hypertable story (insert-only, single "
+    "table, one grain) generalized to a join view under inserts AND "
+    "retractions at THREE grains: the engine maintains ONLY the "
+    "finest grain (customer, priority) through the shared changefeed "
+    "core (composite-key apply_changes — same delta joins, counter "
+    "subtraction, re-election), and the coarser grains are served by "
+    "RE-AGGREGATING the maintained state (operators/ivm.rollup_state) "
+    "— COUNT/SUM add, MIN of MINs, MAX of MAXes — the rollup-lattice "
+    "property: one merge keeps every grain current, and no coarse "
+    "grain ever touches a fact row. Oracle = from-scratch GROUP BY "
+    "ROLLUP over the survivors ('ALL' marks rolled-up levels). At "
+    "100 TB this is the continuous-aggregate cascade: the finest "
+    "state is |customer×priority| rows; each coarser grain is one "
+    "state-bounded aggregation.",
+)
+def v_ivm_rollup_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = ["o_custkey", "o_orderpriority"]
+    dims = ("o_orderpriority",)
+    o_base, o_delta, l_base, l_delta = _splits(spark, sf_dir)
+    state = IVM.view_aggregate(
+        IVM.fact_rows(o_base, l_base, dims), keys
+    )
+    ins = (
+        IVM.fact_rows(o_delta, l_base, dims)
+        .unionByName(IVM.fact_rows(o_base, l_delta, dims))
+        .unionByName(IVM.fact_rows(o_delta, l_delta, dims))
+        .filter(F.col("o_orderkey") % 40 != 1)
+    )
+    dels = IVM.fact_rows(o_base.filter(_tomb()), l_base, dims)
+    survivors = IVM.fact_rows(
+        o_base.filter(~_tomb()), l_base, dims
+    ).unionByName(ins)
+    finest = IVM.apply_changes(state, ins, dels, survivors, keys)
+
+    stats = ["n_items", "sum_qty", "sum_rev_c100", "min_price_c", "max_qty"]
+    g2 = finest.select(
+        F.col("o_custkey").cast("string").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        *stats,
+    )
+    g1 = IVM.rollup_state(finest, ["o_custkey"]).select(
+        F.col("o_custkey").cast("string").alias("custkey"),
+        F.lit("ALL").alias("priority"),
+        *stats,
+    )
+    g0 = IVM.rollup_state(finest, []).select(
+        F.lit("ALL").alias("custkey"), F.lit("ALL").alias("priority"), *stats
+    )
+    return g2.unionByName(g1).unionByName(g0)

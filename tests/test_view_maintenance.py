@@ -361,3 +361,41 @@ def test_topk_insert_only_fold_no_rescan_needed(spark):
     assert {tuple(r) for r in merged.collect()} == {
         tuple(r) for r in scratch.collect()
     }
+
+
+def test_rollup_lattice_serves_coarse_grains_from_state(spark):
+    # maintain ONLY the finest grain (custkey, flag) under a
+    # changefeed; every coarser grain re-aggregated from the
+    # maintained state must equal the from-scratch aggregate
+    o = spark.createDataFrame(
+        [(i, 10 + (i % 2) * 10, "AB"[i % 2]) for i in range(1, 7)],
+        ["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    l = _lines(
+        spark,
+        [(i, 1, float(i), 10.0 * i, 0.0) for i in range(1, 7)],
+    )
+    keys = ["o_custkey", "o_orderpriority"]
+    dims = ("o_orderpriority",)
+    base = o.filter(F.col("o_orderkey") <= 4)
+    ins_o = o.filter(F.col("o_orderkey") > 4)
+    tomb = base.filter(F.col("o_orderkey") == 1)
+    keep = base.filter(F.col("o_orderkey") != 1)
+
+    state = IVM.view_aggregate(IVM.fact_rows(base, l, dims), keys)
+    ins = IVM.fact_rows(ins_o, l, dims)
+    survivors = IVM.fact_rows(keep, l, dims).unionByName(ins)
+    finest = IVM.apply_changes(
+        state, ins, IVM.fact_rows(tomb, l, dims), survivors, keys
+    )
+    live_o = keep.unionByName(ins_o)
+    for grain in (["o_custkey", "o_orderpriority"], ["o_custkey"], []):
+        served = IVM.rollup_state(finest, grain)
+        scratch = IVM.rollup_state(
+            IVM.view_aggregate(IVM.fact_rows(live_o, l, dims), keys), grain
+        )
+        key = lambda r: tuple(r[k] for k in grain)
+        assert {key(r): (r["n_items"], r["sum_qty"], r["min_price_c"],
+                         r["max_qty"]) for r in served.collect()} == {
+            key(r): (r["n_items"], r["sum_qty"], r["min_price_c"],
+                     r["max_qty"]) for r in scratch.collect()}
