@@ -160,12 +160,11 @@ def main():
     # spread ≳2 means even the min may be inflated, don't read deltas.
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
-    def _control() -> float:
-        """Load sentinel: one clean-cache run of the cheapest headline
-        query. Timed at start and end — drift between the two reveals a
-        box that got loaded (or UNloaded: a contended session start)
-        mid-benchmark."""
-        spec = REGISTRY["q1_pricing_summary"]
+    def _control(name: str = "q1_pricing_summary") -> float:
+        """Load sentinel: one clean-cache run of a fixed query. Timed at
+        start and end — drift between the two reveals a box that got
+        loaded (or UNloaded: a contended session start) mid-benchmark."""
+        spec = REGISTRY[name]
         spark.catalog.clearCache()
         # GC barrier (round-12): after ~300 timed runs the closing
         # sentinel was consistently 1.4-1.5x the opening one (0.30 ->
@@ -178,6 +177,15 @@ def main():
         t0 = time.time()
         spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
+
+    # Two-point control (round-12 verdict item 7): the tiny sentinel
+    # (q1, ~0.3s) measures fixed per-query overhead + a small scan; a
+    # second, headline-sized sentinel (minhash LSH, ~2s) measures
+    # sustained compute. vpc proved NON-affine across round 12's six
+    # runs (fixed overheads don't shrink with the control, so vpc
+    # inflates on fast boxes); with two sentinels a reader can fit
+    # slope+intercept instead of dividing by a single scale.
+    CONTROL2 = "dedup_minhash_lsh"
 
     def measure() -> dict:
         """One full measured block: control sentinel, headline + extra
@@ -201,6 +209,7 @@ def main():
             )
 
         control_start = _control()
+        control2_start = _control(CONTROL2)
         for name in HEADLINE + EXTRA:
             spec = REGISTRY[name]
             runs = []
@@ -227,6 +236,7 @@ def main():
             _record(name, runs, extra)
         for d in persisted:
             d.unpersist()
+        control2_end = _control(CONTROL2)
         control_end = _control()
         # >1 = box got slower while benching; <1 = start was contended;
         # outside [0.5, 2] either way means per-query deltas vs other
@@ -238,6 +248,7 @@ def main():
             "raw": raw,
             "spread": spread,
             "control": [control_start, control_end],
+            "control2": [control2_start, control2_end],
             "load_drift": load_drift,
         }
 
@@ -272,6 +283,7 @@ def main():
     timings, extra = m["timings"], m["extra"]
     raw, spread = m["raw"], m["spread"]
     control_start, control_end = m["control"]
+    control2_start, control2_end = m["control2"]
     load_drift = m["load_drift"]
     total = round(sum(timings.values()), 3)
     mean_control = (control_start + control_end) / 2
@@ -310,6 +322,13 @@ def main():
         # max/min run ratio, plus control-query drift start→end
         "spread": spread,
         "control_sec": [control_start, control_end],
+        # Second, headline-sized sentinel (round-12 verdict item 7):
+        # the tiny control measures fixed per-query overhead, this one
+        # sustained compute — together they give normalization a slope
+        # (vpc alone proved non-affine: it inflates on FAST boxes
+        # because fixed overheads don't shrink with the control).
+        "control2_sec": [control2_start, control2_end],
+        "control2_query": "dedup_minhash_lsh",
         "load_drift": load_drift,
         # True = the first pass's sentinel flagged a contended start/finish
         # and the whole measured block was re-run once; the record holds
@@ -325,19 +344,52 @@ def main():
     with open(record_path, "w") as fh:
         json.dump(record, fh, indent=1)
     print(f"# full record -> {record_path}", file=sys.stderr)
-    # The stdout metric line stays COMPACT (the driver's tail capture
-    # truncated a ~3 KB line mid-record in round 6): per-query spread
-    # and raw runs live only in the file; stdout keeps one summary
-    # noise flag. The line must be the LAST thing on stdout.
+    # The stdout metric line stays SHORT (round-12 verdict item 1: the
+    # driver's tail capture beheaded a ~2.9 KB line mid-value and
+    # BENCH_r12 recorded parsed:null — rounds 4 and 6 hit the same
+    # wall). Only the headline summary ships on stdout; the per-query
+    # maps (extra_queries, spread, raw_runs, query_per_control) live in
+    # BENCH_local.json. The 14-entry headline `queries` map is part of
+    # the driver's documented line format and fits; build_compact_line
+    # is unit-tested to stay under 1 KB. The line must be the LAST
+    # thing on stdout.
+    print(build_compact_line(record))
+    sys.stdout.flush()
+
+
+def build_compact_line(record: dict) -> str:
+    """The single stdout JSON line the driver parses. Keeps ONLY the
+    headline summary + the 14-entry headline queries map; everything
+    per-extra-query stays in BENCH_local.json. tests/test_bench_contract
+    pins the serialized length under 1 KB so registry growth can never
+    behead the driver's tail capture again (round-12 verdict item 1)."""
     compact = {
-        k: v
-        for k, v in record.items()
-        if k not in ("spread", "raw_runs", "query_per_control")
+        k: record[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "sf",
+            "queries",
+            "value_per_control",
+            "control_sec",
+            "control2_sec",
+            "control_healthy",
+            "load_drift",
+            "retried",
+        )
+        if k in record
     }
+    spread = record.get("spread") or {}
     compact["spread_max"] = max(spread.values()) if spread else 0.0
     compact["record_file"] = "BENCH_local.json"
-    print(json.dumps(compact))
-    sys.stdout.flush()
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1000:
+        # Headline map outgrew the budget: drop it rather than risk a
+        # beheaded line — the full map survives in BENCH_local.json.
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":
