@@ -51,10 +51,14 @@ public designs, re-expressed as Spark DataFrame algebra.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "Measure",
+    "DEFAULT_MEASURES",
     "fact_rows",
     "view_aggregate",
     "merge_insert",
@@ -71,8 +75,93 @@ __all__ = [
 #: group key of the maintained view
 KEY = "o_custkey"
 
-_COUNTERS = ("n_items", "sum_qty", "sum_rev_c100")
-_MINMAX = ("min_price_c", "max_qty")
+
+@dataclass(frozen=True)
+class Measure:
+    """Declarative measure spec (round-13: the round-12 worked example's
+    hard-coded ``_COUNTERS``/``_MINMAX`` tuples lifted to data, the way
+    ``Blueprint`` declares fields). ``kind`` decides the maintenance
+    class the merge core applies:
+
+    - ``count`` / ``sum`` — SUBTRACTABLE: maintained as additive BIGINT
+      counters (insert adds, retraction subtracts); exact because
+      integer addition is associative/commutative.
+    - ``min`` / ``max`` — NON-SUBTRACTABLE: insert-only batches fold
+      with least/greatest; retraction-affected groups RE-ELECT from
+      survivor fact rows (semi-join-bounded rescan).
+
+    ``col`` is the fact-row column the aggregate reads (``None`` only
+    for ``count``). Every measure is BIGINT by contract — the caller's
+    fact builder owns the fixed-point lift (see :func:`_micro`)."""
+
+    name: str
+    kind: str
+    col: str | None = None
+
+    def __post_init__(self):
+        if self.kind not in ("count", "sum", "min", "max"):
+            raise ValueError(f"unknown measure kind {self.kind!r}")
+        if self.kind != "count" and self.col is None:
+            raise ValueError(f"measure {self.name!r} ({self.kind}) needs col")
+
+    @property
+    def subtractable(self) -> bool:
+        return self.kind in ("count", "sum")
+
+    def agg(self) -> Column:
+        """Aggregate expression over fact rows (also the shape of each
+        delta-side partial aggregate)."""
+        fn = {"count": lambda: F.count(F.lit(1)),
+              "sum": lambda: F.sum(self.col),
+              "min": lambda: F.min(self.col),
+              "max": lambda: F.max(self.col)}[self.kind]
+        return fn().cast("long").alias(self.name)
+
+    def fold(self, a: Column | str, b: Column | str) -> Column:
+        """Insert-only fold of two partial extremes (min/max only)."""
+        return (F.least if self.kind == "min" else F.greatest)(a, b)
+
+    def re_agg(self, col: str) -> Column:
+        """Re-election aggregate over survivor fact rows (min/max only)."""
+        return (F.min if self.kind == "min" else F.max)(col).cast("long")
+
+    def roll(self, keys: list[str]) -> Column:
+        """Re-aggregation of STORED state to a coarser grain: COUNT and
+        SUM add as BIGINTs, MIN of MINs, MAX of MAXes. The empty-state
+        global grain coalesces count-kind to 0 (SQL's ``count(*)`` over
+        zero rows is 0 while ``sum`` of nothing is NULL — GROUP BY
+        ROLLUP's grand-total row on an empty corpus says exactly that)."""
+        if self.subtractable:
+            out = F.sum(self.name)
+            if not keys and self.kind == "count":
+                out = F.coalesce(out, F.lit(0))
+        elif self.kind == "min":
+            out = F.min(self.name)
+        else:
+            out = F.max(self.name)
+        return out.cast("long").alias(self.name)
+
+
+#: the round-12 worked example's view, now just the default spec:
+#: SELECT key, count(*), sum(qty), sum(rev), min(price), max(qty)
+DEFAULT_MEASURES: tuple[Measure, ...] = (
+    Measure("n_items", "count"),
+    Measure("sum_qty", "sum", "qty"),
+    Measure("sum_rev_c100", "sum", "rev_c100"),
+    Measure("min_price_c", "min", "price_c"),
+    Measure("max_qty", "max", "qty"),
+)
+
+
+def _sentinel(measures: tuple[Measure, ...]) -> Measure:
+    """The emptiness sentinel: the view's row-count measure. Emptied-
+    group detection (a group leaves the view when its count reaches 0)
+    and had-retraction detection both need one; a spec without a count
+    measure cannot support retractions, so demand it up front."""
+    for m in measures:
+        if m.kind == "count":
+            return m
+    raise ValueError("measure spec needs a count measure (group liveness)")
 
 
 def _micro(col: str, scale: int) -> Column:
@@ -106,28 +195,33 @@ def fact_rows(
     )
 
 
-def view_aggregate(facts: DataFrame, keys: list[str] | None = None) -> DataFrame:
+def view_aggregate(
+    facts: DataFrame,
+    keys: list[str] | None = None,
+    measures: tuple[Measure, ...] = DEFAULT_MEASURES,
+) -> DataFrame:
     """From-scratch aggregation of fact rows into view state — also
     the shape of each delta-side partial aggregate. All BIGINT.
     ``keys`` generalizes the group key to a composite (multi-grain
-    views maintain their FINEST grain through the same algebra)."""
-    return facts.groupBy(*(keys or [KEY])).agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.sum("qty").cast("long").alias("sum_qty"),
-        F.sum("rev_c100").cast("long").alias("sum_rev_c100"),
-        F.min("price_c").cast("long").alias("min_price_c"),
-        F.max("qty").cast("long").alias("max_qty"),
-    )
+    views maintain their FINEST grain through the same algebra);
+    ``measures`` declares the view's aggregates (round-13: spec-driven,
+    the hard-coded worked example generalized)."""
+    return facts.groupBy(*(keys or [KEY])).agg(*[m.agg() for m in measures])
 
 
-def merge_insert(state: DataFrame, delta_facts: DataFrame) -> DataFrame:
+def merge_insert(
+    state: DataFrame,
+    delta_facts: DataFrame,
+    keys: list[str] | None = None,
+    measures: tuple[Measure, ...] = DEFAULT_MEASURES,
+) -> DataFrame:
     """Insert-only merge: counters add, MIN/MAX fold with least/
     greatest — no rescan anywhere. One outer join bounded by
     |state ∪ Δ-groups| (AQE broadcasts the delta side). Delegates to
     :func:`apply_changes`' insert path — ONE implementation of the
     counter/fold algebra; this stays a named entrypoint because the
     insert-only contract needs no survivor table."""
-    return apply_changes(state, delta_facts, None)
+    return apply_changes(state, delta_facts, None, keys=keys, measures=measures)
 
 
 def apply_changes(
@@ -136,32 +230,43 @@ def apply_changes(
     del_facts: DataFrame | None,
     survivor_facts: DataFrame | None = None,
     keys: list[str] | None = None,
+    measures: tuple[Measure, ...] = DEFAULT_MEASURES,
 ) -> DataFrame:
-    """General changefeed merge (inserts + retractions in one batch).
+    """General changefeed merge (inserts + retractions in one batch),
+    driven entirely by the declarative ``measures`` spec — the algebra
+    is per-KIND, not per-column, so ANY view shaped `GROUP BY keys`
+    over COUNT/SUM/MIN/MAX measures maintains through this one core
+    (``v_ivm2_*`` proves it on a second schema).
 
-    Counters: one full-outer merge of three partial aggregates —
-    O(|state| ∪ |Δ-groups|), delta sides broadcast. Groups whose
-    count reaches zero leave the view (a retracted-empty group has
-    no row, exactly like k-core's membership overlay).
+    Subtractable measures (count/sum): one full-outer merge of three
+    partial aggregates — O(|state| ∪ |Δ-groups|), delta sides
+    broadcast. Groups whose count reaches zero leave the view (a
+    retracted-empty group has no row, exactly like k-core's
+    membership overlay).
 
-    MIN/MAX: groups with NO retraction fold with least/greatest;
-    groups WITH a retraction re-elect from ``survivor_facts``
-    restricted to those groups (left-semi bounded rescan).
-    ``survivor_facts`` must be the post-change fact rows (base minus
-    retracted, plus inserted) — the caller owns that definition
-    because it knows which store the survivors live in.
+    Non-subtractable measures (min/max): groups with NO retraction
+    fold with least/greatest; groups WITH a retraction re-elect from
+    ``survivor_facts`` restricted to those groups (left-semi bounded
+    rescan). ``survivor_facts`` must be the post-change fact rows
+    (base minus retracted, plus inserted) — the caller owns that
+    definition because it knows which store the survivors live in.
     """
     ks = keys or [KEY]
+    counters = [m for m in measures if m.subtractable]
+    extremes = [m for m in measures if not m.subtractable]
+    sentinel = _sentinel(measures)
+    names = [m.name for m in measures]
+
     sides = {"s": state}
     if ins_facts is not None:
-        sides["i"] = view_aggregate(ins_facts, ks)
+        sides["i"] = view_aggregate(ins_facts, ks, measures)
     if del_facts is not None:
-        sides["d"] = view_aggregate(del_facts, ks)
+        sides["d"] = view_aggregate(del_facts, ks, measures)
 
     j = None
     for tag, df in sides.items():
         named = df.select(
-            *ks, *[F.col(c).alias(f"{tag}_{c}") for c in _COUNTERS + _MINMAX]
+            *ks, *[F.col(c).alias(f"{tag}_{c}") for c in names]
         )
         j = named if j is None else j.join(named, ks, "full_outer")
 
@@ -173,31 +278,29 @@ def apply_changes(
             out = out - F.coalesce(F.col(f"d_{c}"), F.lit(0))
         return out.cast("long").alias(c)
 
-    if "i" in sides:
-        fold_min = F.least("s_min_price_c", "i_min_price_c")
-        fold_max = F.greatest("s_max_qty", "i_max_qty")
-    else:  # least/greatest need two args; with no insert side the
-        # fold is the state value itself
-        fold_min = F.col("s_min_price_c")
-        fold_max = F.col("s_max_qty")
+    def _fold(m: Measure) -> Column:
+        # least/greatest need two args; with no insert side the fold
+        # is the state value itself
+        if "i" in sides:
+            return m.fold(f"s_{m.name}", f"i_{m.name}")
+        return F.col(f"s_{m.name}")
+
     merged = j.select(
         *[F.col(k) for k in ks],
-        *[_ctr(c) for c in _COUNTERS],
-        fold_min.alias("fold_min_price_c"),
-        fold_max.alias("fold_max_qty"),
+        *[_ctr(m.name) for m in counters],
+        *[_fold(m).alias(f"fold_{m.name}") for m in extremes],
         (
-            F.col("d_n_items").isNotNull()
+            F.col(f"d_{sentinel.name}").isNotNull()
             if "d" in sides
             else F.lit(False)
         ).alias("had_retraction"),
-    ).filter(F.col("n_items") > 0)
+    ).filter(F.col(sentinel.name) > 0)
 
-    if "d" not in sides:
+    if "d" not in sides or not extremes:
         return merged.select(
             *ks,
-            *_COUNTERS,
-            F.col("fold_min_price_c").alias("min_price_c"),
-            F.col("fold_max_qty").alias("max_qty"),
+            *[m.name for m in counters],
+            *[F.col(f"fold_{m.name}").alias(m.name) for m in extremes],
         )
 
     if survivor_facts is None:
@@ -212,20 +315,17 @@ def apply_changes(
     reelected = (
         survivor_facts.join(F.broadcast(affected), ks, "left_semi")
         .groupBy(*ks)
-        .agg(
-            F.min("price_c").cast("long").alias("re_min_price_c"),
-            F.max("qty").cast("long").alias("re_max_qty"),
-        )
+        .agg(*[m.re_agg(m.col).alias(f"re_{m.name}") for m in extremes])
     )
     return merged.join(reelected, ks, "left").select(
         *ks,
-        *_COUNTERS,
-        F.when(F.col("had_retraction"), F.col("re_min_price_c"))
-        .otherwise(F.col("fold_min_price_c"))
-        .alias("min_price_c"),
-        F.when(F.col("had_retraction"), F.col("re_max_qty"))
-        .otherwise(F.col("fold_max_qty"))
-        .alias("max_qty"),
+        *[m.name for m in counters],
+        *[
+            F.when(F.col("had_retraction"), F.col(f"re_{m.name}"))
+            .otherwise(F.col(f"fold_{m.name}"))
+            .alias(m.name)
+            for m in extremes
+        ],
     )
 
 
@@ -371,19 +471,21 @@ def merge_topk(
     ).unionByName(reelected)
 
 
-def rollup_state(state: DataFrame, keys: list[str]) -> DataFrame:
+def rollup_state(
+    state: DataFrame,
+    keys: list[str],
+    measures: tuple[Measure, ...] = DEFAULT_MEASURES,
+) -> DataFrame:
     """Coarsen maintained view state to a shorter key list WITHOUT
     touching fact rows: every stored aggregate re-aggregates exactly
     (COUNT/SUM add as BIGINTs; MIN of MINs, MAX of MAXes) — the
     rollup-lattice property that makes multi-grain serving a pure
     function of the finest maintained grain. One changefeed merge at
     the finest grain keeps EVERY grain current; the coarser grains
-    cost one |state|-bounded aggregation each, never a fact scan."""
+    cost one |state|-bounded aggregation each, never a fact scan.
+    The global grain (``keys=[]``) over an EMPTY state matches SQL's
+    GROUP BY ROLLUP grand-total row: count-kind measures coalesce to
+    0 (``count(*)`` of nothing is 0; ``sum``/``min``/``max`` of
+    nothing stay NULL)."""
     g = state.groupBy(*keys) if keys else state.groupBy()
-    return g.agg(
-        F.sum("n_items").cast("long").alias("n_items"),
-        F.sum("sum_qty").cast("long").alias("sum_qty"),
-        F.sum("sum_rev_c100").cast("long").alias("sum_rev_c100"),
-        F.min("min_price_c").cast("long").alias("min_price_c"),
-        F.max("max_qty").cast("long").alias("max_qty"),
-    )
+    return g.agg(*[m.roll(keys) for m in measures])

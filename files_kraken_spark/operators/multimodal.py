@@ -1129,10 +1129,17 @@ def phash_index_apply(
     if batch_hashes is not None:
         nb, ob = phash_bands(batch_hashes), phash_bands(hashes)
         a, b = nb.alias("a"), ob.alias("b")
+        # media_id inequality guards re-ingestion: a batch image whose
+        # id already exists in the surviving base would otherwise emit
+        # a hamming-0 self-pair. Callers still owe DISJOINT batch/base
+        # id sets for exact parity (an overlapping id ALSO duplicates
+        # its hash row and re-derives pairs the carried set holds —
+        # tombstone the old id first, then append).
         cross = a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key")),
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") != F.col("b.media_id")),
         ).select(
             F.least("a.media_id", "b.media_id").alias("id_a"),
             F.greatest("a.media_id", "b.media_id").alias("id_b"),

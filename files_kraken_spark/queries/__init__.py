@@ -74,6 +74,10 @@ from . import phash_maintenance  # noqa: E402,F401
 # the round-11 block. Names and semantics of existing queries are
 # byte-stable — only the iteration order changes.
 _SAMPLE_PRIORITY = [
+    # -- NEW round 13: the declarative-measure proof (a SECOND view
+    # schema through the unchanged spec-driven apply_changes core) and
+    # the pHash serve split completing serve-only for ALL families --
+    "v_ivm2_incremental", "v_ivm2_changefeed", "mm_phash_serve_merged",
     # -- NEW round 12: relational IVM — join-aggregate views under
     # inserts AND retractions (delta-join expansion, subtractable
     # counters, MIN/MAX re-election, router, serve-only split) --

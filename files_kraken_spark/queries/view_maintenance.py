@@ -350,6 +350,132 @@ def v_ivm_serve_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IVM.present_view(merged)
 
 
+# --- second view schema (round-13): the declarative-measure proof ---
+# A DIFFERENT view through the UNCHANGED merge core: lineitem ⋈
+# supplier grouped by nation, with its own measure spec (count, sum,
+# MIN over tax, MAX over price — the extremes point the other way
+# than the default view's). apply_changes/merge_insert/view_aggregate
+# take the spec as data; nothing in operators/ivm.py names a column.
+
+_MEASURES2 = (
+    IVM.Measure("n_lines", "count"),
+    IVM.Measure("sum_qty", "sum", "qty"),
+    IVM.Measure("min_tax_c", "min", "tax_c"),
+    IVM.Measure("max_price_c", "max", "price_c"),
+)
+
+
+def _l2_base():  # line-level split, independent of view 1's
+    return (F.col("l_orderkey") * 3 + F.col("l_linenumber")) % 7 != 0
+
+
+def _l2_tomb():  # line-level tombstones inside the base
+    return (F.col("l_orderkey") + 11 * F.col("l_linenumber")) % 41 == 3
+
+
+_SQL_L2_BASE = "(l.l_orderkey * 3 + l.l_linenumber) % 7 <> 0"
+_SQL_L2_TOMB = "(l.l_orderkey + 11 * l.l_linenumber) % 41 = 3"
+
+
+def _supp_facts(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """View 2's fact rows: lineitem ⋈ supplier on the supplier key,
+    keyed by nation. Narrow projections both sides; supplier is a
+    classic broadcast dim (10k rows/TB)."""
+    s = supplier.select(
+        "s_suppkey", F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    l = lineitem.select(
+        "l_suppkey",
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_c"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    )
+    return l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"]).select(
+        "nationkey", "qty", "tax_c", "price_c"
+    )
+
+
+def _view2_sql(where: str = "") -> str:
+    return f"""
+WITH f AS (
+  SELECT CAST(s.s_nationkey AS BIGINT) AS nationkey,
+         CAST(round(l.l_quantity) AS BIGINT) AS qty,
+         CAST(round(l.l_tax * 100) AS BIGINT) AS tax_c,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  {where}
+)
+SELECT nationkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(min(tax_c) AS BIGINT) AS min_tax_c,
+       CAST(max(price_c) AS BIGINT) AS max_price_c
+FROM f GROUP BY 1"""
+
+
+@register(
+    "v_ivm2_incremental",
+    oracle=_view2_sql(),
+    doc="SECOND-SCHEMA view maintenance, insert leg — the declarative-"
+    "measure proof (round-13): a per-NATION view over lineitem ⋈ "
+    "supplier with its own Measure spec (count, sum(qty), MIN over "
+    "tax, MAX over price — extremes pointing the OPPOSITE way from "
+    "the default view's min-price/max-qty) maintained through the "
+    "UNCHANGED operators/ivm.apply_changes core, which since round 13 "
+    "takes the measure list as data (kind decides the algebra: "
+    "count/sum are subtractable BIGINT counters, min/max fold with "
+    "least/greatest on inserts) — nothing in the operator names a "
+    "column. Line-level split (l_orderkey*3+l_linenumber)%7; oracle = "
+    "the from-scratch view on the full table, so hash-green IS "
+    "merged-equals-retrained on a second schema. Supplier is a "
+    "broadcast dim; at 100 TB the delta join probes it map-side.",
+)
+def v_ivm2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _tables(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier")
+    state = IVM.view_aggregate(
+        _supp_facts(lineitem.filter(_l2_base()), supplier),
+        ["nationkey"],
+        _MEASURES2,
+    )
+    delta = _supp_facts(lineitem.filter(~_l2_base()), supplier)
+    return IVM.merge_insert(state, delta, ["nationkey"], _MEASURES2)
+
+
+@register(
+    "v_ivm2_changefeed",
+    oracle=_view2_sql(f"WHERE NOT ({_SQL_L2_BASE} AND {_SQL_L2_TOMB})"),
+    doc="SECOND-SCHEMA view maintenance, mixed changefeed: the nation-"
+    "grain supplier view under inserts (the %7 line split) AND "
+    "line-level retractions ((l_orderkey+11*l_linenumber)%41=3 "
+    "tombstones) in ONE batch through the spec-driven "
+    "apply_changes — counters resolve insert-minus-retract in the "
+    "three-way outer merge, retraction-affected nations re-elect "
+    "MIN(tax)/MAX(price) from survivors (which include the batch's "
+    "inserts). With ~25 nation groups every group is affected, so "
+    "this leg exercises the re-election path at 100% saturation — "
+    "the regime where the router would pick retrain; the merge must "
+    "STILL be bit-identical, which is what the oracle (from-scratch "
+    "over survivors) proves. Completes the round-13 generality claim: "
+    "two schemas, two key shapes, opposite extreme directions, one core.",
+)
+def v_ivm2_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _tables(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier")
+    l_base = lineitem.filter(_l2_base())
+    state = IVM.view_aggregate(
+        _supp_facts(l_base, supplier), ["nationkey"], _MEASURES2
+    )
+    ins = _supp_facts(lineitem.filter(~_l2_base()), supplier)
+    dels = _supp_facts(l_base.filter(_l2_tomb()), supplier)
+    survivors = _supp_facts(
+        l_base.filter(~_l2_tomb()), supplier
+    ).unionByName(ins)
+    return IVM.apply_changes(
+        state, ins, dels, survivors, ["nationkey"], _MEASURES2
+    )
+
+
 def _distinct_facts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     o = orders.select("o_orderkey", IVM.KEY)
     l = lineitem.select("l_orderkey", "l_partkey")

@@ -399,3 +399,79 @@ def test_rollup_lattice_serves_coarse_grains_from_state(spark):
                          r["max_qty"]) for r in served.collect()} == {
             key(r): (r["n_items"], r["sum_qty"], r["min_price_c"],
                      r["max_qty"]) for r in scratch.collect()}
+
+
+# --- round-13: declarative Measure specs ---------------------------
+
+def test_custom_measure_spec_changefeed_equals_from_scratch(spark):
+    # a DIFFERENT measure set (count + min + max, extremes pointing
+    # both ways over the same column) through the unchanged core
+    spec = (
+        IVM.Measure("n", "count"),
+        IVM.Measure("lo_qty", "min", "qty"),
+        IVM.Measure("hi_qty", "max", "qty"),
+    )
+    o = _orders(spark, [(i, 10 + (i % 3)) for i in range(1, 9)])
+    l = _lines(spark, [(i, 1, float(i * 3 % 11), 10.0, 0.0) for i in range(1, 9)])
+    base = o.filter(F.col("o_orderkey") <= 6)
+    ins_o = o.filter(F.col("o_orderkey") > 6)
+    tomb = base.filter(F.col("o_orderkey") % 3 == 0)
+    keep = base.filter(F.col("o_orderkey") % 3 != 0)
+
+    state = IVM.view_aggregate(IVM.fact_rows(base, l), measures=spec)
+    ins = IVM.fact_rows(ins_o, l)
+    survivors = IVM.fact_rows(keep, l).unionByName(ins)
+    merged = IVM.apply_changes(
+        state, ins, IVM.fact_rows(tomb, l), survivors, measures=spec
+    )
+    scratch = IVM.view_aggregate(survivors, measures=spec)
+    as_map = lambda df: {
+        r["o_custkey"]: (r["n"], r["lo_qty"], r["hi_qty"])
+        for r in df.collect()
+    }
+    assert as_map(merged) == as_map(scratch)
+
+
+def test_pure_counter_spec_retractions_need_no_survivors(spark):
+    # count/sum-only views are fully subtractable: retraction merges
+    # need NO survivor table and NO rescan (the round-13 early return)
+    spec = (IVM.Measure("n", "count"), IVM.Measure("s_qty", "sum", "qty"))
+    o = _orders(spark, [(i, 10 + (i % 2)) for i in range(1, 7)])
+    l = _lines(spark, [(i, 1, float(i), 10.0, 0.0) for i in range(1, 7)])
+    tomb = o.filter(F.col("o_orderkey") % 3 == 0)
+    keep = o.filter(F.col("o_orderkey") % 3 != 0)
+    state = IVM.view_aggregate(IVM.fact_rows(o, l), measures=spec)
+    merged = IVM.apply_changes(
+        state, None, IVM.fact_rows(tomb, l), None, measures=spec
+    )
+    scratch = IVM.view_aggregate(IVM.fact_rows(keep, l), measures=spec)
+    as_map = lambda df: {
+        r["o_custkey"]: (r["n"], r["s_qty"]) for r in df.collect()
+    }
+    assert as_map(merged) == as_map(scratch)
+
+
+def test_measure_spec_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown measure kind"):
+        IVM.Measure("x", "avg", "qty")
+    with pytest.raises(ValueError, match="needs col"):
+        IVM.Measure("x", "sum")
+    with pytest.raises(ValueError, match="count measure"):
+        IVM._sentinel((IVM.Measure("x", "sum", "qty"),))
+
+
+def test_rollup_empty_state_global_grain_matches_sql_rollup(spark):
+    # ADVICE round-12: GROUP BY ROLLUP over an empty corpus emits a
+    # grand-total row with count(*)=0 and NULL sum/min/max; Spark's
+    # global groupBy().agg() over empty state emitted all-NULL. The
+    # count-kind coalesce pins the SQL shape.
+    o = _orders(spark, [(1, 10)]).filter(F.col("o_orderkey") < 0)
+    l = _lines(spark, [(1, 1, 1.0, 1.0, 0.0)])
+    empty_state = IVM.view_aggregate(IVM.fact_rows(o, l))
+    rows = IVM.rollup_state(empty_state, []).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_items"] == 0
+    assert r["sum_qty"] is None and r["min_price_c"] is None
