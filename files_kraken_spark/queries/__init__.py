@@ -77,7 +77,8 @@ _SAMPLE_PRIORITY = [
     # -- NEW round 13: the declarative-measure proof (a SECOND view
     # schema through the unchanged spec-driven apply_changes core) and
     # the pHash serve split completing serve-only for ALL families --
-    "v_ivm2_incremental", "v_ivm2_changefeed", "mm_phash_serve_merged",
+    "v_ivm2_incremental", "v_ivm2_changefeed", "v_ivm_route_history",
+    "mm_phash_serve_merged",
     # -- NEW round 12: relational IVM — join-aggregate views under
     # inserts AND retractions (delta-join expansion, subtractable
     # counters, MIN/MAX re-election, router, serve-only split) --

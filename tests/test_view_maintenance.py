@@ -475,3 +475,125 @@ def test_rollup_empty_state_global_grain_matches_sql_rollup(spark):
     r = rows[0]
     assert r["n_items"] == 0
     assert r["sum_qty"] is None and r["min_price_c"] is None
+
+
+def test_router_inside_foreachbatch_flips_midstream(spark, tmp_path):
+    # round-13: the AUTO-ROUTER as the foreachBatch body. Batch 0 is
+    # pure inserts (merge, zero probe jobs); batch 1 retracts one
+    # order touching 1/3 groups (probe says merge); batch 2 retracts
+    # orders touching 2/3 groups (probe crosses the 50% bar -> the
+    # route FLIPS to retrain mid-stream). After every batch the state
+    # must equal the from-scratch view regardless of route.
+    import json
+    import os
+    import warnings
+
+    l_all = _lines(
+        spark,
+        [(i, j, float(i + j), 10.0 * i + j, 0.0) for i in range(1, 7)
+         for j in (1, 2)],
+    ).localCheckpoint(eager=True)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    batches = [
+        [{"op": 1, "o_orderkey": k, "o_custkey": 10 + (k % 3) * 10}
+         for k in range(1, 7)],
+        [{"op": -1, "o_orderkey": 1, "o_custkey": 20}],
+        [{"op": -1, "o_orderkey": 2, "o_custkey": 30},
+         {"op": -1, "o_orderkey": 3, "o_custkey": 10}],
+    ]
+    for b, rows in enumerate(batches):
+        p = feed / f"batch_{b}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (1_700_000_000 + b, 1_700_000_000 + b))
+
+    holder = {
+        "state": IVM.view_aggregate(
+            IVM.fact_rows(
+                spark.createDataFrame([], "o_orderkey long, o_custkey long"),
+                l_all,
+            )
+        ).localCheckpoint(eager=True),
+        "live": spark.createDataFrame([], "o_orderkey long, o_custkey long"),
+        "routes": [],
+        "ok": [],
+    }
+
+    def _on_batch(cdc, _bid):
+        cdc = cdc.localCheckpoint(eager=True)
+        ins_o = cdc.filter(F.col("op") == 1).select("o_orderkey", "o_custkey")
+        tomb_o = cdc.filter(F.col("op") == -1).select(
+            "o_orderkey", "o_custkey"
+        )
+        has_dels = tomb_o.count() > 0
+        next_live = (
+            holder["live"]
+            .join(tomb_o, "o_orderkey", "left_anti")
+            .unionByName(ins_o)
+            .localCheckpoint(eager=True)
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # the retrain route warns
+            state, info = IVM.ivm_maintain(
+                holder["state"],
+                IVM.fact_rows(ins_o, l_all),
+                IVM.fact_rows(tomb_o, l_all) if has_dels else None,
+                IVM.fact_rows(next_live, l_all),
+            )
+        holder["state"] = state.localCheckpoint(eager=True)
+        holder["live"] = next_live
+        holder["routes"].append(info["route"])
+        holder["ok"].append(
+            _vmap(holder["state"])
+            == _vmap(IVM.view_aggregate(IVM.fact_rows(next_live, l_all)))
+        )
+
+    (
+        spark.readStream.schema("op int, o_orderkey long, o_custkey long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .writeStream.foreachBatch(_on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+
+    assert holder["routes"] == ["merge", "merge", "retrain"]
+    assert holder["ok"] == [True, True, True]
+
+
+def test_ivm_maintain_modes_and_pure_counter_skip(spark):
+    o = _orders(spark, [(i, 10 + (i % 2) * 10) for i in range(1, 5)])
+    l = _lines(spark, [(i, 1, float(i), 10.0 * i, 0.0) for i in range(1, 5)])
+    tomb = o.filter(F.col("o_orderkey") == 1)
+    keep = o.filter(F.col("o_orderkey") != 1)
+    state = IVM.view_aggregate(IVM.fact_rows(o, l))
+    dels = IVM.fact_rows(tomb, l)
+    surv = IVM.fact_rows(keep, l)
+
+    # forced modes: no probe counts recorded
+    _, info = IVM.ivm_maintain(state, None, dels, surv, mode="merge")
+    assert info == {"route": "merge", "n_groups": None, "n_affected": None}
+    _, info = IVM.ivm_maintain(state, None, dels, surv, mode="retrain")
+    assert info["route"] == "retrain" and info["n_groups"] is None
+
+    # pure-counter spec: probe skipped even with retractions
+    spec = (IVM.Measure("n", "count"), IVM.Measure("s", "sum", "qty"))
+    cstate = IVM.view_aggregate(IVM.fact_rows(o, l), measures=spec)
+    merged, info = IVM.ivm_maintain(
+        cstate, None, IVM.fact_rows(tomb, l), None, measures=spec
+    )
+    assert info["route"] == "merge" and info["n_groups"] is None
+    assert {r["o_custkey"]: (r["n"], r["s"]) for r in merged.collect()} == {
+        r["o_custkey"]: (r["n"], r["s"])
+        for r in IVM.view_aggregate(
+            IVM.fact_rows(keep, l), measures=spec
+        ).collect()
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="mode must be"):
+        IVM.ivm_maintain(state, None, dels, surv, mode="nope")
