@@ -68,6 +68,9 @@ __all__ = [
     "distinct_support",
     "merge_distinct_support",
     "distinct_view",
+    "distinct_kmv_state",
+    "merge_distinct_kmv",
+    "distinct_kmv_view",
     "topk_view",
     "merge_topk",
     "rollup_state",
@@ -486,6 +489,99 @@ def distinct_view(support: DataFrame) -> DataFrame:
     return support.groupBy(KEY).agg(
         F.count(F.lit(1)).cast("long").alias("n_distinct")
     )
+
+
+# --- sketch-routed COUNT(DISTINCT): KMV state, O(k) per group -------
+#
+# The support multiset is EXACT under inserts and retractions but its
+# state grows with |distinct (group, value)| — the one state in the
+# family whose ×10 exponent (0.50, SCALING.md round 12) tracks the
+# corpus, not the groups. The 100 TB alternative is the classic KMV
+# (theta) sketch per group — the k smallest value hashes — capping
+# state at k rows/group at the cost of (a) a ~1/sqrt(k-2) relative
+# error past k distinct values and (b) APPEND-ONLY maintenance
+# (a sketch cannot subtract: evicted hashes are gone, so a retraction
+# forces a group rebuild — exactly why the route is a DESIGN-time
+# state-shape decision, served as data by v_ivm_distinct_maintain_route,
+# not a per-batch flip like ivm_maintain's). Same Bar-Yossef et al.
+# estimator and md5-derived integer hashes as operators/corpus.kmv_sketch,
+# so DuckDB replays state, merge, and estimate bit-identically.
+
+
+def distinct_kmv_state(
+    facts: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV sketch state: the ``k`` smallest md5-derived
+    32-bit hashes of the group's distinct values — ``(keys…, h, rn)``,
+    ≤ k rows per group however many distinct values exist. One
+    (group, hash) distinct shuffle + a keyed top-k window."""
+    from pyspark.sql import Window
+
+    from .dedup import md5_hash64
+
+    ks = keys or [KEY]
+    hashed = facts.select(
+        *ks, md5_hash64(F.col(value_col).cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*ks).orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(*ks, "h", "rn")
+    )
+
+
+def merge_distinct_kmv(
+    state: DataFrame,
+    ins_facts: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Append-only sketch merge: any hash below the union's k-th
+    minimum is below its own side's k-th minimum, so the k smallest
+    of (stored sketch ∪ batch hashes) ARE the k smallest of the true
+    union — merged state equals the from-scratch sketch on the full
+    fact set, bit-for-bit (the oracle-paired query proves it). Cost:
+    the batch's (group, hash) distinct + a (k + |Δgroup|)-bounded
+    re-rank per touched group; untouched groups pass through the
+    window unchanged (≤ k rows each)."""
+    from pyspark.sql import Window
+
+    from .dedup import md5_hash64
+
+    ks = keys or [KEY]
+    batch = ins_facts.select(
+        *ks, md5_hash64(F.col(value_col).cast("string")).alias("h")
+    )
+    pool = state.select(*ks, "h").unionByName(batch).distinct()
+    w = Window.partitionBy(*ks).orderBy("h")
+    return (
+        pool.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(*ks, "h", "rn")
+    )
+
+
+def distinct_kmv_view(
+    state: DataFrame, keys: list[str] | None = None, k: int = 64
+) -> DataFrame:
+    """Serve the distinct estimate from sketch state: a group holding
+    fewer than k hashes has seen ALL its distinct hashes (the sketch
+    IS the set — exact, modulo 32-bit birthday collisions); at k the
+    k-th minimum estimates the cardinality as (k-1)·2³² div h_k —
+    exact integer division, replayable by any engine."""
+    ks = keys or [KEY]
+    per = state.groupBy(*ks).agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("hk")
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+        F.expr(f"({k - 1} * 4294967296) div greatest(hk, 1)")
+    )
+    return per.select(*ks, est.cast("long").alias("kmv_distinct_est"))
 
 
 # --- top-k ranked-view maintenance: k-bounded re-election ----------

@@ -610,6 +610,191 @@ def v_ivm_distinct_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IVM.distinct_view(merged)
 
 
+# shared oracle CTEs for the KMV distinct sketch: per-customer ranked
+# md5 part-key hashes — mirrors operators/ivm.distinct_kmv_state
+_SQL_KMV_RANKED = """
+kmv_pairs AS (
+  SELECT DISTINCT o.o_custkey,
+         CAST(('0x' || substr(md5(CAST(l.l_partkey AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+kmv_ranked AS (
+  SELECT o_custkey, h,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY h) AS rn
+  FROM kmv_pairs
+)"""
+
+_SQL_KMV_EST = """
+SELECT o_custkey,
+       CAST(CASE WHEN count(*) < 64 THEN count(*)
+            ELSE (63 * 4294967296) // greatest(max(h), 1) END
+            AS BIGINT) AS kmv_distinct_est
+FROM kmv_ranked WHERE rn <= 64 GROUP BY 1"""
+
+
+@register(
+    "v_ivm_distinct_kmv_incremental",
+    oracle="WITH " + _SQL_KMV_RANKED + _SQL_KMV_EST,
+    doc="SKETCH-ROUTED COUNT(DISTINCT) maintenance, the state-growth "
+    "answer (round-13, closing round-12's one growing-state callout): "
+    "the exact support multiset is |distinct (customer, part)| rows — "
+    "×10 exponent 0.50, the only state in the family that grows with "
+    "the corpus — so past the crossover the maintained state becomes "
+    "a per-customer KMV (theta) sketch: the 64 smallest md5 part "
+    "hashes, ≤64 rows/customer FOREVER. This leg proves the sketch's "
+    "maintenance contract: base sketch + the insert delta's three "
+    "join terms merged via the k-smallest-of-union property (any "
+    "hash under the union's 64th minimum is under its own side's), "
+    "so the MERGED sketch equals the from-scratch sketch on the full "
+    "corpus bit-for-bit, and the served estimate ((k-1)·2^32 div "
+    "h_k, exact below k) hash-matches DuckDB's replay. Append-only "
+    "by design: a sketch cannot subtract (evicted hashes are gone) — "
+    "the honest trade v_ivm_distinct_maintain_route prices. Same "
+    "estimator as t_kmv_distinct_tokens (Bar-Yossef et al. 2002).",
+)
+def v_ivm_distinct_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_base, o_delta, l_base, l_delta = _splits(spark, sf_dir)
+    state = IVM.distinct_kmv_state(
+        _distinct_facts(o_base, l_base), "l_partkey"
+    )
+    ins = (
+        _distinct_facts(o_delta, l_base)
+        .unionByName(_distinct_facts(o_base, l_delta))
+        .unionByName(_distinct_facts(o_delta, l_delta))
+    )
+    merged = IVM.merge_distinct_kmv(state, ins, "l_partkey")
+    return IVM.distinct_kmv_view(merged)
+
+
+@register(
+    "v_ivm_distinct_kmv_error",
+    oracle="WITH "
+    + _SQL_KMV_RANKED
+    + """,
+est AS ("""
+    + _SQL_KMV_EST
+    + """),
+exact AS (
+  SELECT o.o_custkey, CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS nd
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+),
+j AS (
+  SELECT e.nd, s.kmv_distinct_est AS est,
+         abs(s.kmv_distinct_est - e.nd) * 1000000 // e.nd AS err_ppm
+  FROM exact e JOIN est s USING (o_custkey)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN err_ppm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact,
+       CAST(max(err_ppm) AS BIGINT) AS max_err_ppm,
+       CAST(sum(err_ppm) // count(*) AS BIGINT) AS mean_err_ppm,
+       CAST(sum(CASE WHEN err_ppm <= 381000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within_3sigma
+FROM j""",
+    doc="The KMV sketch's ERROR BOUND registered as data: every "
+    "customer's sketch estimate (served from the MERGED sketch — the "
+    "maintenance path, not a fresh build) joins its exact "
+    "COUNT(DISTINCT part), and the one-row audit reports the group "
+    "count, how many estimates are exactly right (every group still "
+    "under 64 distinct hashes — the sketch IS the set there), the "
+    "max and mean relative error in ppm (truncating integer "
+    "division), and how many groups sit within the 3σ bound — "
+    "3/sqrt(k-2) = 381000 ppm for k=64, the Bar-Yossef guarantee, "
+    "hard-coded identically on both engines. Everything is exact "
+    "integer arithmetic over the same md5 hashes, so the accuracy "
+    "CLAIM itself is hash-proved, not asserted — the same "
+    "audit-as-data design as t_minhash_est_vs_exact / "
+    "q_hist_quantile_sketch's exact audit.",
+)
+def v_ivm_distinct_kmv_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_base, o_delta, l_base, l_delta = _splits(spark, sf_dir)
+    state = IVM.distinct_kmv_state(
+        _distinct_facts(o_base, l_base), "l_partkey"
+    )
+    ins = (
+        _distinct_facts(o_delta, l_base)
+        .unionByName(_distinct_facts(o_base, l_delta))
+        .unionByName(_distinct_facts(o_delta, l_delta))
+    )
+    est = IVM.distinct_kmv_view(IVM.merge_distinct_kmv(state, ins, "l_partkey"))
+    orders, lineitem = _tables(spark, sf_dir)
+    exact = (
+        _distinct_facts(orders, lineitem)
+        .groupBy(IVM.KEY)
+        .agg(F.countDistinct("l_partkey").cast("long").alias("nd"))
+    )
+    j = exact.join(est, IVM.KEY).select(
+        F.expr("abs(kmv_distinct_est - nd) * 1000000 div nd").alias("err_ppm")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("err_ppm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.max("err_ppm").cast("long").alias("max_err_ppm"),
+        F.expr("CAST(sum(err_ppm) div count(*) AS BIGINT)").alias(
+            "mean_err_ppm"
+        ),
+        F.sum(F.when(F.col("err_ppm") <= 381000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_3sigma"),
+    )
+
+
+@register(
+    "v_ivm_distinct_maintain_route",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey, l.l_partkey
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS multiset_rows,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_groups
+  FROM pairs
+)
+SELECT multiset_rows, n_groups,
+       CAST(n_groups * 64 AS BIGINT) AS sketch_cap_rows,
+       CASE WHEN multiset_rows > n_groups * 64
+            THEN 'sketch' ELSE 'exact' END AS route
+FROM c""",
+    doc="The exact-vs-sketch STATE-SHAPE decision as data: the exact "
+    "support multiset costs |distinct (customer, part)| state rows "
+    "and stays exact under retractions; the KMV sketch caps state at "
+    "64 rows/customer but is append-only and ±1/sqrt(62) past 64 "
+    "distinct values — so the probe compares the multiset's actual "
+    "row count against the sketch cap (n_groups × k) and routes to "
+    "the sketch only when the multiset is LARGER. Unlike "
+    "ivm_maintain's per-batch flip this is a design-time decision "
+    "(the two state shapes don't convert in place — a flip is a "
+    "rebuild), which is why it's served as data, not wired into "
+    "foreachBatch. Honest answer on this corpus: customers average "
+    "well under 64 distinct parts at test scales, so the route is "
+    "EXACT — the sketch's regime is the 0.50-exponent extrapolation "
+    "(avg distinct values/group crossing k), stated in SCALING.md "
+    "rather than manufactured here.",
+)
+def v_ivm_distinct_maintain_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _tables(spark, sf_dir)
+    pairs = _distinct_facts(orders, lineitem).select(IVM.KEY, "l_partkey").distinct()
+    c = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("multiset_rows"),
+        F.countDistinct(IVM.KEY).cast("long").alias("n_groups"),
+    )
+    return c.select(
+        "multiset_rows",
+        "n_groups",
+        (F.col("n_groups") * 64).cast("long").alias("sketch_cap_rows"),
+        F.when(
+            F.col("multiset_rows") > F.col("n_groups") * 64, F.lit("sketch")
+        )
+        .otherwise(F.lit("exact"))
+        .alias("route"),
+    )
+
+
 @register(
     "v_ivm_topk_changefeed",
     oracle=f"""

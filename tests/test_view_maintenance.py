@@ -597,3 +597,45 @@ def test_ivm_maintain_modes_and_pure_counter_skip(spark):
 
     with pytest.raises(ValueError, match="mode must be"):
         IVM.ivm_maintain(state, None, dels, surv, mode="nope")
+
+
+def test_kmv_sketch_merge_equals_from_scratch(spark):
+    # k-smallest-of-union: merged sketch state must equal the
+    # from-scratch sketch on the full fact set, including groups whose
+    # batch hashes displace stored minima at a tiny k
+    o = _orders(spark, [(i, 10 + (i % 2) * 10) for i in range(1, 13)])
+    l = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 23) for i in range(1, 13)],
+        ["l_orderkey", "l_partkey"],
+    )
+    def facts(oo):
+        return l.join(oo, l["l_orderkey"] == oo["o_orderkey"]).select(
+            "o_custkey", "o_orderkey", "l_partkey"
+        )
+    base = o.filter(F.col("o_orderkey") <= 8)
+    delta = o.filter(F.col("o_orderkey") > 8)
+    k = 3
+    state = IVM.distinct_kmv_state(facts(base), "l_partkey", k=k)
+    merged = IVM.merge_distinct_kmv(state, facts(delta), "l_partkey", k=k)
+    scratch = IVM.distinct_kmv_state(facts(o), "l_partkey", k=k)
+    as_set = lambda df: {
+        (r["o_custkey"], r["h"], r["rn"]) for r in df.collect()
+    }
+    assert as_set(merged) == as_set(scratch)
+    # serve: below-k groups are exact, at-k groups use the estimator
+    est = {
+        r["o_custkey"]: r["kmv_distinct_est"]
+        for r in IVM.distinct_kmv_view(merged, k=k).collect()
+    }
+    exact = {
+        r["o_custkey"]: r["nd"]
+        for r in facts(o)
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("l_partkey").alias("nd"))
+        .collect()
+    }
+    for g, nd in exact.items():
+        if nd < k:
+            assert est[g] == nd
+        else:
+            assert est[g] >= 1  # estimator fired; value is data-driven
