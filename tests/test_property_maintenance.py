@@ -251,10 +251,6 @@ def test_cc_maintain_warns_on_retrain_route(spark):
 
 # --- round 12: relational IVM + pHash index maintenance ------------
 
-_ORDER = st.tuples(
-    st.integers(min_value=1, max_value=20),  # o_orderkey
-    st.integers(min_value=1, max_value=5),   # o_custkey
-)
 _LINE = st.tuples(
     st.integers(min_value=1, max_value=20),      # l_orderkey
     st.integers(min_value=1, max_value=3),       # l_linenumber

@@ -67,11 +67,35 @@ def main() -> int:
             print(f"{name} @ {d}: {out[name][d]}s", flush=True)
         pts = [out[name][d] for d in dirs]
         if len(pts) >= 2 and pts[-2] > 0:
+            # The ratio is computed from the LAST PAIR of --dirs,
+            # whatever they are; the derived exponent assumes that
+            # pair is a decade apart (the default dirs' sf0.1 ->
+            # 10x layout). Infer the actual log10 spacing from the
+            # dirs' sf labels when both parse, so non-decade pairs
+            # are normalized instead of silently mislabeled
+            # (round-12 ADVICE item 3).
+            import re as _re
+
+            def _sf(d: str) -> float | None:
+                m = _re.search(r"sf([0-9.]+)(x10)?$", os.path.basename(d.rstrip("/")))
+                if not m:
+                    return None
+                v = float(m.group(1))
+                return v * 10 if m.group(2) else v
+
             ratio = pts[-1] / pts[-2]
-            expo = math.log10(ratio) if ratio > 0 else float("nan")
+            s_lo, s_hi = _sf(dirs[-2]), _sf(dirs[-1])
+            decades = (
+                math.log10(s_hi / s_lo)
+                if s_lo and s_hi and s_hi > s_lo
+                else 1.0
+            )
+            expo = (
+                math.log10(ratio) / decades if ratio > 0 else float("nan")
+            )
             print(
-                f"{name}: x10 wall ratio {ratio:.2f}, "
-                f"top-decade exponent {expo:.2f}",
+                f"{name}: last-pair wall ratio {ratio:.2f} over "
+                f"{decades:.2f} decade(s), exponent {expo:.2f}",
                 flush=True,
             )
     print(json.dumps(out))
