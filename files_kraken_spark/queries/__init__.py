@@ -79,7 +79,7 @@ _SAMPLE_PRIORITY = [
     # the pHash serve split completing serve-only for ALL families --
     "v_ivm2_incremental", "v_ivm2_changefeed", "v_ivm_route_history",
     "v_ivm_distinct_kmv_incremental", "v_ivm_distinct_kmv_error",
-    "v_ivm_distinct_maintain_route",
+    "v_ivm_distinct_maintain_route", "q_hist_quantile_changefeed",
     "mm_phash_serve_merged",
     # -- NEW round 12: relational IVM — join-aggregate views under
     # inserts AND retractions (delta-join expansion, subtractable

@@ -565,6 +565,125 @@ def v_ivm2_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_hist_quantile_changefeed",
+    oracle=f"""
+WITH v AS (
+  SELECT l.l_returnflag AS flag,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem l
+  WHERE NOT ({_SQL_L2_BASE} AND {_SQL_L2_TOMB})
+),
+b AS (SELECT flag, c // 131072 AS bin FROM v),
+bc AS (SELECT flag, bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+st AS (
+  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+         round(quantile_cont(c, 0.50), 6) AS ex50,
+         round(quantile_cont(c, 0.95), 6) AS ex95
+  FROM v GROUP BY 1
+),
+cum AS (
+  SELECT flag, bin, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM bc
+),
+qq AS (
+  SELECT c.flag, c.bin, c.cnt, c.cum - c.cnt AS cum_before, q.q,
+         ((st.n - 1) * q.q) // 100 AS r, st.ex50, st.ex95
+  FROM cum c JOIN st USING (flag), (VALUES (50), (95)) q(q)
+)
+SELECT flag AS l_returnflag,
+       CAST(q AS BIGINT) AS q_pct,
+       CAST(bin * 131072
+            + ((r - cum_before) * 131072) // cnt AS BIGINT) AS est_cents,
+       CASE WHEN q = 50 THEN ex50 ELSE ex95 END AS exact_cents
+FROM qq
+WHERE cum_before <= r AND r < cum_before + cnt""",
+    doc="MAINTAINED histogram-quantile sketch under a mixed changefeed "
+    "— the third schema through the declarative measure core, and the "
+    "one that needs NO survivor table: the state is per-(flag, bin) "
+    "row counters over FIXED 131072-cent price bins (fixed edges are "
+    "what make a histogram maintainable — q_hist_quantile_sketch's "
+    "min/max-scaled bins would shift under retraction), a pure-COUNT "
+    "Measure spec, so apply_changes resolves inserts minus "
+    "retractions in the counter merge alone and the re-election "
+    "machinery never engages (the round-13 early return, here as a "
+    "registered query). Serving is unchanged sketch algebra: "
+    "cumulative bin counts locate p50/p95, in-bin linear "
+    "interpolation in pure int64, the EXACT interpolated percentile "
+    "over the survivors beside it as the audit column. At 100 TB this "
+    "is the percentile dashboard kept current by vector addition — "
+    "O(|flags|×|bins|) state, map-side partial merge, no sort, no "
+    "rescan, retraction-exact (contrast approx_percentile's opaque "
+    "non-subtractable sketch).",
+)
+def q_hist_quantile_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    _, lineitem = _tables(spark, sf_dir)
+    spec = (IVM.Measure("cnt", "count"),)
+    keys = ["flag", "bin"]
+
+    def _facts(li):
+        return li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.expr(
+                "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                " div 131072"
+            ).alias("bin"),
+        )
+
+    l_base = lineitem.filter(_l2_base())
+    state = IVM.view_aggregate(_facts(l_base), keys, spec)
+    ins = _facts(lineitem.filter(~_l2_base()))
+    dels = _facts(l_base.filter(_l2_tomb()))
+    bc = IVM.apply_changes(state, ins, dels, None, keys, spec)
+
+    surv = lineitem.filter(~(_l2_base() & _l2_tomb())).select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("c"),
+    )
+    st = surv.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("c", F.lit(0.50)), 6).alias("ex50"),
+        F.round(F.percentile("c", F.lit(0.95)), 6).alias("ex95"),
+    )
+    cum = bc.withColumn(
+        "cum",
+        F.sum("cnt")
+        .over(
+            W.partitionBy("flag")
+            .orderBy("bin")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .cast("long"),
+    )
+    qq = (
+        cum.join(F.broadcast(st), "flag")
+        .withColumn("q", F.explode(F.array(F.lit(50), F.lit(95))))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+        .withColumn("r", F.expr("((n - 1) * q) div 100"))
+    )
+    return (
+        qq.filter(
+            (F.col("cum_before") <= F.col("r"))
+            & (F.col("r") < F.col("cum_before") + F.col("cnt"))
+        )
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("q").cast("long").alias("q_pct"),
+            F.expr(
+                "CAST(bin * 131072"
+                " + ((r - cum_before) * 131072) div cnt AS BIGINT)"
+            ).alias("est_cents"),
+            F.when(F.col("q") == 50, F.col("ex50"))
+            .otherwise(F.col("ex95"))
+            .alias("exact_cents"),
+        )
+    )
+
+
 def _distinct_facts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     o = orders.select("o_orderkey", IVM.KEY)
     l = lineitem.select("l_orderkey", "l_partkey")
