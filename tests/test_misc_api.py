@@ -226,3 +226,33 @@ def test_queries_md_in_sync_with_registry():
     # every registered name has its row
     names_in_md = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M))
     assert names_in_md == set(REGISTRY)
+
+
+def test_readme_registry_counts_in_sync():
+    """README's registry counts drifted in round 12 ("379 pass" against
+    a 395 registry) — round-12 verdict item 2. Pin every numeric claim
+    README makes about the registry to the live one, the way QUERIES.md
+    is pinned."""
+    import pathlib
+    import re
+
+    from files_kraken_spark.queries import REGISTRY
+
+    oracled = sum(1 for s in REGISTRY.values() if s.oracle)
+    rows_only = len(REGISTRY) - oracled
+
+    text = (
+        pathlib.Path(__file__).resolve().parents[1] / "README.md"
+    ).read_text()
+    m = re.search(r"# (\d+) pass expected", text)
+    assert m and int(m.group(1)) == oracled, "README oracle_check count stale"
+    m = re.search(r"pair — (\d+) oracle-checked", text)
+    assert m and int(m.group(1)) == oracled, "README registry line stale"
+    m = re.search(
+        r"\*\*(\d+) pass, 0 fail, (\d+) rows-only at ALL THREE", text
+    )
+    assert m, "README three-scale claim format changed"
+    assert int(m.group(1)) == oracled and int(m.group(2)) == rows_only, (
+        "README three-scale counts stale — re-run the sweep at HEAD and "
+        "update the claim"
+    )
