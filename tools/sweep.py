@@ -77,11 +77,11 @@ def main() -> int:
             import re as _re
 
             def _sf(d: str) -> float | None:
-                m = _re.search(r"sf([0-9.]+)(x10)?$", os.path.basename(d.rstrip("/")))
-                if not m:
-                    return None
-                v = float(m.group(1))
-                return v * 10 if m.group(2) else v
+                # "sf1x10" names the 10-copies-of-sf0.1 corpus: the
+                # numeric prefix (1) IS its effective scale factor —
+                # the x10 suffix records the recipe, not a multiplier
+                m = _re.search(r"sf([0-9.]+?)(x10)?$", os.path.basename(d.rstrip("/")))
+                return float(m.group(1)) if m else None
 
             ratio = pts[-1] / pts[-2]
             s_lo, s_hi = _sf(dirs[-2]), _sf(dirs[-1])

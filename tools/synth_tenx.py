@@ -103,6 +103,17 @@ def main() -> None:
         ]
     ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
 
+    # supplier: suppkey offset matches lineitem's l_suppkey; nationkey
+    # KEPT — nations stay 25, so nation-grain views (v_ivm2_*) see 10x
+    # facts over the same dimension groups, the realistic dim shape
+    supp = load_table(spark, src, "supplier")
+    _union(
+        [
+            supp.withColumn("s_suppkey", F.col("s_suppkey") + F.lit(c * 1_000_000))
+            for c in range(COPIES)
+        ]
+    ).write.mode("overwrite").parquet(f"{out}/supplier.parquet")
+
     emb = load_table(spark, src, "embeddings")
     parts = []
     for c in range(COPIES):
@@ -131,7 +142,7 @@ def main() -> None:
         ]
     ).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
-    for t in ("documents", "lineitem", "orders", "embeddings", "events"):
+    for t in ("documents", "lineitem", "orders", "supplier", "embeddings", "events"):
         n = spark.read.parquet(f"{out}/{t}.parquet").count()
         print(f"{t}: {n}")
 
