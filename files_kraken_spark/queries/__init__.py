@@ -75,8 +75,12 @@ from . import phash_maintenance  # noqa: E402,F401
 # byte-stable — only the iteration order changes.
 _SAMPLE_PRIORITY = [
     # -- NEW round 13: the declarative-measure proof (a SECOND view
-    # schema through the unchanged spec-driven apply_changes core) and
-    # the pHash serve split completing serve-only for ALL families --
+    # schema through the unchanged spec-driven apply_changes core),
+    # moment measures (maintained mean/variance/covariance as pure
+    # power-sum counters + the 128-bit-exact outlier presentation),
+    # and the pHash serve split completing serve-only for ALL
+    # families --
+    "v_ivm_moments_changefeed", "v_ivm_moments_outliers",
     "v_ivm2_incremental", "v_ivm2_changefeed", "v_ivm_route_history",
     "v_ivm_distinct_kmv_incremental", "v_ivm_distinct_kmv_error",
     "v_ivm_distinct_maintain_route", "q_hist_quantile_changefeed",

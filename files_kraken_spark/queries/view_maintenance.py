@@ -1031,3 +1031,197 @@ def v_ivm_rollup_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ALL").alias("custkey"), F.lit("ALL").alias("priority"), *stats
     )
     return g2.unionByName(g1).unionByName(g0)
+
+
+# --- fourth schema: MOMENT measures (avg / variance / covariance) ---
+#
+# The classic streaming-statistics result, as view maintenance: every
+# central moment up to order 2 is a pure function of the power sums
+# (n, Σx, Σx², Σxy), and power sums are plain SUM measures over
+# derived fact columns — so mean, variance and covariance maintain
+# under inserts AND retractions through the UNCHANGED counter algebra
+# of apply_changes, with NO survivor table and NO re-election (the
+# pure-counter early return; contrast Welford/Chan merge formulas,
+# which this integer formulation makes exact instead of
+# floating-point). Presentation follows the house fixed-point rule:
+# the variance NUMERATOR n·Σx² − (Σx)² and covariance NUMERATOR
+# n·Σxy − Σx·Σy are served as exact BIGINTs (no division — the
+# covariance numerator is SIGNED, and the two engines disagree on
+# negative integer-division semantics), the mean as one truncating
+# DIV at milli scale over positive operands.
+
+_MOMENTS = (
+    IVM.Measure("n_items", "count"),
+    IVM.Measure("sum_qty", "sum", "qty"),
+    IVM.Measure("sum_qty2", "sum", "qty2"),
+    IVM.Measure("sum_price_c", "sum", "price_c"),
+    IVM.Measure("sum_qp", "sum", "qp"),
+)
+
+
+def _moment_facts(facts: DataFrame) -> DataFrame:
+    """Add the derived power-sum columns to view-1 fact rows. qty ≤ 50
+    keeps every qty moment far inside BIGINT at any group size; the
+    qty×price cross term is bounded by ~5e8 per row, so its per-group
+    sums stay exact past 1e9 rows/group."""
+    return facts.withColumn("qty2", F.col("qty") * F.col("qty")).withColumn(
+        "qp", F.col("qty") * F.col("price_c")
+    )
+
+
+_MOMENTS_SQL_F = f"""
+  SELECT o.o_custkey,
+         CAST(round(l.l_quantity) AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE NOT ({_SQL_TOMB})"""
+
+
+@register(
+    "v_ivm_moments_changefeed",
+    oracle=f"""
+WITH f AS ({_MOMENTS_SQL_F})
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST((sum(qty) * 1000) // count(*) AS BIGINT) AS avg_qty_milli,
+       CAST(count(*) * sum(qty * qty) - sum(qty) * sum(qty) AS BIGINT)
+         AS var_qty_num,
+       CAST(count(*) * sum(qty * price_c) - sum(qty) * sum(price_c)
+            AS BIGINT) AS cov_qp_num
+FROM f GROUP BY 1""",
+    doc="MAINTAINED mean/variance/covariance under a mixed changefeed "
+    "— the fourth schema through the declarative measure core, and "
+    "the second (after the histogram) that needs NO survivor table: "
+    "the state is the per-customer power sums (n, Σq, Σq², Σp, Σqp), "
+    "every one a plain SUM measure over derived fact columns "
+    "(qty², qty·price built at fact-row construction), so the "
+    "changefeed resolves entirely in the subtractable-counter merge — "
+    "retraction is subtraction, the classic streaming-moments result "
+    "made retraction-exact by integer power sums where Welford/Chan "
+    "merges accumulate float error. Serving derives avg (one "
+    "truncating DIV over positive operands), the variance numerator "
+    "n·Σq²−(Σq)² and the SIGNED covariance numerator n·Σqp−Σq·Σp as "
+    "exact BIGINTs (no division on signed values — the engines' "
+    "integer-division semantics differ below zero). Oracle = the "
+    "same statistics from scratch over the survivors. At 100 TB: "
+    "O(|groups|) state, map-side partial merge, router's pure-counter "
+    "fast path (zero probe jobs) — the mean/variance dashboard kept "
+    "current by vector addition.",
+)
+def v_ivm_moments_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_base, o_delta, l_base, l_delta = _splits(spark, sf_dir)
+    state = IVM.view_aggregate(
+        _moment_facts(IVM.fact_rows(o_base, l_base)), measures=_MOMENTS
+    )
+    ins = _moment_facts(
+        _delta_join_facts(o_base, o_delta, l_base, l_delta).filter(
+            F.col("o_orderkey") % 40 != 1
+        )
+    )
+    dels = _moment_facts(IVM.fact_rows(o_base.filter(_tomb()), l_base))
+    merged, info = IVM.ivm_maintain(
+        state, ins, dels, measures=_MOMENTS, mode="auto"
+    )
+    assert info["route"] == "merge" and info["n_groups"] is None, info
+    return merged.select(
+        "o_custkey",
+        "n_items",
+        "sum_qty",
+        F.expr("sum_qty * 1000 DIV n_items").alias("avg_qty_milli"),
+        (
+            F.col("n_items") * F.col("sum_qty2")
+            - F.col("sum_qty") * F.col("sum_qty")
+        ).alias("var_qty_num"),
+        (
+            F.col("n_items") * F.col("sum_qp")
+            - F.col("sum_qty") * F.col("sum_price_c")
+        ).alias("cov_qp_num"),
+    )
+
+
+@register(
+    "v_ivm_moments_outliers",
+    oracle=f"""
+WITH f AS ({_MOMENTS_SQL_F}),
+g AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qty) AS BIGINT) AS s,
+         CAST(sum(qty * qty) AS BIGINT) AS s2
+  FROM f GROUP BY 1
+),
+t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
+         CAST(sum(s2) AS BIGINT) AS ss2
+  FROM g
+)
+SELECT g.o_custkey,
+       g.n AS n_items,
+       CAST((g.s * 1000) // g.n AS BIGINT) AS avg_qty_milli,
+       CAST(sign(g.s * t.nn - g.n * t.ss) AS BIGINT) AS dev_sign,
+       CAST(CASE WHEN
+              (CAST(g.s AS HUGEINT) * t.nn - CAST(g.n AS HUGEINT) * t.ss)
+            * (CAST(g.s AS HUGEINT) * t.nn - CAST(g.n AS HUGEINT) * t.ss)
+            > 4 * (CAST(t.nn AS HUGEINT) * t.ss2
+                   - CAST(t.ss AS HUGEINT) * t.ss)
+                * CAST(g.n AS HUGEINT) * g.n
+            THEN 1 ELSE 0 END AS BIGINT) AS is_outlier_2sigma
+FROM g, t""",
+    doc="2σ mean-deviation outlier flags served ENTIRELY from "
+    "maintained moment counters — group stats from the view state, "
+    "GLOBAL stats from its rollup (power sums re-aggregate exactly: "
+    "the global moments are the vector sum of the group counters, "
+    "rollup_state with keys=[]), so flagging every customer whose "
+    "mean qty deviates from the corpus mean by >2 population σ "
+    "touches NO fact row. The comparison (Σqᵢ·N − nᵢ·S)² > "
+    "4·(N·S2 − S²)·nᵢ² is exact: the deviation numerator fits BIGINT "
+    "but its SQUARE overflows 2⁶³ already at sf0.1 (≈4.5e9² ≈ 2e19), "
+    "so both engines square in 128-bit exact types — decimal(38,0) "
+    "Spark-side, HUGEINT in DuckDB — keeping boundary ties "
+    "bit-deterministic where a double compare would flip them. At "
+    "100 TB this is anomaly detection as a pure O(|groups|) "
+    "presentation over incrementally-maintained state, headroom to "
+    "~1e38 before the guard type saturates.",
+)
+def v_ivm_moments_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_base, o_delta, l_base, l_delta = _splits(spark, sf_dir)
+    state = IVM.view_aggregate(
+        _moment_facts(IVM.fact_rows(o_base, l_base)), measures=_MOMENTS
+    )
+    ins = _moment_facts(
+        _delta_join_facts(o_base, o_delta, l_base, l_delta).filter(
+            F.col("o_orderkey") % 40 != 1
+        )
+    )
+    dels = _moment_facts(IVM.fact_rows(o_base.filter(_tomb()), l_base))
+    merged = IVM.apply_changes(state, ins, dels, measures=_MOMENTS)
+    glob = IVM.rollup_state(merged, [], _MOMENTS).select(
+        F.col("n_items").alias("nn"),
+        F.col("sum_qty").alias("ss"),
+        F.col("sum_qty2").alias("ss2"),
+    )
+    d38 = "decimal(38,0)"
+    dev = F.col("sum_qty") * F.col("nn") - F.col("n_items") * F.col("ss")
+    dev38 = (
+        F.col("sum_qty").cast(d38) * F.col("nn")
+        - F.col("n_items").cast(d38) * F.col("ss")
+    )
+    var38 = (
+        F.col("nn").cast(d38) * F.col("ss2")
+        - F.col("ss").cast(d38) * F.col("ss")
+    )
+    return merged.crossJoin(F.broadcast(glob)).select(
+        "o_custkey",
+        "n_items",
+        F.expr("sum_qty * 1000 DIV n_items").alias("avg_qty_milli"),
+        F.signum(dev).cast("long").alias("dev_sign"),
+        F.when(
+            dev38 * dev38
+            > F.lit(4).cast(d38) * var38 * F.col("n_items").cast(d38)
+            * F.col("n_items"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_outlier_2sigma"),
+    )

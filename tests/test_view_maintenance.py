@@ -639,3 +639,105 @@ def test_kmv_sketch_merge_equals_from_scratch(spark):
             assert est[g] == nd
         else:
             assert est[g] >= 1  # estimator fired; value is data-driven
+
+
+def test_moment_counters_changefeed_equals_from_scratch(spark):
+    """Power sums (n, Σq, Σq², Σqp) are plain SUM measures over derived
+    fact columns, so mean/variance/covariance maintain through the
+    pure-counter merge with no survivor table — and the SIGNED
+    covariance numerator survives a mixed changefeed exactly (group 20
+    is built anti-correlated: high qty ⋈ low price)."""
+    mom = (
+        IVM.Measure("n_items", "count"),
+        IVM.Measure("sum_qty", "sum", "qty"),
+        IVM.Measure("sum_qty2", "sum", "qty2"),
+        IVM.Measure("sum_qp", "sum", "qp"),
+    )
+
+    def facts(o, l):
+        f = IVM.fact_rows(o, l)
+        return f.withColumn("qty2", F.col("qty") * F.col("qty")).withColumn(
+            "qp", F.col("qty") * F.col("price_c")
+        )
+
+    o = _orders(spark, [(1, 10), (2, 10), (3, 20), (4, 20)])
+    l_base = _lines(
+        spark,
+        [
+            (1, 1, 5.0, 100.00, 0.0),
+            (2, 1, 7.0, 50.00, 0.0),
+            (3, 1, 2.0, 999.99, 0.0),  # low qty, high price …
+            (4, 1, 9.0, 10.00, 0.0),  # … high qty, low price: cov < 0
+        ],
+    )
+    l_ins = _lines(spark, [(2, 2, 1.0, 5.00, 0.0), (3, 2, 4.0, 80.00, 0.0)])
+    l_del = _lines(spark, [(1, 1, 5.0, 100.00, 0.0)])
+
+    state = IVM.view_aggregate(facts(o, l_base), measures=mom)
+    merged, info = IVM.ivm_maintain(
+        state, facts(o, l_ins), facts(o, l_del), measures=mom, mode="auto"
+    )
+    # pure-counter spec: router must take the zero-probe merge path
+    assert info == {"route": "merge", "n_groups": None, "n_affected": None}
+
+    survivors = facts(o, l_base.unionByName(l_ins)).subtract(facts(o, l_del))
+    scratch = IVM.view_aggregate(survivors, measures=mom)
+
+    def m(df):
+        return {
+            r["o_custkey"]: (r["n_items"], r["sum_qty"], r["sum_qty2"], r["sum_qp"])
+            for r in df.collect()
+        }
+
+    got = m(merged)
+    assert got == m(scratch)
+    # the served covariance numerator n·Σqp − Σq·Σp is genuinely signed
+    n, s, _, sqp = got[20]
+    sp = sum(
+        r["price_c"]
+        for r in facts(o, l_base.unionByName(l_ins)).collect()
+        if r["o_custkey"] == 20
+    )
+    assert n * sqp - s * sp < 0
+
+
+def test_outlier_guard_squares_in_decimal128_not_int64(spark):
+    """The 2σ comparison squares the deviation numerator; with qty sums
+    near 3e9 the square (≈1e20) overflows int64, so the guard must be
+    computed in decimal(38,0). Pin the flag against exact Python ints."""
+    # consistent power sums (all-50s / all-10s groups) at sizes a large
+    # corpus actually produces: dev_10 = s·N − n·S ≈ 7.2e9, square 5e19
+    rows = [(10, 300, 300 * 50, 300 * 2500),
+            (20, 600_000, 600_000 * 10, 600_000 * 100),
+            (30, 100, 100 * 10, 100 * 100)]
+    g = spark.createDataFrame(rows, "o_custkey long, n long, s long, s2 long")
+    tot = g.groupBy().agg(
+        F.sum("n").alias("nn"), F.sum("s").alias("ss"), F.sum("s2").alias("ss2")
+    )
+    d38 = "decimal(38,0)"
+    dev38 = F.col("s").cast(d38) * F.col("nn") - F.col("n").cast(d38) * F.col("ss")
+    var38 = F.col("nn").cast(d38) * F.col("ss2") - F.col("ss").cast(d38) * F.col("ss")
+    out = {
+        r["o_custkey"]: r["flag"]
+        for r in g.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            F.when(
+                dev38 * dev38
+                > F.lit(4).cast(d38) * var38 * F.col("n").cast(d38) * F.col("n"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("flag"),
+        )
+        .collect()
+    }
+    nn = sum(r[1] for r in rows)
+    ss = sum(r[2] for r in rows)
+    ss2 = sum(r[3] for r in rows)
+    dev10 = rows[0][2] * nn - rows[0][1] * ss
+    assert dev10 * dev10 > 2**63, "test shape too small to exercise 128-bit"
+    for ck, n, s, _ in rows:
+        dev = s * nn - n * ss
+        expect = 1 if dev * dev > 4 * (nn * ss2 - ss * ss) * n * n else 0
+        assert out[ck] == expect, ck
