@@ -74,6 +74,9 @@ __all__ = [
     "topk_view",
     "merge_topk",
     "rollup_state",
+    "mg_counts",
+    "mg_reduce",
+    "merge_mg",
 ]
 
 #: group key of the maintained view
@@ -664,3 +667,106 @@ def rollup_state(
     nothing stay NULL)."""
     g = state.groupBy(*keys) if keys else state.groupBy()
     return g.agg(*[m.roll(keys) for m in measures])
+
+
+# --- heavy-hitters maintenance: mergeable Misra-Gries summaries -----
+
+def mg_counts(rows: DataFrame, value_col: str, keys: list[str] | None = None
+              ) -> DataFrame:
+    """Exact (keys…, value, cnt) BIGINT counts — both the from-scratch
+    input to :func:`mg_reduce` and (unreduced) the EXACT alternative
+    state shape the route probe weighs the sketch against: plain
+    counters are subtractable, so the exact table maintains under
+    retraction; its cost is one state row per distinct value."""
+    ks = keys or []
+    return rows.groupBy(*ks, value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def mg_reduce(
+    counts: DataFrame,
+    value_col: str,
+    k: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """One Misra-Gries reduction: subtract the (k+1)-th largest count
+    from every count, keep the strictly positive residues — at most
+    ``k`` rows (per group) remain, each an UNDER-estimate of its true
+    count by at most the subtracted threshold. Deterministic given the
+    count multiset (the threshold is the rank-(k+1) count VALUE, so
+    ties at the boundary cannot change it), which is what lets the
+    DuckDB oracle replay summaries bit-for-bit — the same
+    replayability contract as the KMV sketch above.
+
+    Grouped: the threshold is a keyed window rank (partitioned —
+    never a global window). Global (``keys=None``): a distributed
+    top-(k+1) (``TakeOrderedAndProject``, no single-task stage)
+    aggregated to a 1-row threshold frame and broadcast — the
+    1-row-BNLJ shape the plan audit certifies structurally."""
+    if k < 1:
+        raise ValueError("mg_reduce needs k >= 1")
+    ks = keys or []
+    if ks:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*ks).orderBy(
+            F.desc("cnt"), F.col(value_col)
+        )
+        thr = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == k + 1)
+            .select(*ks, F.col("cnt").alias("_thr"))
+        )
+        merged = counts.join(thr, ks, "left").select(
+            *ks,
+            value_col,
+            (F.col("cnt") - F.coalesce("_thr", F.lit(0)))
+            .cast("long")
+            .alias("cnt"),
+        )
+        return merged.filter(F.col("cnt") > 0)
+    top = counts.orderBy(F.desc("cnt"), F.col(value_col)).limit(k + 1)
+    thr = top.agg(
+        F.when(F.count(F.lit(1)) == k + 1, F.min("cnt"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_thr")
+    )
+    return (
+        counts.crossJoin(F.broadcast(thr))
+        .select(
+            value_col,
+            (F.col("cnt") - F.col("_thr")).cast("long").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+
+
+def merge_mg(
+    state: DataFrame,
+    delta_summary: DataFrame,
+    value_col: str,
+    k: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Merge two Misra-Gries summaries (Agarwal et al.'s mergeable-
+    summaries rule, public result): pairwise-sum the residues, then
+    one :func:`mg_reduce`. The merged summary keeps the family's
+    guarantee — every value's undercount is at most
+    (N − Σsummary)/(k+1) over the COMBINED stream — which is the
+    bound ``ev_heavy_mg_error`` registers as data. Append-only like
+    KMV: a sketch cannot subtract; the exact counter table
+    (:func:`mg_counts`, unreduced) is the retraction-capable shape
+    the route weighs this against."""
+    ks = keys or []
+    join_keys = [*ks, value_col]
+    a = state.select(*join_keys, F.col("cnt").alias("_a"))
+    b = delta_summary.select(*join_keys, F.col("cnt").alias("_b"))
+    summed = a.join(b, join_keys, "full_outer").select(
+        *join_keys,
+        (F.coalesce("_a", F.lit(0)) + F.coalesce("_b", F.lit(0)))
+        .cast("long")
+        .alias("cnt"),
+    )
+    return mg_reduce(summed, value_col, k, keys or None)

@@ -1225,3 +1225,217 @@ def v_ivm_moments_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_outlier_2sigma"),
     )
+
+
+# --- heavy-hitters maintenance: Misra-Gries, the frequent-items -----
+# sibling of the KMV distinct sketch: k-bounded state, mergeable,
+# append-only, error bound served as data, exact-vs-sketch state
+# shape served as a route. Domain: per-user event counts ("top
+# talkers") over the events table — the value population (users)
+# grows with the corpus while the summary stays k rows.
+
+_MG_K = 32
+_SQL_EV_BASE = "event_id % 5 <> 0"
+
+
+_MG_ORACLE_INCREMENTAL = f"""
+WITH bc AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE {_SQL_EV_BASE} GROUP BY 1
+),
+bt AS (
+  SELECT CASE WHEN count(*) = {_MG_K + 1} THEN min(cnt) ELSE 0 END AS t
+  FROM (SELECT cnt FROM bc ORDER BY cnt DESC, user_id LIMIT {_MG_K + 1})
+),
+bs AS (
+  SELECT user_id, cnt - bt.t AS cnt FROM bc, bt WHERE cnt - bt.t > 0
+),
+dc AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE NOT ({_SQL_EV_BASE}) GROUP BY 1
+),
+dt AS (
+  SELECT CASE WHEN count(*) = {_MG_K + 1} THEN min(cnt) ELSE 0 END AS t
+  FROM (SELECT cnt FROM dc ORDER BY cnt DESC, user_id LIMIT {_MG_K + 1})
+),
+ds AS (
+  SELECT user_id, cnt - dt.t AS cnt FROM dc, dt WHERE cnt - dt.t > 0
+),
+m AS (
+  SELECT user_id,
+         coalesce(bs.cnt, 0) + coalesce(ds.cnt, 0) AS cnt
+  FROM bs FULL JOIN ds USING (user_id)
+),
+mt AS (
+  SELECT CASE WHEN count(*) = {_MG_K + 1} THEN min(cnt) ELSE 0 END AS t
+  FROM (SELECT cnt FROM m ORDER BY cnt DESC, user_id LIMIT {_MG_K + 1})
+)
+SELECT user_id, CAST(cnt - mt.t AS BIGINT) AS mg_cnt
+FROM m, mt WHERE cnt - mt.t > 0"""
+
+
+def _mg_state_and_delta(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 5 != 0)
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+    state = IVM.mg_reduce(IVM.mg_counts(base, "user_id"), "user_id", _MG_K)
+    d_sum = IVM.mg_reduce(IVM.mg_counts(delta, "user_id"), "user_id", _MG_K)
+    return ev, IVM.merge_mg(state, d_sum, "user_id", _MG_K)
+
+
+@register(
+    "ev_heavy_mg_incremental",
+    oracle=_MG_ORACLE_INCREMENTAL,
+    doc="Heavy-hitters (frequent-items) maintenance via mergeable "
+    "Misra-Gries summaries — the frequent-ITEMS sibling of the KMV "
+    "distinct sketch (same contract: k-bounded state, deterministic "
+    "merge the oracle replays bit-for-bit, error bound as data). "
+    "Complements the round-7 STREAMING Misra-Gries fold "
+    "(streaming/stateful.py mg_sketch_update — per-key, "
+    "arrival-order-sensitive, so its oracle could only audit the "
+    "guarantee): this is the order-FREE mergeable-summary form, whose "
+    "result is a pure function of the input multiset and therefore "
+    "hash-provable, the right shape for distributed batch state. "
+    "State = the base events' MG summary (exact per-user counts "
+    "reduced once: subtract the rank-(k+1) count, keep positive "
+    "residues — at most k=32 rows however many users exist); an "
+    "event batch folds in by summary MERGE (pairwise residue sum + "
+    "one reduction, the Agarwal-et-al mergeable-summaries rule, a "
+    "public result). The reduction threshold is the rank count "
+    "VALUE, so boundary ties cannot change it — that determinism is "
+    "what lets DuckDB replay build, merge and all. The global "
+    "rank-(k+1) threshold is a distributed top-(k+1) "
+    "(TakeOrderedAndProject — no single-task window stage) "
+    "broadcast as a 1-row frame. At 100 TB: per-partition partial "
+    "counts shuffle once to k+1-bounded state; the summary never "
+    "grows with the user population (contrast the exact counter "
+    "table's one-row-per-user) — the top-talkers dashboard in k "
+    "rows of state.",
+)
+def ev_heavy_mg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, merged = _mg_state_and_delta(spark, sf_dir)
+    return merged.select("user_id", F.col("cnt").alias("mg_cnt"))
+
+
+@register(
+    "ev_heavy_mg_error",
+    oracle=f"""
+WITH ms AS ({_MG_ORACLE_INCREMENTAL}),
+ex AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_events FROM events
+),
+s AS (
+  SELECT CAST(coalesce(sum(mg_cnt), 0) AS BIGINT) AS kept FROM ms
+),
+j AS (
+  SELECT ex.user_id, ex.true_cnt - coalesce(ms.mg_cnt, 0) AS under
+  FROM ex LEFT JOIN ms USING (user_id)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_users,
+       (SELECT CAST(count(*) AS BIGINT) FROM ms) AS n_tracked,
+       CAST((SELECT max(under) FROM j) AS BIGINT) AS max_under,
+       CAST((tot.n_events - s.kept) // {_MG_K + 1} AS BIGINT) AS bound,
+       CAST((SELECT count(*) FROM j
+             WHERE under <= (tot.n_events - s.kept) // {_MG_K + 1})
+            AS BIGINT) AS n_within
+FROM tot, s""",
+    doc="The Misra-Gries deficit bound REGISTERED AS DATA (the "
+    "sketch-family honesty contract, same shape as "
+    "v_ivm_distinct_kmv_error): every user's undercount — tracked "
+    "users' residue deficit AND dropped users' full count — must be "
+    "at most (N − Σsummary)/(k+1), because each reduction subtracts "
+    "its threshold from at least k+1 values, so total removed mass "
+    "bounds the per-value loss. The query joins the merged summary "
+    "to the exact per-user counts over the full corpus and serves "
+    "n_users / n_tracked / max undercount / the floored bound / how "
+    "many users sit inside it — hash-green means n_within = n_users "
+    "at every scale, the bound holding as the user population grows "
+    "while the summary stays k rows.",
+)
+def ev_heavy_mg_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, merged = _mg_state_and_delta(spark, sf_dir)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    kept = merged.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("kept")
+    )
+    j = exact.join(
+        merged.select("user_id", F.col("cnt").alias("mg_cnt")),
+        "user_id",
+        "left",
+    ).select(
+        "user_id",
+        (F.col("true_cnt") - F.coalesce("mg_cnt", F.lit(0))).alias("under"),
+    )
+    bound = (
+        tot.crossJoin(F.broadcast(kept))
+        .select(
+            F.expr(f"(n_events - kept) DIV {_MG_K + 1}")
+            .cast("long")
+            .alias("bound")
+        )
+    )
+    n_tracked = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tracked")
+    )
+    stats = j.crossJoin(F.broadcast(bound)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.max("under").cast("long").alias("max_under"),
+        F.max("bound").cast("long").alias("bound"),
+        F.sum(F.when(F.col("under") <= F.col("bound"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_within"),
+    )
+    return stats.crossJoin(F.broadcast(n_tracked)).select(
+        "n_users", "n_tracked", "max_under", "bound", "n_within"
+    )
+
+
+@register(
+    "ev_heavy_mg_route",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_values,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events
+)
+SELECT n_values, n_events,
+       CAST({_MG_K} AS BIGINT) AS sketch_cap_rows,
+       CASE WHEN n_values > {_MG_K} THEN 'sketch' ELSE 'exact' END
+         AS route
+FROM c""",
+    doc="The exact-vs-sketch STATE-SHAPE decision for frequent items, "
+    "served as design-time data (the KMV route's sibling): the exact "
+    "per-value counter table is SUBTRACTABLE (plain counters — it "
+    "maintains under retraction) and costs one row per distinct "
+    "user; the MG summary caps state at k=32 rows but is append-only "
+    "and lossy below the deficit bound. The probe compares the value "
+    "population against the sketch cap. Honest answer on this "
+    "corpus: users exceed k already at sf0.01 (150 > 32), so the "
+    "budget rule picks the sketch — the OPPOSITE route from "
+    "v_ivm_distinct_maintain_route's exact, because heavy-hitters "
+    "state budgets are per-CORPUS while distinct-count state was "
+    "per-group; both probes are the same two bounded aggregates. A "
+    "deployment wanting retraction support pays the exact table's "
+    "growth; the route registers that trade as data rather than "
+    "hiding it.",
+)
+def ev_heavy_mg_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n_values"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    ).select(
+        "n_values",
+        "n_events",
+        F.lit(_MG_K).cast("long").alias("sketch_cap_rows"),
+        F.when(F.col("n_values") > _MG_K, F.lit("sketch"))
+        .otherwise(F.lit("exact"))
+        .alias("route"),
+    )

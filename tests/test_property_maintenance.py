@@ -382,3 +382,74 @@ def test_phash_index_apply_random(spark, hashes, data):
     scratch = phash_neardup_pairs(keep.unionByName(batch), max_hamming=3)
     ps = lambda df: {(r["id_a"], r["id_b"], r["hamming"]) for r in df.collect()}
     assert ps(merged) == ps(scratch)
+
+
+@given(
+    base=st.lists(st.integers(min_value=0, max_value=14),
+                  min_size=1, max_size=40),
+    delta=st.lists(st.integers(min_value=0, max_value=14),
+                   min_size=0, max_size=25),
+    k=st.integers(min_value=1, max_value=6),
+)
+@_SLOW
+def test_mg_merge_bound_and_cap_random(spark, base, delta, k):
+    """Mergeable Misra-Gries on random multisets: the merged summary
+    (base-reduce ⊕ delta-reduce, one more reduce) must (a) keep at
+    most k rows, (b) under-estimate only (residue ≤ true count for
+    every value), (c) hold the deficit bound — every value's
+    undercount ≤ (N − Σsummary)//(k+1) — and (d) be bit-deterministic
+    (recomputing yields the identical map, the property the DuckDB
+    oracle replay relies on)."""
+    from collections import Counter
+
+    from files_kraken_spark.operators.ivm import (
+        merge_mg,
+        mg_counts,
+        mg_reduce,
+    )
+
+    rows = lambda xs: spark.createDataFrame(  # noqa: E731
+        [(v,) for v in xs], "user_id long"
+    )
+    b_sum = mg_reduce(mg_counts(rows(base), "user_id"), "user_id", k)
+    d_counts = mg_counts(rows(delta), "user_id") if delta else mg_counts(
+        rows(base), "user_id"
+    ).filter(F.lit(False))
+    d_sum = mg_reduce(d_counts, "user_id", k)
+    merged = merge_mg(b_sum, d_sum, "user_id", k)
+
+    got = {r["user_id"]: r["cnt"] for r in merged.collect()}
+    again = {
+        r["user_id"]: r["cnt"]
+        for r in merge_mg(b_sum, d_sum, "user_id", k).collect()
+    }
+    assert got == again  # deterministic
+    assert len(got) <= k
+    true = Counter(base) + Counter(delta)
+    n_total = sum(true.values())
+    bound = (n_total - sum(got.values())) // (k + 1)
+    for v, c in true.items():
+        est = got.get(v, 0)
+        assert 0 < est <= c if v in got else est == 0
+        assert c - est <= bound, (v, c, est, bound)
+
+
+def test_mg_reduce_grouped_matches_python_reference(spark):
+    """The keyed (windowed) branch: per-group rank-(k+1) threshold
+    subtraction, groups independent; a group with ≤ k distinct values
+    reduces by 0 (its summary IS its exact counts)."""
+    from files_kraken_spark.operators.ivm import mg_counts, mg_reduce
+
+    data = [("a", v) for v in [1, 1, 1, 2, 2, 3, 4, 5]] + [
+        ("b", v) for v in [7, 7, 8]
+    ]
+    df = spark.createDataFrame(data, "grp string, user_id long")
+    out = mg_reduce(
+        mg_counts(df, "user_id", ["grp"]), "user_id", 2, ["grp"]
+    )
+    got = {(r["grp"], r["user_id"]): r["cnt"] for r in out.collect()}
+    # group a: counts {1:3, 2:2, 3:1, 4:1, 5:1}; rank-3 count
+    # (ties 3,4,5 broken by value → rank3 is value 3, cnt 1) → thr 1:
+    # residues {1:2, 2:1}; values at cnt==thr drop.
+    # group b: 2 distinct ≤ k → thr 0, exact counts survive.
+    assert got == {("a", 1): 2, ("a", 2): 1, ("b", 7): 2, ("b", 8): 1}
