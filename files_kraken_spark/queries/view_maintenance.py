@@ -1439,3 +1439,85 @@ def ev_heavy_mg_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("exact"))
         .alias("route"),
     )
+
+
+_MG_GK = 8  # per-group cap for the keyed variant
+
+
+def _mg_grouped_sql(where: str, alias: str) -> str:
+    """One keyed MG reduction over exact (event_type, user_id) counts
+    restricted by ``where`` — the SQL twin of mg_reduce's windowed
+    branch (rank-(k+1) per group via row_number, ties broken by
+    user_id; the threshold is the rank count VALUE)."""
+    return f"""
+{alias}c AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE {where} GROUP BY 1, 2
+),
+{alias}t AS (
+  SELECT event_type, cnt AS t FROM (
+    SELECT event_type, cnt,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cnt DESC, user_id) AS rn
+    FROM {alias}c
+  ) WHERE rn = {_MG_GK + 1}
+),
+{alias}s AS (
+  SELECT c.event_type, c.user_id,
+         c.cnt - coalesce(t.t, 0) AS cnt
+  FROM {alias}c c LEFT JOIN {alias}t t USING (event_type)
+  WHERE c.cnt - coalesce(t.t, 0) > 0
+)"""
+
+
+@register(
+    "ev_heavy_mg_grouped",
+    oracle=f"""
+WITH {_mg_grouped_sql(_SQL_EV_BASE, "b")},
+{_mg_grouped_sql(f"NOT ({_SQL_EV_BASE})", "d")},
+m AS (
+  SELECT event_type, user_id,
+         coalesce(bs.cnt, 0) + coalesce(ds.cnt, 0) AS cnt
+  FROM bs FULL JOIN ds USING (event_type, user_id)
+),
+mt AS (
+  SELECT event_type, cnt AS t FROM (
+    SELECT event_type, cnt,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cnt DESC, user_id) AS rn
+    FROM m
+  ) WHERE rn = {_MG_GK + 1}
+)
+SELECT m.event_type, m.user_id,
+       CAST(m.cnt - coalesce(mt.t, 0) AS BIGINT) AS mg_cnt
+FROM m LEFT JOIN mt USING (event_type)
+WHERE m.cnt - coalesce(mt.t, 0) > 0""",
+    doc="GROUPED heavy-hitters maintenance — mg_reduce's keyed branch "
+    "as a registered query (the global leg above exercises the "
+    "distributed top-(k+1) path; this one exercises the per-group "
+    "windowed rank, partitioned by event_type — never a global "
+    "window): per event type, the top-talker summary capped at k=8 "
+    "rows/type, base and batch summaries merged by the same "
+    "pairwise-sum + reduce rule, every reduction's threshold a keyed "
+    "rank-(k+1) count value the oracle replays with the identical "
+    "window. The grouped form is the per-tenant/per-shard deployment "
+    "shape: state is |groups|×k rows, maintenance one keyed window "
+    "over |groups∪Δ-groups| summary rows — no global coordination "
+    "between groups at any point, so the merge parallelizes per "
+    "group at 100 TB.",
+)
+def ev_heavy_mg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keys = ["event_type"]
+    base = ev.filter(F.col("event_id") % 5 != 0)
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+    state = IVM.mg_reduce(
+        IVM.mg_counts(base, "user_id", keys), "user_id", _MG_GK, keys
+    )
+    d_sum = IVM.mg_reduce(
+        IVM.mg_counts(delta, "user_id", keys), "user_id", _MG_GK, keys
+    )
+    merged = IVM.merge_mg(state, d_sum, "user_id", _MG_GK, keys)
+    return merged.select(
+        "event_type", "user_id", F.col("cnt").alias("mg_cnt")
+    )

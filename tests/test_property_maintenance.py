@@ -453,3 +453,48 @@ def test_mg_reduce_grouped_matches_python_reference(spark):
     # residues {1:2, 2:1}; values at cnt==thr drop.
     # group b: 2 distinct ≤ k → thr 0, exact counts survive.
     assert got == {("a", 1): 2, ("a", 2): 1, ("b", 7): 2, ("b", 8): 1}
+
+
+@given(
+    values=st.lists(
+        st.tuples(st.integers(min_value=1, max_value=3),
+                  st.integers(min_value=0, max_value=60)),
+        min_size=1, max_size=50,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=49),
+                  min_size=0, max_size=3),
+    k=st.integers(min_value=2, max_value=8),
+)
+@_SLOW
+def test_kmv_state_is_batching_invariant_random(spark, values, cuts, k):
+    """KMV's sharper-than-MG property: the k smallest hashes of a
+    union are a pure function of the SET, so folding the same facts in
+    through ANY batch partition yields bit-identical sketch state to
+    the one-shot build — the invariance the foreachBatch deployment
+    shape relies on (MG summaries only promise the bound under
+    rebatching; KMV promises the bits)."""
+    from files_kraken_spark.operators.ivm import (
+        distinct_kmv_state,
+        merge_distinct_kmv,
+    )
+
+    def facts(rows):
+        return spark.createDataFrame(rows, "o_custkey long, v long")
+
+    one_shot = {
+        (r["o_custkey"], r["h"], r["rn"])
+        for r in distinct_kmv_state(facts(values), "v", k=k).collect()
+    }
+
+    bounds = sorted({c for c in cuts if c < len(values)}) + [len(values)]
+    state = distinct_kmv_state(facts(values[: bounds[0]]), "v", k=k)
+    prev = bounds[0]
+    for b in bounds[1:]:
+        batch = values[prev:b]
+        if batch:
+            state = merge_distinct_kmv(state, facts(batch), "v", k=k)
+        prev = b
+    folded = {
+        (r["o_custkey"], r["h"], r["rn"]) for r in state.collect()
+    }
+    assert folded == one_shot
