@@ -242,6 +242,7 @@ def main():
         # outside [0.5, 2] either way means per-query deltas vs other
         # rounds are unattributable
         load_drift = round(control_end / max(control_start, 1e-9), 2)
+        load_drift2 = round(control2_end / max(control2_start, 1e-9), 2)
         return {
             "timings": timings,
             "extra": extra,
@@ -250,6 +251,7 @@ def main():
             "control": [control_start, control_end],
             "control2": [control2_start, control2_end],
             "load_drift": load_drift,
+            "load_drift2": load_drift2,
         }
 
     # Healthy-control ceiling (round-10 verdict item 1): on this box a
@@ -260,15 +262,31 @@ def main():
     control_ceiling = float(
         os.environ.get("SPARK_GRAFT_CONTROL_CEILING", "0.35")
     )
+    # The headline-sized sentinel gets its own ceiling (round-13 review
+    # finding: sustained-compute contention can inflate control2 while
+    # the ~0.3s fixed-overhead-dominated q1 control stays under ITS
+    # ceiling — the very non-affinity control2 was added to capture).
+    # Clean single runs of dedup_minhash_lsh sit at ~2.8-3.1s here.
+    control2_ceiling = float(
+        os.environ.get("SPARK_GRAFT_CONTROL2_CEILING", "3.5")
+    )
 
     def _unhealthy(m: dict) -> str | None:
         if not (0.5 <= m["load_drift"] <= 2.0):
             return f"load_drift {m['load_drift']} outside [0.5, 2]"
+        if not (0.5 <= m["load_drift2"] <= 2.0):
+            return f"load_drift2 {m['load_drift2']} outside [0.5, 2]"
         mean_control = sum(m["control"]) / 2
         if mean_control > control_ceiling:
             return (
                 f"mean control {mean_control:.3f}s above ceiling "
                 f"{control_ceiling}s (loaded box)"
+            )
+        mean_control2 = sum(m["control2"]) / 2
+        if mean_control2 > control2_ceiling:
+            return (
+                f"mean control2 {mean_control2:.3f}s above ceiling "
+                f"{control2_ceiling}s (sustained-compute contention)"
             )
         return None
 
@@ -285,6 +303,7 @@ def main():
     control_start, control_end = m["control"]
     control2_start, control2_end = m["control2"]
     load_drift = m["load_drift"]
+    load_drift2 = m["load_drift2"]
     total = round(sum(timings.values()), 3)
     mean_control = (control_start + control_end) / 2
     record = {
@@ -315,9 +334,13 @@ def main():
             name: round(sec / max(mean_control, 1e-9), 2)
             for name, sec in {**timings, **extra}.items()
         },
-        # True = both sentinels under the ceiling: raw value trustable
-        "control_healthy": mean_control <= control_ceiling,
+        # True = BOTH sentinels under their ceilings: raw value trustable
+        "control_healthy": (
+            mean_control <= control_ceiling
+            and (control2_start + control2_end) / 2 <= control2_ceiling
+        ),
         "control_ceiling_sec": control_ceiling,
+        "control2_ceiling_sec": control2_ceiling,
         # noise self-flags (round-5 verdict item #2): per-query
         # max/min run ratio, plus control-query drift start→end
         "spread": spread,
@@ -330,6 +353,7 @@ def main():
         "control2_sec": [control2_start, control2_end],
         "control2_query": "dedup_minhash_lsh",
         "load_drift": load_drift,
+        "load_drift2": load_drift2,
         # True = the first pass's sentinel flagged a contended start/finish
         # and the whole measured block was re-run once; the record holds
         # the SECOND pass (round-7 verdict item 7)
@@ -384,10 +408,15 @@ def build_compact_line(record: dict) -> str:
     compact["spread_max"] = max(spread.values()) if spread else 0.0
     compact["record_file"] = "BENCH_local.json"
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1000:
-        # Headline map outgrew the budget: drop it rather than risk a
-        # beheaded line — the full map survives in BENCH_local.json.
-        compact.pop("queries", None)
+    # Drop optional fields in priority order until the line fits — and
+    # RE-CHECK after every drop (round-13 review finding: only covering
+    # the queries-map growth vector leaves future scalar-field growth
+    # able to behead the line again). The full record always survives
+    # in BENCH_local.json.
+    for droppable in ("queries", "spread_max", "control2_sec", "control_sec"):
+        if len(line) <= 1000:
+            break
+        compact.pop(droppable, None)
         line = json.dumps(compact, separators=(",", ":"))
     return line
 

@@ -375,6 +375,22 @@ def ivm_maintain(
     jobs (plan-only contexts)."""
     if mode not in ("auto", "merge", "retrain"):
         raise ValueError(f"mode must be auto|merge|retrain, got {mode!r}")
+    # Fail BEFORE any probe job launches (round-13 review finding: the
+    # auto path ran both bounded probe jobs and only then hit the
+    # missing-survivors ValueError inside the chosen leg): a batch
+    # with retractions and non-subtractable measures needs survivors
+    # on EVERY route — merge re-elects from them, retrain rebuilds
+    # from them.
+    if (
+        del_facts is not None
+        and any(not m.subtractable for m in measures)
+        and survivor_facts is None
+    ):
+        raise ValueError(
+            "retractions with min/max measures require survivor_facts "
+            "on every route (merge re-elects from them, retrain "
+            "rebuilds from them)"
+        )
     ks = keys or [KEY]
 
     def _merge() -> DataFrame:
@@ -576,10 +592,35 @@ def distinct_kmv_view(
     fewer than k hashes has seen ALL its distinct hashes (the sketch
     IS the set — exact, modulo 32-bit birthday collisions); at k the
     k-th minimum estimates the cardinality as (k-1)·2³² div h_k —
-    exact integer division, replayable by any engine."""
+    exact integer division, replayable by any engine.
+
+    ``k`` MUST equal the k the state was built/merged with — it is not
+    recoverable from the rows (an undersaturated group is
+    indistinguishable from a saturated smaller-k one), and serving
+    with a LARGER k silently misreads every saturated group as exact
+    (round-13 review finding). The one detectable direction — state
+    rows beyond the claimed k — raises instead of truncating."""
     ks = keys or [KEY]
     per = state.groupBy(*ks).agg(
         F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("hk")
+    )
+    # rn > k in state proves a k mismatch (built with a larger k);
+    # an in-plan guard would cost a job, so assert on the cheap
+    # aggregate we already compute at serve time via a runtime error
+    # column: greatest(n_kept) over k flags the impossible state.
+    per = per.withColumn(
+        "n_kept",
+        F.when(
+            F.col("n_kept") <= k, F.col("n_kept")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"distinct_kmv_view: state holds more than k={k} "
+                    "rows for a group — built with a larger k; pass "
+                    "the build k"
+                )
+            ).cast("long")
+        ),
     )
     est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
         F.expr(f"({k - 1} * 4294967296) div greatest(hk, 1)")

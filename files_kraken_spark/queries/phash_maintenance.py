@@ -87,6 +87,25 @@ def _media(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
     return attach_binary(pgm, "doc_id", "payload", "image")
 
 
+def _tomb_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tombstone batch — one definition for the three legs that
+    retract (decremental / changefeed / serve), so the predicate can
+    never silently desynchronize between a query and its oracle."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("n_chars") >= 128) & (F.col("doc_id") % 40 == 2))
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+
+def _batch_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The append batch's hashes (doc_id%10>=8), decoded+DCT'd once
+    per call — shared by the three legs that append."""
+    return image_phash_dct(
+        _media(spark, sf_dir, ~(F.col("doc_id") % 10 < 8))
+    )
+
+
 def _base_state(spark: SparkSession, sf_dir: str):
     """Persisted-state shape: base hashes + verified base pairs."""
     base_h = image_phash_dct(_media(spark, sf_dir, F.col("doc_id") % 10 < 8))
@@ -112,7 +131,7 @@ def _base_state(spark: SparkSession, sf_dir: str):
 )
 def mm_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_h, base_pairs = _base_state(spark, sf_dir)
-    batch_h = image_phash_dct(_media(spark, sf_dir, ~(F.col("doc_id") % 10 < 8)))
+    batch_h = _batch_hashes(spark, sf_dir)
     pairs, _ = phash_index_apply(base_pairs, base_h, batch_hashes=batch_h)
     return pairs
 
@@ -134,11 +153,7 @@ def mm_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_phash_decremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_h, base_pairs = _base_state(spark, sf_dir)
-    tomb = (
-        load_table(spark, sf_dir, "documents")
-        .filter((F.col("n_chars") >= 128) & (F.col("doc_id") % 40 == 2))
-        .select(F.col("doc_id").alias("media_id"))
-    )
+    tomb = _tomb_ids(spark, sf_dir)
     pairs, _ = phash_index_apply(base_pairs, base_h, tombstone_ids=tomb)
     return pairs
 
@@ -158,12 +173,8 @@ def mm_phash_decremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_phash_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_h, base_pairs = _base_state(spark, sf_dir)
-    batch_h = image_phash_dct(_media(spark, sf_dir, ~(F.col("doc_id") % 10 < 8)))
-    tomb = (
-        load_table(spark, sf_dir, "documents")
-        .filter((F.col("n_chars") >= 128) & (F.col("doc_id") % 40 == 2))
-        .select(F.col("doc_id").alias("media_id"))
-    )
+    batch_h = _batch_hashes(spark, sf_dir)
+    tomb = _tomb_ids(spark, sf_dir)
     pairs, _ = phash_index_apply(
         base_pairs, base_h, batch_hashes=batch_h, tombstone_ids=tomb
     )
@@ -195,12 +206,8 @@ def mm_phash_serve_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         return {"hashes": base_h, "pairs": base_pairs}
 
     state = serve_state(spark, sf_dir, "phash", _build)
-    batch_h = image_phash_dct(_media(spark, sf_dir, ~(F.col("doc_id") % 10 < 8)))
-    tomb = (
-        load_table(spark, sf_dir, "documents")
-        .filter((F.col("n_chars") >= 128) & (F.col("doc_id") % 40 == 2))
-        .select(F.col("doc_id").alias("media_id"))
-    )
+    batch_h = _batch_hashes(spark, sf_dir)
+    tomb = _tomb_ids(spark, sf_dir)
     pairs, _ = phash_index_apply(
         state["pairs"], state["hashes"], batch_hashes=batch_h, tombstone_ids=tomb
     )

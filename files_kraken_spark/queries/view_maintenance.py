@@ -476,8 +476,8 @@ def _supp_facts(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
     l = lineitem.select(
         "l_suppkey",
         F.round("l_quantity").cast("long").alias("qty"),
-        F.round(F.col("l_tax") * 100).cast("long").alias("tax_c"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        IVM._micro("l_tax", 100).alias("tax_c"),
+        IVM._micro("l_extendedprice", 100).alias("price_c"),
     )
     return l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"]).select(
         "nationkey", "qty", "tax_c", "price_c"

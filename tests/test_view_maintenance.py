@@ -741,3 +741,37 @@ def test_outlier_guard_squares_in_decimal128_not_int64(spark):
         dev = s * nn - n * ss
         expect = 1 if dev * dev > 4 * (nn * ss2 - ss * ss) * n * n else 0
         assert out[ck] == expect, ck
+
+
+def test_ivm_maintain_missing_survivors_fails_before_probe(spark):
+    """Retractions + min/max measures + no survivor table is invalid
+    on EVERY route; the router must raise before launching probe jobs
+    (it does zero Spark actions — assert by message, and by the fact
+    the error arrives eagerly, not from inside a chosen leg)."""
+    import pytest
+
+    o = _orders(spark, [(1, 10)])
+    l = _lines(spark, [(1, 1, 5.0, 100.00, 0.0)])
+    state = IVM.view_aggregate(IVM.fact_rows(o, l))
+    dels = IVM.fact_rows(o, l)
+    with pytest.raises(ValueError, match="survivor_facts on every route"):
+        IVM.ivm_maintain(state, None, dels, mode="auto")
+
+
+def test_kmv_view_detects_larger_build_k(spark):
+    """Serving KMV state with a SMALLER k than it was built with is
+    the detectable direction of the k-mismatch hazard (state rows
+    exceed the claimed k) — the serve must raise, not silently
+    misread; the undetectable direction (larger serve k) is
+    documented as the caller's contract."""
+    import pytest
+
+    facts = spark.createDataFrame(
+        [(1, v) for v in range(20)], "o_custkey long, v long"
+    )
+    state = IVM.distinct_kmv_state(facts, "v", k=8)
+    with pytest.raises(Exception, match="built with a larger k"):
+        IVM.distinct_kmv_view(state, k=4).collect()
+    # matching k serves normally
+    [r] = IVM.distinct_kmv_view(state, k=8).collect()
+    assert r["kmv_distinct_est"] > 0

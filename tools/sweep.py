@@ -21,6 +21,7 @@ import argparse
 import json
 import math
 import os
+import re
 import sys
 import time
 
@@ -50,6 +51,15 @@ def main() -> int:
     # warm JVM/codegen once so point 1 isn't startup
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    def _sf(d: str) -> float | None:
+        # "sf1x10" names the 10-copies-of-sf0.1 corpus: the numeric
+        # prefix (1) IS its effective scale factor — the x10 suffix
+        # records the recipe, not a multiplier
+        m = re.search(
+            r"sf([0-9.]+?)(x10)?$", os.path.basename(d.rstrip("/"))
+        )
+        return float(m.group(1)) if m else None
+
     out: dict[str, dict[str, float]] = {}
     for name in args.queries:
         spec = REGISTRY[name]
@@ -68,36 +78,34 @@ def main() -> int:
         pts = [out[name][d] for d in dirs]
         if len(pts) >= 2 and pts[-2] > 0:
             # The ratio is computed from the LAST PAIR of --dirs,
-            # whatever they are; the derived exponent assumes that
-            # pair is a decade apart (the default dirs' sf0.1 ->
-            # 10x layout). Infer the actual log10 spacing from the
-            # dirs' sf labels when both parse, so non-decade pairs
-            # are normalized instead of silently mislabeled
-            # (round-12 ADVICE item 3).
-            import re as _re
-
-            def _sf(d: str) -> float | None:
-                # "sf1x10" names the 10-copies-of-sf0.1 corpus: the
-                # numeric prefix (1) IS its effective scale factor —
-                # the x10 suffix records the recipe, not a multiplier
-                m = _re.search(r"sf([0-9.]+?)(x10)?$", os.path.basename(d.rstrip("/")))
-                return float(m.group(1)) if m else None
-
+            # whatever they are; the derived exponent needs that
+            # pair's actual log10 spacing, inferred from the dirs'
+            # sf labels (round-12 ADVICE item 3). When either label
+            # fails to parse (or the pair is not ascending), say so
+            # and print the ratio WITHOUT an exponent instead of
+            # asserting an unfounded "1.00 decade(s)" (round-13
+            # review finding).
             ratio = pts[-1] / pts[-2]
             s_lo, s_hi = _sf(dirs[-2]), _sf(dirs[-1])
-            decades = (
-                math.log10(s_hi / s_lo)
-                if s_lo and s_hi and s_hi > s_lo
-                else 1.0
-            )
-            expo = (
-                math.log10(ratio) / decades if ratio > 0 else float("nan")
-            )
-            print(
-                f"{name}: last-pair wall ratio {ratio:.2f} over "
-                f"{decades:.2f} decade(s), exponent {expo:.2f}",
-                flush=True,
-            )
+            if s_lo and s_hi and s_hi > s_lo:
+                decades = math.log10(s_hi / s_lo)
+                expo = (
+                    math.log10(ratio) / decades
+                    if ratio > 0
+                    else float("nan")
+                )
+                print(
+                    f"{name}: last-pair wall ratio {ratio:.2f} over "
+                    f"{decades:.2f} decade(s), exponent {expo:.2f}",
+                    flush=True,
+                )
+            else:
+                print(
+                    f"{name}: last-pair wall ratio {ratio:.2f} "
+                    "(dir spacing unknown — sf labels unparsed or "
+                    "non-ascending; no exponent)",
+                    flush=True,
+                )
     print(json.dumps(out))
     return 0
 
