@@ -96,6 +96,11 @@ EXTRA = [
     "v_ivm_serve_merged",
     "v_ivm_changefeed",
     "mm_phash_incremental",
+    # round-13: the new maintained families' cheap representatives —
+    # pure-counter moments changefeed (the spec-driven merge core's
+    # fastest shape) and the global Misra-Gries heavy-hitters merge
+    "v_ivm_moments_changefeed",
+    "ev_heavy_mg_incremental",
 ]
 
 

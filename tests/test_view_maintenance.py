@@ -775,3 +775,77 @@ def test_kmv_view_detects_larger_build_k(spark):
     # matching k serves normally
     [r] = IVM.distinct_kmv_view(state, k=8).collect()
     assert r["kmv_distinct_est"] > 0
+
+
+def test_mg_summary_is_a_foreachbatch_body(spark, tmp_path):
+    """The MG deployment loop: an append-only event stream folds into
+    the heavy-hitters summary via merge_mg per micro-batch. Unlike
+    KMV (bit-invariant under rebatching) the summary's exact residues
+    depend on the batch boundaries, so the assertion is the FAMILY
+    contract after every batch: ≤ k rows, underestimates only, and
+    the deficit bound over everything ingested so far."""
+    import json
+    import os
+    from collections import Counter
+
+    from files_kraken_spark.operators.ivm import (
+        merge_mg,
+        mg_counts,
+        mg_reduce,
+    )
+
+    k = 4
+    batches = [
+        [1, 1, 2, 3, 1, 4],
+        [2, 2, 5, 1, 6, 2],
+        [7, 1, 2, 8, 1, 9, 1],
+    ]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for b, vals in enumerate(batches):
+        p = feed / f"batch_{b}.json"
+        p.write_text(
+            "\n".join(json.dumps({"user_id": v}) for v in vals)
+        )
+        os.utime(p, (1_700_000_000 + b, 1_700_000_000 + b))
+
+    empty = spark.createDataFrame([], "user_id long")
+    holder = {
+        "state": mg_reduce(mg_counts(empty, "user_id"), "user_id", k)
+        .localCheckpoint(eager=True),
+        "seen": Counter(),
+        "batches": 0,
+    }
+
+    def _on_batch(batch, _bid):
+        batch = batch.localCheckpoint(eager=True)
+        d_sum = mg_reduce(mg_counts(batch, "user_id"), "user_id", k)
+        holder["state"] = merge_mg(
+            holder["state"], d_sum, "user_id", k
+        ).localCheckpoint(eager=True)
+        holder["seen"].update(
+            r["user_id"] for r in batch.select("user_id").collect()
+        )
+        holder["batches"] += 1
+        got = {r["user_id"]: r["cnt"] for r in holder["state"].collect()}
+        n = sum(holder["seen"].values())
+        bound = (n - sum(got.values())) // (k + 1)
+        assert len(got) <= k
+        for v, c in holder["seen"].items():
+            est = got.get(v, 0)
+            assert est <= c and c - est <= bound, (v, c, est, bound)
+
+    (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+        .writeStream.foreachBatch(_on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    assert holder["batches"] == 3
+    # the all-batch heavy hitter (user 1: 7 of 19 events) must survive
+    final = {r["user_id"] for r in holder["state"].collect()}
+    assert 1 in final
