@@ -1521,3 +1521,100 @@ def ev_heavy_mg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "event_type", "user_id", F.col("cnt").alias("mg_cnt")
     )
+
+
+def _mg_pair_sql(where: str, alias: str) -> str:
+    """One global MG reduction over co-occurring token-pair counts
+    restricted by ``where`` — the pair-domain twin of the per-user
+    chain (threshold = rank-(k+1) count value via a deterministic
+    LIMIT, ties broken by the pair string)."""
+    return f"""
+{alias}tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents WHERE {where}
+),
+{alias}t2 AS (SELECT doc_id, w FROM {alias}tok WHERE w <> ''),
+{alias}c AS (
+  SELECT a.w || ' ' || b.w AS pair, CAST(count(*) AS BIGINT) AS cnt
+  FROM {alias}t2 a JOIN {alias}t2 b
+    ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1
+),
+{alias}thr AS (
+  SELECT CASE WHEN count(*) = {_MG_K + 1} THEN min(cnt) ELSE 0 END AS t
+  FROM (SELECT cnt FROM {alias}c ORDER BY cnt DESC, pair LIMIT {_MG_K + 1})
+),
+{alias}s AS (
+  SELECT pair, cnt - t.t AS cnt FROM {alias}c, {alias}thr t
+  WHERE cnt - t.t > 0
+)"""
+
+
+@register(
+    "t_cooc_heavy_mg",
+    oracle=f"""
+WITH {_mg_pair_sql("doc_id % 5 <> 0", "b")},
+{_mg_pair_sql("doc_id % 5 = 0", "d")},
+m AS (
+  SELECT pair, coalesce(bs.cnt, 0) + coalesce(ds.cnt, 0) AS cnt
+  FROM bs FULL JOIN ds USING (pair)
+),
+mt AS (
+  SELECT CASE WHEN count(*) = {_MG_K + 1} THEN min(cnt) ELSE 0 END AS t
+  FROM (SELECT cnt FROM m ORDER BY cnt DESC, pair LIMIT {_MG_K + 1})
+)
+SELECT pair, CAST(cnt - mt.t AS BIGINT) AS mg_cnt
+FROM m, mt WHERE cnt - mt.t > 0""",
+    doc="Misra-Gries over the QUADRATIC co-occurrence domain: the "
+    "frequent co-occurring token PAIRS of the document corpus, "
+    "maintained with k=32 rows of state — the composition that shows "
+    "why the mergeable summary earns its keep: the exact pair-count "
+    "table is O(V²) (vocabulary²; Heaps-law squared as the corpus "
+    "grows), the regime where the per-user exact table's "
+    "'just keep the counters' answer stops being cheap. Per-doc "
+    "pair counts (each doc contributes its distinct-token pairs "
+    "once, a doc_id-keyed equi-self-join with w1<w2 "
+    "canonicalization) are partial-aggregated map-side; base and "
+    "batch doc splits (doc_id%5) each reduce to a summary and merge "
+    "by pairwise-sum + one reduction, every threshold a rank-(k+1) "
+    "count value DuckDB replays with the identical deterministic "
+    "LIMIT. At 100 TB the pair expansion streams per doc (O(k²/2) "
+    "in-flight rows, never materialized), the shuffle carries only "
+    "surviving partial counts, and the state is 32 rows however "
+    "large V² grows. Same family contract as ev_heavy_mg_*: "
+    "underestimates only, deficit bound (N−Σ)/(k+1).",
+)
+def t_cooc_heavy_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def pair_rows(pred):
+        tok = (
+            docs.filter(pred)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(F.split(F.col("text"), " "))
+                ).alias("w"),
+            )
+            .filter(F.col("w") != "")
+        )
+        a = tok.select("doc_id", F.col("w").alias("w1"))
+        b = tok.select("doc_id", F.col("w").alias("w2"))
+        return (
+            a.join(b, "doc_id")
+            .filter(F.col("w1") < F.col("w2"))
+            .select(F.concat_ws(" ", "w1", "w2").alias("pair"))
+        )
+
+    base = IVM.mg_reduce(
+        IVM.mg_counts(pair_rows(F.col("doc_id") % 5 != 0), "pair"),
+        "pair",
+        _MG_K,
+    )
+    delta = IVM.mg_reduce(
+        IVM.mg_counts(pair_rows(F.col("doc_id") % 5 == 0), "pair"),
+        "pair",
+        _MG_K,
+    )
+    merged = IVM.merge_mg(base, delta, "pair", _MG_K)
+    return merged.select("pair", F.col("cnt").alias("mg_cnt"))
