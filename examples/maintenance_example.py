@@ -27,6 +27,13 @@ Walks five maintained-state families:
 5. (round 12) A relational join-aggregate view under a mixed
    changefeed — delta-join inserts, counter subtraction, MIN/MAX
    re-election over only the retraction-affected groups.
+6. (round 13) Declarative MOMENT measures: mean/variance maintained
+   as integer power sums through the same spec-driven core —
+   pure-counter specs need no survivor table and take the router's
+   zero-probe fast path.
+7. (round 13) Mergeable Misra-Gries heavy hitters: the top-talkers
+   summary capped at k rows of state however many users exist,
+   base ⊕ batch merged by pairwise residue sum + one reduction.
 """
 
 from __future__ import annotations
@@ -162,6 +169,52 @@ def main() -> None:
         state, ins, IVM.fact_rows(tomb, lineitem), survivors
     )
     print("[ivm] view groups after changefeed:", view.count())
+
+    # ---- 6. Round-13: declarative MOMENT measures — mean/variance as
+    # pure power-sum counters through the same core (no survivor table
+    # needed: every measure is subtractable, the router's zero-probe
+    # fast path)
+    mom = (
+        IVM.Measure("n_items", "count"),
+        IVM.Measure("sum_qty", "sum", "qty"),
+        IVM.Measure("sum_qty2", "sum", "qty2"),
+    )
+
+    def mfacts(o):
+        f = IVM.fact_rows(o, lineitem)
+        return f.withColumn("qty2", F.col("qty") * F.col("qty"))
+
+    mstate = IVM.view_aggregate(mfacts(o_base), measures=mom)
+    mview, info = IVM.ivm_maintain(
+        mstate, mfacts(o_ins), mfacts(tomb), measures=mom, mode="auto"
+    )
+    print("[moments] route:", info["route"], "(zero probe jobs)")
+    print(
+        "[moments] sample variance numerators:",
+        [
+            (r["o_custkey"],
+             r["n_items"] * r["sum_qty2"] - r["sum_qty"] ** 2)
+            for r in mview.orderBy("o_custkey").limit(3).collect()
+        ],
+    )
+
+    # ---- 7. Round-13: mergeable Misra-Gries heavy hitters — the
+    # top-talkers summary capped at k rows however many users exist
+    ev = load_table(spark, sf_dir, "events")
+    k = 16
+    e_base = ev.filter(F.col("event_id") % 5 != 0)
+    e_batch = ev.filter(F.col("event_id") % 5 == 0)
+    hh = IVM.merge_mg(
+        IVM.mg_reduce(IVM.mg_counts(e_base, "user_id"), "user_id", k),
+        IVM.mg_reduce(IVM.mg_counts(e_batch, "user_id"), "user_id", k),
+        "user_id",
+        k,
+    )
+    rows = hh.orderBy(F.col("cnt").desc(), "user_id").limit(3).collect()
+    print(
+        f"[mg] top talkers (k={k} rows of state):",
+        [(r["user_id"], r["cnt"]) for r in rows],
+    )
 
     spark.stop()
 
