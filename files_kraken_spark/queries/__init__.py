@@ -82,7 +82,8 @@ _SAMPLE_PRIORITY = [
     # families --
     "v_ivm_moments_changefeed", "v_ivm_moments_outliers",
     "ev_heavy_mg_incremental", "ev_heavy_mg_error", "ev_heavy_mg_route",
-    "ev_heavy_mg_grouped", "t_cooc_heavy_mg",
+    "ev_heavy_mg_grouped", "t_cooc_heavy_mg", "ev_heavy_mg_serve_merged",
+    "v_ivm_distinct_kmv_serve_merged",
     "v_ivm2_incremental", "v_ivm2_changefeed", "v_ivm_route_history",
     "v_ivm_distinct_kmv_incremental", "v_ivm_distinct_kmv_error",
     "v_ivm_distinct_maintain_route", "q_hist_quantile_changefeed",
