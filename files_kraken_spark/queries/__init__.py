@@ -64,15 +64,17 @@ from . import view_maintenance  # noqa: E402,F401
 from . import phash_maintenance  # noqa: E402,F401
 
 # A budget-capped correctness pass walks the registry in order and may
-# only reach a prefix. Round-12 order (continuing the round-9 verdict
-# item-2 policy): the 13 NEW names come first — the CC maintenance
-# router decision, the serve-only maintenance variants (persisted
-# state, merge-only measurement), label-prop and k-core maintenance
-# (the last two fixed-round graph analytics gain maintain paths, plus
-# the LP mixed changefeed), the curation tombstone leg, and the
-# event-time SESSION window replay with its drop/split audits — then
-# the round-11 block. Names and semantics of existing queries are
-# byte-stable — only the iteration order changes.
+# only reach a prefix. Round-13 order (continuing the round-9 verdict
+# item-2 policy): the 17 NEW names come first — moment measures
+# (mean/variance/covariance as power-sum counters + the 128-bit-exact
+# outlier flags), the mergeable Misra-Gries family (global / error
+# bound / route / grouped / quadratic co-occurrence / serve split),
+# the KMV serve split, the declarative second-schema views, the
+# mid-sequence router history, the sketch-routed COUNT(DISTINCT)
+# legs, the maintained histogram-quantile, and the pHash serve
+# split — then the round-12/11 blocks. Names and semantics of
+# existing queries are byte-stable — only the iteration order
+# changes.
 _SAMPLE_PRIORITY = [
     # -- NEW round 13: the declarative-measure proof (a SECOND view
     # schema through the unchanged spec-driven apply_changes core),
