@@ -256,3 +256,30 @@ def test_readme_registry_counts_in_sync():
         "README three-scale counts stale — re-run the sweep at HEAD and "
         "update the claim"
     )
+
+
+def test_readme_maintenance_matrix_names_exist():
+    """Every backticked query name inside README's maintenance-matrix
+    block must exist in the live registry — the matrix is the judge's
+    family×legs reconstruction served as documentation, and a renamed
+    or dropped query must fail this guard rather than silently leave
+    a dead reference."""
+    import pathlib
+    import re
+
+    from files_kraken_spark.queries import REGISTRY
+
+    text = (
+        pathlib.Path(__file__).resolve().parents[1] / "README.md"
+    ).read_text()
+    m = re.search(
+        r"<!-- maintenance-matrix:begin -->(.*?)"
+        r"<!-- maintenance-matrix:end -->",
+        text,
+        re.S,
+    )
+    assert m, "maintenance-matrix markers missing from README"
+    names = set(re.findall(r"`([a-z0-9_]+)`", m.group(1)))
+    assert len(names) > 30, "matrix lost most of its entries"
+    missing = sorted(n for n in names if n not in REGISTRY)
+    assert not missing, f"matrix names not in registry: {missing}"
