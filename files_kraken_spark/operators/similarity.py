@@ -367,6 +367,45 @@ def semdedup_incremental(
 SEED_RANK_COLLECT_MAX = 4096
 
 
+def _pack_centroids(cent: DataFrame, cell_col: str = "cell", vec_col: str = "__c") -> DataFrame:
+    """Collapse a (cell, vector) centroid frame into ONE row holding the
+    sorted array of (cell, c) structs — the broadcast payload for the
+    map-side packed argmin (round-13 optimization). ``sort_array`` makes
+    the packing deterministic regardless of partitioning; sorting by the
+    struct sorts by cell id first, and cell ids are unique."""
+    return cent.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(cell_col).alias("cell"), F.col(vec_col).alias("c"))
+            )
+        ).alias("__cents")
+    )
+
+
+def _packed_argmin(vec: "F.Column", cents: "F.Column") -> "F.Column":
+    """Nearest-centroid id from a packed (cell, c) struct array: squared
+    L2 per centroid, ties to the LOWER cell id — ``array_min`` over
+    (d, cell) structs is the same lexicographic ordering as the
+    ``F.min(F.struct(d, cell))`` aggregation it replaces, so results are
+    bit-identical while the crossJoin + groupBy(id) exchange disappears
+    (guide §2.4: the argmin is a pure per-row function of the broadcast
+    centroid set; shuffling rows to recombine k distance copies per id
+    was pure overhead)."""
+    return F.array_min(
+        F.transform(
+            cents,
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, s["c"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                s["cell"].alias("cell"),
+            ),
+        )
+    )["cell"]
+
+
 def kmeans_fit_predict(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -441,21 +480,22 @@ def kmeans_fit_predict(
         )
     assigned = None
     for _ in range(iters):
-        sqdist = F.aggregate(
-            F.zip_with(F.col("__v"), F.col("__c"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        assigned = (
-            emb.crossJoin(F.broadcast(cent))
-            .select("__id", "__v", "cell", sqdist.alias("__d"))
-            .groupBy("__id")
-            .agg(F.min(F.struct(F.col("__d"), F.col("cell"))).alias("__best"))
-            .select("__id", F.col("__best.cell").alias("cell"))
+        # Round-13 optimization (guide §2.4): the centroid set is packed
+        # into ONE broadcast row and the argmin is a per-row fold, so
+        # the assignment is map-only — the old crossJoin + groupBy(id)
+        # shape shuffled the whole corpus per round just to recombine k
+        # distance copies of each row, and then re-JOINED the (id, cell)
+        # result back to emb to fetch vectors for the means. Carrying
+        # __v through the map-side assignment removes both exchanges per
+        # round; the means aggregation below is unchanged (same
+        # round(sum,6)/count per (cell, dim), same bit-exact policy).
+        assigned = emb.crossJoin(F.broadcast(_pack_centroids(cent))).select(
+            "__id",
+            "__v",
+            _packed_argmin(F.col("__v"), F.col("__cents")).alias("cell"),
         )
         means = (
-            assigned.join(emb, "__id")
-            .select("cell", F.posexplode("__v").alias("dim", "val"))
+            assigned.select("cell", F.posexplode("__v").alias("dim", "val"))
             .groupBy("cell", "dim")
             .agg((F.round(F.sum("val"), 6) / F.count(F.lit(1))).alias("mu"))
         )
@@ -511,6 +551,53 @@ def semdedup_kmeans(
     return (
         sig.join(dup_pairs, sig["id"] == dup_pairs["dropped_id"], "left")
         .select("id", "cell", F.col("dropped_id").isNull().alias("kept"))
+    )
+
+
+def _encode_rowwise_against_codebook(
+    src: DataFrame,
+    cb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    dim: int,
+) -> DataFrame:
+    """(id, codes array<long>) via a fully MAP-SIDE encode: the whole
+    (m, code, cv) codebook packed into ONE broadcast row; per vector,
+    each subspace's code is the (d, code) struct-min over that
+    subspace's codewords (``F.filter`` on the packed array — no dense
+    (m, code) grid or static ksub assumed). Replaces the subvector
+    explode + broadcast join + groupBy(id, m) argmin + groupBy(id) pack
+    (two shuffles of the n·m frame) with zero exchanges over the batch
+    (round-13, guide §2.4). Distances are the same per-(subvector,
+    codeword) doubles, ties to the lower code — bit-identical codes."""
+    w = dim // m
+    cb_row = cb.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("m"), F.col("code"), F.col("cv")))
+        ).alias("__cb")
+    )
+
+    def _best(mm: int):
+        sv = F.transform(
+            F.slice(F.col(vec_col), mm * w + 1, w), lambda x: x.cast("double")
+        )
+        return F.array_min(
+            F.transform(
+                F.filter(F.col("__cb"), lambda s: s["m"] == F.lit(mm)),
+                lambda s: F.struct(
+                    F.aggregate(
+                        F.zip_with(sv, s["cv"], lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    s["code"].alias("code"),
+                ),
+            )
+        )["code"]
+
+    return src.crossJoin(F.broadcast(cb_row)).select(
+        F.col(id_col), F.array(*[_best(mm) for mm in range(m)]).alias("codes")
     )
 
 
@@ -571,52 +658,65 @@ def pq_train_encode(
     sub = src.select(F.col(id_col).alias("__id"), F.explode(subs).alias("s")).select(
         "__id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
     )
+    # Init codewords = the ksub lowest-id subvectors per subspace. The
+    # ids are shared across subspaces, so this equals exploding the
+    # ksub lowest-id VECTORS — orderBy().limit() is a distributed
+    # TakeOrdered over n rows; the old row_number window partitioned by
+    # m sorted the whole n·m subvector frame across only m tasks
+    # (round-13, guide §2.5: synthetic partition key with m distinct
+    # values). The window now runs over ≤ m·ksub rows.
+    seed_sub = (
+        src.orderBy(F.col(id_col))
+        .limit(ksub)
+        .select(F.col(id_col).alias("__id"), F.explode(subs).alias("s"))
+        .select("__id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    )
     wn = Window.partitionBy("m").orderBy("__id")
     cb = (
-        sub.withColumn("rn", F.row_number().over(wn))
+        seed_sub.withColumn("rn", F.row_number().over(wn))
         .filter(F.col("rn") <= ksub)
         .select("m", (F.col("rn") - 1).cast("long").alias("code"), F.col("sv").alias("cv"))
     )
-    sqd = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    assigned = None
-    for n in range(iters):
-        assigned = (
-            sub.join(F.broadcast(cb), "m")
-            .select("__id", "m", "code", sqd.alias("__d"))
-            .groupBy("__id", "m")
-            .agg(F.min(F.struct(F.col("__d"), F.col("code"))).alias("__b"))
-            .select("__id", "m", F.col("__b.code").alias("code"))
-        )
-        if n < iters - 1:
-            means = (
-                assigned.join(sub, ["__id", "m"])
-                .select("m", "code", F.posexplode("sv").alias("dim", "val"))
-                .groupBy("m", "code", "dim")
-                .agg((F.round(F.sum("val"), 6) / F.count(F.lit(1))).alias("mu"))
-                .groupBy("m", "code")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("dim", "mu"))),
-                        lambda s: s["mu"],
-                    ).alias("cv2")
+    # Round-13 optimization (guide §2.4): training assignments pack each
+    # subspace's codewords into ONE row (an m-row broadcast) and take
+    # the argmin as a per-row fold, carrying sv through — the old shape
+    # shuffled the n·m subvector frame per round (groupBy(id, m) argmin)
+    # and re-joined it to sub for the means. The FINAL assignment (the
+    # encode itself) goes further: codes are computed row-wise per
+    # VECTOR against the full packed codebook, so the groupBy(id)
+    # code-packing shuffle disappears too. argmin ties break to the
+    # lower code via the same (d, code) struct-min ordering — results
+    # are bit-identical (asserted by the oracle suite).
+    for _ in range(iters - 1):
+        cbm = cb.groupBy("m").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("code").alias("cell"), F.col("cv").alias("c"))
                 )
-            )
-            cb = cb.join(means, ["m", "code"], "left").select(
-                "m", "code", F.coalesce(F.col("cv2"), F.col("cv")).alias("cv")
-            )
-    codes = (
-        assigned.groupBy("__id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
-            ).alias("codes")
+            ).alias("__cws")
         )
-        .select(F.col("__id").alias(id_col), "codes")
-    )
+        assigned = sub.join(F.broadcast(cbm), "m").select(
+            "__id",
+            "m",
+            "sv",
+            _packed_argmin(F.col("sv"), F.col("__cws")).alias("code"),
+        )
+        means = (
+            assigned.select("m", "code", F.posexplode("sv").alias("dim", "val"))
+            .groupBy("m", "code", "dim")
+            .agg((F.round(F.sum("val"), 6) / F.count(F.lit(1))).alias("mu"))
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                    lambda s: s["mu"],
+                ).alias("cv2")
+            )
+        )
+        cb = cb.join(means, ["m", "code"], "left").select(
+            "m", "code", F.coalesce(F.col("cv2"), F.col("cv")).alias("cv")
+        )
+    codes = _encode_rowwise_against_codebook(src, cb, id_col, vec_col, m, dim)
     return codes, cb
 
 
@@ -1300,6 +1400,13 @@ def power_iteration_top_pc(
     spectral hashing / projection pruning. Converges at the usual
     power-iteration rate; ``iters=3`` matches the registry oracle's
     unrolled SQL replay.
+
+    Round-13 note: a packed-array rewrite (per-row integer folds
+    against a broadcast 1-row v, w as one global agg) was measured at
+    ×5.3 SLOWER at sf0.1 and reverted — the exploded shape's joins and
+    keyed aggregations are whole-stage-codegen'd columnar work, while
+    array folds are interpreted HOFs (guide §4.2's caveat in reverse).
+    The exchanges this shape pays are partial-aggregated and tiny.
     """
     from .ranks import pin_frame
 
@@ -1387,20 +1494,14 @@ def assign_to_centroids(
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
         )
     )
-    sqdist = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        new_d.crossJoin(F.broadcast(centroids))
-        .select("__id", sqdist.alias("__d"), "cell")
-        .groupBy("__id")
-        .agg(F.min(F.struct(F.col("__d"), F.col("cell"))).alias("__b"))
-        .select(
-            F.col("__id").alias(id_col),
-            F.col("__b.cell").cast("long").alias("cell"),
-        )
+    # Round-13: pack the k centroids into one broadcast row and fold the
+    # argmin per row — the groupBy(id) exchange recombining k distance
+    # copies was pure overhead (the map-side partial already had every
+    # copy in one task). Same (d, cell) struct-min ordering, same cells.
+    packed = _pack_centroids(centroids, cell_col="cell", vec_col="centroid")
+    return new_d.crossJoin(F.broadcast(packed)).select(
+        F.col("__id").alias(id_col),
+        _packed_argmin(F.col("__v"), F.col("__cents")).cast("long").alias("cell"),
     )
 
 
@@ -1439,50 +1540,16 @@ def pq_encode_frozen(
     what re-running the trainer's final assignment step would emit, so
     ADC serving tables keep working unchanged across merges.
 
-    Scale shape: subvector explode (m narrow rows/vector), one
-    broadcast join against the m·ksub codebook, per-(id, subspace)
-    argmin (ties to the lower code, the training rule), one groupBy(id)
-    to pack codes — the only shuffle, and it's the output's natural
-    key."""
-    w = dim // m
-    subs = F.array(
-        *[
-            F.struct(
-                F.lit(mm).alias("m"),
-                F.transform(
-                    F.slice(F.col(vec_col), mm * w + 1, w), lambda x: x.cast("double")
-                ).alias("sv"),
-            )
-            for mm in range(m)
-        ]
-    )
+    Scale shape (round-13): ONE map-only pass — the m·ksub codebook is
+    packed into a single broadcast row and every vector's m codes are
+    per-row struct-min folds (ties to the lower code, the training
+    rule). Zero shuffles over the batch: the old subvector explode +
+    broadcast join + groupBy(id, m) argmin + groupBy(id) code pack
+    shuffled the n·m frame twice to compute a per-row function."""
     from .ranks import spread_small_scan
 
     src = spread_small_scan(df.select(F.col(id_col), F.col(vec_col)))
-    sub = src.select(F.col(id_col).alias("__id"), F.explode(subs).alias("s")).select(
-        "__id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
-    )
-    sqd = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    assigned = (
-        sub.join(F.broadcast(codebook), "m")
-        .select("__id", "m", "code", sqd.alias("__d"))
-        .groupBy("__id", "m")
-        .agg(F.min(F.struct(F.col("__d"), F.col("code"))).alias("__b"))
-        .select("__id", "m", F.col("__b.code").alias("code"))
-    )
-    return (
-        assigned.groupBy("__id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "code"))), lambda s: s["code"]
-            ).alias("codes")
-        )
-        .select(F.col("__id").alias(id_col), "codes")
-    )
+    return _encode_rowwise_against_codebook(src, codebook, id_col, vec_col, m, dim)
 
 
 def ivf_merged_topk(

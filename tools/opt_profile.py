@@ -53,6 +53,19 @@ def main() -> int:
     # JVM/codegen warmup so the first measured query isn't charged startup
     spark.read.parquet(f"{args.dir}/region.parquet").count()
 
+    def _control() -> float:
+        """bench.py's load sentinel: one clean-cache q1 run, bracketing
+        the block so box drift between profile invocations is visible."""
+        spec = REGISTRY["q1_pricing_summary"]
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        time.sleep(1.0)
+        t0 = time.time()
+        spec.spark(spark, args.dir).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    c0 = _control()
+
     if args.plan_tag:
         os.makedirs(PLANS_DIR, exist_ok=True)
 
@@ -84,6 +97,7 @@ def main() -> int:
         }
         print(json.dumps(rec))
         sys.stdout.flush()
+    print(json.dumps({"control": [c0, _control()]}))
     return 0
 
 
