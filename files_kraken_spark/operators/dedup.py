@@ -165,14 +165,29 @@ def _shingle_pair_stats(
     else:
         join_sh = sh
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = join_sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = join_sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Round-13 (guide §2.3/§2.4): staged pair expansion instead of the
+    # two-sided equi-self-join — one groupBy(shingle) shuffle replaces
+    # shuffling the shingle frame TWICE into the join, and pairs are
+    # born canonical (sorted posting list ⇒ anchor < every tail
+    # element), so the pair aggregation sees half the rows and the
+    # id_a < id_b filter disappears. Same mechanics as
+    # graph.cooccurrence_edges' staged branch (measured ×0.7 there);
+    # skew profile is unchanged — an equi-join on the shingle key also
+    # lands a hot shingle's d² pairs in one task, and ``max_shingle_df``
+    # remains the cap for that. inter per pair = #shared shingles,
+    # identical to the join's count.
+    sets = join_sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(id_col)).alias("__ps")
     )
+    pairs = (
+        sets.select(F.col("__ps"), F.posexplode("__ps").alias("__i", "__x"))
+        .select(
+            F.col("__x").alias("id_a"),
+            F.expr("slice(__ps, __i + 2, size(__ps))").alias("__t"),
+        )
+        .select("id_a", F.explode("__t").alias("id_b"))
+    )
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return inter.join(sa, "id_a").join(sb, "id_b")
