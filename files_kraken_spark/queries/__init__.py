@@ -64,18 +64,54 @@ from . import view_maintenance  # noqa: E402,F401
 from . import phash_maintenance  # noqa: E402,F401
 
 # A budget-capped correctness pass walks the registry in order and may
-# only reach a prefix. Round-13 order (continuing the round-9 verdict
-# item-2 policy): the 17 NEW names come first — moment measures
+# only reach a prefix. Round-14 order (optimization round 2, round-13
+# verdict item 1): the driver's 50-name window never reached the 23
+# similarity.py riders or the dedup shingle-pair backbone that round
+# 13 REWROTE — the build-phase prefix pushed them out. This round the
+# prefix leads with the optimizer-touched queries (ANN-trainer family,
+# staged-pair backbone riders, and the round-14 targets: minhash-LSH
+# verify fusion, label-prop/BFS edge pin, cooccurrence routing) so the
+# driver hash-certifies exactly the changed code. Names and semantics
+# of existing queries are byte-stable — only iteration order changes.
+_OPT_TOUCHED_PREFIX = [
+    # -- round-13 ANN-trainer rewrite riders (packed argmin, row-wise
+    # PQ encode): never driver-sampled since the rewrite --
+    "emb_kmeans_cells", "emb_pq_codes", "sim_pq_topk", "sim_ivfpq_topk",
+    "sim_ivfpq_residual_topk", "sim_ivfadc_rerank", "sim_pq_rerank",
+    "sem_dedup_kmeans", "sem_dedup_incremental", "sim_ivf_trained_topk",
+    "sim_ivf_incremental_assign", "sim_ivfpq_incremental_recode",
+    "sim_ivf_merge_occupancy", "sim_ivf_merged_topk",
+    "sim_ivf_tombstone_topk", "emb_top_pc_power", "emb_pc_outliers",
+    "emb_pq_reconstruction_mse", "emb_ivf_recall_audit",
+    "emb_kmeans_silhouette", "emb_pca_explained_variance",
+    "t_bpe_train_merges", "t_bpe_tokenize_trained",
+    # -- round-13 staged shingle-pair backbone riders --
+    "q_jaccard_knn_graph", "dedup_overlap_coeff", "t_minhash_containment",
+    "dedup_ngram_jaccard",
+    # -- round-14 optimization targets and their riders --
+    "dedup_minhash_lsh", "t_minhash_est_vs_exact", "t_lsh_recall_audit",
+    "q_label_prop_communities", "q_bfs_hops", "t_cooc_heavy_mg",
+    "t_ngram_novelty", "t_lsh_band_sweep",
+    # -- cooccurrence_edges riders (shared probe/backbone code) --
+    "q_kcore_parts", "q_degree_assortativity", "q_clustering_coefficient",
+    "q_powerlaw_degree_alpha", "q_triangle_count",
+    # -- graph maintenance families riding the pinned-edges machinery --
+    "g_labelprop_incremental", "g_labelprop_changefeed",
+    "g_labelprop_serve_merged", "g_cc_incremental", "g_cc_merge_audit",
+    "g_cc_changefeed", "g_cc_decremental", "g_cc_maintain_route",
+    "g_cc_serve_merged", "g_cc_damage_curve",
+]
+
+# Round-13 order (kept as the tail, minus the names promoted above):
+# the 17 round-13 build names first — moment measures
 # (mean/variance/covariance as power-sum counters + the 128-bit-exact
 # outlier flags), the mergeable Misra-Gries family (global / error
 # bound / route / grouped / quadratic co-occurrence / serve split),
 # the KMV serve split, the declarative second-schema views, the
 # mid-sequence router history, the sketch-routed COUNT(DISTINCT)
 # legs, the maintained histogram-quantile, and the pHash serve
-# split — then the round-12/11 blocks. Names and semantics of
-# existing queries are byte-stable — only the iteration order
-# changes.
-_SAMPLE_PRIORITY = [
+# split — then the round-12/11 blocks.
+_R13_ORDER = [
     # -- NEW round 13: the declarative-measure proof (a SECOND view
     # schema through the unchanged spec-driven apply_changes core),
     # moment measures (maintained mean/variance/covariance as pure
@@ -264,9 +300,18 @@ _SAMPLE_PRIORITY = [
     "emb_kmeans_cells", "emb_pq_codes", "t_chunk_documents",
 ]
 
+_SAMPLE_PRIORITY = _OPT_TOUCHED_PREFIX + [
+    n for n in _R13_ORDER if n not in set(_OPT_TOUCHED_PREFIX)
+]
+
 # guard against the round-6 duplicate-name slip (ADVICE item 3): dupes
 # are harmless at runtime (dict dedupes) but corrupt audit counts
 assert len(set(_SAMPLE_PRIORITY)) == len(_SAMPLE_PRIORITY), "duplicate in _SAMPLE_PRIORITY"
+# every promoted name must exist in the registry — a typo here would
+# silently shrink the driver's verification window
+assert all(n in REGISTRY for n in _OPT_TOUCHED_PREFIX), sorted(
+    n for n in _OPT_TOUCHED_PREFIX if n not in REGISTRY
+)
 
 _reordered = {n: REGISTRY[n] for n in _SAMPLE_PRIORITY if n in REGISTRY}
 _reordered.update({n: s for n, s in REGISTRY.items() if n not in _reordered})

@@ -3,6 +3,8 @@ naive Python references on arbitrary small corpora."""
 
 from __future__ import annotations
 
+
+import os
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -35,9 +37,15 @@ def _naive_span_dedup(corpus):
     return out
 
 
+# Trimmed default example count (r13 verdict item 2: suite wall time
+# overran the driver's pytest budget). Derandomized profile => same
+# first-N cases every run; set SPARK_GRAFT_PROP_EXAMPLES for a wider sweep.
+_N_EX_WIDE = int(os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "10"))
+
+
 @pytest.mark.usefixtures("spark")
 @settings(
-    max_examples=25,
+    max_examples=_N_EX_WIDE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -5,6 +5,8 @@ must agree with set semantics for every input, both layouts."""
 
 from __future__ import annotations
 
+
+import os
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -31,9 +33,15 @@ def _naive(rows, directed):
     return und | {(b, a) for a, b in und}
 
 
+# Trimmed default example counts (r13 verdict item 2); see
+# SPARK_GRAFT_PROP_EXAMPLES for the wide sweep.
+_N_EX = int(os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "6"))
+_N_EX_WIDE = int(os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "8"))
+
+
 @pytest.mark.usefixtures("spark")
 @settings(
-    max_examples=20,
+    max_examples=_N_EX_WIDE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -53,7 +61,7 @@ def test_cooccurrence_edges_matches_naive(spark, rows, directed, thr):
 
 @pytest.mark.usefixtures("spark")
 @settings(
-    max_examples=15,
+    max_examples=_N_EX,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -8,6 +8,8 @@ extraction, findall.
 
 from __future__ import annotations
 
+
+import os
 import re
 
 import pytest
@@ -34,6 +36,12 @@ PATTERNS = [
 ]
 
 
+# Trimmed default example count (r13 verdict item 2: suite wall time
+# overran the driver's pytest budget). Derandomized profile => same
+# first-N cases every run; set SPARK_GRAFT_PROP_EXAMPLES for a wider sweep.
+_N_EX = int(os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "6"))
+
+
 @pytest.fixture(scope="module")
 def run_batch(spark):
     def _run(texts, build_col):
@@ -43,7 +51,7 @@ def run_batch(spark):
     return _run
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_N_EX, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(TEXT, min_size=1, max_size=25))
 def test_fullmatch_parity(run_batch, texts):
     for pat in PATTERNS:
@@ -52,7 +60,7 @@ def test_fullmatch_parity(run_batch, texts):
         assert got == want, (pat, texts)
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_N_EX, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(TEXT, min_size=1, max_size=25))
 def test_search_parity(run_batch, texts):
     for pat, grp in [(r"([a-z]+)_(\d+)", 2), (r"(\d+)", 1), (r"[a-z]+", 0)]:
@@ -65,7 +73,7 @@ def test_search_parity(run_batch, texts):
         assert got == want, (pat, texts)
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=_N_EX, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(TEXT, min_size=1, max_size=25))
 def test_findall_parity(run_batch, texts):
     pat = r"[a-z]+|\d+"

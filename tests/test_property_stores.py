@@ -5,6 +5,8 @@ state, on both backends."""
 
 from __future__ import annotations
 
+
+import os
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -48,9 +50,15 @@ def _rows(spark, bp, rows):
     )
 
 
+# Trimmed default example count (r13 verdict item 2: suite wall time
+# overran the driver's pytest budget). Derandomized profile => same
+# first-N cases every run; set SPARK_GRAFT_PROP_EXAMPLES for a wider sweep.
+_N_EX = int(os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "3"))
+
+
 @pytest.mark.usefixtures("spark")
 @settings(
-    max_examples=8,
+    max_examples=_N_EX,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -249,7 +249,10 @@ def test_no_cache_accumulation_across_ticks(spark, tmp_path, bp):
     # objects are GC'd — so compare RDD-id SETS (did the loop ADD any
     # entry?), not counts (which can drop below the baseline mid-test)
     baseline = set(jsc.getPersistentRDDs().keySet().toArray())
-    for i in range(6):
+    # 3 ticks suffice to catch per-tick cache leakage (any leak adds an
+    # entry on EVERY tick); 6 ticks doubled the wall time for no extra
+    # signal (r13 verdict item 2: suite overran the driver's budget)
+    for i in range(3):
         (root / f"sample_{i}.lane_1.fastq.gz").write_text("fq")
         wf.run_once()
     added = set(jsc.getPersistentRDDs().keySet().toArray()) - baseline

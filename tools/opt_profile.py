@@ -1,13 +1,15 @@
-"""Round-13 optimization harness: isolated per-query timing + plan capture.
+"""Optimization-round harness: isolated per-query timing + plan capture.
 
 For each named registry query, runs N cache-cleared noop-sink
 materializations at the given scale dir (bench.py methodology: min is
 the steady-state cost, spread self-flags contention) and optionally
-writes the `.explain("formatted")` output to plans/r13/<query>_<tag>.txt
-so plan-shape claims in OPTIMIZATION_r13.md are checkable offline.
+writes the `.explain("formatted")` output to
+<plans-dir>/<query>_<tag>.txt so plan-shape claims in the round's
+OPTIMIZATION_*.md are checkable offline.
 
     python tools/opt_profile.py QUERY [QUERY ...] \
-        [--dir /root/testdata/sf0.1] [--runs 3] [--plan-tag before]
+        [--dir /root/testdata/sf0.1] [--runs 3] [--plan-tag before] \
+        [--plans-dir plans/r14]
 
 Emits one JSON line per query on stdout: {"query", "min", "spread",
 "runs", "dir"}.
@@ -26,9 +28,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from files_kraken_spark.queries import REGISTRY
 from files_kraken_spark.session import get_session
 
-PLANS_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
-)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_PLANS_DIR = os.path.join(_REPO_ROOT, "plans", "r14")
+
+
+def capture_plan(df) -> str:
+    """explain('formatted') output as a string, portably: redirect
+    stdout around the public .explain() hook instead of reaching into
+    df._sc._jvm.PythonSQLUtils (round-13 ADVICE: the jvm symbol path is
+    version-fragile for a committed tool)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
 
 
 def main() -> int:
@@ -39,8 +54,9 @@ def main() -> int:
     ap.add_argument(
         "--plan-tag",
         default=None,
-        help="if set, write explain('formatted') to plans/r13/<q>_<tag>.txt",
+        help="if set, write explain('formatted') to <plans-dir>/<q>_<tag>.txt",
     )
+    ap.add_argument("--plans-dir", default=DEFAULT_PLANS_DIR)
     args = ap.parse_args()
 
     unknown = [q for q in args.queries if q not in REGISTRY]
@@ -67,16 +83,14 @@ def main() -> int:
     c0 = _control()
 
     if args.plan_tag:
-        os.makedirs(PLANS_DIR, exist_ok=True)
+        os.makedirs(args.plans_dir, exist_ok=True)
 
     for name in args.queries:
         spec = REGISTRY[name]
         if args.plan_tag:
             df = spec.spark(spark, args.dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
-            path = os.path.join(PLANS_DIR, f"{name}_{args.plan_tag}.txt")
+            plan = capture_plan(df)
+            path = os.path.join(args.plans_dir, f"{name}_{args.plan_tag}.txt")
             with open(path, "w") as fh:
                 fh.write(plan)
             print(f"# plan -> {path}", file=sys.stderr)
