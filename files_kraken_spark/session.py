@@ -49,6 +49,25 @@ def get_session(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MPB", "8m"),
         )
+        # Round-14 config-sweep knobs (guide §1.2 step 3 / §9), defaults
+        # = Spark defaults = the behavior every prior record measured.
+        # Interleaved A/B at sf0.1 measured all three flat-to-noise on
+        # this box (OPTIMIZATION_r14.md "Config sweep"), so none is
+        # adopted locally; they stay parameterized for cluster tuning
+        # (zstd shuffle codec is the §9 recommendation once shuffles
+        # hit real disks/NICs instead of this box's page cache).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
+        )
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
