@@ -499,6 +499,12 @@ def kmeans_fit_predict(
             "__v",
             _packed_argmin(F.col("__v"), F.col("__cents")).alias("cell"),
         )
+        # The means stay on the exploded (cell, dim) shape: an
+        # explode-free 64-dim variant (_mean_vector_agg) was A/B'd in
+        # round 14 and measured flat-to-worse here (sem_dedup_kmeans
+        # 3.34/3.33 vs 3.16/3.06 old) — at dim=64 the 128 aggregate
+        # buffers lose what the removed Generate saves (PQ's w=16
+        # subspaces, where it wins, DID keep it; see pq_train_encode).
         means = (
             assigned.select("cell", F.posexplode("__v").alias("dim", "val"))
             .groupBy("cell", "dim")
@@ -724,17 +730,13 @@ def pq_train_encode(
             "sv",
             _packed_argmin(F.col("sv"), F.col("__cws")).alias("code"),
         )
-        means = (
-            assigned.select("m", "code", F.posexplode("sv").alias("dim", "val"))
-            .groupBy("m", "code", "dim")
-            .agg((F.round(F.sum("val"), 6) / F.count(F.lit(1))).alias("mu"))
-            .groupBy("m", "code")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "mu"))),
-                    lambda s: s["mu"],
-                ).alias("cv2")
-            )
+        # Round-14: subspace width w is static, so the codeword means
+        # are one explode-free aggregation (same round(sum,6)/count per
+        # element; the old shape posexploded the n·m subvector frame
+        # into w· more rows and paid a second (m, code) exchange to
+        # repack — see _mean_vector_agg).
+        means = assigned.groupBy("m", "code").agg(
+            _mean_vector_agg(F.col("sv"), w, "cv2")
         )
         cb = cb.join(means, ["m", "code"], "left").select(
             "m", "code", F.coalesce(F.col("cv2"), F.col("cv")).alias("cv")
@@ -1147,15 +1149,34 @@ def ivf_topk_trained(
     )
 
 
+def _mean_vector_agg(vec: "F.Column", dim: int, out: str) -> "F.Column":
+    """The engine-portable mean of a fixed-``dim`` vector column as ONE
+    aggregate projection: per element, round(sum, 6)/count — the exact
+    expressions the exploded (key, dim) shape computed, just evaluated
+    as ``dim`` parallel aggregation buffers over whole-array rows
+    (round 14, guide §2.3/§1.2-1: the posexplode multiplied every
+    vector into ``dim`` (key, dim, val) rows through a Generate and a
+    ``dim``-times-larger hash-aggregate, then paid a SECOND exchange
+    just to collect_list the elements back into an array). ``F.get``
+    (null on out-of-bounds) + count(element) keep ragged/null-element
+    inputs on the exploded shape's semantics: absent elements
+    contribute to neither sum nor count."""
+    el = [F.get(vec, i) for i in range(dim)]
+    return F.array(*[F.round(F.sum(e), 6) / F.count(e) for e in el]).alias(out)
+
+
 def _cell_centroids(
     emb_d: DataFrame, cells: DataFrame, id_col: str
 ) -> DataFrame:
     """Per-cell mean vectors from a final k-means assignment —
     round(sum,6)/count per dim (the engine-portable determinism rule),
-    one partial-agg shuffle."""
+    one partial-agg shuffle. Kept on the exploded shape: the
+    explode-free 64-dim variant measured flat-to-worse in round 14's
+    A/B (see kmeans_fit_predict's loop comment); only PQ's w=16
+    subspace means (:func:`_mean_vector_agg`) kept it."""
+    joined = cells.withColumnRenamed(id_col, "__id").join(emb_d, "__id")
     return (
-        cells.withColumnRenamed(id_col, "__id")
-        .join(emb_d, "__id")
+        joined
         .select("cell", F.posexplode("__v").alias("dim", "val"))
         .groupBy("cell", "dim")
         .agg((F.round(F.sum("val"), 6) / F.count(F.lit(1))).alias("mu"))
